@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val declared: Seq[Q] =
-    CoreQueries.all
+    CoreQueries.all ++ RowQueries.all ++ GroupQueries.all ++
+      WindowQueries.all ++ JoinSetQueries.all
 
   private val (qMap, oMap) = registry(declared)
 

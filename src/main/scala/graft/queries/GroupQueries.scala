@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.Exact.dec
+
+/** Aggregation inventory (SURVEY.md §2.5 + P6/P7): distinct-dedup,
+  * first-per-group collapse, DQ count metrics, multi-aggregate, distinct
+  * counts, rollup/cube subtotals.
+  *
+  * All aggregates here are associative (count/sum-decimal/min/max/min_by on
+  * unique keys), so Spark's partial aggregation (map-side combine) applies —
+  * the shuffle carries one row per group per partition, not the raw data.
+  * `first(ignoreNulls)` from the reference is replaced with `min_by` over a
+  * unique ordering key: same semantics the reference relies on, but
+  * deterministic under any partitioning (Spark's `first` is order-sensitive
+  * and therefore not reproducible at scale).
+  */
+object GroupQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q08: exact dedup via DISTINCT (ref P6, transform.py:98,296
+    // dropDuplicates on products). Full-row distinct = hash aggregate on all
+    // columns; at 100 TB this is one shuffle on the value hash.
+    Q("q08_dedup",
+      Some("""SELECT DISTINCT lang, source FROM documents
+             |ORDER BY lang, source""".stripMargin),
+      (s, d) => Tables.documents(s, d)
+        .select("lang", "source").distinct()
+        .orderBy("lang", "source")),
+
+    // ---- q10: first-non-null-per-group collapse (ref A1,
+    // transform.py:334-366 collapses multi-purchase clients with
+    // first(ignoreNulls)). min_by/max_by over the unique o_orderkey gives
+    // the reference's "first by insertion order" deterministically.
+    Q("q10_groupby_first",
+      Some("""SELECT o_custkey AS custkey,
+             |       min_by(o_orderstatus, o_orderkey) AS first_status,
+             |       max_by(o_orderpriority, o_orderkey) AS last_priority,
+             |       CAST(MIN(o_orderdate) AS DATE) AS first_date,
+             |       COUNT(*) AS n_orders
+             |FROM orders
+             |GROUP BY 1
+             |ORDER BY custkey""".stripMargin),
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(
+          min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+          max_by(col("o_orderpriority"), col("o_orderkey")).as("last_priority"),
+          min(col("o_orderdate").cast(DateType)).as("first_date"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("custkey")),
+
+    // ---- q16: data-quality count metrics (ref P7, transform.py:173-178
+    // missing-product gate; generalized to a one-pass DQ profile).
+    Q("q16_dq_counts",
+      Some("""SELECT COUNT(*) AS n_rows,
+             |       COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS n_null_ship,
+             |       COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 END) AS n_bad_disc,
+             |       COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS n_bad_qty,
+             |       COUNT(DISTINCT l_orderkey) AS n_orders,
+             |       CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+             |       CAST(MAX(l_shipdate) AS DATE) AS last_ship
+             |FROM lineitem""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("l_shipdate").isNull, 1)).as("n_null_ship"),
+          count(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1)).as("n_bad_disc"),
+          count(when(col("l_quantity") <= 0, 1)).as("n_bad_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          min(col("l_shipdate").cast(DateType)).as("first_ship"),
+          max(col("l_shipdate").cast(DateType)).as("last_ship"))),
+
+    // ---- q18: multi-aggregate per group — count/sum/min/max/avg/distinct
+    // (ref A2, the KPI layer). The average is computed as exact integer
+    // cents over an exact decimal sum, then one IEEE divide+floor — identical
+    // in any engine at any parallelism (see graft.functions.Exact).
+    Q("q18_agg_multi",
+      Some("""SELECT o_orderpriority AS priority,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+             |       CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
+             |       CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price,
+             |       CAST(FLOOR(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_price_cents,
+             |       COUNT(DISTINCT o_custkey) AS n_custs
+             |FROM orders
+             |GROUP BY 1
+             |ORDER BY priority""".stripMargin),
+      (s, d) => {
+        val sumDec = sum(dec(col("o_totalprice")))
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(
+            count(lit(1)).as("n"),
+            sumDec.cast(DecimalType(38, 2)).as("sum_price"),
+            min(col("o_totalprice")).cast(DecimalType(18, 2)).as("min_price"),
+            max(col("o_totalprice")).cast(DecimalType(18, 2)).as("max_price"),
+            floor((sumDec * 100).cast(LongType).cast(DoubleType) / count(lit(1)))
+              .cast(LongType).as("avg_price_cents"),
+            countDistinct(col("o_custkey")).as("n_custs"))
+          .orderBy("priority")
+      }),
+
+    // ---- q19: exact distinct counts per group (ref A4, the "loyal
+    // customers" distinct-sale counting). countDistinct expands to a
+    // two-phase aggregate; approx_count_distinct (HLL) is the 100 TB
+    // alternative but is sketch-implementation-specific, so only the exact
+    // form is oracle-checked.
+    Q("q19_agg_distinct",
+      Some("""SELECT l_returnflag AS rflag,
+             |       COUNT(DISTINCT l_partkey) AS nd_part,
+             |       COUNT(DISTINCT l_suppkey) AS nd_supp,
+             |       COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS nd_days,
+             |       COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY 1
+             |ORDER BY rflag""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          countDistinct(col("l_shipdate").cast(DateType)).as("nd_days"),
+          count(lit(1)).as("n"))
+        .orderBy("rflag")),
+
+    // ---- q20: rollup subtotals over a dimension join (ref A3 — dashboard
+    // subtotal parity; absent from the reference itself).
+    Q("q20_rollup",
+      Some("""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+             |       COALESCE(o_orderstatus, 'ALL') AS status,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+             |ORDER BY segment, status""".stripMargin),
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .rollup(col("c_mktsegment"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("sum_price"))
+          .select(
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("n"), col("sum_price"))
+          .orderBy("segment", "status")
+      }),
+
+    // ---- q27: cube over two low-cardinality dimensions (§2.5 A3).
+    Q("q27_cube",
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+             |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY rflag, lstatus""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"), 12, 2)).cast(DecimalType(38, 2)).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus"))
+  )
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.operators.Cleaning
+
+/** Row-level scalar-function inventory (SURVEY.md §2.2-2.3): string
+  * cleaning, conditional repair, date functions, substring/isin, regex
+  * extraction. Each transplants a reference cleaning rule onto the harness
+  * tables; all expressions are Catalyst built-ins inside one projection, so
+  * the whole query is a single codegen'd scan stage — no shuffle at all.
+  */
+object RowQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q04: whitespace scrub + edge-quote strip + email-style normalize
+    // (ref F1-F3, transform.py:53-70,61,372).
+    Q("q04_string_clean",
+      Some("""SELECT c_custkey AS custkey,
+             |       trim(regexp_replace(c_name, '[\t\r\n]+', ' ', 'g')) AS name_clean,
+             |       regexp_replace(regexp_replace(c_mktsegment, '^[\s"]+|[\s"]+$', '', 'g'), '"', '', 'g') AS seg_clean,
+             |       lower(trim(regexp_replace(c_name, '[^a-zA-Z0-9._%+\-@]+', '', 'g'))) AS email_norm
+             |FROM customer
+             |ORDER BY custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .select(
+          col("c_custkey").as("custkey"),
+          Cleaning.scrubWhitespace(col("c_name")).as("name_clean"),
+          Cleaning.stripEdgeQuotes(col("c_mktsegment")).as("seg_clean"),
+          Cleaning.normalizeEmail(col("c_name")).as("email_norm"))
+        .orderBy("custkey")),
+
+    // ---- q05: conditional repair — when/otherwise chains, coalesce/nullif,
+    // startsWith + substr + concat, and the phone standardization rule
+    // (ref F4/F6/F7/F9/F10, transform.py:72-87,139-149,184-220,405).
+    Q("q05_conditional",
+      Some("""SELECT c_custkey AS custkey,
+             |       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+             |            WHEN c_acctbal < 1000 THEN 'low'
+             |            WHEN c_acctbal < 5000 THEN 'mid'
+             |            ELSE 'high' END AS bal_band,
+             |       CASE WHEN c_name LIKE 'Customer#%'
+             |            THEN 'C_' || substring(c_name, 10, 9)
+             |            ELSE c_name END AS short_id,
+             |       COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+             |       CASE WHEN length(regexp_replace(CAST((c_custkey + 1) * 67000 AS VARCHAR), '^0+', '')) = 9
+             |                 AND regexp_matches(regexp_replace(CAST((c_custkey + 1) * 67000 AS VARCHAR), '^0+', ''), '^[0-9]+$')
+             |            THEN '+33' || regexp_replace(CAST((c_custkey + 1) * 67000 AS VARCHAR), '^0+', '')
+             |            ELSE NULL END AS phone_std
+             |FROM customer
+             |ORDER BY custkey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .select(
+          col("c_custkey").as("custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 1000, "low")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bal_band"),
+          when(col("c_name").startsWith("Customer#"),
+            concat(lit("C_"), substring(col("c_name"), 10, 9)))
+            .otherwise(col("c_name")).as("short_id"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")).as("seg_or_other"),
+          Cleaning.standardizePhone(((col("c_custkey") + 1) * 67000).cast(StringType)).as("phone_std"))
+        .orderBy("custkey")),
+
+    // ---- q06: date functions — year/month/day extraction, ISO weekday,
+    // datediff (ref F5, extract.py:86, transform.py:134-136 + the
+    // "trends by month" KPI shape). Aggregated by calendar month.
+    Q("q06_date_funcs",
+      Some("""SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+             |       CAST(month(l_shipdate) AS BIGINT) AS m,
+             |       COUNT(*) AS n,
+             |       CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+             |       CAST(MAX(l_shipdate) AS DATE) AS last_ship,
+             |       MIN(CAST(datediff('day', CAST(l_shipdate AS DATE), DATE '1999-01-01') AS BIGINT)) AS min_days_to_99
+             |FROM lineitem
+             |GROUP BY 1, 2
+             |ORDER BY y, m""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(
+          year(col("l_shipdate")).cast(LongType).as("y"),
+          month(col("l_shipdate")).cast(LongType).as("m"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_shipdate").cast(DateType)).as("first_ship"),
+          max(col("l_shipdate").cast(DateType)).as("last_ship"),
+          min(datediff(lit(java.sql.Date.valueOf("1999-01-01")),
+            col("l_shipdate").cast(DateType)).cast(LongType)).as("min_days_to_99"))
+        .orderBy("y", "m")),
+
+    // ---- q07: substring extraction + isin whitelist validation
+    // (ref F8, transform.py:180-251 store-ID derivation + whitelist).
+    Q("q07_substr_isin",
+      Some("""SELECT p_partkey AS pkey,
+             |       substring(p_brand, 7, 2) AS brand_num,
+             |       p_brand IN ('Brand#1', 'Brand#2', 'Brand#13', 'Brand#17') AS is_listed
+             |FROM part
+             |WHERE p_size IN (1, 3, 5, 7)
+             |ORDER BY pkey""".stripMargin),
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_size").isin(1, 3, 5, 7))
+        .select(
+          col("p_partkey").as("pkey"),
+          substring(col("p_brand"), 7, 2).as("brand_num"),
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#13", "Brand#17").as("is_listed"))
+        .orderBy("pkey")),
+
+    // ---- q15: regex group extraction from a raw string column
+    // (ref S4, extract.py:134-153 parses pipe-delimited text via
+    // regexp_extract; here applied to the events.props JSON-ish strings).
+    Q("q15_regex_extract",
+      Some("""SELECT event_id AS eid, event_type AS etype,
+             |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+             |FROM events
+             |ORDER BY eid""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id").as("eid"),
+          col("event_type").as("etype"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(IntegerType).as("k"))
+        .orderBy("eid"))
+  )
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.operators.Windows
+import graft.functions.Exact.dec
+
+/** Window-function inventory (SURVEY.md §2.6): duplicate-suffix renaming,
+  * global dense surrogate keys, per-group ranking, running-total frames.
+  * Every window spec orders by a key set ending in a unique column, so the
+  * numbering is a total order — deterministic under any partitioning.
+  */
+object WindowQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q09: duplicate-key suffix renaming (ref W1+F11,
+    // transform.py:253-261 renames dup Sale_IDs `ID_2`, `ID_3`...).
+    // One hash exchange on the partition keys; no global sort.
+    Q("q09_window_dedup",
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS lineno, rn,
+             |       CASE WHEN rn > 1 THEN concat_ws('_', l_orderkey, rn)
+             |            ELSE CAST(l_orderkey AS VARCHAR) END AS uid
+             |FROM (SELECT l_orderkey, l_linenumber,
+             |             row_number() OVER (PARTITION BY l_orderkey
+             |                                ORDER BY l_linenumber) AS rn
+             |      FROM lineitem)
+             |ORDER BY okey, lineno""".stripMargin),
+      (s, d) => {
+        val base = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+        Windows.suffixDuplicates(base,
+            keys = Seq("l_orderkey"), order = Seq(col("l_linenumber")),
+            idCol = "l_orderkey", outCol = "uid")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
+          .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lineno"),
+            col("rn"), col("uid"))
+          .orderBy("okey", "lineno")
+      }),
+
+    // ---- q21: global dense surrogate keys 1..N (ref W2,
+    // transform.py:341-342 Client_ID). The reference's global window
+    // collapses to one partition — acceptable for dimensions (this query, on
+    // 15k customers), replaced by Windows.denseIdsScalable (range-partition +
+    // zipWithIndex) for fact-scale inputs.
+    Q("q21_window_global_rownum",
+      Some("""SELECT c_custkey AS custkey, c_name AS cname,
+             |       CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) AS sk
+             |FROM customer
+             |ORDER BY custkey""".stripMargin),
+      (s, d) => Windows.denseIdsGlobal(
+          Tables.customer(s, d).select("c_custkey", "c_name"),
+          order = Seq(col("c_name"), col("c_custkey")), outCol = "sk")
+        .select(col("c_custkey").as("custkey"), col("c_name").as("cname"), col("sk"))
+        .orderBy("custkey")),
+
+    // ---- q22: top-k per group by rank (ref W3 — "best products" /
+    // "loyal clients" dashboard rankings). Exact decimal revenue + unique
+    // tie-break key make ranks reproducible.
+    Q("q22_window_rank",
+      Some("""SELECT brand, pkey, revenue, rnk FROM (
+             |  SELECT brand, pkey, revenue,
+             |         rank() OVER (PARTITION BY brand
+             |                      ORDER BY revenue DESC, pkey) AS rnk
+             |  FROM (SELECT p.p_brand AS brand, p.p_partkey AS pkey,
+             |               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+             |                        CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+             |                    AS DECIMAL(38,4)) AS revenue
+             |        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |        GROUP BY 1, 2))
+             |WHERE rnk <= 3
+             |ORDER BY brand, rnk, pkey""".stripMargin),
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val p = Tables.part(s, d).select("p_partkey", "p_brand")
+        val perPart = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand").as("brand"), col("p_partkey").as("pkey"))
+          .agg(sum(dec(col("l_extendedprice"), 12, 2) *
+                 (lit(1) - dec(col("l_discount"), 4, 2)).cast(DecimalType(4, 2)))
+            .cast(DecimalType(38, 4)).as("revenue"))
+        Windows.topKPerGroup(perPart,
+            partitionCols = Seq(col("brand")),
+            order = Seq(col("revenue").desc, col("pkey")), k = 3)
+          .select("brand", "pkey", "revenue", "rnk")
+          .orderBy("brand", "rnk", "pkey")
+      }),
+
+    // ---- q23: running total over an explicit ROWS frame (ref W4 — the
+    // "sales trends" cumulative view). Partitioned by customer: parallel by
+    // key, no global sort.
+    Q("q23_window_running_sum",
+      Some("""SELECT o_custkey AS custkey, o_orderkey AS okey,
+             |       CAST(o_orderdate AS DATE) AS odate,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |              OVER (PARTITION BY o_custkey
+             |                    ORDER BY o_orderdate, o_orderkey
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |            AS DECIMAL(38,2)) AS running_total
+             |FROM orders
+             |ORDER BY custkey, okey""".stripMargin),
+      (s, d) => Windows.runningSum(
+          Tables.orders(s, d),
+          partitionCols = Seq(col("o_custkey")),
+          order = Seq(col("o_orderdate"), col("o_orderkey")),
+          value = dec(col("o_totalprice")), outCol = "__rt")
+        .select(
+          col("o_custkey").as("custkey"),
+          col("o_orderkey").as("okey"),
+          col("o_orderdate").cast(DateType).as("odate"),
+          col("__rt").cast(DecimalType(38, 2)).as("running_total"))
+        .orderBy("custkey", "okey"))
+  )
+}

@@ -54,10 +54,12 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
-    for name in sorted(os.listdir(out_dir)):
+    dirs = {n for n in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{n}")}
+    for name in sorted(set(oracle) - dirs):
+        print(f"✗ {name}: declared oracle but engine produced NO OUTPUT")
+        failures += 1
+    for name in sorted(dirs):
         qdir = f"{out_dir}/{name}"
-        if not os.path.isdir(qdir):
-            continue
         files = glob.glob(f"{qdir}/*.parquet")
         got = pq.read_table(files[0]) if files else None
         if name not in oracle:
