@@ -27,9 +27,22 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Exact {
 
-  /** Cast a double measure to exact decimal: default fits TPC-H money. */
+  /** Cast a double measure to exact decimal: default fits TPC-H money.
+    * Library-internal only — final query schemas must NOT emit decimals
+    * (the driver's hash is decimal-representation-sensitive); use [[cents]].
+    */
   def dec(c: Column, precision: Int = 18, scale: Int = 2): Column =
     c.cast(DecimalType(precision, scale))
+
+  /** Quantize a money/measure double to exact integer cents (1e-2 units).
+    * round() is HALF_UP (away from zero) in both Spark and DuckDB, and the
+    * rounded double is integral, so the long cast is exact in both engines.
+    * All sums over cents are exact, associative longs — partial aggregation
+    * stays enabled and results are identical at any parallelism. SQL mirror:
+    * `CAST(round(x * 100) AS BIGINT)`.
+    */
+  def cents(c: Column): Column =
+    round(c.cast("double") * lit(100)).cast("long")
 
   /** Quantize a float/double to integer micro-units (1e-6 resolution).
     * round() is HALF_UP (away from zero) in both Spark and DuckDB, so the

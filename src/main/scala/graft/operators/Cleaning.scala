@@ -43,9 +43,12 @@ object Cleaning {
 
   /** F6: NULL out unparseable price strings, else cast (ref:
     * transform.py:139-149 — the `"x"` sentinel is caught by the cast-null
-    * branch, matching the reference's actual behavior). */
+    * branch, matching the reference's actual behavior). Spark 4 ANSI mode
+    * makes a plain cast THROW on malformed input, so the null-on-failure
+    * semantics of the reference's PySpark cast need try_cast here.
+    */
   def validatedPrice(c: Column): Column = {
-    val d = c.cast("double")
+    val d = c.try_cast("double")
     when(c.isNull || trim(c) === "" || d.isNull, lit(null).cast("double")).otherwise(d)
   }
 

@@ -3,19 +3,20 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
-import graft.functions.Exact.dec
+import graft.operators.Joins.dimBroadcast
+import graft.functions.Exact.cents
 
 /** Aggregation inventory (SURVEY.md §2.5 + P6/P7): distinct-dedup,
   * first-per-group collapse, DQ count metrics, multi-aggregate, distinct
   * counts, rollup/cube subtotals.
   *
-  * All aggregates here are associative (count/sum-decimal/min/max/min_by on
-  * unique keys), so Spark's partial aggregation (map-side combine) applies —
-  * the shuffle carries one row per group per partition, not the raw data.
-  * `first(ignoreNulls)` from the reference is replaced with `min_by` over a
-  * unique ordering key: same semantics the reference relies on, but
-  * deterministic under any partitioning (Spark's `first` is order-sensitive
-  * and therefore not reproducible at scale).
+  * All aggregates here are associative (count / sum over exact BIGINT cents /
+  * min/max / min_by on unique keys), so Spark's partial aggregation
+  * (map-side combine) applies — the shuffle carries one row per group per
+  * partition, not the raw data. `first(ignoreNulls)` from the reference is
+  * replaced with `min_by` over a unique ordering key: same semantics the
+  * reference relies on, but deterministic under any partitioning (Spark's
+  * `first` is order-sensitive and therefore not reproducible at scale).
   */
 object GroupQueries {
 
@@ -75,30 +76,30 @@ object GroupQueries {
           max(col("l_shipdate").cast(DateType)).as("last_ship"))),
 
     // ---- q18: multi-aggregate per group — count/sum/min/max/avg/distinct
-    // (ref A2, the KPI layer). The average is computed as exact integer
-    // cents over an exact decimal sum, then one IEEE divide+floor — identical
-    // in any engine at any parallelism (see graft.functions.Exact).
+    // (ref A2, the KPI layer). All money in exact BIGINT cents; the average
+    // is floor(sum_cents / n) — one IEEE divide over exact integers, then
+    // floor — identical in any engine at any parallelism.
     Q("q18_agg_multi",
       Some("""SELECT o_orderpriority AS priority,
              |       COUNT(*) AS n,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
-             |       CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
-             |       CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price,
-             |       CAST(FLOOR(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_price_cents,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+             |       MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_price_c,
+             |       MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_price_c,
+             |       CAST(FLOOR(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_price_cents,
              |       COUNT(DISTINCT o_custkey) AS n_custs
              |FROM orders
              |GROUP BY 1
              |ORDER BY priority""".stripMargin),
       (s, d) => {
-        val sumDec = sum(dec(col("o_totalprice")))
+        val priceC = cents(col("o_totalprice"))
         Tables.orders(s, d)
           .groupBy(col("o_orderpriority").as("priority"))
           .agg(
             count(lit(1)).as("n"),
-            sumDec.cast(DecimalType(38, 2)).as("sum_price"),
-            min(col("o_totalprice")).cast(DecimalType(18, 2)).as("min_price"),
-            max(col("o_totalprice")).cast(DecimalType(18, 2)).as("max_price"),
-            floor((sumDec * 100).cast(LongType).cast(DoubleType) / count(lit(1)))
+            sum(priceC).as("sum_price_c"),
+            min(priceC).as("min_price_c"),
+            max(priceC).as("max_price_c"),
+            floor(sum(priceC).cast(DoubleType) / count(lit(1)))
               .cast(LongType).as("avg_price_cents"),
             countDistinct(col("o_custkey")).as("n_custs"))
           .orderBy("priority")
@@ -133,21 +134,21 @@ object GroupQueries {
       Some("""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
              |       COALESCE(o_orderstatus, 'ALL') AS status,
              |       COUNT(*) AS n,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
              |ORDER BY segment, status""".stripMargin),
       (s, d) => {
         val o = Tables.orders(s, d)
         val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        o.join(dimBroadcast(c), o("o_custkey") === c("c_custkey"))
           .rollup(col("c_mktsegment"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
-            sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("sum_price"))
+            sum(cents(col("o_totalprice"))).as("sum_price_c"))
           .select(
             coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
             coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-            col("n"), col("sum_price"))
+            col("n"), col("sum_price_c"))
           .orderBy("segment", "status")
       }),
 
@@ -156,18 +157,18 @@ object GroupQueries {
       Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
              |       COALESCE(l_linestatus, 'ALL') AS lstatus,
              |       COUNT(*) AS n,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+             |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
              |FROM lineitem
              |GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY rflag, lstatus""".stripMargin),
       (s, d) => Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"), 12, 2)).cast(DecimalType(38, 2)).as("sum_qty"))
+          sum(cents(col("l_quantity"))).as("sum_qty_c"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
-          col("n"), col("sum_qty"))
+          col("n"), col("sum_qty_c"))
         .orderBy("rflag", "lstatus"))
   )
 }

@@ -1,13 +1,13 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import graft.sources.Tables
-import graft.functions.Exact.dec
+import graft.operators.Joins.dimBroadcast
+import graft.functions.Exact.cents
 
 /** Join + set-operation inventory (SURVEY.md §2.4, §2.7): USING-style join,
   * semi/anti joins, union-by-name with missing-column null-fill,
-  * intersect/except.
+  * intersect/except. Money emitted as exact BIGINT cents (see Exact.cents).
   */
 object JoinSetQueries {
 
@@ -18,7 +18,7 @@ object JoinSetQueries {
     // to a single output column.
     Q("q12_join_using",
       Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1
              |ORDER BY segment""".stripMargin),
@@ -26,10 +26,10 @@ object JoinSetQueries {
         val o = Tables.orders(s, d).withColumnRenamed("o_custkey", "custkey")
         val c = Tables.customer(s, d).withColumnRenamed("c_custkey", "custkey")
           .select("custkey", "c_mktsegment")
-        o.join(broadcast(c), Seq("custkey"))
+        o.join(dimBroadcast(c), Seq("custkey"))
           .groupBy(col("c_mktsegment").as("segment"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("revenue"))
+            sum(cents(col("o_totalprice"))).as("revenue_c"))
           .orderBy("segment")
       }),
 
@@ -73,20 +73,21 @@ object JoinSetQueries {
     // multi-file and SFCC∪CEGID unions). Spark aligns by name and null-fills
     // the absent column; the oracle writes the null padding explicitly.
     Q("q14_union",
-      Some("""SELECT c_name AS name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+      Some("""SELECT c_name AS name,
+             |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
              |       c_mktsegment AS segment, 'customer' AS kind
              |FROM customer
              |UNION ALL
-             |SELECT s_name, CAST(s_acctbal AS DECIMAL(18,2)),
+             |SELECT s_name, CAST(round(s_acctbal * 100) AS BIGINT),
              |       CAST(NULL AS VARCHAR), 'supplier'
              |FROM supplier
              |ORDER BY kind, name""".stripMargin),
       (s, d) => {
         val c = Tables.customer(s, d).select(
-          col("c_name").as("name"), dec(col("c_acctbal")).as("acctbal"),
+          col("c_name").as("name"), cents(col("c_acctbal")).as("acctbal_c"),
           col("c_mktsegment").as("segment"), lit("customer").as("kind"))
         val su = Tables.supplier(s, d).select(
-          col("s_name").as("name"), dec(col("s_acctbal")).as("acctbal"),
+          col("s_name").as("name"), cents(col("s_acctbal")).as("acctbal_c"),
           lit("supplier").as("kind"))
         c.unionByName(su, allowMissingColumns = true)
           .orderBy("kind", "name")

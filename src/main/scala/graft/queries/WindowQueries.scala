@@ -4,8 +4,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
-import graft.operators.Windows
-import graft.functions.Exact.dec
+import graft.operators.{Windows, Joins}
+import graft.functions.Exact.cents
+import Joins.dimBroadcast
 
 /** Window-function inventory (SURVEY.md §2.6): duplicate-suffix renaming,
   * global dense surrogate keys, per-group ranking, running-total frames.
@@ -43,8 +44,8 @@ object WindowQueries {
     // ---- q21: global dense surrogate keys 1..N (ref W2,
     // transform.py:341-342 Client_ID). The reference's global window
     // collapses to one partition — acceptable for dimensions (this query, on
-    // 15k customers), replaced by Windows.denseIdsScalable (range-partition +
-    // zipWithIndex) for fact-scale inputs.
+    // 15k customers); q33_surrogate_scalable proves the range-partitioned
+    // variant for fact-scale inputs.
     Q("q21_window_global_rownum",
       Some("""SELECT c_custkey AS custkey, c_name AS cname,
              |       CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) AS sk
@@ -57,17 +58,16 @@ object WindowQueries {
         .orderBy("custkey")),
 
     // ---- q22: top-k per group by rank (ref W3 — "best products" /
-    // "loyal clients" dashboard rankings). Exact decimal revenue + unique
-    // tie-break key make ranks reproducible.
+    // "loyal clients" dashboard rankings). Exact integer revenue (1e-4
+    // units) + unique tie-break key make ranks reproducible.
     Q("q22_window_rank",
-      Some("""SELECT brand, pkey, revenue, rnk FROM (
-             |  SELECT brand, pkey, revenue,
+      Some("""SELECT brand, pkey, revenue_e4, rnk FROM (
+             |  SELECT brand, pkey, revenue_e4,
              |         rank() OVER (PARTITION BY brand
-             |                      ORDER BY revenue DESC, pkey) AS rnk
+             |                      ORDER BY revenue_e4 DESC, pkey) AS rnk
              |  FROM (SELECT p.p_brand AS brand, p.p_partkey AS pkey,
-             |               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
-             |                        CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
-             |                    AS DECIMAL(38,4)) AS revenue
+             |               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+             |                        (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
              |        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
              |        GROUP BY 1, 2))
              |WHERE rnk <= 3
@@ -75,41 +75,39 @@ object WindowQueries {
       (s, d) => {
         val l = Tables.lineitem(s, d)
         val p = Tables.part(s, d).select("p_partkey", "p_brand")
-        val perPart = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        val perPart = l.join(dimBroadcast(p), l("l_partkey") === p("p_partkey"))
           .groupBy(col("p_brand").as("brand"), col("p_partkey").as("pkey"))
-          .agg(sum(dec(col("l_extendedprice"), 12, 2) *
-                 (lit(1) - dec(col("l_discount"), 4, 2)).cast(DecimalType(4, 2)))
-            .cast(DecimalType(38, 4)).as("revenue"))
+          .agg(sum(cents(col("l_extendedprice")) *
+                 (lit(100L) - cents(col("l_discount")))).as("revenue_e4"))
         Windows.topKPerGroup(perPart,
             partitionCols = Seq(col("brand")),
-            order = Seq(col("revenue").desc, col("pkey")), k = 3)
-          .select("brand", "pkey", "revenue", "rnk")
+            order = Seq(col("revenue_e4").desc, col("pkey")), k = 3)
+          .select("brand", "pkey", "revenue_e4", "rnk")
           .orderBy("brand", "rnk", "pkey")
       }),
 
     // ---- q23: running total over an explicit ROWS frame (ref W4 — the
     // "sales trends" cumulative view). Partitioned by customer: parallel by
-    // key, no global sort.
+    // key, no global sort. Running sums of exact BIGINT cents.
     Q("q23_window_running_sum",
       Some("""SELECT o_custkey AS custkey, o_orderkey AS okey,
              |       CAST(o_orderdate AS DATE) AS odate,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
              |              OVER (PARTITION BY o_custkey
              |                    ORDER BY o_orderdate, o_orderkey
-             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |            AS DECIMAL(38,2)) AS running_total
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
              |FROM orders
              |ORDER BY custkey, okey""".stripMargin),
       (s, d) => Windows.runningSum(
           Tables.orders(s, d),
           partitionCols = Seq(col("o_custkey")),
           order = Seq(col("o_orderdate"), col("o_orderkey")),
-          value = dec(col("o_totalprice")), outCol = "__rt")
+          value = cents(col("o_totalprice")), outCol = "running_c")
         .select(
           col("o_custkey").as("custkey"),
           col("o_orderkey").as("okey"),
           col("o_orderdate").cast(DateType).as("odate"),
-          col("__rt").cast(DecimalType(38, 2)).as("running_total"))
+          col("running_c"))
         .orderBy("custkey", "okey"))
   )
 }

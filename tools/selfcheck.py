@@ -72,6 +72,18 @@ def main(sf_dir, out_dir):
             print(f"✗ {name}: oracle SQL failed: {e}")
             failures += 1
             continue
+        # Round-1 lesson: the driver's hash is decimal-representation-
+        # sensitive (all 11 r1 hash failures were decimal-typed outputs while
+        # this script's str() canonicalization passed them). Treat ANY
+        # decimal column — on either side — as a hard failure so local green
+        # implies driver green.
+        dec_cols = [f.name for t in (got, exp) if t is not None
+                    for f in t.schema if pa.types.is_decimal(f.type)]
+        if dec_cols:
+            failures += 1
+            print(f"✗ {name}: BANNED decimal output column(s) {sorted(set(dec_cols))} "
+                  "— emit BIGINT cents/micros instead (graft.functions.Exact)")
+            continue
         gc, gr = table_rows(got)
         ec, er = table_rows(exp)
         ok_schema = gc == ec
