@@ -51,7 +51,9 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     var errors = List.empty[String]
-    names.foreach(runOnce) // warmup pass (untimed)
+    names.foreach { n => // warmup pass (untimed)
+      System.err.println(s"[bench] warmup $n: ${runOnce(n).fold(identity, t => f"$t%.1fs")}")
+    }
     val results = names.map { name =>
       val runs = (1 to 3).flatMap { _ =>
         runOnce(name) match {

@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val declared: Seq[Q] =
     CoreQueries.all ++ RowQueries.all ++ GroupQueries.all ++
-      WindowQueries.all ++ JoinSetQueries.all
+      WindowQueries.all ++ JoinSetQueries.all ++
+      TextQueries.all ++ VectorQueries.all ++ MiscQueries.all
 
   private val (qMap, oMap) = registry(declared)
 

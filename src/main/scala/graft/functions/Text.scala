@@ -30,6 +30,16 @@ object Text {
   val Pack1: Long = 1000006000009L // 1000003^2
   val MinhashP: Long = 2147483647L // 2^31 - 1
 
+  /** Evaluate an array expression ONCE and hand it to `f` as a lambda-bound
+    * variable. Catalyst's interpreted higher-order functions re-evaluate
+    * their array argument on EVERY reference (an `element_at(arr, i)` inside
+    * a transform recomputes the whole `arr` subtree per element — measured
+    * as an O(n^2) blowup in these kernels), so any array used more than once
+    * inside a lambda must be bound through this single-element transform.
+    */
+  def bound(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), a => f(a)), 1)
+
   /** Whitespace tokenization (the documents table is single-space text). */
   def tokens(c: Column): Column = split(c, " ")
 
@@ -49,19 +59,65 @@ object Text {
     when(length(t) > 0, raw % HashMod).otherwise(lit(0L))
   }
 
-  /** Hashes of all 3-gram word shingles (empty below 3 tokens). */
-  def shingleHashes(toks: Column): Column = {
-    val th = transform(toks, t => tokenHashMod(t))
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => element_at(th, i) * lit(Pack1) +
-             element_at(th, i + 1) * lit(HashMod) +
-             element_at(th, i + 2)))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  /** Hashes of all 3-gram word shingles (empty below 3 tokens). The token
+    * hashes are lambda-bound so each is computed once, not once per
+    * element_at reference. */
+  def shingleHashes(toks: Column): Column =
+    bound(transform(toks, t => tokenHashMod(t))) { th =>
+      when(size(th) >= 3,
+        transform(sequence(lit(1), size(th) - 2),
+          i => element_at(th, i) * lit(Pack1) +
+               element_at(th, i + 1) * lit(HashMod) +
+               element_at(th, i + 2)))
+        .otherwise(array().cast("array<bigint>"))
+    }
 
   /** k-th MinHash of a shingle-hash array (null for empty input). */
   def minhash(sh: Column, k: Int): Column =
     array_min(transform(sh,
       x => ((x % MinhashP) * lit(2L * k + 3) + lit(101L * k + 7)) % MinhashP))
+
+  /** 20-bit SimHash over an array of feature hashes: for each bit j, sum
+    * +-1 over the features' j-th hash bit; the fingerprint sets bit j iff
+    * the sum is positive. Near-dup docs share most features, so their
+    * fingerprints are within a small Hamming distance — candidate pairs
+    * come from bucketing on fingerprint bands, never from an all-pairs
+    * join. Feed it SHINGLE hashes for discriminative fingerprints: on a
+    * small shared vocabulary, token-level SimHash saturates.
+    * SQL mirror per bit j:
+    * `CASE WHEN list_sum(list_transform(th, x -> (x // 2^j) % 2 * 2 - 1)) > 0
+    *  THEN 2^j ELSE 0 END`.
+    */
+  def simhash20(th: Column): Column =
+    bound(th) { h =>
+      (0 until 20).map { j =>
+        val bitSum = aggregate(h, lit(0L),
+          (acc, x) => acc + (shiftright(x, j) % 2L) * 2L - 1L)
+        when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
+  /** Minimum rolling 8-char window hash of a string — a winnowing-style
+    * content fingerprint (robust to edits outside the minimizing window).
+    * Null-safe: strings shorter than 8 chars hash their full length via
+    * [[tokenHashMod]] directly.
+    *
+    * Implementation: one char-code array per string, then each window is an
+    * UNROLLED 8-term dot with 31^k literal weights — O(8L) flat element_at
+    * lookups instead of O(8L) nested substr+aggregate trees (higher-order
+    * functions are interpreted, not codegen'd, so constant factors in the
+    * per-window expression dominate this kernel's cost).
+    */
+  def rollingMinHash8(c: Column): Column = {
+    val codes = transform(sequence(lit(1), length(c)),
+      i => ascii(c.substr(i, lit(1))).cast("long"))
+    val minWin = bound(codes) { cs =>
+      array_min(transform(sequence(lit(1), size(cs) - 7), i =>
+        (0 to 7).map(k => element_at(cs, i + k) * lit(pow31(7 - k)))
+          .reduce(_ + _) % HashMod))
+    }
+    when(length(c) >= 8, minWin).otherwise(tokenHashMod(c))
+  }
+
+  private def pow31(k: Int): Long = (0 until k).foldLeft(1L)((a, _) => a * 31L)
 }

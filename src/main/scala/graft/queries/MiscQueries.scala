@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Windows
+import graft.functions.Exact.cents
+
+/** Remaining pipeline operators: multimodal binary-column plumbing, the
+  * scale-safe surrogate-key path, event-time aggregation over the `events`
+  * table, and gap-based sessionization (the batch shape of streaming
+  * session windows).
+  */
+object MiscQueries {
+
+  /** 30-minute session gap, in microseconds. events.ts is TIMESTAMP(NANOS)
+    * — Spark reads it as BIGINT nanos (spark.sql.legacy.parquet.nanosAsLong)
+    * while DuckDB truncates to micros on read, so all session arithmetic is
+    * done on `ts div 1000` micros to agree with the oracle. */
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q40: multimodal binary-column metadata — treat content as an
+    // opaque BINARY column with typed metadata: byte length, content
+    // digest, head bytes, and a deterministic stand-in for decoded media
+    // dimensions (the real image/audio decode is stubbed — see
+    // graft.multimodal.Binary — because codec libs aren't available here;
+    // the Spark-side plumbing below is the real, tested part). Map-only.
+    Q("q40_binary_meta",
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       md5(text) AS content_md5,
+             |       upper(substr(hex(encode(text)), 1, 16)) AS head_hex,
+             |       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
+             |       CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS fake_height
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val bin = col("text").cast("binary")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(bin).cast("long").as("n_bytes"),
+          md5(bin).as("content_md5"),
+          upper(substring(hex(bin), 1, 16)).as("head_hex"),
+          (pmod(length(bin), lit(640)) + 1).cast("long").as("fake_width"),
+          (pmod(length(bin), lit(480)) + 1).cast("long").as("fake_height"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q41: scale-safe dense surrogate keys (ref W2, transform.py:341
+    // uses a single-partition global window — q21 keeps that form for
+    // dimension-sized inputs). This is the 100 TB path: range-partition by
+    // the key, sort within partitions, two-phase zipWithIndex offsets — no
+    // single-partition bottleneck (graft.operators.Windows.denseIdsScalable).
+    Q("q41_dense_ids_scalable",
+      Some("""SELECT o_orderkey,
+             |       row_number() OVER (ORDER BY o_orderkey) AS dense_id
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => Windows.denseIdsScalable(
+        Tables.orders(s, d).select("o_orderkey"),
+        Seq(col("o_orderkey")), "dense_id")
+        .orderBy("o_orderkey")),
+
+    // ---- q42: event-time tumbling aggregation — hourly revenue/volume per
+    // event type (the batch equivalent of a Structured Streaming tumbling
+    // window; graft.streaming.EventStream runs the same agg incrementally).
+    // ts nanos -> micros uses integer `div` (a double divide would lose
+    // precision above 2^53). Hour emitted as a formatted string: Spark
+    // writes tz-normalized TIMESTAMP while DuckDB reads naive TIMESTAMP_NS,
+    // so raw timestamp columns would hash-mismatch on representation.
+    Q("q42_event_hour_agg",
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |       event_type,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+             |       COUNT(DISTINCT user_id) AS nd_users
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY hour, event_type""".stripMargin),
+      (s, d) => {
+        val hour = date_format(
+          date_trunc("hour", timestamp_micros(expr("ts div 1000"))),
+          "yyyy-MM-dd HH:mm:ss")
+        Tables.events(s, d)
+          .groupBy(hour.as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("value"))).as("sum_value_c"),
+            countDistinct(col("user_id")).as("nd_users"))
+          .orderBy("hour", "event_type")
+      }),
+
+    // ---- q43: gap-based sessionization — a new session starts after a
+    // >30 min silence per user; session id = running count of session
+    // starts. One shuffle on user_id; the window sort is per-user. This is
+    // the batch twin of flatMapGroupsWithState sessionization
+    // (graft.streaming.EventStream) and of streaming session windows.
+    Q("q43_sessionize",
+      Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+              |f AS (
+              |  SELECT user_id, event_id, tsu,
+              |         CASE WHEN lag(tsu) OVER w IS NULL
+              |                OR tsu - lag(tsu) OVER w > $SessionGapUs
+              |              THEN 1 ELSE 0 END AS brk
+              |  FROM e
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+              |g AS (
+              |  SELECT user_id, tsu,
+              |         SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+              |                        ROWS UNBOUNDED PRECEDING) AS sess
+              |  FROM f)
+              |SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+              |       COUNT(*) AS n_events, MIN(tsu) AS start_us, MAX(tsu) AS end_us
+              |FROM g GROUP BY 1, 2
+              |ORDER BY user_id, session_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val brk = when(lag(col("tsu"), 1).over(w).isNull ||
+          col("tsu") - lag(col("tsu"), 1).over(w) > SessionGapUs, 1L).otherwise(0L)
+        Tables.events(s, d)
+          .withColumn("tsu", expr("ts div 1000"))
+          .withColumn("brk", brk)
+          .withColumn("sess", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess").as("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tsu")).as("start_us"),
+            max(col("tsu")).as("end_us"))
+          .orderBy("user_id", "session_id")
+      })
+  )
+}

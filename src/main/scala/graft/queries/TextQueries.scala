@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Text
+
+/** LLM-training-data pipeline queries over the `documents` table: exact
+  * content dedup, quality scoring, token statistics, language-ID heuristic,
+  * content fingerprinting (SimHash + winnowing), MinHash signatures, and
+  * near-duplicate detection via LSH banding — the operator families a
+  * 100 TB text-corpus pipeline needs beyond the reference's ETL vocabulary
+  * (extends ref: etl/transform.py:53-87 string ops; builder brief §LLM-ops).
+  *
+  * Scale design notes (the point of every query here):
+  *  - NOTHING does an all-pairs comparison. Near-dup candidates come from
+  *    equality joins on MinHash band keys / SimHash bands — at 100 TB those
+  *    are ordinary hash-partitioned equi-joins whose fan-in per bucket is
+  *    bounded by collision probability, not corpus size.
+  *  - All hashes are engine-independent integer constructions (graft.
+  *    functions.Text) so the DuckDB oracle reproduces them bit-for-bit.
+  *  - Per-doc kernels (token hash, shingles, simhash) are Catalyst
+  *    higher-order functions: no UDFs, stays in whole-stage codegen, and
+  *    the work is embarrassingly parallel over documents.
+  */
+object TextQueries {
+
+  import Text._
+
+  // ---- shared SQL fragments mirroring graft.functions.Text --------------
+
+  /** Token-hash CTE: polynomial char hash mod 1000003 per token. */
+  private val thCte =
+    """th_t AS (
+      |  SELECT doc_id, lang, text,
+      |         list_transform(string_split(text, ' '), t ->
+      |           COALESCE(CAST(list_sum(list_transform(generate_series(1, length(t)),
+      |             i -> ord(substr(t, i, 1)) * CAST(pow(31, length(t) - i) AS BIGINT))) AS BIGINT), 0)
+      |           % 1000003) AS th
+      |  FROM documents)""".stripMargin
+
+  /** 3-gram shingle-hash CTE over th_t (perfect packing of 3 token hashes). */
+  private val shCte =
+    """sh_t AS (
+      |  SELECT doc_id, CASE WHEN len(th) >= 3
+      |    THEN list_transform(generate_series(1, len(th) - 2),
+      |           i -> th[i] * 1000006000009 + th[i+1] * 1000003 + th[i+2])
+      |    ELSE []::BIGINT[] END AS sh
+      |  FROM th_t)""".stripMargin
+
+  /** k-th MinHash over the sh column (universal hash, fixed coefficients). */
+  private def mhSql(k: Int): String =
+    s"list_min(list_transform(sh, x -> ((x % 2147483647) * ${2 * k + 3} + ${101 * k + 7}) % 2147483647))"
+
+  /** 20-bit SimHash over a hash-array column (sum of per-bit CASE terms).
+    * Computed over SHINGLE hashes, not token hashes: on a small shared
+    * vocabulary every document contains nearly every token, so token-level
+    * SimHash saturates (all fingerprints collide); 3-gram shingles are
+    * unique to word order and stay discriminative.
+    */
+  private def simhashSql(arr: String): String =
+    (0 until 20).map { j =>
+      s"CASE WHEN list_sum(list_transform($arr, x -> (x // ${1L << j}) % 2 * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Language-marker profiles for the stopword-scoring language-ID
+    * heuristic. Deterministic fixed sets over the corpus vocabulary; the
+    * priority order (ties) is the declaration order below.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("data", "batch", "group", "stream"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("query", "table", "row", "line"),
+    "fr" -> Seq("sort", "merge", "join", "filter"),
+    "zh" -> Seq("spark", "vector", "hash", "key"))
+
+  private def toks: Column = tokens(col("text"))
+
+  /** The documents scan, repartitioned for COMPUTE: the corpus parquet is
+    * small in bytes, so a byte-sized split (maxPartitionBytes) yields one
+    * partition — and the hash kernels here are CPU-bound interpreted
+    * higher-order functions, so that one task serializes the whole stage.
+    * Hash-repartitioning by doc_id costs a tiny shuffle and buys full-core
+    * parallelism; the same sizing rule (partition for CPU, not bytes)
+    * applies unchanged on a 1000-executor cluster.
+    */
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).repartition(col("doc_id"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q28: content-level exact dedup — hash the full text, keep the
+    // minimum id per content group (survivorship), count copies. ONE shuffle
+    // on the 128-bit content hash; at 100 TB this is the canonical
+    // first-pass corpus dedup (generalizes ref P6 dropDuplicates,
+    // transform.py:98,296 — which deduped on a key column, not content).
+    Q("q28_doc_dedup_exact",
+      Some("""SELECT md5(text) AS content_hash,
+             |       MIN(doc_id) AS keep_id,
+             |       COUNT(*) AS n_copies
+             |FROM documents
+             |GROUP BY 1
+             |ORDER BY content_hash""".stripMargin),
+      (s, d) => docs(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")),
+
+    // ---- q29: per-document quality scoring — length, token counts,
+    // type-token ratio, stopword ratio, all in exact integer micro-units.
+    // Purely per-row (no shuffle at all): map-only at any scale.
+    Q("q29_text_quality",
+      Some("""SELECT doc_id,
+             |       CAST(length(text) AS BIGINT) AS n_chars,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS stop_cnt,
+             |       CAST(floor((length(text) - len(string_split(text, ' ')) + 1) * 1000000.0
+             |                  / len(string_split(text, ' '))) AS BIGINT) AS avg_tok_len_micro,
+             |       CAST(floor(len(list_distinct(string_split(text, ' '))) * 1000000.0
+             |                  / len(string_split(text, ' '))) AS BIGINT) AS ttr_micro,
+             |       (len(string_split(text, ' ')) >= 10
+             |        AND len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 5
+             |            <= len(string_split(text, ' '))) AS quality_ok
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val nTok = size(toks).cast("long")
+        val nDis = size(array_distinct(toks)).cast("long")
+        val stopC = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+        docs(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          nTok.as("n_tokens"),
+          nDis.as("n_distinct"),
+          stopC.as("stop_cnt"),
+          floor((length(col("text")).cast("long") - nTok + 1L) * lit(1000000.0) / nTok)
+            .cast("long").as("avg_tok_len_micro"),
+          floor(nDis * lit(1000000.0) / nTok).cast("long").as("ttr_micro"),
+          (nTok >= 10L && stopC * 5L <= nTok).as("quality_ok"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q30: corpus token frequency — explode tokens, aggregate per
+    // (lang, token). explode is Spark's Generate operator; the aggregation
+    // shuffles one (lang, token, partial-count) row per partition per key —
+    // vocabulary-sized, not corpus-sized, thanks to partial aggregation.
+    Q("q30_token_freq",
+      Some("""SELECT lang, tok AS token, COUNT(*) AS n
+             |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |GROUP BY 1, 2
+             |ORDER BY lang, token""".stripMargin),
+      (s, d) => docs(s, d)
+        .select(col("lang"), explode(toks).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "token")),
+
+    // ---- q31: language-ID heuristic — score each language by marker-token
+    // hits, argmax with a fixed priority tie-break. Map-only; the marker
+    // profiles are compile-time constants (an n-gram/stopword profile model,
+    // the classic pre-neural langid design).
+    Q("q31_lang_id", {
+      val scoreSql = langMarkers.map { case (l, ms) =>
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${ms.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS s_$l"
+      }.mkString(",\n       ")
+      val langs = langMarkers.map(_._1)
+      val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map("s_" + _).mkString(", ")
+        val restExpr = if (langs.drop(i + 1).size == 1) rest else s"greatest($rest)"
+        s"WHEN s_$l >= $restExpr THEN '$l'"
+      }.mkString(" ")
+      Some(
+        s"""SELECT doc_id, lang, pred_lang, best_score FROM (
+           |  SELECT doc_id, lang,
+           |         CASE $caseSql ELSE '${langs.last}' END AS pred_lang,
+           |         greatest(${langs.map("s_" + _).mkString(", ")}) AS best_score
+           |  FROM (SELECT doc_id, lang, $scoreSql FROM documents))
+           |ORDER BY doc_id""".stripMargin)
+    },
+      (s, d) => {
+        val scores = langMarkers.map { case (l, ms) =>
+          l -> size(filter(toks, t => t.isin(ms: _*))).cast("long")
+        }
+        val scored = docs(s, d).select(
+          col("doc_id") +: col("lang") +:
+            scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+        val langs = langMarkers.map(_._1)
+        val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+          case ((l, i), elseExpr) =>
+            val rest = langs.drop(i + 1).map(x => col(s"s_$x"))
+            val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
+            when(col(s"s_$l") >= restMax, lit(l)).otherwise(elseExpr)
+        }
+        scored.select(col("doc_id"), col("lang"),
+          pred.as("pred_lang"),
+          greatest(langs.map(x => col(s"s_$x")): _*).as("best_score"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q32: content fingerprints — 20-bit SimHash over token hashes +
+    // minimum rolling 8-char window hash (winnowing-style). Map-only;
+    // fingerprints are what gets bucketed/joined downstream (q35).
+    Q("q32_doc_fingerprint",
+      Some(
+        s"""WITH $thCte, $shCte,
+           |tx_t AS (SELECT t.doc_id, t.text, s.sh FROM th_t t JOIN sh_t s ON t.doc_id = s.doc_id)
+           |SELECT doc_id,
+           |       ${simhashSql("sh")} AS simhash,
+           |       CASE WHEN length(text) >= 8 THEN
+           |         list_min(list_transform(generate_series(1, length(text) - 7),
+           |           i -> CAST(list_sum(list_transform(generate_series(0, 7),
+           |                  k -> ord(substr(text, i + k, 1)) * CAST(pow(31, 7 - k) AS BIGINT))) AS BIGINT)
+           |                % 1000003))
+           |       ELSE COALESCE(CAST(list_sum(list_transform(generate_series(1, length(text)),
+           |              i -> ord(substr(text, i, 1)) * CAST(pow(31, length(text) - i) AS BIGINT))) AS BIGINT), 0)
+           |            % 1000003 END AS fp_min8
+           |FROM tx_t
+           |ORDER BY doc_id""".stripMargin),
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          simhash20(shingleHashes(toks)).as("simhash"),
+          rollingMinHash8(col("text")).as("fp_min8"))
+        .orderBy("doc_id")),
+
+    // ---- q33: MinHash signatures — 8 universal-hash minima over the 3-gram
+    // shingle hashes. Map-only kernel of the LSH pipeline; the signature is
+    // 64 bytes/doc regardless of document size, which is what makes
+    // petabyte-scale near-dup feasible.
+    Q("q33_minhash_sig",
+      Some(
+        s"""WITH $thCte, $shCte
+           |SELECT doc_id, ${(0 until 8).map(k => mhSql(k) + s" AS mh$k").mkString(",\n       ")}
+           |FROM sh_t
+           |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        // materialize the shingle array once; the 8 minhash projections
+        // reference the column (CollapseProject keeps non-cheap expressions
+        // from being duplicated across references)
+        val base = docs(s, d).select(col("doc_id"), shingleHashes(toks).as("sh"))
+        base
+          .select(col("doc_id") +: (0 until 8).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
+          .orderBy("doc_id")
+      }),
+
+    // ---- q34: MinHash-LSH near-duplicate pairs — band the 8-hash signature
+    // into 4 bands of 2, equi-join on (band, key) for candidates, then
+    // verify candidates with the exact shingle-set Jaccard (integer
+    // arithmetic: inter*10 >= union <=> J >= 0.1). The candidate join is a
+    // hash-partitioned equi-join on band keys — NEVER all-pairs — and the
+    // verify join only touches candidate rows. This is the scalable
+    // dedup shape: O(corpus) banding + O(candidates) verification.
+    Q("q34_neardup_lsh",
+      Some(
+        s"""WITH $thCte, $shCte,
+           |mh_t AS (
+           |  SELECT doc_id, ${(0 until 8).map(k => mhSql(k) + s" AS mh$k").mkString(",\n         ")}
+           |  FROM sh_t),
+           |bands AS (
+           |  ${(0 until 4).map(b =>
+                s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM mh_t")
+                .mkString("\n  UNION ALL ")}),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |ss_t AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh_t)
+           |SELECT i, j,
+           |       CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) AS inter,
+           |       CAST(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)) AS BIGINT) AS uni
+           |FROM cand JOIN ss_t x ON x.doc_id = i JOIN ss_t y ON y.doc_id = j
+           |WHERE len(list_intersect(x.ss, y.ss)) * 10 >= len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))
+           |ORDER BY i, j""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), shingleHashes(toks).as("sh"))
+        val sig = base.select(
+          col("doc_id") +: col("sh") +:
+            (0 until 8).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
+        val bands = sig.select(col("doc_id"), explode(array(
+          (0 until 4).map(b => struct(lit(b).as("band"),
+            concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))): _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .distinct()
+        val ss = base.select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+        val inter = size(array_intersect(col("x.ss"), col("y.ss"))).cast("long")
+        val uni = size(col("x.ss")).cast("long") + size(col("y.ss")).cast("long") - inter
+        cand
+          .join(ss.as("x"), col("i") === col("x.doc_id"))
+          .join(ss.as("y"), col("j") === col("y.doc_id"))
+          .filter(inter * 10L >= uni)
+          .select(col("i"), col("j"), inter.as("inter"), uni.as("uni"))
+          .orderBy("i", "j")
+      }),
+
+    // ---- q35: SimHash near-duplicate pairs — candidates from equality on
+    // any of the 4 five-bit fingerprint bands, verified by Hamming distance
+    // (bit_count of XOR) <= 3. With 4 bands, any pair within Hamming 3 has
+    // at least one clean band (pigeonhole), so banding loses NO recall at
+    // this radius. Same no-all-pairs LSH shape as q34 with a constant-size
+    // fingerprint — the cheapest near-dup screen.
+    Q("q35_neardup_simhash",
+      Some(
+        s"""WITH $thCte, $shCte,
+           |sim_t AS (SELECT doc_id, ${simhashSql("sh")} AS simhash FROM sh_t),
+           |bands AS (
+           |  ${(0 until 4).map(b =>
+                s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (5 * b)}) % 32 AS bval FROM sim_t")
+                .mkString("\n  UNION ALL ")}),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.simhash AS sh_i, b.simhash AS sh_j
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+           |SELECT i, j, CAST(bit_count(xor(sh_i, sh_j)) AS BIGINT) AS hamming
+           |FROM cand
+           |WHERE bit_count(xor(sh_i, sh_j)) <= 3
+           |ORDER BY i, j""".stripMargin),
+      (s, d) => {
+        val sim = docs(s, d)
+          .select(col("doc_id"),
+            simhash20(shingleHashes(toks)).as("simhash"))
+        val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
+          (0 until 4).map(b => struct(lit(b).as("band"),
+            (shiftright(col("simhash"), 5 * b) % 32L).as("bval"))): _*)).as("bk"))
+          .select(col("doc_id"), col("simhash"),
+            col("bk.band").as("band"), col("bk.bval").as("bval"))
+        val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+            col("a.simhash").as("sh_i"), col("b.simhash").as("sh_j"))
+          .distinct()
+        val ham = bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).cast("long")
+        cand.filter(ham <= 3L)
+          .select(col("i"), col("j"), ham.as("hamming"))
+          .orderBy("i", "j")
+      })
+  )
+}

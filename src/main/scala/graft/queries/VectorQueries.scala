@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Exact
+
+/** Similarity-search / vector queries over the `embeddings` table
+  * (vec_id BIGINT, embedding ARRAY<FLOAT> x64, label INT) — the ANN side of
+  * an LLM-data pipeline (builder brief §LLM-ops; no counterpart in the
+  * reference, which is pure relational ETL).
+  *
+  * Numeric design: every vector is quantized once to exact integer
+  * micro-units (graft.functions.Exact.micro — deterministic, local), all
+  * dot products / norms are exact BIGINT arithmetic, and the only floating
+  * ops (one divide + sqrt for cosine) run over exact integer inputs — so
+  * the values are bit-identical in any engine at any parallelism, and the
+  * DuckDB oracle reproduces them exactly.
+  *
+  * Scale design:
+  *  - brute-force kNN (q36) is the correctness baseline: a BROADCAST of the
+  *    (tiny) query set against a linear scan of the corpus — no shuffle of
+  *    the big side, scales to any corpus size at O(corpus x queries).
+  *  - hyperplane LSH (q38/q39) is the scale path: bucket = sign pattern of
+  *    8 (resp. 4) fixed pseudo-random hyperplanes; candidate generation is
+  *    an EQUI-join on the bucket id — a plain hash join, never all-pairs.
+  *    The planes are a deterministic LCG so both engines derive identical
+  *    buckets from constants alone.
+  */
+object VectorQueries {
+
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplane coefficient (plane p, dim d):
+    * a classic LCG step over the flattened index, centered to +-2^30.
+    * coef in [-2^30, 2^30); |coef * micro| <= 2^30 * ~2e5 ~ 2^48, and a
+    * 64-term sum stays well under 2^63.
+    */
+  def coef(p: Int, d: Int): Long =
+    ((1103515245L * (p * Dim + d) + 12345L) % 2147483648L) - 1073741824L
+
+  private def planeCoefs(p: Int): Seq[Long] = (0 until Dim).map(d => coef(p, d))
+
+  // ---- Spark-side kernels (over a pre-quantized `em` micro-int array) ----
+
+  private val em = col("em")
+
+  private def dotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def planeDot(p: Int): Column =
+    dotCols(em, typedlit(planeCoefs(p)))
+
+  /** LSH bucket id from the sign pattern of `nPlanes` hyperplane dots. */
+  private def bucket(nPlanes: Int): Column =
+    (0 until nPlanes).map(p =>
+      when(planeDot(p) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** vec_id, em (micro ints), nsq (exact squared norm). Repartitioned for
+    * COMPUTE: the embeddings parquet is one small file -> one byte-sized
+    * partition, but the dot/norm kernels are CPU-bound interpreted
+    * higher-order functions — without the repartition one task serializes
+    * every vector stage (same rule as TextQueries.docs).
+    */
+  private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => Exact.micro(x)).as("em"))
+      .withColumn("nsq", aggregate(transform(em, m => m * m), lit(0L), (a, v) => a + v))
+
+  // ---- shared oracle SQL fragments --------------------------------------
+
+  private val emCte =
+    """em_t AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS em
+      |  FROM embeddings),
+      |n_t AS (SELECT vec_id, label, em,
+      |        CAST(list_sum(list_transform(em, m -> m * m)) AS BIGINT) AS nsq FROM em_t)""".stripMargin
+
+  private def planeDotSql(p: Int): String = {
+    val lst = planeCoefs(p).mkString("[", ", ", "]")
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> em[i] * ($lst)[i]))"
+  }
+
+  private def bucketSql(nPlanes: Int): String =
+    (0 until nPlanes).map(p =>
+      s"CASE WHEN ${planeDotSql(p)} > 0 THEN ${1L << p} ELSE 0 END").mkString("(", " + ", ")")
+
+  private val cosSql = "CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q36: brute-force cosine top-k — the exact-ANN baseline. The
+    // query set (vec_id < 5) is broadcast; the corpus side is a single
+    // linear scan with no shuffle of the vectors themselves; only the
+    // (queries x k) result rows hit the window.
+    Q("q36_embed_knn_brute",
+      Some(
+        s"""WITH $emCte,
+           |p_t AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+           |         CAST(list_sum(list_transform(generate_series(1, $Dim), i -> q.em[i] * c.em[i])) AS BIGINT) AS dot,
+           |         q.nsq AS qn, c.nsq AS cn
+           |  FROM n_t q JOIN n_t c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+           |r_t AS (SELECT qid, vid, dot, $cosSql AS cos FROM p_t),
+           |k_t AS (SELECT qid, vid, dot, cos,
+           |               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+           |        FROM r_t)
+           |SELECT qid, vid AS vec_id, CAST(rnk AS BIGINT) AS rnk, dot, cos
+           |FROM k_t WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin),
+      (s, d) => {
+        val n = quantized(s, d)
+        val q = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("em").as("qm"), col("nsq").as("qn"))
+        val pairs = n.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            dotCols(col("em"), col("qm")).as("dot"), col("qn"), col("nsq").as("cn"))
+        val cos = Exact.cosineMicro(col("dot"), col("qn"), col("cn"))
+        pairs.withColumn("cos", cos)
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("qid"), col("vec_id"), col("rnk"), col("dot"), col("cos"))
+          .orderBy("qid", "rnk")
+      }),
+
+    // ---- q37: per-label centroid sums — posexplode to (label, dim, x),
+    // exact micro-int sums per cell. Partial aggregation makes the shuffle
+    // carry one row per (label, dim) per partition: labels x 64 rows, not
+    // corpus-sized. (Centroids are the building block of IVF indexing.)
+    Q("q37_embed_centroid",
+      Some(
+        s"""SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+           |       CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+           |       COUNT(*) AS n
+           |FROM embeddings, generate_series(1, $Dim) t(i)
+           |GROUP BY 1, 2
+           |ORDER BY label, dim""".stripMargin),
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(sum(Exact.micro(col("x"))).as("sum_micro"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")),
+
+    // ---- q38: LSH-bucketed ANN — 8 hyperplanes -> 256 buckets; query
+    // vectors (vec_id < 20) only compare against SAME-BUCKET candidates via
+    // an equi-join on bucket id, then exact cosine top-3. The approximate
+    // counterpart of q36: candidate cost is corpus/256 per query instead of
+    // the whole corpus, at the price of recall — the standard ANN tradeoff.
+    Q("q38_embed_lsh_ann",
+      Some(
+        s"""WITH $emCte,
+           |b_t AS (SELECT vec_id, em, nsq, ${bucketSql(8)} AS bucket FROM n_t),
+           |c_t AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS vid, q.em AS qm, c.em AS cm,
+           |         q.nsq AS qn, c.nsq AS cn
+           |  FROM b_t q JOIN b_t c ON c.bucket = q.bucket AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+           |d_t AS (
+           |  SELECT qid, vid,
+           |         CAST(list_sum(list_transform(generate_series(1, $Dim), i -> qm[i] * cm[i])) AS BIGINT) AS dot,
+           |         qn, cn
+           |  FROM c_t),
+           |r_t AS (SELECT qid, vid, dot, $cosSql AS cos FROM d_t),
+           |k_t AS (SELECT qid, vid, dot, cos,
+           |               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+           |        FROM r_t)
+           |SELECT qid, vid AS vec_id, CAST(rnk AS BIGINT) AS rnk, dot, cos
+           |FROM k_t WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+      (s, d) => {
+        val b = quantized(s, d).withColumn("bucket", bucket(8))
+        val q = b.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("em").as("qm"),
+            col("nsq").as("qn"), col("bucket").as("qbucket"))
+        val pairs = b.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            dotCols(col("em"), col("qm")).as("dot"), col("qn"), col("nsq").as("cn"))
+        pairs
+          .withColumn("cos", Exact.cosineMicro(col("dot"), col("qn"), col("cn")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id"), col("rnk"), col("dot"), col("cos"))
+          .orderBy("qid", "rnk")
+      }),
+
+    // ---- q39: embedding-cosine near-duplicate pairs — the vector-space
+    // dedup screen. 4 hyperplanes -> 16 coarse buckets; only same-bucket
+    // pairs (i < j) are compared (a self-equi-join on bucket, shuffle
+    // partitioned by bucket id), then exact cosine >= 0.4 keeps the
+    // near-dups. At 100 TB the bucket count scales up (more planes) to keep
+    // per-bucket pair counts bounded.
+    Q("q39_embed_neardup_cos",
+      Some(
+        s"""WITH $emCte,
+           |b_t AS (SELECT vec_id, em, nsq, ${bucketSql(4)} AS bucket FROM n_t),
+           |p_t AS (
+           |  SELECT a.vec_id AS i, b.vec_id AS j,
+           |         CAST(list_sum(list_transform(generate_series(1, $Dim), k -> a.em[k] * b.em[k])) AS BIGINT) AS dot,
+           |         a.nsq AS qn, b.nsq AS cn
+           |  FROM b_t a JOIN b_t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |r_t AS (SELECT i, j, dot, $cosSql AS cos FROM p_t)
+           |SELECT i, j, dot, cos FROM r_t WHERE cos >= 0.4 ORDER BY i, j""".stripMargin),
+      (s, d) => {
+        val b = quantized(s, d).withColumn("bucket", bucket(4))
+          .select(col("vec_id"), col("em"), col("nsq"), col("bucket"))
+        val pairs = b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+            dotCols(col("a.em"), col("b.em")).as("dot"),
+            col("a.nsq").as("qn"), col("b.nsq").as("cn"))
+        pairs
+          .withColumn("cos", Exact.cosineMicro(col("dot"), col("qn"), col("cn")))
+          .filter(col("cos") >= 0.4)
+          .select(col("i"), col("j"), col("dot"), col("cos"))
+          .orderBy("i", "j")
+      })
+  )
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import java.util.Properties
+import org.apache.spark.sql.DataFrame
+
+/** Sink surface (ref: etl/loader.py:34-83 loads the star schema into MySQL
+  * via df.write.jdbc in append mode).
+  *
+  * The engine's native analytical sink is partitioned parquet — columnar,
+  * splittable, predicate-pushdown-friendly — with JDBC kept for
+  * operational-database parity. At 100 TB the parquet path is the real one:
+  * partition columns give partition pruning to every downstream reader, and
+  * each task writes its own file (no driver bottleneck). The JDBC path
+  * opens one connection per partition (ref behavior), so `repartition` to a
+  * sane connection count before calling it on a big frame.
+  */
+object Sinks {
+
+  /** Partitioned parquet write. `partitionCols` become directory-level
+    * partitions (pruning for downstream scans); empty means a plain write.
+    */
+  def parquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+              mode: String = "append"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** JDBC append (ref: loader.py:50-83 — url/user/password/driver props,
+    * mode append; the reference's FK-disable side-channel is dead code there
+    * and intentionally not reproduced). Executors each open a connection and
+    * batch-insert their partition.
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+           user: String, password: String, driver: String,
+           mode: String = "append"): Unit = {
+    val props = new Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    props.setProperty("driver", driver)
+    df.write.mode(mode).jdbc(url, table, props)
+  }
+}

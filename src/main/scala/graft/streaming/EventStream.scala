@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the streaming twins of the batch
+  * event-analytics queries (q42 tumbling agg, q43 sessionization). The
+  * reference is batch-only (SURVEY §2.8 — no readStream anywhere), so this
+  * is engine-native scope: the same logical aggregations, incrementalized.
+  *
+  * Scale notes: both operators are keyed-state streaming aggregations —
+  * state is partitioned by group key across executors, watermarks bound
+  * state size (late data beyond 1h is dropped), and output is append/update
+  * incremental. A 100 TB/day event firehose shards by user_id/event_type
+  * exactly like the batch shuffle does.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+
+  final case class SessionAgg(user_id: Long, session_id: Long,
+                              n_events: Long, start_us: Long, end_us: Long)
+
+  /** Per-user open-session state (public: Catalyst's generated encoder code
+    * must be able to reach the constructor/accessors). */
+  final case class SessionState(sessionId: Long, nEvents: Long,
+                                startUs: Long, lastUs: Long)
+
+  /** q42's streaming twin: hourly tumbling-window revenue/volume per event
+    * type with a 1-hour watermark. Money in exact BIGINT cents, same as the
+    * batch path (graft.functions.Exact.cents).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value_c"))
+
+  /** q43's streaming twin: gap-based sessionization via per-user state.
+    * A >30-minute silence closes the session; closed sessions are emitted
+    * and the open one stays in state. Sessions close on gap EVIDENCE (the
+    * next event arriving), not on wall-clock timeouts — deterministic under
+    * replay; a deployment wanting idle flushes adds
+    * GroupStateTimeout.ProcessingTimeTimeout plus a trigger interval.
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long = 1800L * 1000000L): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[SessionAgg]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            cur match {
+              case Some(s) if us - s.lastUs <= gapUs =>
+                cur = Some(s.copy(nEvents = s.nEvents + 1, lastUs = us))
+              case Some(s) =>
+                closed ::= SessionAgg(userId, s.sessionId, s.nEvents, s.startUs, s.lastUs)
+                cur = Some(SessionState(s.sessionId + 1, 1L, us, us))
+              case None =>
+                cur = Some(SessionState(1L, 1L, us, us))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+
+  /** Wire a parquet-directory stream source -> hourly agg -> parquet sink.
+    * (The deployable shape; tests drive the operators with MemoryStream.)
+    */
+  def runHourlyPipeline(spark: SparkSession, inDir: String, outDir: String,
+                        checkpoint: String): Unit = {
+    val in = spark.readStream.schema(
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(inDir)
+    hourlyAgg(in).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming operators driven by MemoryStream: watermarked
+  * tumbling aggregation (q42's streaming twin) and stateful gap
+  * sessionization (q43's streaming twin).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyAgg: watermark closes an hour window and emits exact cents") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val query = EventStream.hourlyAgg(ms.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 7, "click", 1.25),
+        Event(2, ts("2024-01-01 10:40:00"), 8, "click", 2.50),
+        Event(3, ts("2024-01-01 10:59:00"), 7, "view", 0.10))
+      query.processAllAvailable()
+      // advance the watermark far past 11:00 so the 10:00 window closes
+      ms.addData(Event(4, ts("2024-01-01 14:00:00"), 9, "click", 9.99))
+      query.processAllAvailable()
+      val rows = spark.table("hourly").orderBy("event_type").collect()
+      assert(rows.length == 2)
+      val click = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(click.getAs[Timestamp]("hour") == ts("2024-01-01 10:00:00"))
+      assert(click.getAs[Long]("n") == 2L)
+      assert(click.getAs[Long]("sum_value_c") == 375L) // 125 + 250 exact cents
+    } finally query.stop()
+  }
+
+  test("sessionize: a >30min gap closes the session and emits it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val query = EventStream.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "view", 0),
+        Event(3, ts("2024-01-01 13:00:00"), 1, "click", 0), // closes session 1
+        Event(4, ts("2024-01-01 10:00:00"), 2, "click", 0))
+      query.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      // only user 1's first session is closed; open sessions stay in state
+      assert(rows.length == 1)
+      val s = rows(0)
+      assert(s.getAs[Long]("user_id") == 1L)
+      assert(s.getAs[Long]("session_id") == 1L)
+      assert(s.getAs[Long]("n_events") == 2L)
+      assert(s.getAs[Long]("end_us") - s.getAs[Long]("start_us") == 600L * 1000000L)
+    } finally query.stop()
+  }
+}
