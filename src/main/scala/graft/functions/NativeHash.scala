@@ -1,0 +1,227 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native (JIT-compiled) kernels for the hot text-fingerprint expressions.
+  *
+  * The declarative versions in [[Text]] are the SPECIFICATION — they mirror
+  * the DuckDB oracle SQL term by term — but Catalyst evaluates higher-order
+  * functions interpretively (one expression-tree walk per array element), so
+  * a ~550-window rolling hash costs thousands of tree walks per row. These
+  * kernels compute the identical values in tight JVM loops and plug into
+  * whole-stage codegen as single static calls: the generated code stays a
+  * one-liner and the JIT compiles the loop. EngineProps property-checks
+  * native == declarative on random inputs.
+  *
+  * Exactness note: the spec's per-character weights are `CAST(pow(31.0, k)
+  * AS BIGINT)` — a DOUBLE pow in both engines — so the kernels use
+  * `(long) Math.pow(31.0, k)` rather than integer pow, reproducing the spec
+  * bit-for-bit even where a double pow would round (tokens longer than 11
+  * chars).
+  */
+object TextKernels {
+
+  private val HashMod = 1000003L
+
+  private def pow31(k: Int): Long = Math.pow(31.0, k.toDouble).toLong
+
+  /** Codepoint-polynomial token hash mod 1000003 (Text.tokenHashMod). */
+  def tokenHash(s: String): Long = {
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return 0L
+    var sum = 0L
+    var i = 0
+    var idx = 0
+    while (i < n) {
+      val cp = s.codePointAt(idx)
+      idx += Character.charCount(cp)
+      sum += cp * pow31(n - 1 - i)
+      i += 1
+    }
+    ((sum % HashMod) + HashMod) % HashMod
+  }
+
+  /** All 3-gram shingle hashes of a single-space-tokenized string
+    * (Text.shingleHashes over Text.tokens). */
+  def shingleHashes(s: UTF8String): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    if (toks.length < 3) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = tokenHash(toks(i)); i += 1 }
+    val out = new Array[Long](toks.length - 2)
+    i = 0
+    while (i < out.length) {
+      out(i) = th(i) * 1000006000009L + th(i + 1) * 1000003L + th(i + 2)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 20-bit SimHash over a hash array (Text.simhash20). */
+  def simhash20(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var res = 0L
+    var j = 0
+    while (j < 20) {
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        sum += ((arr.getLong(i) >> j) & 1L) * 2L - 1L
+        i += 1
+      }
+      if (sum > 0) res |= 1L << j
+      j += 1
+    }
+    res
+  }
+
+  /** Minimum rolling 8-char window hash (Text.rollingMinHash8). */
+  def rollingMinHash8(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    val codes = new Array[Long](n)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(idx)
+      idx += Character.charCount(cp)
+      codes(i) = cp
+      i += 1
+    }
+    if (n < 8) return tokenHash(str)
+    var min = Long.MaxValue
+    i = 0
+    while (i <= n - 8) {
+      var sum = 0L
+      var k = 0
+      while (k < 8) { sum += codes(i + k) * pow31(7 - k); k += 1 }
+      val h = sum % HashMod
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** Native vector kernels (the hot loops of the similarity queries — a
+  * 64-term interpreted zip_with dot per candidate pair dominates the
+  * LSH-blocked near-dup join otherwise).
+  */
+object VecKernels {
+
+  /** Exact integer dot product of two BIGINT arrays (Exact.dotMicro over
+    * pre-quantized vectors). */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += a.getLong(i) * b.getLong(i); i += 1 }
+    sum
+  }
+
+  /** Quantize a FLOAT vector to integer micro-units (Exact.micro per
+    * element). HALF_UP (away from zero), matching Spark's and DuckDB's
+    * round() — NOT Math.round, which rounds half toward +infinity.
+    */
+  def microQuantize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble * 1000000.0
+      out(i) = (if (v >= 0) Math.floor(v + 0.5) else Math.ceil(v - 0.5)).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Base for one-liner native expressions: nullSafeEval + a single static
+  * codegen call, so the expression participates in whole-stage codegen.
+  */
+abstract class NativeUnaryExpression extends UnaryExpression {
+  /** Fully-qualified static call template, e.g. "graft...kernel(%s)". */
+  protected def staticCall: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => staticCall.format(c))
+}
+
+case class ShingleHashesExpr(child: Expression) extends NativeUnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def staticCall: String =
+    "graft.functions.TextKernels.shingleHashes(%s)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class SimHash20Expr(child: Expression) extends NativeUnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def staticCall: String =
+    "graft.functions.TextKernels.simhash20(%s)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash20(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): SimHash20Expr =
+    copy(child = newChild)
+}
+
+case class RollingMinHash8Expr(child: Expression) extends NativeUnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def staticCall: String =
+    "graft.functions.TextKernels.rollingMinHash8(%s)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.rollingMinHash8(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash8Expr =
+    copy(child = newChild)
+}
+
+case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernels.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class MicroQuantizeExpr(child: Expression) extends NativeUnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def staticCall: String =
+    "graft.functions.VecKernels.microQuantize(%s)"
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.microQuantize(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): MicroQuantizeExpr =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers for the native expressions — drop-in replacements
+  * for the declarative [[Text]] / [[Exact]] kernels in hot paths.
+  */
+object NativeText {
+  private def wrap(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Native Text.shingleHashes(Text.tokens(c)) over a text column. */
+  def shingleHashesOfText(c: Column): Column = wrap(ShingleHashesExpr(expr(c)))
+
+  def simhash20(arr: Column): Column = wrap(SimHash20Expr(expr(arr)))
+
+  def rollingMinHash8(c: Column): Column = wrap(RollingMinHash8Expr(expr(c)))
+
+  /** Native exact dot of two BIGINT-array columns (Exact integer space). */
+  def dotLong(a: Column, b: Column): Column = wrap(DotLongExpr(expr(a), expr(b)))
+
+  /** Native Exact.micro quantization of a float-vector column. */
+  def microQuantize(a: Column): Column = wrap(MicroQuantizeExpr(expr(a)))
+}

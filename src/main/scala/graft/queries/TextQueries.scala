@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.Text
+import graft.functions.{NativeText, Text}
 
 /** LLM-training-data pipeline queries over the `documents` table: exact
   * content dedup, quality scoring, token statistics, language-ID heuristic,
@@ -18,10 +18,13 @@ import graft.functions.Text
   *    are ordinary hash-partitioned equi-joins whose fan-in per bucket is
   *    bounded by collision probability, not corpus size.
   *  - All hashes are engine-independent integer constructions (graft.
-  *    functions.Text) so the DuckDB oracle reproduces them bit-for-bit.
-  *  - Per-doc kernels (token hash, shingles, simhash) are Catalyst
-  *    higher-order functions: no UDFs, stays in whole-stage codegen, and
-  *    the work is embarrassingly parallel over documents.
+  *    functions.Text is the declarative spec mirrored by each oracle) so
+  *    the DuckDB oracle reproduces them bit-for-bit.
+  *  - The hot per-doc kernels (shingle hashes, simhash, rolling hash) run
+  *    as native Catalyst expressions with codegen (graft.functions.
+  *    NativeHash) — single static calls inside WholeStageCodegen, no UDF
+  *    serialization boundary; EngineProps property-checks them against the
+  *    declarative spec. The work is embarrassingly parallel over documents.
   */
 object TextQueries {
 
@@ -220,8 +223,8 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
       (s, d) => docs(s, d)
         .select(col("doc_id"),
-          simhash20(shingleHashes(toks)).as("simhash"),
-          rollingMinHash8(col("text")).as("fp_min8"))
+          NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("simhash"),
+          NativeText.rollingMinHash8(col("text")).as("fp_min8"))
         .orderBy("doc_id")),
 
     // ---- q33: MinHash signatures — 8 universal-hash minima over the 3-gram
@@ -238,7 +241,7 @@ object TextQueries {
         // materialize the shingle array once; the 8 minhash projections
         // reference the column (CollapseProject keeps non-cheap expressions
         // from being duplicated across references)
-        val base = docs(s, d).select(col("doc_id"), shingleHashes(toks).as("sh"))
+        val base = docs(s, d).select(col("doc_id"), NativeText.shingleHashesOfText(col("text")).as("sh"))
         base
           .select(col("doc_id") +: (0 until 8).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
           .orderBy("doc_id")
@@ -273,7 +276,7 @@ object TextQueries {
            |ORDER BY i, j""".stripMargin),
       (s, d) => {
         val base = docs(s, d)
-          .select(col("doc_id"), shingleHashes(toks).as("sh"))
+          .select(col("doc_id"), NativeText.shingleHashesOfText(col("text")).as("sh"))
         val sig = base.select(
           col("doc_id") +: col("sh") +:
             (0 until 8).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
@@ -321,7 +324,7 @@ object TextQueries {
       (s, d) => {
         val sim = docs(s, d)
           .select(col("doc_id"),
-            simhash20(shingleHashes(toks)).as("simhash"))
+            NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("simhash"))
         val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band"),
             (shiftright(col("simhash"), 5 * b) % 32L).as("bval"))): _*)).as("bk"))

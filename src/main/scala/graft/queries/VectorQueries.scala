@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.Exact
+import graft.functions.{Exact, NativeText}
 
 /** Similarity-search / vector queries over the `embeddings` table
   * (vec_id BIGINT, embedding ARRAY<FLOAT> x64, label INT) — the ANN side of
@@ -46,8 +46,10 @@ object VectorQueries {
 
   private val em = col("em")
 
-  private def dotCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot — native codegen kernel (the interpreted
+    * zip_with+aggregate form is the spec; see Exact.dotMicro + EngineProps).
+    */
+  private def dotCols(a: Column, b: Column): Column = NativeText.dotLong(a, b)
 
   private def planeDot(p: Int): Column =
     dotCols(em, typedlit(planeCoefs(p)))
@@ -67,8 +69,8 @@ object VectorQueries {
     Tables.embeddings(s, d)
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => Exact.micro(x)).as("em"))
-      .withColumn("nsq", aggregate(transform(em, m => m * m), lit(0L), (a, v) => a + v))
+        NativeText.microQuantize(col("embedding")).as("em"))
+      .withColumn("nsq", NativeText.dotLong(em, em))
 
   // ---- shared oracle SQL fragments --------------------------------------
 

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge for custom Catalyst expressions.
+  *
+  * Spark 4 wraps Columns around ColumnNodes and keeps the Expression
+  * conversion (`classic.ExpressionUtils`) private[sql]; third-party
+  * expression libraries conventionally expose it through a shim in the
+  * org.apache.spark.sql namespace (the same access pattern Spark connector
+  * and extension projects use). This is the ONLY file that reaches into
+  * Spark internals; everything else goes through these two calls.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -3,6 +3,7 @@ package graft
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.functions._
+import graft.functions.{NativeText, Text}
 import graft.operators.Windows
 
 /** ScalaCheck properties over the engine operators (SURVEY.md §5.3):
@@ -40,4 +41,48 @@ object EngineProps extends Properties("graft") {
       .select("sk").as[Long].collect().sorted.toSeq
     ids == (1L to xs.size.toLong)
   }
+
+  // ---- native codegen kernels vs the declarative spec -------------------
+  // The NativeHash expressions are drop-in replacements for the Text
+  // higher-order-function kernels (which mirror the DuckDB oracles), so
+  // they must agree value-for-value on arbitrary inputs.
+
+  private val token: Gen[String] =
+    Gen.choose(1, 10).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+
+  private val text: Gen[String] =
+    Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+
+  property("native shingle/simhash/rolling kernels match the declarative spec") =
+    forAll(Gen.listOfN(8, text)) { texts =>
+      val df = texts.toDF("text")
+      val cmp = df.select(
+        NativeText.shingleHashesOfText(col("text")).as("n_sh"),
+        Text.shingleHashes(Text.tokens(col("text"))).as("d_sh"),
+        NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("n_sim"),
+        Text.simhash20(Text.shingleHashes(Text.tokens(col("text")))).as("d_sim"),
+        NativeText.rollingMinHash8(col("text")).as("n_roll"),
+        Text.rollingMinHash8(col("text")).as("d_roll"))
+      cmp.collect().forall { r =>
+        r.getSeq[Long](0) == r.getSeq[Long](1) &&
+          r.getLong(2) == r.getLong(3) && r.getLong(4) == r.getLong(5)
+      }
+    }
+
+  private val vec: Gen[List[Float]] =
+    Gen.listOfN(16, Gen.choose(-1.0f, 1.0f))
+
+  property("native micro-quantize + dot match the declarative Exact spec") =
+    forAll(Gen.listOfN(6, Gen.zip(vec, vec))) { vs =>
+      val df = vs.toDF("a", "b")
+      val cmp = df.select(
+        NativeText.microQuantize(col("a")).as("n_ma"),
+        transform(col("a"), x => graft.functions.Exact.micro(x)).as("d_ma"),
+        NativeText.dotLong(
+          NativeText.microQuantize(col("a")), NativeText.microQuantize(col("b"))).as("n_dot"),
+        graft.functions.Exact.dotMicro(col("a"), col("b")).as("d_dot"))
+      cmp.collect().forall { r =>
+        r.getSeq[Long](0) == r.getSeq[Long](1) && r.getLong(2) == r.getLong(3)
+      }
+    }
 }
