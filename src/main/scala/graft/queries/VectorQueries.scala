@@ -190,6 +190,81 @@ object VectorQueries {
           .orderBy("qid", "rnk")
       }),
 
+    // ---- q44: IVF-style ANN — the inverted-file index shape: a coarse
+    // quantizer (here: per-label centroids, i.e. the cells a k-means would
+    // produce) assigns every vector to its nearest cell by exact integer
+    // L2; queries probe ONLY their own cell (nprobe=1) and rank candidates
+    // by exact cosine. At 100 TB the centroid table stays tiny (broadcast)
+    // while the corpus is scanned once for assignment and then searched
+    // per-cell — the classic IVF cost model, all equality joins.
+    Q("q44_embed_ivf_ann",
+      Some(
+        s"""WITH $emCte,
+           |s_t AS (
+           |  SELECT label, i AS dim,
+           |         CAST(FLOOR(CAST(SUM(em[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |  FROM n_t, generate_series(1, $Dim) t(i) GROUP BY 1, 2),
+           |c_t AS (
+           |  SELECT label AS clabel, list(cv ORDER BY dim) AS cvec FROM s_t GROUP BY 1),
+           |cn_t AS (
+           |  SELECT clabel, cvec,
+           |         CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm
+           |  FROM c_t),
+           |a_t AS (
+           |  SELECT vec_id, em, nsq, clabel,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY
+           |           nsq + cnorm - 2 * CAST(list_sum(list_transform(generate_series(1, $Dim),
+           |             i -> em[i] * cvec[i])) AS BIGINT), clabel) AS rnk_c
+           |  FROM n_t CROSS JOIN cn_t),
+           |cell_t AS (SELECT vec_id, em, nsq, clabel AS cell FROM a_t WHERE rnk_c = 1),
+           |p_t AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+           |         CAST(list_sum(list_transform(generate_series(1, $Dim), i -> q.em[i] * c.em[i])) AS BIGINT) AS dot,
+           |         q.nsq AS qn, c.nsq AS cn
+           |  FROM cell_t q JOIN cell_t c ON c.cell = q.cell AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |r_t AS (SELECT qid, vid, dot, $cosSql AS cos FROM p_t),
+           |k_t AS (SELECT qid, vid, dot, cos,
+           |               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+           |        FROM r_t)
+           |SELECT qid, vid AS vec_id, CAST(rnk AS BIGINT) AS rnk, dot, cos
+           |FROM k_t WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+      (s, d) => {
+        val n = quantized(s, d)
+        // coarse quantizer: per-cell centroid micros (exact sums, floored mean)
+        val cent = n
+          .select(col("label"), posexplode(col("em")).as(Seq("dim0", "v")))
+          .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+          .withColumn("cv", floor(col("sv").cast("double") / col("cnt")).cast("long"))
+          .groupBy(col("label").as("clabel"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+          .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
+        // assignment: nearest cell by exact integer L2 (tie-break on label)
+        val dist = col("nsq") + col("cnorm") -
+          NativeText.dotLong(col("em"), col("cvec")) * 2L
+        val assigned = n.join(broadcast(cent))
+          .withColumn("rnk_c", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(dist, col("clabel"))))
+          .filter(col("rnk_c") === 1)
+          .select(col("vec_id"), col("em"), col("nsq"), col("clabel").as("cell"))
+        // probe: same-cell candidates only, exact cosine top-3
+        val q = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("em").as("qm"),
+            col("nsq").as("qn"), col("cell").as("qcell"))
+        val pairs = assigned.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            dotCols(col("em"), col("qm")).as("dot"), col("qn"), col("nsq").as("cn"))
+        pairs
+          .withColumn("cos", Exact.cosineMicro(col("dot"), col("qn"), col("cn")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id"), col("rnk"), col("dot"), col("cos"))
+          .orderBy("qid", "rnk")
+      }),
+
     // ---- q39: embedding-cosine near-duplicate pairs — the vector-space
     // dedup screen. 4 hyperplanes -> 16 coarse buckets; only same-bucket
     // pairs (i < j) are compared (a self-equi-join on bucket, shuffle
