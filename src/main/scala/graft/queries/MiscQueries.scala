@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Windows
+import graft.operators.{Skew, Windows}
 import graft.functions.Exact.cents
 
 /** Remaining pipeline operators: multimodal binary-column plumbing, the
@@ -128,6 +128,68 @@ object MiscQueries {
             min(col("tsu")).as("start_us"),
             max(col("tsu")).as("end_us"))
           .orderBy("user_id", "session_id")
-      })
+      }),
+
+    // ---- q45: skew-salted aggregation — l_returnflag has 3 giant keys, the
+    // worst case for a single-phase groupBy at scale. Two-phase salted sums
+    // (graft.operators.Skew) split each key across 16 reducers then combine;
+    // the oracle is the PLAIN group-by, proving the salting is exact.
+    Q("q45_salted_agg",
+      Some("""SELECT l_returnflag AS rflag,
+             |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM lineitem
+             |GROUP BY 1
+             |ORDER BY rflag""".stripMargin),
+      (s, d) => Skew.saltedSum(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("rflag"),
+            col("l_extendedprice"), col("l_orderkey")),
+        keys = Seq("rflag"),
+        value = cents(col("l_extendedprice")),
+        saltBy = col("l_orderkey"), salts = 16,
+        outCol = "sum_price_c")
+        .orderBy("rflag")),
+
+    // ---- q46: GROUPING SETS via the SQL entry point — subtotals over two
+    // independent dimension sets in one pass (generalizes q20 rollup / q27
+    // cube, §2.5 A3). Also exercises spark.sql + temp views as an API
+    // surface; the plan is a single Expand + aggregate, one shuffle.
+    Q("q46_grouping_sets",
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             |       COALESCE(o_orderpriority, 'ALL') AS priority,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY status, priority""".stripMargin),
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql(
+          """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+            |       COALESCE(o_orderpriority, 'ALL') AS priority,
+            |       COUNT(*) AS n,
+            |       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+            |FROM orders_v
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY status, priority""".stripMargin)
+      }),
+
+    // ---- q47: pivot — channel-style wide KPI table (the dashboard shape
+    // the reference serves via Power BI). Spark's pivot with an EXPLICIT
+    // value list stays a single aggregate (no extra distinct-values job);
+    // the oracle is conditional aggregation, which is exactly what pivot
+    // compiles to.
+    Q("q47_pivot",
+      Some("""SELECT l_returnflag AS rflag,
+             |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F,
+             |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O
+             |FROM lineitem
+             |GROUP BY 1
+             |ORDER BY rflag""".stripMargin),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(cents(col("l_quantity"))))
+        .orderBy("rflag"))
   )
 }

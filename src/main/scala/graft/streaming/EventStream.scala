@@ -55,11 +55,17 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, SessionAgg](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // full microsecond precision: Timestamp.getTime is millis-only,
+          // which would drift from the batch q43 micros arithmetic
+          def micros(e: Event): Long = {
+            val i = e.ts.toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          val sorted = rows.toSeq.sortBy(e => (micros(e), e.event_id))
           var closed = List.empty[SessionAgg]
           var cur = state.getOption
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val us = micros(e)
             cur match {
               case Some(s) if us - s.lastUs <= gapUs =>
                 cur = Some(s.copy(nEvents = s.nEvents + 1, lastUs = us))

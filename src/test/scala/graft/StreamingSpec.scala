@@ -37,6 +37,43 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming sessionize agrees with the batch q43 semantics on real events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch truth: q43 over the sf0.001 events table
+    val batch = graft.SparkEntry.queries("q43_sessionize")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // stream the same events (ts nanos -> Timestamp micros) in one batch
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+        "user_id", "event_type", "value")
+      .as[Event].collect()
+    val ms = MemoryStream[Event]
+    val query = EventStream.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("sess_eq").outputMode("append").start()
+    try {
+      ms.addData(events.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("sess_eq").as[EventStream.SessionAgg].collect()
+      assert(streamed.nonEmpty)
+      // every CLOSED streaming session must equal its batch counterpart
+      // (the final open session per user stays in state, hence <)
+      val batchUsers = batch.keys.map(_._1).toSet
+      streamed.foreach { s =>
+        assert(batch((s.user_id, s.session_id)) == ((s.n_events, s.start_us, s.end_us)),
+          s"user ${s.user_id} session ${s.session_id}")
+      }
+      val perUserClosed = streamed.groupBy(_.user_id).view.mapValues(_.length)
+      perUserClosed.foreach { case (u, n) =>
+        assert(n == batch.keys.count(_._1 == u) - 1) // all but the open one
+      }
+      assert(batchUsers.nonEmpty)
+    } finally query.stop()
+  }
+
   test("sessionize: a >30min gap closes the session and emits it") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
