@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Skew, Windows}
+import graft.operators.{Joins, Skew, Windows}
 import graft.functions.Exact.cents
 
 /** Remaining pipeline operators: multimodal binary-column plumbing, the
@@ -190,6 +190,35 @@ object MiscQueries {
         .groupBy(col("l_returnflag").as("rflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(cents(col("l_quantity"))))
-        .orderBy("rflag"))
+        .orderBy("rflag")),
+
+    // ---- q48: string-key dimension join (ref J2 — the CEGID x products
+    // join keys on Product_Name, a STRING; q11/q12 cover int keys). The
+    // derived dim is a distinct-projection of conversion-relevant types;
+    // the inner join both enriches and filters. String join keys hash the
+    // same as ints in the exchange — the point is exercising non-numeric
+    // key equality + the broadcast of a derived (not scanned) dimension.
+    Q("q48_join_stringkey",
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT event_type, upper(event_type) AS type_uc
+             |  FROM events WHERE event_type IN ('purchase', 'signup')
+             |)
+             |SELECT d.type_uc, COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS nd_users,
+             |       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+             |FROM events e JOIN dim d ON e.event_type = d.event_type
+             |GROUP BY 1
+             |ORDER BY type_uc""".stripMargin),
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val dim = e.filter(col("event_type").isin("purchase", "signup"))
+          .select(col("event_type").as("det"), upper(col("event_type")).as("type_uc"))
+          .distinct()
+        e.join(Joins.dimBroadcast(dim), e("event_type") === col("det"))
+          .groupBy(col("type_uc"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("nd_users"),
+            sum(cents(col("value"))).as("sum_value_c"))
+          .orderBy("type_uc")
+      })
   )
 }

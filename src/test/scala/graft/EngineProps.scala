@@ -69,6 +69,17 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("salted aggregation equals the plain group-by sum") = forAll(rows) { xs =>
+    val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong, (k * 7 + 1).toLong) }
+      .toDF("k", "v", "uniq", "val")
+    val salted = graft.operators.Skew.saltedSum(df, Seq("k"), col("val"),
+        saltBy = col("uniq"), salts = 4, outCol = "s")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val plain = df.groupBy("k").agg(sum(col("val")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    salted == plain
+  }
+
   private val vec: Gen[List[Float]] =
     Gen.listOfN(16, Gen.choose(-1.0f, 1.0f))
 
