@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Joins, Skew, Windows}
 import graft.functions.Exact.cents
+import graft.functions.TopKLongs
 
 /** Remaining pipeline operators: multimodal binary-column plumbing, the
   * scale-safe surrogate-key path, event-time aggregation over the `events`
@@ -219,6 +220,40 @@ object MiscQueries {
             countDistinct(col("user_id")).as("nd_users"),
             sum(cents(col("value"))).as("sum_value_c"))
           .orderBy("type_uc")
+      }),
+
+    // ---- q49: top-k per group as a bounded-heap AGGREGATE (graft.functions
+    // .TopKLongs) instead of a window sort. Same ranking semantics as q22
+    // (revenue DESC, pkey tie-break) but the plan is agg -> partial topk ->
+    // final topk: only k rows per group cross the shuffle and the hottest
+    // group costs O(n log k), not one task's full sort — the 100 TB form of
+    // W3. Oracle is the plain row_number window, proving exactness.
+    Q("q49_topk_agg",
+      Some("""SELECT brand, pkey, revenue_e4, rnk FROM (
+             |  SELECT brand, pkey, revenue_e4,
+             |         row_number() OVER (PARTITION BY brand
+             |                            ORDER BY revenue_e4 DESC, pkey) AS rnk
+             |  FROM (SELECT p.p_brand AS brand, CAST(p.p_partkey AS BIGINT) AS pkey,
+             |               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+             |                        (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+             |        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |        GROUP BY 1, 2))
+             |WHERE rnk <= 3
+             |ORDER BY brand, rnk""".stripMargin),
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val p = Tables.part(s, d).select("p_partkey", "p_brand")
+        val perPart = l.join(Joins.dimBroadcast(p), l("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand").as("brand"), col("p_partkey").as("pkey"))
+          .agg(sum(cents(col("l_extendedprice")) *
+                 (lit(100L) - cents(col("l_discount")))).as("revenue_e4"))
+        perPart.groupBy(col("brand"))
+          .agg(TopKLongs.topK(col("revenue_e4"), col("pkey").cast("long"), 3).as("tk"))
+          .select(col("brand"), posexplode(col("tk")))
+          .select(col("brand"), col("col.id").as("pkey"),
+            col("col.score").as("revenue_e4"),
+            (col("pos") + 1).cast("long").as("rnk"))
+          .orderBy("brand", "rnk")
       })
   )
 }

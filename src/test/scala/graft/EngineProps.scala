@@ -69,6 +69,22 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("topk aggregate equals sort-take per group") = forAll(rows) { xs =>
+    val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v.hashCode.toLong % 7, i.toLong) }
+      .toDF("k", "score", "id")
+    val agg = df.groupBy("k")
+      .agg(graft.functions.TopKLongs.topK(col("score"), col("id"), 3).as("tk"))
+      .select(col("k"), explode(col("tk")).as("e"))
+      .select(col("k"), col("e.score"), col("e.id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = xs.zipWithIndex
+      .map { case ((k, v), i) => (k, v.hashCode.toLong % 7, i.toLong) }
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(t => (-t._2, t._3)).take(3)
+      }.toSet
+    agg == expect
+  }
+
   property("salted aggregation equals the plain group-by sum") = forAll(rows) { xs =>
     val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong, (k * 7 + 1).toLong) }
       .toDF("k", "v", "uniq", "val")
