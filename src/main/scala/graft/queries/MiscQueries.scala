@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Joins, Skew, Windows}
+import graft.operators.{AsOf, Joins, RangeJoin, Skew, Windows}
 import graft.functions.Exact.cents
 import graft.functions.TopKLongs
 
@@ -254,6 +254,60 @@ object MiscQueries {
             col("col.score").as("revenue_e4"),
             (col("pos") + 1).cast("long").as("rnk"))
           .orderBy("brand", "rnk")
+      }),
+
+    // ---- q50: as-of join (graft.operators.AsOf) — each purchase event is
+    // matched to the user's most recent prior-or-equal 'view' event. The
+    // right side is pre-aggregated unique per (user, time) so the DuckDB
+    // ASOF LEFT JOIN oracle is deterministic. Event time in exact micros
+    // (ts div 1000 == epoch_us, see q42/q43).
+    Q("q50_asof_join",
+      Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS tsu
+             |          FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, epoch_us(ts) AS view_tsu, MAX(event_id) AS view_id
+             |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+             |SELECT p.user_id, p.event_id, p.tsu, v.view_id, v.view_tsu
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND p.tsu >= v.view_tsu
+             |ORDER BY p.user_id, p.tsu, p.event_id""".stripMargin),
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("tsu", expr("ts div 1000"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "tsu")
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("tsu").as("view_tsu"))
+          .agg(max(col("event_id")).as("view_id"))
+        AsOf.joinAsOfLeft(purchases, views, key = "user_id",
+            leftTime = "tsu", rightTime = "view_tsu")
+          .orderBy("user_id", "tsu", "event_id")
+      }),
+
+    // ---- q51: range (band) join via graft.operators.RangeJoin — order
+    // totals in exact cents classified into price bands. The oracle is the
+    // plain theta join; the engine plans a bucketed hash EQUI-join
+    // (explode bands to 5M-cent buckets, join on bucket, residual filter)
+    // instead of a nested-loop scan — see RangeJoin's scaladoc.
+    Q("q51_range_join",
+      Some("""WITH bands(lo, hi, label) AS (VALUES
+             |       (0, 10000000, 'small'),
+             |       (10000000, 25000000, 'mid'),
+             |       (25000000, 60000000, 'large')),
+             |o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+             |SELECT b.label, COUNT(*) AS n, CAST(SUM(o.pc) AS BIGINT) AS sum_pc
+             |FROM o JOIN bands b ON o.pc >= b.lo AND o.pc < b.hi
+             |GROUP BY 1
+             |ORDER BY label""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          (0L, 10000000L, "small"),
+          (10000000L, 25000000L, "mid"),
+          (25000000L, 60000000L, "large")).toDF("lo", "hi", "label")
+        val o = Tables.orders(s, d).select(cents(col("o_totalprice")).as("pc"))
+        RangeJoin.bucketedInner(o, "pc", bands, "lo", "hi", width = 5000000L)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_pc"))
+          .orderBy("label")
       })
   )
 }

@@ -85,6 +85,40 @@ object EngineProps extends Properties("graft") {
     agg == expect
   }
 
+  property("as-of join equals the naive latest-at-or-before lookup") = forAll(rows) { xs =>
+    val lefts = xs.zipWithIndex.map { case ((k, v), i) =>
+      (k, i.toLong, ((v.hashCode.toLong % 13) + 13) % 13) }
+    val rights = xs.map { case (k, v) => (k, (((v.hashCode * 31).toLong % 13) + 13) % 13) }
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 100) }
+    val got = graft.operators.AsOf.joinAsOfLeft(
+        lefts.toDF("k", "lid", "t"), rights.toDF("k", "rt", "pay"),
+        key = "k", leftTime = "t", rightTime = "rt")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toSet
+    val expect = lefts.map { case (k, lid, t) =>
+      val cand = rights.filter(r => r._1 == k && r._2 <= t)
+      (k, lid, if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+    }.toSet
+    got == expect
+  }
+
+  property("bucketed range join equals the theta join") = forAll(rows) { xs =>
+    val vals = xs.zipWithIndex.map { case ((k, v), i) =>
+      (i.toLong, ((k * 31 + v.hashCode).toLong % 100 + 100) % 100) }
+    // overlapping and gapped bands over [0, 100)
+    val bandRows = Seq((0L, 30L, "a"), (20L, 55L, "b"), (70L, 100L, "c"))
+    val got = graft.operators.RangeJoin.bucketedInner(
+        vals.toDF("id", "v"), "v", bandRows.toDF("lo", "hi", "label"),
+        "lo", "hi", width = 7L)
+      .select("id", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = (for {
+      (id, v) <- vals
+      (lo, hi, lab) <- bandRows if v >= lo && v < hi
+    } yield (id, lab)).toSet
+    got == expect
+  }
+
   property("salted aggregation equals the plain group-by sum") = forAll(rows) { xs =>
     val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong, (k * 7 + 1).toLong) }
       .toDF("k", "v", "uniq", "val")
