@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions._
+
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * Production path: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`) makes
+  * the functions resolvable by the analyzer in every session of the
+  * application, so pure-SQL users get the native codegen kernels without
+  * touching the Column API. [[GraftExtensions.install]] is the programmatic
+  * equivalent for an already-built session (used by the declared SQL-text
+  * queries, which receive the driver's session after construction).
+  *
+  * Registered functions (all native-codegen expressions from
+  * [[graft.functions.NativeHash]] / the [[TopKLongs]] aggregate):
+  *
+  *  - `graft_shingle_hashes(text)` → array<bigint> 3-gram shingle hashes
+  *  - `graft_simhash20(array<bigint>)` → bigint 20-bit SimHash
+  *  - `graft_rolling_minhash8(text)` → bigint winnowing-style min hash
+  *  - `graft_dot_long(array<bigint>, array<bigint>)` → bigint exact dot
+  *  - `graft_micro_quantize(array<float>)` → array<bigint> micro units
+  *  - `graft_topk_longs(score, id, k)` → aggregate, top-k (score DESC, id)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name expects 1 argument")
+    args.head
+  }
+
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name: k must be an integer literal, got $other")
+  }
+
+  /** (identifier, info, builder) triples in SparkSessionExtensions'
+    * injectFunction shape. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      args => ShingleHashesExpr(one(args, "graft_shingle_hashes"))),
+    (FunctionIdentifier("graft_simhash20"),
+      new ExpressionInfo(classOf[SimHash20Expr].getName, "graft_simhash20"),
+      args => SimHash20Expr(one(args, "graft_simhash20"))),
+    (FunctionIdentifier("graft_rolling_minhash8"),
+      new ExpressionInfo(classOf[RollingMinHash8Expr].getName, "graft_rolling_minhash8"),
+      args => RollingMinHash8Expr(one(args, "graft_rolling_minhash8"))),
+    (FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotLongExpr].getName, "graft_dot_long"),
+      { args =>
+        require(args.length == 2, "graft_dot_long expects 2 arguments")
+        DotLongExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_micro_quantize"),
+      new ExpressionInfo(classOf[MicroQuantizeExpr].getName, "graft_micro_quantize"),
+      args => MicroQuantizeExpr(one(args, "graft_micro_quantize"))),
+    (FunctionIdentifier("graft_topk_longs"),
+      new ExpressionInfo(classOf[TopKLongs].getName, "graft_topk_longs"),
+      { args =>
+        require(args.length == 3, "graft_topk_longs expects (score, id, k)")
+        TopKLongs(args(0), args(1), litInt(args(2), "graft_topk_longs"))
+      })
+  )
+
+  /** Register the functions into an existing session's function registry —
+    * identical builders to the extensions path, for sessions constructed
+    * without `spark.sql.extensions`. Idempotent (re-registration replaces).
+    */
+  def install(spark: SparkSession): Unit =
+    registrations.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -340,6 +340,37 @@ object TextQueries {
         cand.filter(ham <= 3L)
           .select(col("i"), col("j"), ham.as("hamming"))
           .orderBy("i", "j")
+      }),
+
+    // ---- q52: the pure-SQL entry to the native kernels — the same
+    // fingerprints as q32 but written as SQL TEXT against functions
+    // registered by graft.GraftExtensions (spark.sql.extensions /
+    // install()). Proves a SQL-only user gets the codegen expressions;
+    // the oracle is q32's, so SQL surface == Column surface == DuckDB.
+    Q("q52_sql_extensions",
+      Some(
+        s"""WITH $thCte, $shCte,
+           |tx_t AS (SELECT t.doc_id, t.text, s.sh FROM th_t t JOIN sh_t s ON t.doc_id = s.doc_id)
+           |SELECT doc_id,
+           |       ${simhashSql("sh")} AS simhash,
+           |       CASE WHEN length(text) >= 8 THEN
+           |         list_min(list_transform(generate_series(1, length(text) - 7),
+           |           i -> CAST(list_sum(list_transform(generate_series(0, 7),
+           |                  k -> ord(substr(text, i + k, 1)) * CAST(pow(31, 7 - k) AS BIGINT))) AS BIGINT)
+           |                % 1000003))
+           |       ELSE COALESCE(CAST(list_sum(list_transform(generate_series(1, length(text)),
+           |              i -> ord(substr(text, i, 1)) * CAST(pow(31, length(text) - i) AS BIGINT))) AS BIGINT), 0)
+           |            % 1000003 END AS fp_min8
+           |FROM tx_t
+           |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        graft.GraftExtensions.install(s)
+        docs(s, d).createOrReplaceTempView("graft_documents")
+        s.sql("""SELECT doc_id,
+                |       graft_simhash20(graft_shingle_hashes(text)) AS simhash,
+                |       graft_rolling_minhash8(text) AS fp_min8
+                |FROM graft_documents
+                |ORDER BY doc_id""".stripMargin)
       })
   )
 }
