@@ -64,4 +64,99 @@ object Binary {
     }
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
+
+  /** Embedding dimensionality produced by [[featureStub]] — matches the
+    * testdata `embeddings` table so extracted features flow directly into
+    * the similarity operators (q36-q44). */
+  val FeatureDim = 16
+
+  /** STUB feature extractor (the "image → embedding" model call): a
+    * deterministic byte-histogram projection to FeatureDim floats in
+    * [-1, 1]. A real deployment swaps this one function for an ONNX/JNI
+    * model invocation (or a mapInPandas torch stage in PySpark).
+    */
+  def featureStub(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < bytes.length) {
+      out(java.lang.Byte.toUnsignedInt(bytes(i)) % FeatureDim) += 1.0f
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toFloat
+    var j = 0
+    while (j < FeatureDim) { out(j) = out(j) * 2.0f / n - 1.0f; j += 1 }
+    out
+  }
+
+  /** Per-partition feature extraction: appends an array<float> embedding
+    * column. Same iterator shape as [[decodeMeta]]; the output column is
+    * exactly the `embeddings.emb` schema, so `Exact.microQuantize` /
+    * the ANN queries consume it unchanged.
+    */
+  def extractFeatures(df: DataFrame, binaryCol: String,
+                      outCol: String = "emb"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = false))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ featureStub(r.getAs[Array[Byte]](binIdx)).toSeq))
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB resize (the "image → image at w×h" codec call): deterministic
+    * byte down/up-sampling to exactly w*h bytes — preserves the real
+    * operator's contract (output size is a function of the TARGET, not the
+    * input) so downstream batch-shape logic is testable.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = w * h
+    val out = new Array[Byte](target)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < target) { out(i) = bytes((i.toLong * bytes.length / target).toInt); i += 1 }
+    }
+    out
+  }
+
+  /** Per-partition resize: binary-in/binary-out, constant memory. */
+  def resize(df: DataFrame, binaryCol: String, w: Int, h: Int,
+             outCol: String = "content_resized"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ resizeStub(r.getAs[Array[Byte]](binIdx), w, h)))
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB frame sampler (the "video → every k-th frame" codec call):
+    * treats the binary as fixed-size frames and returns n evenly-spaced
+    * slices. Real deployment: ffmpeg keyframe extraction.
+    */
+  def frameSampleStub(bytes: Array[Byte], frameBytes: Int, n: Int): Seq[Array[Byte]] = {
+    val frames = bytes.length / math.max(frameBytes, 1)
+    if (frames == 0) return Seq.empty
+    (0 until math.min(n, frames)).map { i =>
+      val f = (i.toLong * frames / math.min(n, frames)).toInt
+      bytes.slice(f * frameBytes, (f + 1) * frameBytes)
+    }
+  }
+
+  /** Per-partition frame sampling: one row in → array<binary> of sampled
+    * frames out. Pair with `explode` for a per-frame frame — the explode
+    * happens AFTER the narrow decode stage, so frame fan-out parallelism
+    * is recovered by the next shuffle, not paid during decode.
+    */
+  def sampleFrames(df: DataFrame, binaryCol: String, frameBytes: Int, n: Int,
+                   outCol: String = "frames"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(BinaryType, containsNull = false), nullable = false))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ frameSampleStub(r.getAs[Array[Byte]](binIdx), frameBytes, n)))
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
 }

@@ -41,6 +41,16 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value_c"))
 
+  /** Streaming twin of exact dedup (q08/q28): drop rows whose `event_id`
+    * was already seen within the watermark delay. Key state is evicted once
+    * the watermark passes its event time — per-key state is bounded by the
+    * delay window, not by stream history, which is what keeps a
+    * 100 TB/day deduped ingest feasible. (Plain `dropDuplicates` on a
+    * stream would grow state forever.)
+    */
+  def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** q43's streaming twin: gap-based sessionization via per-user state.
     * A >30-minute silence closes the session; closed sessions are emitted
     * and the open one stays in state. Sessions close on gap EVIDENCE (the

@@ -37,4 +37,41 @@ class MultimodalSpec extends SparkTestBase {
     // decode ran per-partition without reshuffling: partition count preserved
     assert(out.rdd.getNumPartitions == 2)
   }
+
+  test("extractFeatures: embedding column has the similarity-pipeline schema") {
+    val out = Binary.extractFeatures(Binary.withBinaryMeta(docs, "text"), "content")
+    val field = out.schema("emb")
+    assert(field.dataType.simpleString == "array<float>")
+    val rows = out.orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](r.fieldIndex("emb"))
+      assert(emb.length == Binary.FeatureDim)
+      assert(emb.forall(v => v >= -1.0f && v <= 1.0f))
+    }
+    // deterministic: same bytes -> same embedding
+    assert(Binary.featureStub("abc".getBytes).toSeq == Binary.featureStub("abc".getBytes).toSeq)
+  }
+
+  test("resize: output is exactly w*h bytes regardless of input size") {
+    val out = Binary.resize(Binary.withBinaryMeta(docs, "text"), "content", 4, 3)
+    out.collect().foreach { r =>
+      assert(r.getAs[Array[Byte]]("content_resized").length == 12)
+    }
+    // empty input stays all-zero but correctly sized
+    assert(Binary.resizeStub(Array.empty[Byte], 2, 2).length == 4)
+  }
+
+  test("sampleFrames + explode: per-frame rows with bounded fan-out") {
+    import spark.implicits._
+    val vids = Seq((1L, Array.fill[Byte](40)(7)), (2L, Array.fill[Byte](7)(1)),
+      (3L, Array.empty[Byte])).toDF("vid", "content")
+    val sampled = Binary.sampleFrames(vids, "content", frameBytes = 10, n = 3)
+    val perVid = sampled.select(col("vid"), size(col("frames")).as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(perVid == Map(1L -> 3, 2L -> 0, 3L -> 0))  // 40B/10B = 4 frames, capped at 3
+    val frames = sampled.select(col("vid"), explode(col("frames")).as("frame"))
+      .collect()
+    assert(frames.length == 3)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 10))
+  }
 }

@@ -97,4 +97,27 @@ class StreamingSpec extends SparkTestBase {
       assert(s.getAs[Long]("end_us") - s.getAs[Long]("start_us") == 600L * 1000000L)
     } finally query.stop()
   }
+
+  test("dedupEvents: duplicate event_ids within the watermark are dropped once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val query = EventStream.dedupEvents(ms.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // exact dup
+        Event(2, ts("2024-01-01 10:05:00"), 2, "view", 2.0))
+      query.processAllAvailable()
+      ms.addData(
+        Event(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // dup, still in state
+        Event(3, ts("2024-01-01 10:20:00"), 3, "click", 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+      // same result as the batch dedup of the same rows
+      assert(ids.length == 3)
+    } finally query.stop()
+  }
 }
