@@ -31,4 +31,24 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as(outCol))
   }
+
+  /** Skew-salted inner equi-join: the big (skewed) side gets a
+    * deterministic per-row salt, the small side is replicated once per
+    * salt value, and the join runs on (key, salt) — a giant key's rows
+    * spread over `salts` reducers instead of one. Exact: every big-side
+    * row still meets every matching small-side row exactly once.
+    *
+    * Use when AQE's skew-join splitting can't kick in (e.g. the skewed
+    * side is the OUTPUT of an exchange-reusing stage, or partition-size
+    * stats mislead) and the small side is modest but above the broadcast
+    * threshold — replication costs |small| × salts. `saltBy` must be
+    * deterministic per row (a unique id) for reproducible plans.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBy: Column, salts: Int): DataFrame = {
+    val bigS = big.withColumn("__salt", pmod(saltBy, lit(salts)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
 }

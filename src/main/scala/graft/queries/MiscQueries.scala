@@ -308,6 +308,29 @@ object MiscQueries {
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_pc"))
           .orderBy("label")
+      }),
+
+    // ---- q53: skew-salted join (graft.operators.Skew.saltedJoin) —
+    // lineitem's 3 giant l_returnflag keys are the worst-case join-key
+    // distribution; salting spreads each over 8 reducers. The oracle is
+    // the PLAIN join + group-by, proving the salt/replicate/join is exact.
+    Q("q53_salted_join",
+      Some("""WITH dim AS (SELECT DISTINCT l_returnflag AS rf,
+             |                     'label_' || l_returnflag AS label FROM lineitem)
+             |SELECT d.label, COUNT(*) AS n,
+             |       CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+             |FROM lineitem l JOIN dim d ON l.l_returnflag = d.rf
+             |GROUP BY 1
+             |ORDER BY label""".stripMargin),
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("rf"), col("l_quantity"), col("l_orderkey"))
+        val dim = l.select(col("rf")).distinct()
+          .withColumn("label", concat(lit("label_"), col("rf")))
+        Skew.saltedJoin(l, dim, "rf", saltBy = col("l_orderkey"), salts = 8)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+          .orderBy("label")
       })
   )
 }

@@ -119,6 +119,17 @@ object EngineProps extends Properties("graft") {
     got == expect
   }
 
+  property("salted join equals the plain join") = forAll(rows) { xs =>
+    val big = xs.zipWithIndex.map { case ((k, _), i) => (k, i.toLong) }.toDF("k", "uniq")
+    val small = xs.map(_._1).distinct.filter(_ % 2 == 0)
+      .map(k => (k, s"d$k")).toDF("k", "payload")
+    val got = graft.operators.Skew.saltedJoin(big, small, "k", col("uniq"), 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    val plain = big.join(small, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    got == plain
+  }
+
   property("salted aggregation equals the plain group-by sum") = forAll(rows) { xs =>
     val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong, (k * 7 + 1).toLong) }
       .toDF("k", "v", "uniq", "val")
