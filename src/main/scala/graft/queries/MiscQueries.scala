@@ -331,6 +331,97 @@ object MiscQueries {
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
           .orderBy("label")
+      }),
+
+    // ---- q54: semi-structured JSON extraction — events.props is a JSON
+    // string; parse with the real JSON parser (from_json + schema, not a
+    // regex), extract, aggregate. Map-only extraction keeps the parse
+    // inside codegen; at 100 TB the parse cost is the scan cost.
+    Q("q54_json_extract",
+      Some("""SELECT event_type,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events
+             |GROUP BY 1
+             |ORDER BY event_type""".stripMargin),
+      (s, d) => Tables.events(s, d)
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // ---- q55: analytic window functions beyond rank/row_number —
+    // lead/lag/first_value/ntile per customer order history. One hash
+    // exchange on o_custkey serves all four functions (same window spec).
+    Q("q55_window_analytics",
+      Some("""SELECT o_custkey AS ck, o_orderkey AS ok,
+             |       lag(o_orderkey) OVER w AS prev_ok,
+             |       lead(o_orderkey) OVER w AS next_ok,
+             |       first_value(o_orderkey) OVER w AS first_ok,
+             |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+             |ORDER BY ck, ok""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        Tables.orders(s, d).select(
+            col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+            lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+            first(col("o_orderkey")).over(w).as("first_ok"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("ck", "ok")
+      }),
+
+    // ---- q56: string-function breadth (levenshtein, lpad, translate,
+    // split_part, reverse) — the conform/standardize vocabulary beyond the
+    // reference's regex cleaning. All map-only codegen expressions.
+    Q("q56_string_funcs",
+      Some("""SELECT c_custkey AS ck,
+             |       CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
+             |       lpad(c_mktsegment, 12, '*') AS seg_pad,
+             |       translate(c_name, '#0', '-x') AS name_masked,
+             |       split_part(c_name, '#', 2) AS name_num,
+             |       reverse(c_mktsegment) AS seg_rev
+             |FROM customer
+             |ORDER BY ck""".stripMargin),
+      (s, d) => Tables.customer(s, d).select(
+          col("c_custkey").as("ck"),
+          levenshtein(col("c_name"), col("c_mktsegment")).cast("long").as("lev"),
+          lpad(col("c_mktsegment"), 12, "*").as("seg_pad"),
+          translate(col("c_name"), "#0", "-x").as("name_masked"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+          reverse(col("c_mktsegment")).as("seg_rev"))
+        .orderBy("ck")),
+
+    // ---- q57: date/time-function breadth (last_day, date_add, month
+    // truncation, datediff) over the order timeline. Dates normalized from
+    // the parquet timestamp once, then pure date arithmetic.
+    Q("q57_datetime_funcs",
+      Some("""SELECT o_orderkey AS ok,
+             |       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+             |       CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+             |       last_day(CAST(o_orderdate AS DATE)) AS eom,
+             |       CAST(o_orderdate AS DATE) + 7 AS plus7,
+             |       date_trunc('month', CAST(o_orderdate AS DATE)) AS mstart,
+             |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d_since
+             |FROM orders
+             |ORDER BY ok""".stripMargin),
+      (s, d) => {
+        val od = col("o_orderdate").cast(org.apache.spark.sql.types.DateType)
+        Tables.orders(s, d).select(
+            col("o_orderkey").as("ok"),
+            year(od).cast("long").as("y"),
+            month(od).cast("long").as("m"),
+            last_day(od).as("eom"),
+            date_add(od, 7).as("plus7"),
+            trunc(od, "month").as("mstart"),
+            datediff(od, lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("d_since"))
+          .orderBy("ok")
       })
   )
 }
