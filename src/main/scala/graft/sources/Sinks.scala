@@ -25,6 +25,20 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed + sorted parquet table (session catalog). Both sides of a
+    * recurring equi-join written with the same bucket count and keys join
+    * WITHOUT a shuffle exchange — the hash partitioning is baked into the
+    * files. At 100 TB this turns every fact×fact co-key join from the
+    * dominant exchange into a local merge; SinksSpec asserts the plan is
+    * exchange-free.
+    */
+  def parquetBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                      buckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** JDBC append (ref: loader.py:50-83 — url/user/password/driver props,
     * mode append; the reference's FK-disable side-channel is dead code there
     * and intentionally not reproduced). Executors each open a connection and

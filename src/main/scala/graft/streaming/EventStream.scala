@@ -51,6 +51,23 @@ object EventStream {
   def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase event joined to the same
+    * user's view events from the preceding hour (streaming attribution).
+    * BOTH sides carry watermarks and the join condition bounds event time
+    * on both sides, so Spark can evict join state as the watermark
+    * advances — state stays proportional to one interval of traffic, the
+    * requirement for an unbounded dual-stream join at ingest scale.
+    */
+  def purchaseAttribution(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    val v = views.withWatermark("ts", "2 hours").alias("v")
+    p.join(v, expr(
+        "p.user_id = v.user_id AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"))
+      .select(col("p.event_id").as("purchase_id"), col("p.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("p.ts").as("purchase_ts"), col("v.ts").as("view_ts"))
+  }
+
   /** q43's streaming twin: gap-based sessionization via per-user state.
     * A >30-minute silence closes the session; closed sessions are emitted
     * and the open one stays in state. Sessions close on gap EVIDENCE (the

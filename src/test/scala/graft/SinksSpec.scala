@@ -29,4 +29,38 @@ class SinksSpec extends SparkTestBase {
     assert(back.count() == 4)
     assert(back.columns.toSeq == Seq("id", "name", "price"))
   }
+
+  test("partitioned parquet write gives partition-pruned scans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-pq").toString
+    val df = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par")
+    Sinks.parquet(df, dir, partitionCols = Seq("par"), mode = "overwrite")
+    val scan = spark.read.parquet(dir).filter(col("par") === "even")
+    assert(scan.count() == 50)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(par"),
+      s"partition filter not pushed:\n$plan")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 1000).map(i => (i.toLong, i * 2L)).toDF("k", "vb")
+      Sinks.parquetBucketed(a, "bk_a", Seq("k"), buckets = 8)
+      Sinks.parquetBucketed(b, "bk_b", Seq("k"), buckets = 8)
+      val j = spark.table("bk_a").join(spark.table("bk_b"), "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+  }
 }

@@ -98,6 +98,28 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("purchaseAttribution: stream-stream join matches views within the hour") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val df = ms.toDF()
+    val query = EventStream.purchaseAttribution(
+        df.filter($"event_type" === "purchase"),
+        df.filter($"event_type" === "view"))
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(10, ts("2024-01-01 08:00:00"), 1, "view", 0),     // too old
+        Event(11, ts("2024-01-01 10:00:00"), 1, "view", 0),     // within hour
+        Event(12, ts("2024-01-01 10:30:00"), 1, "purchase", 5), // matches 11 only
+        Event(13, ts("2024-01-01 10:30:00"), 2, "purchase", 5)) // no prior view
+      query.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("purchase_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((12L, 11L)))
+    } finally query.stop()
+  }
+
   test("dedupEvents: duplicate event_ids within the watermark are dropped once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
