@@ -160,6 +160,26 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "token")),
 
+    // ---- q59: inverted index — token -> document-frequency + sorted
+    // posting list, the core text-retrieval structure. One shuffle on the
+    // token; postings stay bounded per token by corpus df. Posting lists
+    // serialized to a canonical comma-joined string so both engines hash
+    // identically (array columns hash representation-sensitively).
+    Q("q59_inverted_index",
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |SELECT tok AS token, COUNT(DISTINCT doc_id) AS df,
+             |       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+             |FROM t
+             |GROUP BY tok
+             |ORDER BY token""".stripMargin),
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          expr("array_join(transform(array_sort(collect_set(doc_id)), x -> CAST(x AS STRING)), ',')")
+            .as("postings"))
+        .orderBy("token")),
+
     // ---- q31: language-ID heuristic — score each language by marker-token
     // hits, argmax with a fixed priority tie-break. Map-only; the marker
     // profiles are compile-time constants (an n-gram/stopword profile model,
