@@ -15,7 +15,8 @@ object SparkEntry {
   private val declared: Seq[Q] =
     CoreQueries.all ++ RowQueries.all ++ GroupQueries.all ++
       WindowQueries.all ++ JoinSetQueries.all ++
-      TextQueries.all ++ VectorQueries.all ++ MiscQueries.all
+      TextQueries.all ++ VectorQueries.all ++ MiscQueries.all ++
+      TypedQueries.all
 
   private val (qMap, oMap) = registry(declared)
 
