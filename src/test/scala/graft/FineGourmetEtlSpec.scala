@@ -134,6 +134,28 @@ class FineGourmetEtlSpec extends SparkTestBase {
     assert(byId("PA01240100001").isNullAt(5)) // null email -> no client FK
   }
 
+  test("parity: the full ETL over the reference's OWN data files reproduces its documented star") {
+    // Input data only — no reference code is executed. Guarded so the suite
+    // still passes where the reference snapshot isn't mounted.
+    assume(new java.io.File("/root/reference/data/salesforces").isDirectory)
+    val refStar = FineGourmet.buildStar(spark, FineGourmet.Paths(
+      sfccGlob = "/root/reference/data/salesforces/*.csv",
+      cegidJson = "/root/reference/data/cegid/2024_cegid_sales.json",
+      productsGlob = "/root/reference/data/product/*.csv",
+      boutiquesText = "/root/reference/data/boutiques/2025_boutiques.csv"))
+    assert(refStar.dimStore.count() == 13L)    // BASELINE.md: 13 boutiques
+    assert(refStar.dimClient.count() == 196L)  // BASELINE.md: Dim_Client ≈ 196
+    assert(refStar.factSales.count() == 582L)  // BASELINE.md: Fact_Sales ≈ 582
+    // 230 = distinct product_ids across 2024 (196 rows) ∪ 2025 (220 rows);
+    // BASELINE.md's "219" was a per-file row estimate, not the union —
+    // the reference's own dropDuplicates(Product_ID) yields 230 too
+    // (verified against DuckDB COUNT(DISTINCT product_id) on the same CSVs).
+    assert(refStar.dimProduct.count() == 230L)
+    // surrogate keys dense over clients
+    import org.apache.spark.sql.functions.max
+    assert(refStar.dimClient.agg(max("Client_ID")).head.getAs[Number](0).longValue == 196L)
+  }
+
   test("sink: partitioned parquet write-read-back preserves rows and prunes by partition") {
     val out = Files.createTempDirectory("graft-sink").resolve("fact").toString
     Sinks.parquet(star.factSales, out, partitionCols = Seq("Type"), mode = "overwrite")
