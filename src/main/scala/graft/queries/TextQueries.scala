@@ -175,9 +175,12 @@ object TextQueries {
       (s, d) => docs(s, d)
         .select(col("doc_id"), explode(toks).as("token"))
         .groupBy("token")
-        .agg(countDistinct(col("doc_id")).as("df"),
-          expr("array_join(transform(array_sort(collect_set(doc_id)), x -> CAST(x AS STRING)), ',')")
-            .as("postings"))
+        // one aggregate: df derived from the collected set afterwards —
+        // countDistinct alongside collect_set would plan an Expand +
+        // double aggregation for the same answer
+        .agg(array_sort(collect_set(col("doc_id"))).as("p_arr"))
+        .select(col("token"), size(col("p_arr")).cast("long").as("df"),
+          expr("array_join(transform(p_arr, x -> CAST(x AS STRING)), ',')").as("postings"))
         .orderBy("token")),
 
     // ---- q31: language-ID heuristic — score each language by marker-token
