@@ -84,6 +84,41 @@ object TypedQueries {
           }
           .toDF("user_id", "median_c")
           .orderBy("user_id")
+      }),
+
+    // ---- q62: typed cogroup — per-user reconciliation of two event slices
+    // (purchases vs views) in one pass; users present in EITHER side
+    // appear, which is exactly FULL OUTER JOIN semantics — the oracle says
+    // so. Both sides shuffle once on the key; each group is processed by
+    // one task (group-bounded, like q61).
+    Q("q62_cogroup_reconcile",
+      Some("""WITH p AS (SELECT user_id, COUNT(*) AS n_purch,
+             |                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_purch_c
+             |          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |v AS (SELECT user_id, COUNT(*) AS n_view,
+             |             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_view_c
+             |      FROM events WHERE event_type = 'view' GROUP BY 1)
+             |SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+             |       COALESCE(n_purch, 0) AS n_purch, COALESCE(sum_purch_c, 0) AS sum_purch_c,
+             |       COALESCE(n_view, 0) AS n_view, COALESCE(sum_view_c, 0) AS sum_view_c
+             |FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
+             |ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        def slice(t: String) = Tables.events(s, d)
+          .filter(col("event_type") === t)
+          .select(col("user_id"), graft.functions.Exact.cents(col("value")).as("vc"))
+          .as[UserValue]
+          .groupByKey(_.user_id)
+        slice("purchase").cogroup(slice("view")) { (uid, ps, vs) =>
+          var np = 0L; var sp = 0L
+          ps.foreach { r => np += 1; sp += r.vc }
+          var nv = 0L; var sv = 0L
+          vs.foreach { r => nv += 1; sv += r.vc }
+          Iterator((uid, np, sp, nv, sv))
+        }
+          .toDF("user_id", "n_purch", "sum_purch_c", "n_view", "sum_view_c")
+          .orderBy("user_id")
       })
   )
 }
