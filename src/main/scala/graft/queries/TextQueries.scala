@@ -365,6 +365,56 @@ object TextQueries {
           .orderBy("i", "j")
       }),
 
+    // ---- q63: near-dup CLUSTERS — connected components over the q35
+    // SimHash pair graph (graft.operators.Components min-label
+    // propagation), the step every dedup pipeline needs between pairwise
+    // matches and survivor election: cluster_id = min doc_id of the
+    // component, singletons cluster to themselves. The oracle computes the
+    // same fixpoint via a recursive transitive-closure CTE.
+    Q("q63_dedup_clusters",
+      Some(
+        s"""WITH RECURSIVE $thCte, $shCte,
+           |sim_t AS (SELECT doc_id, ${simhashSql("sh")} AS simhash FROM sh_t),
+           |bands AS (
+           |  ${(0 until 4).map(b =>
+                s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (5 * b)}) % 32 AS bval FROM sim_t")
+                .mkString("\n  UNION ALL ")}),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.simhash AS sh_i, b.simhash AS sh_j
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+           |e AS (SELECT i, j FROM cand WHERE bit_count(xor(sh_i, sh_j)) <= 3),
+           |es AS (SELECT i AS a, j AS b FROM e UNION SELECT j AS a, i AS b FROM e),
+           |reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM sim_t
+           |  UNION
+           |  SELECT r.a, es.b FROM reach r JOIN es ON r.b = es.a)
+           |SELECT a AS doc_id, MIN(b) AS cluster_id
+           |FROM reach GROUP BY a
+           |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val sim = docs(s, d)
+          .select(col("doc_id"),
+            NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("simhash"))
+        val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
+          (0 until 4).map(b => struct(lit(b).as("band"),
+            (shiftright(col("simhash"), 5 * b) % 32L).as("bval"))): _*)).as("bk"))
+          .select(col("doc_id"), col("simhash"),
+            col("bk.band").as("band"), col("bk.bval").as("bval"))
+        val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+            col("a.simhash").as("sh_i"), col("b.simhash").as("sh_j"))
+          .distinct()
+        val e = cand
+          .filter(bit_count(col("sh_i").bitwiseXOR(col("sh_j"))) <= 3)
+          .select("i", "j")
+        graft.operators.Components
+          .minLabel(sim.select("doc_id"), "doc_id", e, "i", "j")
+          .toDF("doc_id", "cluster_id")
+          .orderBy("doc_id")
+      }),
+
     // ---- q52: the pure-SQL entry to the native kernels — the same
     // fingerprints as q32 but written as SQL TEXT against functions
     // registered by graft.GraftExtensions (spark.sql.extensions /
