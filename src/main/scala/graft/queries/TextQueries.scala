@@ -415,6 +415,36 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q64: deterministic train/val/test split — hash-bucket sharding
+    // (md5(doc_id) % 100 -> 80/10/10), the reproducible way to split a
+    // corpus: stable under reruns, cluster size, and partitioning, unlike
+    // RNG sampling (df.sample), and exactly reproducible by the oracle.
+    // Map-only; at 100 TB the split IS the scan.
+    Q("q64_hash_split",
+      Some("""WITH b AS (SELECT lang,
+             |  CAST(list_sum(list_transform(generate_series(1, 4),
+             |    i -> (CASE WHEN ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) >= 97
+             |          THEN ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 87
+             |          ELSE ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 48 END)
+             |         * CAST(pow(16, 4 - i) AS BIGINT))) AS BIGINT) % 100 AS bucket
+             |  FROM documents)
+             |SELECT CASE WHEN bucket < 80 THEN 'train'
+             |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             |       lang, COUNT(*) AS n
+             |FROM b
+             |GROUP BY 1, 2
+             |ORDER BY split, lang""".stripMargin),
+      (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        docs(s, d)
+          .withColumn("split", when(bucket < 80, "train")
+            .when(bucket < 90, "val").otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("split", "lang")
+      }),
+
     // ---- q52: the pure-SQL entry to the native kernels — the same
     // fingerprints as q32 but written as SQL TEXT against functions
     // registered by graft.GraftExtensions (spark.sql.extensions /
