@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The Bench/Verify mains end with a machine-parsed JSON line; it must be the
+// FINAL line of process output. Pass the forked JVM's stdout/stderr through
+// verbatim (no "[info]"/"[error]" logger prefixes) and silence sbt's
+// "[success] Total time: ..." epilogue that otherwise trails it.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false

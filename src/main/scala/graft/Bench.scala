@@ -76,8 +76,15 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case _: Throwable => () }
-    println(json)
-    System.err.println(json)
+    // Stop Spark BEFORE the final print so executor/session teardown logging
+    // can't land after the metric line: the driver parses the LAST line of
+    // output as JSON (build.sbt silences sbt's own epilogue via
+    // showSuccess:=false + StdoutOutput). Shutdown hooks after main() log at
+    // INFO, which setLogLevel(WARN) suppresses.
     spark.stop()
+    System.err.println(json)
+    System.err.flush()
+    println(json)
+    System.out.flush()
   }
 }
