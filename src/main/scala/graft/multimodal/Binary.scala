@@ -4,16 +4,20 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 /** Multimodal (image/audio/video) column handling: content travels as an
   * opaque BINARY column next to typed metadata columns, and media-specific
   * work happens in a per-partition decode step.
   *
   * The Spark-side plumbing here — schema, batch iteration, partitioning —
-  * is real and tested; the codec call itself is STUBBED with a
-  * deterministic fake (this environment has no image/audio libraries).
-  * Swap `decodeStub` for a real codec (javax.imageio, ffmpeg bindings, or
-  * a Python mapInPandas stage in a PySpark deployment) without touching
-  * anything else.
+  * is real and tested. The IMAGE codec is real too: [[decodeImage]] reads
+  * true dimensions/format from PNG/JPEG/GIF/BMP bytes via the JDK's
+  * javax.imageio (header-only — no pixel decode for metadata). Audio/video
+  * fall back to the deterministic [[decodeStub]] (no ffmpeg in this
+  * environment); swap that one function for real codec bindings without
+  * touching anything else.
   *
   * Scale notes: decode is embarrassingly parallel and CPU-heavy, so the
   * frame should be repartitioned to ~cores before [[decodeMeta]] (no
@@ -29,13 +33,51 @@ object Binary {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** STUB for the real codec: derives deterministic fake dimensions from
-    * the byte content. A real deployment replaces ONLY this function.
+  /** STUB for non-image media (audio/video — no codec libs here): derives
+    * deterministic fake dimensions from the byte content. A real deployment
+    * replaces ONLY this function (ffmpeg/JNI bindings).
     */
   def decodeStub(bytes: Array[Byte]): Row = {
     val n = bytes.length
     Row(n % 640 + 1, n % 480 + 1, n % 24 + 1, "fake/deterministic")
   }
+
+  // In-memory ImageInputStreams by default spill through a temp-FILE cache;
+  // per-record temp files on an executor are pure overhead for header reads.
+  ImageIO.setUseCache(false)
+
+  /** REAL image decode via the JDK's javax.imageio: sniffs the registered
+    * reader from the byte signature and reads width/height/frame-count from
+    * the container header WITHOUT decoding pixels (`ImageReader.getWidth`
+    * parses only the header) — at 100 TB, metadata extraction must not pay
+    * full pixel decode. Returns None for non-image bytes.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Row] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          // allowSearch: counts frames in multi-frame containers (GIF);
+          // single-frame formats return 1 immediately.
+          val frames = try math.max(reader.getNumImages(true), 1)
+                       catch { case _: Exception => 1 }
+          Some(Row(reader.getWidth(0), reader.getHeight(0), frames,
+            "image/" + reader.getFormatName.toLowerCase))
+        } catch { case _: Exception => None }
+        finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** The codec dispatch used by [[decodeMeta]]: real javax.imageio decode
+    * for image bytes, deterministic stub for everything else.
+    */
+  def decode(bytes: Array[Byte]): Row =
+    decodeImage(bytes).getOrElse(decodeStub(bytes))
 
   /** Attach an opaque binary column (here: utf8 of a text column — stands
     * in for real media bytes) plus its size and digest metadata. Pure
@@ -58,7 +100,7 @@ object Binary {
     val binIdx = df.schema.fieldIndex(binaryCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val decoded = decodeStub(r.getAs[Array[Byte]](binIdx))
+        val decoded = decode(r.getAs[Array[Byte]](binIdx))
         Row.fromSeq(r.toSeq ++ decoded.toSeq)
       }
     }

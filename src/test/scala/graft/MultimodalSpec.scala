@@ -38,6 +38,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.rdd.getNumPartitions == 2)
   }
 
+  /** Real encoded image bytes, generated in-memory with the JDK encoder. */
+  private def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, baos), s"no $format encoder")
+    baos.toByteArray
+  }
+
+  test("decodeMeta: REAL javax.imageio decode of PNG/JPEG/GIF dimensions") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, imageBytes(7, 5, "png")),
+      (2L, imageBytes(64, 48, "jpg")),
+      (3L, imageBytes(3, 9, "gif")),
+      (4L, "not an image at all".getBytes("UTF-8"))) // audio/video stand-in
+      .toDF("doc_id", "content")
+    val rows = Binary.decodeMeta(media.repartition(2), "content")
+      .orderBy("doc_id").collect()
+    // true decoded dimensions, not byte-length fakes
+    assert(rows(0).getAs[Int]("width") == 7 && rows(0).getAs[Int]("height") == 5)
+    assert(rows(0).getAs[String]("format") == "image/png")
+    assert(rows(1).getAs[Int]("width") == 64 && rows(1).getAs[Int]("height") == 48)
+    assert(rows(1).getAs[String]("format").startsWith("image/jp"))
+    assert(rows(2).getAs[Int]("width") == 3 && rows(2).getAs[Int]("height") == 9)
+    assert(rows(2).getAs[String]("format") == "image/gif")
+    assert(rows.take(3).forall(_.getAs[Int]("n_frames") == 1))
+    // non-image bytes fall back to the documented audio/video stub
+    assert(rows(3).getAs[String]("format") == "fake/deterministic")
+  }
+
+  test("decodeImage: header-only read survives truncated pixel data") {
+    // Keep the PNG signature + IHDR (dimensions live in the first 33 bytes)
+    // but drop the pixel chunks: metadata extraction must not need them.
+    val full = imageBytes(11, 13, "png")
+    val header = full.take(40)
+    val r = Binary.decodeImage(header)
+    assert(r.isDefined && r.get.getInt(0) == 11 && r.get.getInt(1) == 13)
+  }
+
   test("extractFeatures: embedding column has the similarity-pipeline schema") {
     val out = Binary.extractFeatures(Binary.withBinaryMeta(docs, "text"), "content")
     val field = out.schema("emb")
