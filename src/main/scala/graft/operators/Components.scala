@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** Returns (id, cluster_id = min node id reachable). Nodes absent from
-    * `edges` keep themselves as their cluster. */
+    * `edges` keep themselves as their cluster. O(diameter) rounds — kept as
+    * the simple reference implementation; [[altStar]] is the scale path. */
   def minLabel(nodes: DataFrame, idCol: String,
-               edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+               edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    minLabelCounted(nodes, idCol, edges, srcCol, dstCol)._1
+
+  /** [[minLabel]] plus the number of propagation rounds it ran. */
+  def minLabelCounted(nodes: DataFrame, idCol: String,
+                      edges: DataFrame, srcCol: String, dstCol: String): (DataFrame, Int) = {
     val es = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .unionByName(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .distinct().cache()
@@ -32,6 +38,7 @@ object Components {
       col(idCol).cast("long").as("lbl")).localCheckpoint()
     var curSum = cur.agg(sum("lbl")).head.getLong(0)
     var converged = false
+    var rounds = 0
     while (!converged) {
       val prop = es.join(cur, es("a") === cur("id"))
         .select(col("b").as("id"), col("lbl"))
@@ -42,8 +49,74 @@ object Components {
       converged = propSum == curSum
       cur = prop
       curSum = propSum
+      rounds += 1
     }
     es.unpersist()
-    cur.select(col("id"), col("lbl").as("cluster_id"))
+    (cur.select(col("id"), col("lbl").as("cluster_id")), rounds)
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the scale path: label distance DOUBLES per round instead of
+    * advancing one hop, so a chain-shaped component of diameter d converges
+    * in ~log2(d) rounds where [[minLabel]] needs d.
+    *
+    * State is a canonical parent-edge set (u, p) with p < u. Per round:
+    *  - large-star: every node u computes m = min(Γ(u) ∪ u) over BOTH edge
+    *    directions and re-points each LARGER neighbor v > u at m — the
+    *    doubling step;
+    *  - small-star: u re-points its smaller neighbors (and itself) at its
+    *    minimum smaller neighbor — the star-contraction step.
+    * Both are one groupBy-min + one equi-join over the edge list — no
+    * all-pairs anything — and both strictly shrink the potential
+    * Σ(u+p), so the fixpoint (a forest of stars: every node points at its
+    * component min) is detected when a one-action hash certificate of the
+    * edge set stops changing. Returns ((id, cluster_id), rounds).
+    */
+  def altStar(nodes: DataFrame, idCol: String,
+              edges: DataFrame, srcCol: String, dstCol: String): (DataFrame, Int) = {
+    var e = edges
+      .select(greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+              least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("p"))
+      .where(col("u") =!= col("p")).distinct().localCheckpoint()
+
+    def certificate(df: DataFrame): (Long, Long) = {
+      // bit_xor is order-independent and can't overflow under ANSI mode;
+      // edges are distinct, so (count, xor-of-hashes) pins the exact set.
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, p))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.unionByName(in.select(col("p").as("u"), col("u").as("p")))
+      val mins = sym.groupBy("u").agg(min("p").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u").where(col("p") > col("u"))
+        .select(col("p").as("u"), col("m").as("p")).distinct()
+    }
+
+    def smallStar(in: DataFrame): DataFrame = {
+      val mins = in.groupBy("u").agg(min("p").as("m"))
+      in.join(mins, "u")
+        .select(col("p").as("u"), col("m").as("p"))
+        .unionByName(mins.select(col("u"), col("m").as("p")))
+        .where(col("u") =!= col("p")).distinct()
+    }
+
+    var cert = certificate(e)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextCert = certificate(next)
+      converged = nextCert == cert
+      e = next
+      cert = nextCert
+      rounds += 1
+    }
+    val out = nodes.select(col(idCol).cast("long").as("id"))
+      .join(e.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("p"), col("id")).as("cluster_id"))
+    (out, rounds)
   }
 }

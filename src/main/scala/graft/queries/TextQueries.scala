@@ -366,11 +366,12 @@ object TextQueries {
       }),
 
     // ---- q63: near-dup CLUSTERS — connected components over the q35
-    // SimHash pair graph (graft.operators.Components min-label
-    // propagation), the step every dedup pipeline needs between pairwise
-    // matches and survivor election: cluster_id = min doc_id of the
-    // component, singletons cluster to themselves. The oracle computes the
-    // same fixpoint via a recursive transitive-closure CTE.
+    // SimHash pair graph via graft.operators.Components.altStar
+    // (large-star/small-star: O(log d) rounds, vs O(d) for min-label — same
+    // unique min-id fixpoint), the step every dedup pipeline needs between
+    // pairwise matches and survivor election: cluster_id = min doc_id of
+    // the component, singletons cluster to themselves. The oracle computes
+    // the same fixpoint via a recursive transitive-closure CTE.
     Q("q63_dedup_clusters",
       Some(
         s"""WITH RECURSIVE $thCte, $shCte,
@@ -410,7 +411,7 @@ object TextQueries {
           .filter(bit_count(col("sh_i").bitwiseXOR(col("sh_j"))) <= 3)
           .select("i", "j")
         graft.operators.Components
-          .minLabel(sim.select("doc_id"), "doc_id", e, "i", "j")
+          .altStar(sim.select("doc_id"), "doc_id", e, "i", "j")._1
           .toDF("doc_id", "cluster_id")
           .orderBy("doc_id")
       }),

@@ -148,6 +148,24 @@ object EngineProps extends Properties("graft") {
     got == expect
   }
 
+  property("alt-star components equal union-find") = forAll(rows) { xs =>
+    val n = 12
+    val edges = xs.map { case (k, v) => ((k * 31 + v.hashCode).abs % n, (v.hashCode * 7 + k).abs % n) }
+      .filter(e => e._1 != e._2).distinct
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val expect = (0 until n).map { i =>
+      i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong
+    }.toMap
+    val got = graft.operators.Components.altStar(
+        (0 until n).map(_.toLong).toDF("id"), "id",
+        if (edges.isEmpty) Seq((0L, 0L)).toDF("s", "t").limit(0) else edges.map(e => (e._1.toLong, e._2.toLong)).toDF("s", "t"),
+        "s", "t")._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got == expect
+  }
+
   property("salted aggregation equals the plain group-by sum") = forAll(rows) { xs =>
     val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong, (k * 7 + 1).toLong) }
       .toDF("k", "v", "uniq", "val")
