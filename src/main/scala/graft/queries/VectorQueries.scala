@@ -265,6 +265,88 @@ object VectorQueries {
           .orderBy("qid", "rnk")
       }),
 
+    // ---- q65: IVF ANN with nprobe=2 — q44 with the recall knob turned:
+    // each query probes its TWO nearest cells instead of one, softening the
+    // recall cliff for queries near a cell boundary at exactly 2x the q44
+    // probe cost (still equality joins on cell id; cells are disjoint so no
+    // duplicate candidates). Measured at sf0.01 against the exact top-3
+    // (q36-style brute force, vec_id < 10): nprobe=1 (q44) recall = 7/30,
+    // nprobe=2 recall = 13/30 — near-doubled recall for doubled probe cost.
+    // Both are low in absolute terms because the coarse quantizer is the 10
+    // label centroids of a high-dim synthetic corpus (cells barely align
+    // with cosine neighborhoods); a real deployment trains k-means cells
+    // and raises nprobe until recall targets are met — the knob, not the
+    // quantizer, is what this query adds.
+    Q("q65_embed_ivf_nprobe2",
+      Some(
+        s"""WITH $emCte,
+           |s_t AS (
+           |  SELECT label, i AS dim,
+           |         CAST(FLOOR(CAST(SUM(em[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |  FROM n_t, generate_series(1, $Dim) t(i) GROUP BY 1, 2),
+           |c_t AS (
+           |  SELECT label AS clabel, list(cv ORDER BY dim) AS cvec FROM s_t GROUP BY 1),
+           |cn_t AS (
+           |  SELECT clabel, cvec,
+           |         CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm
+           |  FROM c_t),
+           |a_t AS (
+           |  SELECT vec_id, em, nsq, clabel,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY
+           |           nsq + cnorm - 2 * CAST(list_sum(list_transform(generate_series(1, $Dim),
+           |             i -> em[i] * cvec[i])) AS BIGINT), clabel) AS rnk_c
+           |  FROM n_t CROSS JOIN cn_t),
+           |cell_t AS (SELECT vec_id, em, nsq, clabel AS cell FROM a_t WHERE rnk_c = 1),
+           |probe_t AS (
+           |  SELECT vec_id AS qid, em AS qm, nsq AS qn, clabel AS pcell
+           |  FROM a_t WHERE vec_id < 10 AND rnk_c <= 2),
+           |p_t AS (
+           |  SELECT q.qid, c.vec_id AS vid,
+           |         CAST(list_sum(list_transform(generate_series(1, $Dim), i -> q.qm[i] * c.em[i])) AS BIGINT) AS dot,
+           |         q.qn, c.nsq AS cn
+           |  FROM probe_t q JOIN cell_t c ON c.cell = q.pcell AND c.vec_id <> q.qid),
+           |r_t AS (SELECT qid, vid, dot, CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cos FROM p_t),
+           |k_t AS (SELECT qid, vid, dot, cos,
+           |               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+           |        FROM r_t)
+           |SELECT qid, vid AS vec_id, CAST(rnk AS BIGINT) AS rnk, dot, cos
+           |FROM k_t WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+      (s, d) => {
+        val n = quantized(s, d)
+        val cent = n
+          .select(col("label"), posexplode(col("em")).as(Seq("dim0", "v")))
+          .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+          .withColumn("cv", floor(col("sv").cast("double") / col("cnt")).cast("long"))
+          .groupBy(col("label").as("clabel"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+          .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
+        val dist = col("nsq") + col("cnorm") -
+          NativeText.dotLong(col("em"), col("cvec")) * 2L
+        // one centroid-ranked frame serves both corpus assignment (rnk_c=1)
+        // and query probe lists (rnk_c<=2)
+        val ranked = n.join(broadcast(cent))
+          .withColumn("rnk_c", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(dist, col("clabel"))))
+        val assigned = ranked.filter(col("rnk_c") === 1)
+          .select(col("vec_id"), col("em"), col("nsq"), col("clabel").as("cell"))
+        val probes = ranked.filter(col("vec_id") < 10 && col("rnk_c") <= 2)
+          .select(col("vec_id").as("qid"), col("em").as("qm"),
+            col("nsq").as("qn"), col("clabel").as("pcell"))
+        val pairs = assigned.join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            dotCols(col("em"), col("qm")).as("dot"), col("qn"), col("nsq").as("cn"))
+        pairs
+          .withColumn("cos", Exact.cosineMicro(col("dot"), col("qn"), col("cn")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id"), col("rnk"), col("dot"), col("cos"))
+          .orderBy("qid", "rnk")
+      }),
+
     // ---- q39: embedding-cosine near-duplicate pairs — the vector-space
     // dedup screen. 4 hyperplanes -> 16 coarse buckets; only same-bucket
     // pairs (i < j) are compared (a self-equi-join on bucket, shuffle
