@@ -43,14 +43,37 @@ object Sinks {
     * mode append; the reference's FK-disable side-channel is dead code there
     * and intentionally not reproduced). Executors each open a connection and
     * batch-insert their partition.
+    *
+    * Tuning passthrough (the knobs loader.py's MySQL target cares about):
+    *  - `batchSize`: rows per addBatch/executeBatch flush (Spark default
+    *    1000). For MySQL pair it with `rewriteBatchedStatements=true` ON THE
+    *    URL — that is a driver-protocol flag, not a writer option.
+    *  - `isolationLevel`: transaction isolation for the per-partition
+    *    writes; "NONE" skips transactions entirely (fastest; matches an
+    *    append-only bulk load where partial-partition retries are
+    *    acceptable).
+    *  - `truncate` (with mode=overwrite): TRUNCATE TABLE instead of
+    *    DROP+CREATE, preserving DDL, indexes, and FK definitions — the
+    *    overwrite the reference's FK-ordered star schema would need.
+    *
+    * MySQL-dialect specifics (exact batch wire format, FK append ordering,
+    * rewriteBatchedStatements behavior) are environment-blocked here — no
+    * MySQL server, zero egress — so the contract is proven on embedded
+    * Derby (SinksSpec) and the MySQL-only flags are documented, not tested.
     */
   def jdbc(df: DataFrame, url: String, table: String,
            user: String, password: String, driver: String,
-           mode: String = "append"): Unit = {
+           mode: String = "append",
+           batchSize: Option[Int] = None,
+           isolationLevel: Option[String] = None,
+           truncate: Boolean = false): Unit = {
     val props = new Properties()
     props.setProperty("user", user)
     props.setProperty("password", password)
     props.setProperty("driver", driver)
+    batchSize.foreach(b => props.setProperty("batchsize", b.toString))
+    isolationLevel.foreach(l => props.setProperty("isolationLevel", l))
+    if (truncate) props.setProperty("truncate", "true")
     df.write.mode(mode).jdbc(url, table, props)
   }
 }

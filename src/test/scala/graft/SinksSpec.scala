@@ -30,6 +30,27 @@ class SinksSpec extends SparkTestBase {
     assert(back.columns.toSeq == Seq("id", "name", "price"))
   }
 
+  test("jdbc sink: batchSize/isolationLevel/truncate options pass through") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i, s"p$i")).toDF("id", "name")
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-derby-opt")}/db;create=true"
+    val props = new Properties()
+    props.setProperty("driver", Driver)
+
+    // batchSize + no-transaction isolation: the bulk-load profile
+    Sinks.jdbc(df, url, "t_opt", user = "app", password = "app", driver = Driver,
+      batchSize = Some(2), isolationLevel = Some("NONE"))
+    assert(spark.read.jdbc(url, "t_opt", props).count() == 10)
+
+    // truncate overwrite: rows replaced, table (and its DDL) preserved
+    val df2 = (1 to 3).map(i => (100 + i, s"q$i")).toDF("id", "name")
+    Sinks.jdbc(df2, url, "t_opt", user = "app", password = "app", driver = Driver,
+      mode = "overwrite", truncate = true)
+    val back = spark.read.jdbc(url, "t_opt", props)
+    assert(back.count() == 3)
+    assert(back.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(101, 102, 103))
+  }
+
   test("partitioned parquet write gives partition-pruned scans") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
