@@ -56,4 +56,51 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "range join degraded to per-row band comparison")
   }
+
+  // ---- LLM-operator plan invariants: the dedup/ANN queries only scale
+  // because every candidate set comes from an EQUALITY join on band/bucket
+  // keys — pin that shape so a refactor can't silently reintroduce
+  // all-pairs comparison.
+
+  test("q34: MinHash-LSH candidate join is an equi-join on band keys") {
+    val p = plan("q34_neardup_lsh")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "LSH candidate generation degraded to all-pairs")
+  }
+
+  test("q35: SimHash band self-join is an equi-join, no cartesian product") {
+    val p = plan("q35_neardup_simhash")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "SimHash banding degraded to all-pairs")
+  }
+
+  /** Operator sequence of the formatted plan's tree section, e.g.
+    * Seq("Scan parquet", "Exchange", "HashAggregate", ...). */
+  private def opTree(p: String): Seq[String] =
+    p.linesIterator.collect {
+      case l if l.matches("""^\(\d+\) .*""") =>
+        l.replaceAll("""^\(\d+\) """, "").trim
+    }.toSeq
+
+  test("q28: exact dedup is partial->shuffle->final hash agg, no joins") {
+    val p = plan("q28_doc_dedup_exact")
+    val ops = opTree(p)
+    // only the pre-combined (digest, min-id) partials cross the one
+    // aggregation shuffle; the other exchanges are the deliberate compute
+    // repartition (docs arrive as one file split) and the output sort
+    assert(ops.containsSlice(Seq("HashAggregate", "Exchange", "HashAggregate")),
+      s"no map-side partial aggregation before the shuffle: $ops")
+    assert(!ops.exists(_.contains("Join")), s"dedup should not join: $ops")
+  }
+
+  test("q64: hash split assigns map-only; only the summary agg shuffles") {
+    val p = plan("q64_hash_split")
+    val ops = opTree(p)
+    assert(ops.containsSlice(Seq("HashAggregate", "Exchange", "HashAggregate")),
+      s"summary aggregate lost its map-side partial: $ops")
+    assert(!ops.exists(o => o.contains("Join") || o.contains("Window")),
+      s"split assignment must stay per-row: $ops")
+  }
 }
