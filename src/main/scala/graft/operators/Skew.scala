@@ -3,17 +3,26 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew mitigation for heavy-key aggregation: two-phase salted sums.
+/** Skew mitigation: two-phase salted aggregation and salted joins.
   *
-  * A plain `groupBy(key).sum` over a column with a handful of giant keys
-  * puts each giant key in ONE reducer — at 100 TB that single task is the
-  * stage's wall clock. Salting splits every key into `salts` sub-keys for
-  * the first (wide) aggregation, then combines the per-salt partials in a
-  * second, tiny aggregation keyed only by the real key. Both phases are
-  * associative sums, so the result is exactly the unsalted one.
+  * Measured (graft.tools.SkewBench; 16M rows, 95% on one key, local[32]):
+  * saltedJoin 3.2 s vs 8.9 s plain — 2.8x, and AQE's skew splitting did
+  * not rescue the plain join because the giant partition sat under the
+  * 256 MB skewedPartitionThresholdInBytes default. Salting needs no
+  * threshold to fire. The same benchmark is honest about sums: plain
+  * groupBy.sum on the identical skew is NOT slow (0.46 s vs 0.62 s
+  * salted) because map-side partial aggregation already collapses each
+  * partition to one partial per key before the shuffle. saltedSum's use
+  * case is aggregates whose partial state can't compress — collect-like
+  * state, exact distincts re-keyed by value, very high group counts that
+  * overflow the map-side hash — where the giant key's reduce work really
+  * is row-proportional.
   *
-  * (Spark's AQE skew handling covers joins; skewed AGGREGATION is still the
-  * pipeline author's job, hence this operator.)
+  * Salting splits every key into `salts` sub-keys for the first (wide)
+  * phase, then combines per-salt partials keyed only by the real key.
+  * Both phases are associative, so the result is exactly the unsalted
+  * one (EngineProps property-checks both operators against the plain
+  * forms; q45/q53 oracle-check them end-to-end).
   */
 object Skew {
 
