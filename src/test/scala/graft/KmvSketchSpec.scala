@@ -19,4 +19,20 @@ class KmvSketchSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_seen") == 64L)
     assert(math.abs(est - exact) / exact < 0.35, s"est=$est exact=$exact")
   }
+
+  // approx_count_distinct (HLL++) is the built-in 100 TB alternative the
+  // KMV query documents; its sketch bytes are implementation-specific so
+  // no DuckDB oracle can check it — self-consistency is the provable part.
+  test("approx_count_distinct: within rsd of exact and partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val exact = li.select(countDistinct(col("l_partkey"))).head.getLong(0).toDouble
+    val est = li.select(approx_count_distinct(col("l_partkey"), 0.02)).head.getLong(0).toDouble
+    assert(math.abs(est - exact) / exact < 0.06, s"est=$est exact=$exact")
+    // HLL merge is commutative/associative: a different partitioning must
+    // produce the IDENTICAL estimate, or partial merges aren't sound
+    val est2 = li.repartition(17, col("l_suppkey"))
+      .select(approx_count_distinct(col("l_partkey"), 0.02)).head.getLong(0).toDouble
+    assert(est2 == est, s"partitioning changed the sketch: $est2 vs $est")
+  }
 }
