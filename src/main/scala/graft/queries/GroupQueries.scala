@@ -169,6 +169,29 @@ object GroupQueries {
           coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("n"), col("sum_qty_c"))
-        .orderBy("rflag", "lstatus"))
+        .orderBy("rflag", "lstatus")),
+
+    // ---- q68: exact grouped percentiles — p50/p95 latency-style order
+    // statistics per group, Spark's exact `percentile` vs DuckDB's
+    // quantile_cont (both define rank = p*(n-1) with linear interpolation
+    // lower + frac*(higher-lower), so the doubles agree bit-for-bit on
+    // identical inputs). Exact percentile buffers each group's values —
+    // fine for bounded groups; at unbounded scale approx_percentile (
+    // KLL-ish sketch, fixed state, partial-merge) is the drop-in, tested
+    // for self-consistency in KmvSketchSpec's HLL pattern.
+    Q("q68_grouped_quantiles",
+      Some("""SELECT o_orderpriority AS priority,
+             |       COUNT(*) AS n,
+             |       quantile_cont(o_totalprice, 0.5) AS p50,
+             |       quantile_cont(o_totalprice, 0.95) AS p95
+             |FROM orders
+             |GROUP BY 1
+             |ORDER BY priority""".stripMargin),
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+        .orderBy("priority"))
   )
 }

@@ -120,6 +120,27 @@ object RowQueries {
           col("event_id").as("eid"),
           col("event_type").as("etype"),
           regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(IntegerType).as("k"))
-        .orderBy("eid"))
+        .orderBy("eid")),
+
+    // ---- q69: PII masking + stable pseudonymization — the anonymization
+    // stage of a training-data pipeline: identifier digits masked by regex,
+    // and a salted-hash pseudonym that is STABLE (same entity → same
+    // pseudonym across runs and tables, enabling joins on pseudonymized
+    // data) but not reversible without the salt. Map-only codegen; at
+    // 100 TB anonymization is the scan. (The synthetic corpus carries no
+    // free-text PII, so the demonstration material is the customer
+    // identifier column — the operator is the point, not the data.)
+    Q("q69_pseudonymize",
+      Some("""SELECT c_custkey AS ckey,
+             |       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+             |       md5(concat('graft_salt_v1:', c_name)) AS pseudonym
+             |FROM customer
+             |ORDER BY ckey""".stripMargin),
+      (s, d) => Tables.customer(s, d)
+        .select(
+          col("c_custkey").as("ckey"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+          md5(concat(lit("graft_salt_v1:"), col("c_name"))).as("pseudonym"))
+        .orderBy("ckey"))
   )
 }

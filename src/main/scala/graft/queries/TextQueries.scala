@@ -475,6 +475,156 @@ object TextQueries {
                 |       graft_rolling_minhash8(text) AS fp_min8
                 |FROM graft_documents
                 |ORDER BY doc_id""".stripMargin)
+      }),
+
+    // ---- q66: rule-based quality FILTER (Gopher-style) — the stage that
+    // consumes q29's metrics: named, thresholded rules with a reasons
+    // column explaining every rejection (auditable filtering, the way
+    // production corpus curation reports drop causes). All comparisons in
+    // exact integer cross-multiplication (nd*5 < nt*2 == TTR < 0.4), no
+    // floats. Map-only: at 100 TB the filter is the scan.
+    Q("q66_quality_filter",
+      Some("""WITH s AS (SELECT doc_id, lang,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS st
+             |FROM documents)
+             |SELECT doc_id, lang,
+             |  nt < 25 AS few_tokens,
+             |  nd * 5 < nt * 2 AS low_ttr,
+             |  st * 10 > nt AS stopwordy,
+             |  concat_ws(',',
+             |    CASE WHEN nt < 25 THEN 'few_tokens' END,
+             |    CASE WHEN nd * 5 < nt * 2 THEN 'low_ttr' END,
+             |    CASE WHEN st * 10 > nt THEN 'stopwordy' END) AS reasons,
+             |  NOT (nt < 25 OR nd * 5 < nt * 2 OR st * 10 > nt) AS keep
+             |FROM s
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val nt = size(toks).cast("long")
+        val nd = size(array_distinct(toks)).cast("long")
+        val st = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+        val few = nt < 25L
+        val ttr = nd * 5L < nt * 2L
+        val stw = st * 10L > nt
+        docs(s, d).select(
+          col("doc_id"), col("lang"),
+          few.as("few_tokens"), ttr.as("low_ttr"), stw.as("stopwordy"),
+          concat_ws(",",
+            when(few, "few_tokens"),
+            when(ttr, "low_ttr"),
+            when(stw, "stopwordy")).as("reasons"),
+          (!(few || ttr || stw)).as("keep"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q67: TF-IDF top terms per document — the retrieval/relevance
+    // companion of the q59 inverted index. tf and df are exact counts; the
+    // only float is one ln(N/df) per DISTINCT (N, df) pair, frozen to
+    // integer micro-units (round = HALF_UP in both engines) before the
+    // exact tf multiply. The df table is vocabulary-sized → broadcast (a
+    // corpus whose vocabulary outgrows broadcast flips this to a shuffle
+    // join on token — same plan Catalyst picks when the stats say so);
+    // top-5 per doc via one window over doc_id.
+    Q("q67_tfidf",
+      Some("""WITH tf_t AS (
+             |  SELECT doc_id, tok AS token, COUNT(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY 1, 2),
+             |df_t AS (SELECT token, COUNT(*) AS df FROM tf_t GROUP BY 1),
+             |n_t AS (SELECT COUNT(*) AS n FROM documents),
+             |x_t AS (
+             |  SELECT tf_t.doc_id, tf_t.token, tf_t.tf,
+             |         tf_t.tf * CAST(round(ln(CAST(n_t.n AS DOUBLE) / df_t.df) * 1000000) AS BIGINT) AS tfidf_micro
+             |  FROM tf_t JOIN df_t ON tf_t.token = df_t.token CROSS JOIN n_t),
+             |r_t AS (
+             |  SELECT doc_id, token, tf, tfidf_micro,
+             |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, token) AS rnk
+             |  FROM x_t)
+             |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf_micro, CAST(rnk AS BIGINT) AS rnk
+             |FROM r_t WHERE rnk <= 5
+             |ORDER BY doc_id, rnk""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = docs(s, d)
+          .select(col("doc_id"), explode(toks).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val nT = docs(s, d).agg(count(lit(1)).as("n"))
+        tf.join(broadcast(dfT), "token")
+          .crossJoin(broadcast(nT))
+          .withColumn("tfidf_micro",
+            col("tf") * round(log(col("n").cast("double") / col("df")) * 1000000d).cast("long"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("tfidf_micro").desc, col("token"))).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("token"), col("tf"), col("tfidf_micro"), col("rnk"))
+          .orderBy("doc_id", "rnk")
+      }),
+
+    // ---- q70: deterministic stratified sampling — per-class rates for
+    // corpus rebalancing (downweight the overrepresented language, keep
+    // all of the rare one). Same md5 hash-bucket mechanism as the q64
+    // split, so the sample is exactly reproducible under reruns, cluster
+    // size, and partitioning — which RNG df.sample/sampleBy is not, and
+    // why it can't be oracle-checked. Map-only.
+    Q("q70_stratified_sample",
+      Some("""WITH b AS (SELECT doc_id, lang,
+             |  CAST(list_sum(list_transform(generate_series(1, 4),
+             |    i -> (CASE WHEN ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) >= 97
+             |          THEN ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 87
+             |          ELSE ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 48 END)
+             |         * CAST(pow(16, 4 - i) AS BIGINT))) AS BIGINT) % 100 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, lang
+             |FROM b
+             |WHERE bucket < (CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 100 ELSE 50 END)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val rate = when(col("lang") === "en", 20L)
+          .when(col("lang") === "zh", 100L).otherwise(50L)
+        docs(s, d)
+          .filter(bucket < rate)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q71: bigram frequency per language — the n-gram statistics an
+    // LM-training pipeline reports (and the n-gram Jaccard dedup family
+    // builds on). Bigrams come from zip_with over two slices of the token
+    // array — array args are evaluated once per ROW (they are direct
+    // children, not lambda-nested element_at calls, which would re-walk
+    // the split per element — the interpreted-HOF pitfall). Counting is
+    // partial-agg → one vocabulary²-bounded shuffle; top-10 per lang.
+    Q("q71_ngram_freq",
+      Some("""WITH g AS (
+             |  SELECT lang, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+             |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+             |  FROM documents),
+             |c AS (SELECT lang, bigram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+             |r AS (SELECT lang, bigram, n,
+             |             row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+             |      FROM c)
+             |SELECT lang, bigram, n, CAST(rnk AS BIGINT) AS rnk
+             |FROM r WHERE rnk <= 10
+             |ORDER BY lang, rnk""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = size(toks)
+        val bigrams = zip_with(
+          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b))
+        docs(s, d)
+          .select(col("lang"), explode(bigrams).as("bigram"))
+          .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("n").desc, col("bigram"))).cast("long"))
+          .filter(col("rnk") <= 10)
+          .orderBy("lang", "rnk")
       })
   )
 }
