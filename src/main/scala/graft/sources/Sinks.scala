@@ -39,6 +39,15 @@ object Sinks {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Console sink (ref S6: the debugging `df.show()` surface). Formats a
+    * bounded number of rows on the DRIVER — deliberately capped because
+    * rendering is a collect of `numRows` rows; it is a debugging sink, not
+    * a data path (use [[parquet]]/[[jdbc]] for data). Streaming queries get
+    * the same surface via `format("console")` on writeStream.
+    */
+  def console(df: DataFrame, numRows: Int = 20, truncate: Boolean = true): Unit =
+    df.show(numRows, truncate)
+
   /** JDBC append (ref: loader.py:50-83 — url/user/password/driver props,
     * mode append; the reference's FK-disable side-channel is dead code there
     * and intentionally not reproduced). Executors each open a connection and

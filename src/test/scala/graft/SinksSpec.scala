@@ -51,6 +51,17 @@ class SinksSpec extends SparkTestBase {
     assert(back.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(101, 102, 103))
   }
 
+  test("console sink renders a bounded number of rows to stdout") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i, s"row$i")).toDF("id", "name")
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(buf) { Sinks.console(df, numRows = 5) }
+    val out = buf.toString
+    assert(out.contains("row1") && out.contains("row5"))
+    assert(!out.contains("row6"), "numRows cap not applied")
+    assert(out.contains("only showing top 5 rows"))
+  }
+
   test("partitioned parquet write gives partition-pruned scans") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
