@@ -4,20 +4,24 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import java.io.ByteArrayInputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
 
 /** Multimodal (image/audio/video) column handling: content travels as an
   * opaque BINARY column next to typed metadata columns, and media-specific
   * work happens in a per-partition decode step.
   *
   * The Spark-side plumbing here — schema, batch iteration, partitioning —
-  * is real and tested. The IMAGE codec is real too: [[decodeImage]] reads
-  * true dimensions/format from PNG/JPEG/GIF/BMP bytes via the JDK's
-  * javax.imageio (header-only — no pixel decode for metadata). Audio/video
-  * fall back to the deterministic [[decodeStub]] (no ffmpeg in this
-  * environment); swap that one function for real codec bindings without
-  * touching anything else.
+  * is real and tested, and so are the JDK-reachable codecs:
+  *  - images: [[decodeImage]] header-only metadata, [[imageFeatures]]
+  *    pixel-grid descriptors, [[resizeImage]] Graphics2D scaling — all via
+  *    javax.imageio (PNG/JPEG/GIF/BMP);
+  *  - audio containers: [[decodeAudio]] header parse via
+  *    javax.sound.sampled (WAV/AIFF/AU).
+  * Only formats the JDK genuinely cannot decode (video, compressed audio)
+  * fall back to the deterministic [[decodeStub]]; swap that one function
+  * for ffmpeg/JNI bindings without touching anything else.
   *
   * Scale notes: decode is embarrassingly parallel and CPU-heavy, so the
   * frame should be repartitioned to ~cores before [[decodeMeta]] (no
@@ -73,11 +77,27 @@ object Binary {
     } finally iis.close()
   }
 
+  /** REAL audio metadata via the JDK's javax.sound.sampled: WAV/AIFF/AU
+    * container headers parsed without decoding samples. The image-shaped
+    * [[MetaSchema]] fields carry the audio facts under a documented
+    * mapping: width := sample rate (Hz), height := channels,
+    * n_frames := sample-frame count. Returns None for non-audio bytes.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[Row] =
+    try {
+      val fmt = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      Some(Row(fmt.getFormat.getSampleRate.toInt, fmt.getFormat.getChannels,
+        math.max(fmt.getFrameLength, 0), "audio/" + fmt.getType.getExtension))
+    } catch { case _: Exception => None }
+
   /** The codec dispatch used by [[decodeMeta]]: real javax.imageio decode
-    * for image bytes, deterministic stub for everything else.
+    * for image bytes, real javax.sound.sampled header parse for audio
+    * containers the JDK knows (WAV/AIFF/AU), deterministic stub only for
+    * the formats this environment truly cannot decode (video, compressed
+    * audio).
     */
   def decode(bytes: Array[Byte]): Row =
-    decodeImage(bytes).getOrElse(decodeStub(bytes))
+    decodeImage(bytes).orElse(decodeAudio(bytes)).getOrElse(decodeStub(bytes))
 
   /** Attach an opaque binary column (here: utf8 of a text column — stands
     * in for real media bytes) plus its size and digest metadata. Pure
@@ -112,10 +132,44 @@ object Binary {
     * the similarity operators (q36-q44). */
   val FeatureDim = 16
 
-  /** STUB feature extractor (the "image → embedding" model call): a
-    * deterministic byte-histogram projection to FeatureDim floats in
-    * [-1, 1]. A real deployment swaps this one function for an ONNX/JNI
-    * model invocation (or a mapInPandas torch stage in PySpark).
+  /** REAL image features: mean luminance over a 4x4 spatial grid,
+    * normalized to [-1, 1] — FeatureDim floats from actual decoded pixels
+    * (the classic pre-neural "tiny thumbnail" visual descriptor; a model
+    * deployment swaps this for an ONNX/JNI encoder without touching the
+    * plumbing). Returns None for non-image bytes.
+    */
+  def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    val img = try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+              catch { case _: Exception => None }
+    img.map { im =>
+      val grid = 4 // 4x4 = FeatureDim cells
+      val out = new Array[Float](FeatureDim)
+      val counts = new Array[Int](FeatureDim)
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          val rgb = im.getRGB(x, y)
+          val luma = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          val cell = math.min(y * grid / im.getHeight, grid - 1) * grid +
+            math.min(x * grid / im.getWidth, grid - 1)
+          out(cell) += luma
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var c = 0
+      while (c < FeatureDim) {
+        out(c) = if (counts(c) == 0) -1.0f else out(c) / counts(c) / 127.5f - 1.0f
+        c += 1
+      }
+      out
+    }
+  }
+
+  /** STUB feature extractor for non-image media: a deterministic
+    * byte-histogram projection to FeatureDim floats in [-1, 1].
     */
   def featureStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -130,6 +184,11 @@ object Binary {
     out
   }
 
+  /** Feature dispatch: real pixel-grid features for images, byte-histogram
+    * stub otherwise. */
+  def features(bytes: Array[Byte]): Array[Float] =
+    imageFeatures(bytes).getOrElse(featureStub(bytes))
+
   /** Per-partition feature extraction: appends an array<float> embedding
     * column. Same iterator shape as [[decodeMeta]]; the output column is
     * exactly the `embeddings.emb` schema, so `Exact.microQuantize` /
@@ -141,15 +200,36 @@ object Binary {
       StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = false))
     val binIdx = df.schema.fieldIndex(binaryCol)
     val rdd = df.rdd.mapPartitions { rows =>
-      rows.map(r => Row.fromSeq(r.toSeq :+ featureStub(r.getAs[Array[Byte]](binIdx)).toSeq))
+      rows.map(r => Row.fromSeq(r.toSeq :+ features(r.getAs[Array[Byte]](binIdx)).toSeq))
     }
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB resize (the "image → image at w×h" codec call): deterministic
-    * byte down/up-sampling to exactly w*h bytes — preserves the real
-    * operator's contract (output size is a function of the TARGET, not the
-    * input) so downstream batch-shape logic is testable.
+  /** REAL image resize: decode → bilinear-ish Graphics2D scale to exactly
+    * w×h → re-encode PNG. JDK-only. Returns None for non-image bytes.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val img = try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+              catch { case _: Exception => None }
+    img.map { im =>
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, w, h, null)
+      } finally g.dispose()
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** STUB resize for non-image media: deterministic byte down/up-sampling
+    * to exactly w*h bytes — preserves the real operator's contract (output
+    * size is a function of the TARGET, not the input) so downstream
+    * batch-shape logic is testable.
     */
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val target = w * h
@@ -161,14 +241,19 @@ object Binary {
     out
   }
 
-  /** Per-partition resize: binary-in/binary-out, constant memory. */
+  /** Per-partition resize: binary-in/binary-out, constant memory. Images
+    * get the real Graphics2D scale (output = PNG at w×h); other media fall
+    * back to the byte-resampling stub. */
   def resize(df: DataFrame, binaryCol: String, w: Int, h: Int,
              outCol: String = "content_resized"): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, BinaryType, nullable = false))
     val binIdx = df.schema.fieldIndex(binaryCol)
     val rdd = df.rdd.mapPartitions { rows =>
-      rows.map(r => Row.fromSeq(r.toSeq :+ resizeStub(r.getAs[Array[Byte]](binIdx), w, h)))
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq :+ resizeImage(b, w, h).getOrElse(resizeStub(b, w, h)))
+      }
     }
     df.sparkSession.createDataFrame(rdd, outSchema)
   }

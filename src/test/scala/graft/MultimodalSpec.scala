@@ -70,6 +70,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(3).getAs[String]("format") == "fake/deterministic")
   }
 
+  /** Real WAV bytes: PCM silence encoded with the JDK's own writer. */
+  private def wavBytes(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("decodeAudio: REAL WAV header parse (rate/channels/frames)") {
+    val r = Binary.decodeAudio(wavBytes(sampleRate = 8000, channels = 2, frames = 1600))
+    assert(r.isDefined)
+    assert(r.get.getInt(0) == 8000, "sample rate in the width slot")
+    assert(r.get.getInt(1) == 2, "channels in the height slot")
+    assert(r.get.getInt(2) == 1600, "frame count")
+    assert(r.get.getString(3) == "audio/wav")
+    // dispatch order: audio bytes reach the audio decoder through decode()
+    assert(Binary.decode(wavBytes(44100, 1, 10)).getString(3) == "audio/wav")
+  }
+
+  test("imageFeatures: grid luminance from real pixels, not byte counts") {
+    import java.awt.image.BufferedImage
+    def solid(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8; y <- 0 until 8) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val black = Binary.imageFeatures(solid(0x000000)).get
+    val white = Binary.imageFeatures(solid(0xffffff)).get
+    assert(black.length == Binary.FeatureDim && white.length == Binary.FeatureDim)
+    assert(black.forall(v => math.abs(v - (-1.0f)) < 1e-3), black.toSeq.toString)
+    assert(white.forall(v => math.abs(v - 1.0f) < 0.02), white.toSeq.toString)
+  }
+
+  test("resize: images get a REAL scale — output decodes at target size") {
+    val in = imageBytes(16, 12, "png")
+    val out = Binary.resizeImage(in, 4, 3).get
+    val meta = Binary.decodeImage(out).get
+    assert(meta.getInt(0) == 4 && meta.getInt(1) == 3)
+    // the Spark-side dispatch picks the real path for image bytes
+    import spark.implicits._
+    val df = Seq((1L, in)).toDF("doc_id", "content")
+    val resized = Binary.resize(df, "content", 4, 3).collect().head
+      .getAs[Array[Byte]]("content_resized")
+    assert(Binary.decodeImage(resized).get.getInt(0) == 4)
+  }
+
   test("decodeImage: header-only read survives truncated pixel data") {
     // Keep the PNG signature + IHDR (dimensions live in the first 33 bytes)
     // but drop the pixel chunks: metadata extraction must not need them.
