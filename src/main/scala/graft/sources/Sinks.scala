@@ -25,6 +25,16 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Partitioned ORC write — the second columnar format Spark ships
+    * natively (no extra jars). Same pruning/pushdown properties as
+    * [[parquet]]; useful when the downstream consumer is Hive/ORC-native.
+    */
+  def orc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+          mode: String = "append"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** Bucketed + sorted parquet table (session catalog). Both sides of a
     * recurring equi-join written with the same bucket count and keys join
     * WITHOUT a shuffle exchange — the hash partitioning is baked into the

@@ -44,6 +44,26 @@ object Tables {
       .schema(schema)
       .csv(path)
 
+  /** CSV scan that QUARANTINES malformed rows instead of silently dropping
+    * or failing on them: PERMISSIVE mode routes every unparseable line's
+    * raw text into `corruptCol` (all data columns null), so the pipeline
+    * can split clean rows from a bad-record audit frame in one read. The
+    * production posture for dirty data at scale — FAILFAST kills a 100 TB
+    * job on one bad line; DROPMALFORMED hides data loss.
+    * NOTE: per Spark's contract the corrupt column must be declared in the
+    * schema and only materializes when referenced.
+    */
+  def csvWithQuarantine(spark: SparkSession, schema: StructType, path: String,
+                        delimiter: String = ",",
+                        corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(StructField(corruptCol, StringType, nullable = true)))
+      .csv(path)
+
   /** Multiline JSON (array-of-objects) scan with explicit schema
     * (ref: etl/extract.py:95-104). `multiLine=true` means one file is one
     * task — fine for small control files; large JSON should be JSONL.

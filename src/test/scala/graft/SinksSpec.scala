@@ -76,6 +76,42 @@ class SinksSpec extends SparkTestBase {
       s"partition filter not pushed:\n$plan")
   }
 
+  test("orc sink round-trips with filters pushed to the ORC scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = (1 to 100).map(i => (i, s"n$i", i % 7)).toDF("id", "name", "grp")
+    Sinks.orc(df, dir, partitionCols = Seq("grp"), mode = "overwrite")
+    val scan = spark.read.orc(dir).filter(col("id") > 90 && col("grp") === 3)
+    assert(scan.count() == (91 to 100).count(_ % 7 == 3))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)"),
+      s"predicate not pushed into the ORC scan:\n$plan")
+    assert(plan.contains("PartitionFilters: [isnotnull(grp"),
+      s"partition pruning lost:\n$plan")
+  }
+
+  test("csvWithQuarantine: malformed rows are captured, not dropped or fatal") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csvq")
+    val f = dir.resolve("data.csv")
+    Files.writeString(f,
+      "id,qty,label\n1,10,ok\n2,notanumber,bad\n3,30,ok\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("qty", IntegerType),
+      StructField("label", StringType)))
+    val df = graft.sources.Tables.csvWithQuarantine(spark, schema, f.toString)
+      .cache() // corrupt-record contract: one consistent materialization
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    val good = df.filter(col("_corrupt_record").isNull)
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    assert(bad.select("_corrupt_record").head.getString(0).contains("notanumber"))
+    assert(good.select(sum(col("qty"))).head.getLong(0) == 40L)
+    df.unpersist()
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
