@@ -625,6 +625,41 @@ object TextQueries {
               .orderBy(col("n").desc, col("bigram"))).cast("long"))
           .filter(col("rnk") <= 10)
           .orderBy("lang", "rnk")
+      }),
+
+    // ---- q72: repetition ratio — the Gopher-style repetition rule the
+    // q66 filter family needs: fraction of a document occupied by its most
+    // frequent bigram (boilerplate/template detector). Per-doc bigram
+    // counting is a partial-agg shuffle keyed by (doc, bigram) — fan-in
+    // bounded per document, never corpus-wide; the ratio is exact integer
+    // micro-units.
+    Q("q72_repetition",
+      Some("""WITH g AS (
+             |  SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+             |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+             |  FROM documents),
+             |c AS (SELECT doc_id, bigram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+             |m AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, CAST(MAX(n) AS BIGINT) AS max_rep
+             |      FROM c GROUP BY 1)
+             |SELECT doc_id, n_bigrams, max_rep,
+             |       CAST(max_rep * 1000000 // n_bigrams AS BIGINT) AS rep_micro,
+             |       max_rep * 10 > n_bigrams AS repetitive
+             |FROM m
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val n = size(toks)
+        val bigrams = zip_with(
+          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b))
+        docs(s, d)
+          .select(col("doc_id"), explode(bigrams).as("bigram"))
+          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("max_rep"))
+          .select(col("doc_id"), col("n_bigrams"), col("max_rep"),
+            floor(col("max_rep") * 1000000L / col("n_bigrams")).cast("long").as("rep_micro"),
+            (col("max_rep") * 10L > col("n_bigrams")).as("repetitive"))
+          .orderBy("doc_id")
       })
   )
 }
