@@ -34,3 +34,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // "[success] Total time: ..." epilogue that otherwise trails it.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude it
+// from the unused-key lint.
+Global / excludeLintKeys += showSuccess
