@@ -72,6 +72,43 @@ object Text {
         .otherwise(array().cast("array<bigint>"))
     }
 
+  /** All word n-grams as space-joined strings (empty below n tokens).
+    * The token array is lambda-bound so the upstream `split` runs once per
+    * row, not once per produced n-gram (see [[bound]]). String n-grams keep
+    * the DuckDB oracle engine-independent; the corpus-scale variant would
+    * key the downstream joins on `xxhash64(gram)` instead of the string to
+    * shrink shuffle keys to 8 bytes — an exchange-width optimization, not a
+    * semantic change. SQL mirror:
+    * {{{
+    * list_transform(generate_series(1, len(t) - (n-1)),
+    *   i -> list_aggregate(t[i:i+n-1], 'string_agg', ' '))
+    * }}}
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    bound(toks) { tk =>
+      when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Consecutive NON-overlapping n-token chunks (the tail shorter than n is
+    * dropped; empty below n tokens). Chunking is the unit for cross-corpus
+    * duplicate-text-fraction stats — positions matter, so callers explode
+    * WITHOUT distinct. SQL mirror:
+    * {{{
+    * list_transform(generate_series(1, len(t) // n),
+    *   j -> list_aggregate(t[(j-1)*n+1:j*n], 'string_agg', ' '))
+    * }}}
+    */
+  def wordChunks(toks: Column, n: Int): Column =
+    bound(toks) { tk =>
+      when(size(tk) >= n,
+        transform(sequence(lit(1), floor(size(tk) / lit(n)).cast("int")),
+          j => concat_ws(" ", slice(tk, (j - 1) * n + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+
   /** k-th MinHash of a shingle-hash array (null for empty input). */
   def minhash(sh: Column, k: Int): Column =
     array_min(transform(sh,

@@ -660,6 +660,148 @@ object TextQueries {
             floor(col("max_rep") * 1000000L / col("n_bigrams")).cast("long").as("rep_micro"),
             (col("max_rep") * 10L > col("n_bigrams")).as("repetitive"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q73: benchmark decontamination — flag corpus documents sharing
+    // any 13-gram with the held-out benchmark set (source='src0' stands in
+    // for the eval suite), the standard n-gram-overlap decontamination rule
+    // for LM training corpora. Scale shape: the benchmark gram set is
+    // small by nature (eval suites are MBs; the corpus is TBs), so it
+    // BROADCASTS — the corpus side stays map-local except one distinct on
+    // (doc_id, gram) whose fan-in is per-document. No corpus-side
+    // self-join anywhere.
+    Q("q73_decontaminate",
+      Some("""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, source, unnest(list_transform(generate_series(1, len(t) - 12),
+             |        i -> list_aggregate(t[i:i+12], 'string_agg', ' '))) AS gram FROM tk),
+             |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+             |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0'),
+             |hits AS (SELECT doc_id, count(*) AS hit_grams FROM cg
+             |         WHERE gram IN (SELECT gram FROM bench) GROUP BY 1)
+             |SELECT d.doc_id, CAST(COALESCE(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+             |       COALESCE(h.hit_grams, 0) > 0 AS contaminated
+             |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+             |LEFT JOIN hits h ON d.doc_id = h.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("source"), toks.as("tk"))
+        val grams = base.select(col("doc_id"), col("source"),
+          explode(Text.wordNgrams(col("tk"), 13)).as("gram"))
+        val bench = grams.filter(col("source") === "src0").select("gram").distinct()
+        val corpusGrams = grams.filter(col("source") =!= "src0")
+          .select("doc_id", "gram").distinct()
+        // Benchmark grams broadcast: eval sets are bounded regardless of
+        // corpus scale (explicit hint, not size-gated — the asymmetry is
+        // structural, not statistical).
+        val hits = corpusGrams.join(broadcast(bench), "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
+        base.filter(col("source") =!= "src0").select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("hit_grams"), lit(0L)).as("hit_grams"))
+          .withColumn("contaminated", col("hit_grams") > 0L)
+          .orderBy("doc_id")
+      }),
+
+    // ---- q74: n-gram Jaccard set-similarity self-join with PREFIX
+    // FILTERING (All-Pairs / PPJoin family) — the deterministic,
+    // full-recall complement to q34's probabilistic MinHash LSH. Global
+    // order = ascending document frequency (rarest first, ties by gram);
+    // a pair with Jaccard >= 0.5 must share a gram inside both prefixes of
+    // length |s| - ceil(0.5|s|) + 1, so the candidate join keys on PREFIX
+    // grams only — rare by construction, so bucket fan-in stays bounded
+    // where a join on ANY shared gram would degenerate on common n-grams.
+    // Verification touches candidates only (exact integer Jaccard;
+    // 3*inter >= n1+n2 <=> jac >= 0.5). SetSimilaritySpec proves full
+    // recall against the brute-force all-pairs result.
+    Q("q74_ngram_jaccard",
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+             |        i -> list_aggregate(t[i:i+4], 'string_agg', ' '))) AS gram FROM tk),
+             |f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+             |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+             |r AS (SELECT g.doc_id, g.gram,
+             |             row_number() OVER (PARTITION BY g.doc_id ORDER BY f.df, g.gram) AS rnk,
+             |             sz.n
+             |      FROM g JOIN f USING (gram) JOIN sz USING (doc_id)),
+             |p AS (SELECT doc_id, gram FROM r WHERE rnk <= n - (n + 1) // 2 + 1),
+             |c AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             |      FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |ix AS (SELECT c.d1, c.d2, count(*) AS inter
+             |       FROM c JOIN g g1 ON g1.doc_id = c.d1
+             |              JOIN g g2 ON g2.doc_id = c.d2 AND g2.gram = g1.gram
+             |       GROUP BY 1, 2)
+             |SELECT ix.d1, ix.d2, CAST(ix.inter AS BIGINT) AS inter,
+             |       CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+             |       CAST(ix.inter * 1000000 // (s1.n + s2.n - ix.inter) AS BIGINT) AS jac_micro
+             |FROM ix JOIN sz s1 ON ix.d1 = s1.doc_id JOIN sz s2 ON ix.d2 = s2.doc_id
+             |WHERE 3 * ix.inter >= s1.n + s2.n
+             |ORDER BY d1, d2""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = docs(s, d).select(col("doc_id"), toks.as("tk"))
+          .select(col("doc_id"), explode(Text.wordNgrams(col("tk"), 5)).as("gram"))
+          .distinct()
+        val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val prefix = grams.join(freq, "gram")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))))
+          .join(sz, "doc_id")
+          .filter(col("rnk") <= col("n") - floor((col("n") + 1) / 2) + 1)
+          .select("doc_id", "gram")
+        val cands = prefix.as("a").join(prefix.as("b"),
+            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+        // Verify stage: candidate pairs only. Gram sets ride along as
+        // per-document arrays (bounded by document length), so the exact
+        // intersection is a local array op — no second corpus-wide join.
+        val sets = grams.groupBy("doc_id")
+          .agg(sort_array(collect_set(col("gram"))).as("gs"))
+        cands
+          .join(sets.select(col("doc_id").as("d1"), col("gs").as("gs1")), "d1")
+          .join(sets.select(col("doc_id").as("d2"), col("gs").as("gs2")), "d2")
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("gs1"), col("gs2"))).cast("long").as("inter"),
+            size(col("gs1")).cast("long").as("n1"),
+            size(col("gs2")).cast("long").as("n2"))
+          .filter(col("inter") * 3 >= col("n1") + col("n2"))
+          .withColumn("jac_micro",
+            floor(col("inter") * 1000000L / (col("n1") + col("n2") - col("inter"))).cast("long"))
+          .select("d1", "d2", "inter", "n1", "n2", "jac_micro")
+          .orderBy("d1", "d2")
+      }),
+
+    // ---- q75: duplicate-chunk fraction — per document, the fraction of
+    // its non-overlapping 10-token chunks that also occur in ANY other
+    // document (the Gopher "duplicate n-gram fraction" corpus-quality
+    // metric; within-doc repetition is q72's job). One shuffle keyed by
+    // chunk text to get document frequencies, one join back keyed the same
+    // way, one per-doc agg — chunk fan-in is bounded by true cross-corpus
+    // duplication, which is exactly the signal being measured.
+    Q("q75_chunk_dup",
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |c AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) // 10),
+             |        j -> list_aggregate(t[(j-1)*10+1:j*10], 'string_agg', ' '))) AS chunk FROM tk),
+             |w AS (SELECT chunk, count(*) AS docs_with
+             |      FROM (SELECT DISTINCT doc_id, chunk FROM c) GROUP BY 1)
+             |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |       CAST(SUM(CASE WHEN w.docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+             |       CAST(SUM(CASE WHEN w.docs_with >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_frac_micro
+             |FROM c JOIN w USING (chunk)
+             |GROUP BY 1
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val chunks = docs(s, d).select(col("doc_id"), toks.as("tk"))
+          .select(col("doc_id"), explode(Text.wordChunks(col("tk"), 10)).as("chunk"))
+        val docsWith = chunks.select("doc_id", "chunk").distinct()
+          .groupBy("chunk").agg(count(lit(1)).as("docs_with"))
+        chunks.join(docsWith, "chunk")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("docs_with") >= 2L, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .withColumn("dup_frac_micro",
+            floor(col("n_dup_chunks") * 1000000L / col("n_chunks")).cast("long"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -103,4 +103,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!ops.exists(o => o.contains("Join") || o.contains("Window")),
       s"split assignment must stay per-row: $ops")
   }
+
+  test("q73: benchmark gram set broadcasts; corpus side never self-joins") {
+    val p = plan("q73_decontaminate")
+    val ops = opTree(p)
+    assert(ops.exists(_.contains("BroadcastHashJoin")),
+      s"benchmark grams should broadcast (eval sets are bounded): $ops")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "decontamination degraded to all-pairs")
+  }
+
+  test("q74: prefix-filter candidate join is an equi-join on prefix grams") {
+    val p = plan("q74_ngram_jaccard")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "set-similarity join degraded to all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("q75: chunk doc-frequency aggregates partial-merge before shuffling") {
+    val p = plan("q75_chunk_dup")
+    val ops = opTree(p)
+    assert(ops.containsSlice(Seq("HashAggregate", "Exchange", "HashAggregate")),
+      s"chunk counting lost its map-side partial: $ops")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
 }
