@@ -49,7 +49,12 @@ object Bench {
       } catch { case e: Throwable => Left(s"$name: ${e.getMessage}") }
     }
 
+    // SPARK_GRAFT_ONLY=q74_ngram_jaccard,q75_chunk_dup limits the run for
+    // local iteration; the driver leaves it unset and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     var errors = List.empty[String]
     names.foreach { n => // warmup pass (untimed)
       System.err.println(s"[bench] warmup $n: ${runOnce(n).fold(identity, t => f"$t%.1fs")}")

@@ -685,8 +685,12 @@ object TextQueries {
              |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
         val base = docs(s, d).select(col("doc_id"), col("source"), toks.as("tk"))
+        // One materialized gram pass serves both the benchmark and corpus
+        // branches — without it each filter branch re-runs the 13-gram
+        // explode over the full scan.
         val grams = base.select(col("doc_id"), col("source"),
           explode(Text.wordNgrams(col("tk"), 13)).as("gram"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bench = grams.filter(col("source") === "src0").select("gram").distinct()
         val corpusGrams = grams.filter(col("source") =!= "src0")
           .select("doc_id", "gram").distinct()
@@ -738,17 +742,27 @@ object TextQueries {
              |ORDER BY d1, d2""".stripMargin),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // The gram table feeds four consumers (frequency order, prefix
+        // join both sides, verify sets). Catalyst folds the shared
+        // distinct() into each consumer differently, so exchange reuse
+        // never fires and the n-gram explode would run once PER consumer
+        // — persist() materializes it once (MEMORY_AND_DISK: spills, never
+        // OOMs; at corpus scale this is the standard price of reuse >= 2,
+        // same tradeoff Spark ML's LSH models make).
         val grams = docs(s, d).select(col("doc_id"), toks.as("tk"))
           .select(col("doc_id"), explode(Text.wordNgrams(col("tk"), 5)).as("gram"))
           .distinct()
-        val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-        val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val prefix = grams.join(freq, "gram")
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))))
-          .join(sz, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // df / per-doc rank / set size via windows: the doc-keyed windows
+        // share ONE exchange (vs separate aggregate+join-back subplans).
+        val wd = Window.partitionBy(col("doc_id"))
+        val prefix = grams
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+          .withColumn("rnk", row_number().over(wd.orderBy(col("df"), col("gram"))))
+          .withColumn("n", count(lit(1)).over(wd))
           .filter(col("rnk") <= col("n") - floor((col("n") + 1) / 2) + 1)
           .select("doc_id", "gram")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cands = prefix.as("a").join(prefix.as("b"),
             col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
@@ -793,6 +807,7 @@ object TextQueries {
       (s, d) => {
         val chunks = docs(s, d).select(col("doc_id"), toks.as("tk"))
           .select(col("doc_id"), explode(Text.wordChunks(col("tk"), 10)).as("chunk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val docsWith = chunks.select("doc_id", "chunk").distinct()
           .groupBy("chunk").agg(count(lit(1)).as("docs_with"))
         chunks.join(docsWith, "chunk")
