@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native (JIT-compiled) kernels for the hot text-fingerprint expressions.
@@ -60,6 +60,50 @@ object TextKernels {
     while (i < out.length) {
       out(i) = th(i) * 1000006000009L + th(i + 1) * 1000003L + th(i + 2)
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All word n-grams as space-joined strings (Text.wordNgrams over
+    * Text.tokens): one tokenize + tight assembly loop instead of an
+    * interpreted transform re-slicing the token array per window. */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Consecutive non-overlapping n-token chunks, tail dropped
+    * (Text.wordChunks over Text.tokens). */
+  def wordChunks(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val m = toks.length / n
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var c = 0
+    while (c < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(c * n + j))
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
     }
     new GenericArrayData(out)
   }
@@ -184,6 +228,26 @@ case class RollingMinHash8Expr(child: Expression) extends NativeUnaryExpression 
     copy(child = newChild)
 }
 
+case class WordNgramsExpr(child: Expression, n: Int) extends NativeUnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def staticCall: String =
+    s"graft.functions.TextKernels.wordNgrams(%s, $n)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
+case class WordChunksExpr(child: Expression, n: Int) extends NativeUnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def staticCall: String =
+    s"graft.functions.TextKernels.wordChunks(%s, $n)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordChunks(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): WordChunksExpr =
+    copy(child = newChild)
+}
+
 case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -216,6 +280,12 @@ object NativeText {
   def shingleHashesOfText(c: Column): Column = wrap(ShingleHashesExpr(expr(c)))
 
   def simhash20(arr: Column): Column = wrap(SimHash20Expr(expr(arr)))
+
+  /** Native Text.wordNgrams(Text.tokens(c), n) over a text column. */
+  def wordNgrams(c: Column, n: Int): Column = wrap(WordNgramsExpr(expr(c), n))
+
+  /** Native Text.wordChunks(Text.tokens(c), n) over a text column. */
+  def wordChunks(c: Column, n: Int): Column = wrap(WordChunksExpr(expr(c), n))
 
   def rollingMinHash8(c: Column): Column = wrap(RollingMinHash8Expr(expr(c)))
 

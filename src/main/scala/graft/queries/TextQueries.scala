@@ -594,11 +594,11 @@ object TextQueries {
 
     // ---- q71: bigram frequency per language — the n-gram statistics an
     // LM-training pipeline reports (and the n-gram Jaccard dedup family
-    // builds on). Bigrams come from zip_with over two slices of the token
-    // array — array args are evaluated once per ROW (they are direct
-    // children, not lambda-nested element_at calls, which would re-walk
-    // the split per element — the interpreted-HOF pitfall). Counting is
-    // partial-agg → one vocabulary²-bounded shuffle; top-10 per lang.
+    // builds on). Bigrams come from the native codegen n-gram kernel
+    // (NativeText.wordNgrams — one tokenize + tight loop per row; the
+    // declarative zip_with form survives as the property-checked spec in
+    // Text.wordNgrams). Counting is partial-agg → one vocabulary²-bounded
+    // shuffle; top-10 per lang.
     Q("q71_ngram_freq",
       Some("""WITH g AS (
              |  SELECT lang, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
@@ -613,12 +613,8 @@ object TextQueries {
              |ORDER BY lang, rnk""".stripMargin),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val n = size(toks)
-        val bigrams = zip_with(
-          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
-          (a, b) => concat(a, lit(" "), b))
         docs(s, d)
-          .select(col("lang"), explode(bigrams).as("bigram"))
+          .select(col("lang"), explode(NativeText.wordNgrams(col("text"), 2)).as("bigram"))
           .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
           .withColumn("rnk", row_number().over(
             Window.partitionBy(col("lang"))
@@ -647,12 +643,8 @@ object TextQueries {
              |FROM m
              |ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val n = size(toks)
-        val bigrams = zip_with(
-          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
-          (a, b) => concat(a, lit(" "), b))
         docs(s, d)
-          .select(col("doc_id"), explode(bigrams).as("bigram"))
+          .select(col("doc_id"), explode(NativeText.wordNgrams(col("text"), 2)).as("bigram"))
           .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
           .groupBy("doc_id")
           .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("max_rep"))
@@ -684,12 +676,12 @@ object TextQueries {
              |LEFT JOIN hits h ON d.doc_id = h.doc_id
              |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
-        val base = docs(s, d).select(col("doc_id"), col("source"), toks.as("tk"))
+        val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
         // One materialized gram pass serves both the benchmark and corpus
         // branches — without it each filter branch re-runs the 13-gram
         // explode over the full scan.
         val grams = base.select(col("doc_id"), col("source"),
-          explode(Text.wordNgrams(col("tk"), 13)).as("gram"))
+          explode(NativeText.wordNgrams(col("text"), 13)).as("gram"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bench = grams.filter(col("source") === "src0").select("gram").distinct()
         val corpusGrams = grams.filter(col("source") =!= "src0")
@@ -749,8 +741,8 @@ object TextQueries {
         // — persist() materializes it once (MEMORY_AND_DISK: spills, never
         // OOMs; at corpus scale this is the standard price of reuse >= 2,
         // same tradeoff Spark ML's LSH models make).
-        val grams = docs(s, d).select(col("doc_id"), toks.as("tk"))
-          .select(col("doc_id"), explode(Text.wordNgrams(col("tk"), 5)).as("gram"))
+        val grams = docs(s, d)
+          .select(col("doc_id"), explode(NativeText.wordNgrams(col("text"), 5)).as("gram"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // df / per-doc rank / set size via windows: the doc-keyed windows
@@ -805,8 +797,8 @@ object TextQueries {
              |GROUP BY 1
              |ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val chunks = docs(s, d).select(col("doc_id"), toks.as("tk"))
-          .select(col("doc_id"), explode(Text.wordChunks(col("tk"), 10)).as("chunk"))
+        val chunks = docs(s, d)
+          .select(col("doc_id"), explode(NativeText.wordChunks(col("text"), 10)).as("chunk"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val docsWith = chunks.select("doc_id", "chunk").distinct()
           .groupBy("chunk").agg(count(lit(1)).as("docs_with"))

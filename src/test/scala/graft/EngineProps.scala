@@ -69,6 +69,20 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("native n-gram/chunk kernels match the declarative spec") =
+    forAll(Gen.listOfN(8, text), Gen.choose(1, 6)) { (texts, n) =>
+      val df = texts.toDF("text")
+      val cmp = df.select(
+        NativeText.wordNgrams(col("text"), n).as("n_g"),
+        Text.wordNgrams(Text.tokens(col("text")), n).as("d_g"),
+        NativeText.wordChunks(col("text"), n).as("n_c"),
+        Text.wordChunks(Text.tokens(col("text")), n).as("d_c"))
+      cmp.collect().forall { r =>
+        r.getSeq[String](0) == r.getSeq[String](1) &&
+          r.getSeq[String](2) == r.getSeq[String](3)
+      }
+    }
+
   property("topk aggregate equals sort-take per group") = forAll(rows) { xs =>
     val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v.hashCode.toLong % 7, i.toLong) }
       .toDF("k", "score", "id")
