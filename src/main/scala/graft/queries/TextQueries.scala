@@ -809,6 +809,31 @@ object TextQueries {
           .withColumn("dup_frac_micro",
             floor(col("n_dup_chunks") * 1000000L / col("n_chunks")).cast("long"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q76: token-budget estimation — whitespace word count vs a
+    // BPE-ish regex piece count (runs of <=4 word chars, the "~4 chars per
+    // token" budgeting rule; punctuation would count as single pieces).
+    // The regex runs identically under Java regex and DuckDB's RE2
+    // (greedy, left-to-right, no backtracking difference on this
+    // pattern). Map-only per doc; the totals row an ingest pipeline
+    // reports before a training run.
+    Q("q76_token_budget",
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |       CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS bpe_pieces,
+             |       CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) * 1000000
+             |            // len(string_split(text, ' ')) AS BIGINT) AS pieces_per_word_micro
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val pieces = size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0)))
+          .cast("long")
+        val words = size(tokens(col("text"))).cast("long")
+        docs(s, d)
+          .select(col("doc_id"), words.as("ws_tokens"), pieces.as("bpe_pieces"),
+            floor(pieces * 1000000L / words).cast("long").as("pieces_per_word_micro"))
+          .orderBy("doc_id")
       })
   )
 }
