@@ -677,12 +677,14 @@ object TextQueries {
              |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
         val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
-        // One materialized gram pass serves both the benchmark and corpus
-        // branches — without it each filter branch re-runs the 13-gram
-        // explode over the full scan.
+        // No persist here: the source filters push BELOW the explode
+        // (PushPredicateThroughGenerate), so the benchmark branch explodes
+        // only the small benchmark slice and the corpus branch only the
+        // rest — zero overlapping work. Materializing the full gram table
+        // would explode 100% up front and put cache I/O on the broadcast's
+        // critical path for nothing.
         val grams = base.select(col("doc_id"), col("source"),
           explode(NativeText.wordNgrams(col("text"), 13)).as("gram"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bench = grams.filter(col("source") === "src0").select("gram").distinct()
         val corpusGrams = grams.filter(col("source") =!= "src0")
           .select("doc_id", "gram").distinct()
@@ -797,9 +799,11 @@ object TextQueries {
              |GROUP BY 1
              |ORDER BY doc_id""".stripMargin),
       (s, d) => {
+        // Re-exploding chunks for the second consumer is cheap map-side
+        // work (native kernel, no shuffle) — recompute beats caching a
+        // corpus-sized table at scale, so no persist here.
         val chunks = docs(s, d)
           .select(col("doc_id"), explode(NativeText.wordChunks(col("text"), 10)).as("chunk"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val docsWith = chunks.select("doc_id", "chunk").distinct()
           .groupBy("chunk").agg(count(lit(1)).as("docs_with"))
         chunks.join(docsWith, "chunk")
