@@ -838,6 +838,52 @@ object TextQueries {
           .select(col("doc_id"), words.as("ws_tokens"), pieces.as("bpe_pieces"),
             floor(pieces * 1000000L / words).cast("long").as("pieces_per_word_micro"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q77: decontamination via BLOOM-FILTER semi-join pruning — the
+    // 100 TB form of q73. When the benchmark gram set outgrows the
+    // broadcast-hash-join threshold, a Bloom filter (~1.2 bytes/item at
+    // 1% fpp vs ~50+ bytes/entry for a hash table) still broadcasts: the
+    // corpus side is pruned BEFORE any shuffle, and the exact join then
+    // removes the false positives — a superset pre-filter, so the result
+    // (and the oracle) is IDENTICAL to q73. BloomSpec asserts equality
+    // with q73 and measures the pruning rate.
+    Q("q77_decontaminate_bloom",
+      Some("""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, source, unnest(list_transform(generate_series(1, len(t) - 12),
+             |        i -> list_aggregate(t[i:i+12], 'string_agg', ' '))) AS gram FROM tk),
+             |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+             |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0'),
+             |hits AS (SELECT doc_id, count(*) AS hit_grams FROM cg
+             |         WHERE gram IN (SELECT gram FROM bench) GROUP BY 1)
+             |SELECT d.doc_id, CAST(COALESCE(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+             |       COALESCE(h.hit_grams, 0) > 0 AS contaminated
+             |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+             |LEFT JOIN hits h ON d.doc_id = h.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        import graft.functions.Bloom
+        val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+        val grams = base.select(col("doc_id"), col("source"),
+          explode(NativeText.wordNgrams(col("text"), 13)).as("gram"))
+        val bench = grams.filter(col("source") === "src0").select("gram").distinct()
+        // Build the filter from the benchmark side: one small aggregate
+        // job whose single binary result is the broadcast payload.
+        val bf = bench
+          .agg(Bloom.bloomAgg(xxhash64(col("gram")), 100000L, 1000000L).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val corpusGrams = grams.filter(col("source") =!= "src0")
+          .select("doc_id", "gram").distinct()
+          .where(Bloom.mightContain(bf, xxhash64(col("gram"))))
+        // Exact verify join over the bloom survivors only (false
+        // positives die here; hash-table build side is now tiny).
+        val hits = corpusGrams.join(broadcast(bench), "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
+        base.filter(col("source") =!= "src0").select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("hit_grams"), lit(0L)).as("hit_grams"))
+          .withColumn("contaminated", col("hit_grams") > 0L)
+          .orderBy("doc_id")
       })
   )
 }
