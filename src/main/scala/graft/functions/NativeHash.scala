@@ -248,6 +248,40 @@ case class WordChunksExpr(child: Expression, n: Int) extends NativeUnaryExpressi
     copy(child = newChild)
 }
 
+/** Morton (Z-order) interleave of the low 31 bits of two non-negative
+  * longs: bit i of each input lands at output bits 2i / 2i+1, so sorting
+  * by the result clusters rows that are close in BOTH dimensions — the
+  * multi-dimensional data-layout key behind `Sinks.zorderedParquet`.
+  */
+object LayoutKernels {
+  def morton2(a: Long, b: Long): Long = {
+    val x = a & 0x7fffffffL
+    val y = b & 0x7fffffffL
+    // spread bits: abcd -> a0b0c0d0 (classic magic-number dilation)
+    def spread(v0: Long): Long = {
+      var v = v0
+      v = (v | (v << 16)) & 0x0000ffff0000ffffL
+      v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+      v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    spread(x) | (spread(y) << 1)
+  }
+}
+
+case class Morton2Expr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LayoutKernels.morton2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.LayoutKernels.morton2($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Morton2Expr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -294,4 +328,7 @@ object NativeText {
 
   /** Native Exact.micro quantization of a float-vector column. */
   def microQuantize(a: Column): Column = wrap(MicroQuantizeExpr(expr(a)))
+
+  /** Morton (Z-order) interleave of two non-negative BIGINT columns. */
+  def morton2(a: Column, b: Column): Column = wrap(Morton2Expr(expr(a), expr(b)))
 }

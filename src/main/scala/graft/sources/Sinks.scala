@@ -49,6 +49,26 @@ object Sinks {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Z-ordered parquet write: range-partition + sort by the Morton
+    * interleave of two columns, so each output file covers a compact
+    * rectangle in BOTH dimensions. Parquet's per-file/row-group min-max
+    * stats then prune scans filtered on EITHER column — single-column
+    * sorting buys pruning on one dimension only; Z-order buys it on both
+    * at a modest cost to each (the data-layout idea behind Delta/Iceberg
+    * OPTIMIZE ZORDER, here as plain Spark over plain parquet). Columns
+    * must be non-negative integers (quantize/rank first otherwise);
+    * SinksSpec measures per-file value spans of both dims vs a plain
+    * write.
+    */
+  def zorderedParquet(df: DataFrame, c1: String, c2: String, path: String,
+                      files: Int, mode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.NativeText.morton2(col(c1).cast("long"), col(c2).cast("long"))
+    df.repartitionByRange(files, z)
+      .sortWithinPartitions(z)
+      .write.mode(mode).parquet(path)
+  }
+
   /** Console sink (ref S6: the debugging `df.show()` surface). Formats a
     * bounded number of rows on the DRIVER — deliberately capped because
     * rendering is a collect of `numRows` rows; it is a debugging sink, not

@@ -131,4 +131,35 @@ class SinksSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bk_b")
     }
   }
+
+  test("zorderedParquet clusters BOTH dimensions; plain write neither") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Deterministic pseudo-uniform 2D points over [0, 1024)^2, in an
+    // order uncorrelated with either coordinate.
+    val pts = (0 until 20000).map { i =>
+      (((i * 2654435761L) >>> 7) % 1024L, ((i * 40503L + 7) >>> 3) % 1024L)
+    }.toDF("x", "y")
+
+    /** Mean per-file (max-min) span of each dimension after a write. */
+    def spans(path: String): (Double, Double) = {
+      val byFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy")).head()
+      (byFile.getDouble(0), byFile.getDouble(1))
+    }
+
+    val dir = Files.createTempDirectory("zorder").toString
+    pts.repartition(8).write.mode("overwrite").parquet(s"$dir/plain")
+    Sinks.zorderedParquet(pts, "x", "y", s"$dir/z", files = 8)
+
+    val (px, py) = spans(s"$dir/plain")
+    val (zx, zy) = spans(s"$dir/z")
+    // Round-robin files each cover ~the whole domain; 8 z-range files
+    // tile the square, so each file's x and y spans shrink well below it.
+    assert(px > 900 && py > 900, s"plain write unexpectedly clustered: $px, $py")
+    assert(zx < 700 && zy < 700, s"z-order failed to cluster both dims: $zx, $zy")
+    assert(zx + zy < (px + py) * 0.7, s"z-order not better than plain: $zx+$zy vs $px+$py")
+  }
 }
