@@ -69,6 +69,30 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving all others untouched — the standard incremental-load
+    * ("partition-level upsert") pattern for plain parquet, where a full
+    * `overwrite` would wipe the table and an `append` would duplicate the
+    * reloaded slice. This is what a daily re-run of one day's data needs;
+    * row-level MERGE needs a table format (Delta/Iceberg — absent here,
+    * see SURVEY), partition-level replace does not. The conf is set per
+    * write and restored (it is session-wide in Spark).
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "dynamic overwrite needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Console sink (ref S6: the debugging `df.show()` surface). Formats a
     * bounded number of rows on the DRIVER — deliberately capped because
     * rendering is a collect of `numRows` rows; it is a debugging sink, not

@@ -132,6 +132,29 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("overwritePartitions replaces only the loaded partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("dynpart").toString
+    // Initial load: three day-partitions.
+    val day1 = Seq(("2024-01-01", 1L, 10L), ("2024-01-01", 2L, 20L),
+      ("2024-01-02", 3L, 30L), ("2024-01-03", 4L, 40L)).toDF("day", "id", "v")
+    Sinks.overwritePartitions(day1, dir, Seq("day"))
+    // Corrected re-run of day 2 ONLY (different rows, fewer of them).
+    val fix = Seq(("2024-01-02", 3L, 99L)).toDF("day", "id", "v")
+    Sinks.overwritePartitions(fix, dir, Seq("day"))
+
+    // partition-column inference types `day` as DATE on read-back
+    val got = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("id"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // Days 1 and 3 survive untouched; day 2 is fully replaced.
+    assert(got == Set(("2024-01-01", 1L, 10L), ("2024-01-01", 2L, 20L),
+      ("2024-01-02", 3L, 99L), ("2024-01-03", 4L, 40L)))
+    // A STATIC overwrite of the same frame would have wiped days 1/3.
+    assert(spark.read.parquet(dir).where(col("day") =!= "2024-01-02").count() == 3)
+  }
+
   test("zorderedParquet clusters BOTH dimensions; plain write neither") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
