@@ -66,6 +66,23 @@ object SkewBench {
     val aqeJoin = withSkewJoin(true) {
       time("join plain (AQE skew on)")(big.join(small, Seq("k")).select(sum(length(col("p"))).as("s")))
     }
+    // AQE skew splitting again, but with the threshold tuned BELOW the
+    // giant partition's size (the r3 finding: at defaults the ~250 MB
+    // skewed partition sits under the 256 MB skewedPartitionThreshold and
+    // AQE never fires). This row shows Spark's built-in rescue DOES work
+    // once stats-informed tuning is applied — salting's advantage is not
+    // needing that tuning (or stats) at all.
+    val aqeTuned = withSkewJoin(true) {
+      val thKey = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+      val advKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val (thPrev, advPrev) = (spark.conf.get(thKey), spark.conf.get(advKey))
+      try {
+        spark.conf.set(thKey, "32m")
+        spark.conf.set(advKey, "16m")
+        time("join plain (AQE tuned 32m)")(
+          big.join(small, Seq("k")).select(sum(length(col("p"))).as("s")))
+      } finally { spark.conf.set(thKey, thPrev); spark.conf.set(advKey, advPrev) }
+    }
     val saltedJoin = withSkewJoin(false) {
       time("join salted x32")(
         Skew.saltedJoin(big, small, "k", col("uniq"), 32).select(sum(length(col("p"))).as("s")))
@@ -74,7 +91,7 @@ object SkewBench {
     val plainAgg = time("agg plain groupBy-sum")(big.groupBy("k").agg(sum("v").as("s")))
     val saltedAgg = time("agg salted x32")(Skew.saltedSum(big, Seq("k"), col("v"), col("uniq"), 32, "s"))
 
-    println(f"""{"join_plain_sec":$plainJoin%.2f,"join_aqe_sec":$aqeJoin%.2f,"join_salted_sec":$saltedJoin%.2f,"join_speedup":${plainJoin / saltedJoin}%.2f,"agg_plain_sec":$plainAgg%.2f,"agg_salted_sec":$saltedAgg%.2f}""")
+    println(f"""{"join_plain_sec":$plainJoin%.2f,"join_aqe_sec":$aqeJoin%.2f,"join_aqe_tuned_sec":$aqeTuned%.2f,"join_salted_sec":$saltedJoin%.2f,"join_speedup":${plainJoin / saltedJoin}%.2f,"agg_plain_sec":$plainAgg%.2f,"agg_salted_sec":$saltedAgg%.2f}""")
     spark.stop()
   }
 }
