@@ -26,6 +26,9 @@ import graft.functions._
   *  - `graft_dot_long(array<bigint>, array<bigint>)` → bigint exact dot
   *  - `graft_micro_quantize(array<float>)` → array<bigint> micro units
   *  - `graft_topk_longs(score, id, k)` → aggregate, top-k (score DESC, id)
+  *  - `graft_word_ngrams(text, n)` → array<string> word n-grams
+  *  - `graft_word_chunks(text, n)` → array<string> non-overlapping chunks
+  *  - `graft_morton2(bigint, bigint)` → bigint Z-order interleave
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -71,6 +74,24 @@ object GraftExtensions {
       { args =>
         require(args.length == 3, "graft_topk_longs expects (score, id, k)")
         TopKLongs(args(0), args(1), litInt(args(2), "graft_topk_longs"))
+      }),
+    (FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "graft_word_ngrams"),
+      { args =>
+        require(args.length == 2, "graft_word_ngrams expects (text, n)")
+        WordNgramsExpr(args(0), litInt(args(1), "graft_word_ngrams"))
+      }),
+    (FunctionIdentifier("graft_word_chunks"),
+      new ExpressionInfo(classOf[WordChunksExpr].getName, "graft_word_chunks"),
+      { args =>
+        require(args.length == 2, "graft_word_chunks expects (text, n)")
+        WordChunksExpr(args(0), litInt(args(1), "graft_word_chunks"))
+      }),
+    (FunctionIdentifier("graft_morton2"),
+      new ExpressionInfo(classOf[Morton2Expr].getName, "graft_morton2"),
+      { args =>
+        require(args.length == 2, "graft_morton2 expects 2 arguments")
+        Morton2Expr(args(0), args(1))
       })
   )
 

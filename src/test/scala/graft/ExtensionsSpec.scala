@@ -27,6 +27,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql.toSeq == viaCol.toSeq)
   }
 
+  test("graft_word_ngrams/graft_word_chunks/graft_morton2 resolve in SQL") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    import s.implicits._
+    Seq(("a b c d e", 3L, 5L)).toDF("text", "x", "y").createOrReplaceTempView("wt")
+    val row = s.sql(
+      """SELECT graft_word_ngrams(text, 2) AS g,
+        |       graft_word_chunks(text, 2) AS c,
+        |       graft_morton2(x, y) AS z
+        |FROM wt""".stripMargin).head()
+    assert(row.getSeq[String](0) == Seq("a b", "b c", "c d", "d e"))
+    assert(row.getSeq[String](1) == Seq("a b", "c d"))
+    // morton2(3=0b11, 5=0b101) = interleave x at even bits, y at odd:
+    // x bits 1,1 -> bits 0,2; y bits 1,0,1 -> bits 1,3,5 => 0b100111 = 39
+    assert(row.getLong(2) == 39L)
+  }
+
   test("graft_dot_long and graft_micro_quantize resolve in SQL") {
     val s = spark.newSession()
     GraftExtensions.install(s)
@@ -60,6 +77,6 @@ class ExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT graft_simhash20(array(1L))").collect()
     }
     assert(err.getMessage.toLowerCase.contains("graft_simhash20"))
-    assert(GraftExtensions.registrations.map(_._1.funcName).toSet.size == 6)
+    assert(GraftExtensions.registrations.map(_._1.funcName).toSet.size == 9)
   }
 }
