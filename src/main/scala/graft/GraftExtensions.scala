@@ -29,6 +29,7 @@ import graft.functions._
   *  - `graft_word_ngrams(text, n)` → array<string> word n-grams
   *  - `graft_word_chunks(text, n)` → array<string> non-overlapping chunks
   *  - `graft_morton2(bigint, bigint)` → bigint Z-order interleave
+  *  - `graft_countmin_longs(v, d, w)` → aggregate, d×w CMS counter matrix
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -92,6 +93,14 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "graft_morton2 expects 2 arguments")
         Morton2Expr(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_countmin_longs"),
+      new ExpressionInfo(classOf[CountMinLongs].getName, "graft_countmin_longs"),
+      { args =>
+        require(args.length == 3, "graft_countmin_longs expects (v, d, w)")
+        CountMinLongs(args(0),
+          litInt(args(1), "graft_countmin_longs"),
+          litInt(args(2), "graft_countmin_longs"))
       })
   )
 

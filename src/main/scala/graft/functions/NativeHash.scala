@@ -47,6 +47,9 @@ object TextKernels {
     ((sum % HashMod) + HashMod) % HashMod
   }
 
+  /** UTF8String entry point for [[tokenHash]] (single-token hash). */
+  def tokenHashU(s: UTF8String): Long = tokenHash(s.toString)
+
   /** All 3-gram shingle hashes of a single-space-tokenized string
     * (Text.shingleHashes over Text.tokens). */
   def shingleHashes(s: UTF8String): ArrayData = {
@@ -228,6 +231,16 @@ case class RollingMinHash8Expr(child: Expression) extends NativeUnaryExpression 
     copy(child = newChild)
 }
 
+case class TokenHashExpr(child: Expression) extends NativeUnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def staticCall: String =
+    "graft.functions.TextKernels.tokenHashU(%s)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenHashU(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): TokenHashExpr =
+    copy(child = newChild)
+}
+
 case class WordNgramsExpr(child: Expression, n: Int) extends NativeUnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def staticCall: String =
@@ -331,4 +344,7 @@ object NativeText {
 
   /** Morton (Z-order) interleave of two non-negative BIGINT columns. */
   def morton2(a: Column, b: Column): Column = wrap(Morton2Expr(expr(a), expr(b)))
+
+  /** Native Text.tokenHashMod over a single-token string column. */
+  def tokenHashMod(c: Column): Column = wrap(TokenHashExpr(expr(c)))
 }

@@ -884,6 +884,51 @@ object TextQueries {
           .select(col("doc_id"), coalesce(col("hit_grams"), lit(0L)).as("hit_grams"))
           .withColumn("contaminated", col("hit_grams") > 0L)
           .orderBy("doc_id")
+      }),
+
+    // ---- q78: Count-Min sketch frequency estimation — the constant-state
+    // companion to exact token counting (q30): the CountMinLongs aggregate
+    // ships 4x256 counters (8 KB) per map partial regardless of corpus or
+    // vocabulary size, where exact counting's aggregation state (and
+    // shuffle) is vocabulary-sized. Estimates are one-sided (>= exact,
+    // asserted in the output) and fully deterministic — same universal
+    // hash family as MinHash — so DuckDB rebuilds the identical counter
+    // matrix from plain GROUP BYs. Output: the 10 most frequent tokens
+    // with exact count, CMS estimate, and the overcount.
+    Q("q78_cms_freq",
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |h AS (SELECT token,
+             |  COALESCE(CAST(list_sum(list_transform(generate_series(1, length(token)),
+             |    i -> ord(substr(token, i, 1)) * CAST(pow(31, length(token) - i) AS BIGINT))) AS BIGINT), 0)
+             |    % 1000003 AS th
+             |  FROM t),
+             |c AS (SELECT token, th, count(*) AS n FROM h GROUP BY 1, 2),
+             |cmr AS (SELECT r, ((th % 2147483647) * (2*r+3) + (101*r+7)) % 2147483647 % 256 AS b,
+             |               count(*) AS cnt
+             |        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+             |        GROUP BY 1, 2),
+             |top AS (SELECT token, th, n FROM c ORDER BY n DESC, token LIMIT 10)
+             |SELECT t.token, CAST(t.n AS BIGINT) AS exact_n,
+             |       CAST(MIN(cmr.cnt) AS BIGINT) AS cms_n,
+             |       CAST(MIN(cmr.cnt) - t.n AS BIGINT) AS overcount
+             |FROM top t JOIN cmr
+             |  ON cmr.b = ((t.th % 2147483647) * (2*cmr.r+3) + (101*cmr.r+7)) % 2147483647 % 256
+             |GROUP BY t.token, t.n
+             |ORDER BY exact_n DESC, token""".stripMargin),
+      (s, d) => {
+        import graft.functions.CountMin
+        val (dRows, wCols) = (4, 256)
+        val toksDf = docs(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .withColumn("th", NativeText.tokenHashMod(col("token")))
+        val sk = toksDf.agg(CountMin.sketch(col("th"), dRows, wCols).as("sk"))
+        val top = toksDf.groupBy("token", "th").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(10)
+        top.crossJoin(broadcast(sk))
+          .select(col("token"), col("n").as("exact_n"),
+            CountMin.estimate(col("sk"), col("th"), dRows, wCols).as("cms_n"))
+          .withColumn("overcount", col("cms_n") - col("exact_n"))
+          .orderBy(col("exact_n").desc, col("token"))
       })
   )
 }

@@ -77,6 +77,6 @@ class ExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT graft_simhash20(array(1L))").collect()
     }
     assert(err.getMessage.toLowerCase.contains("graft_simhash20"))
-    assert(GraftExtensions.registrations.map(_._1.funcName).toSet.size == 9)
+    assert(GraftExtensions.registrations.map(_._1.funcName).toSet.size == 10)
   }
 }
