@@ -128,4 +128,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"chunk counting lost its map-side partial: $ops")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
+
+  test("q77: bloom probe is a pushed predicate, not a join") {
+    val p = plan("q77_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      "bloom membership predicate missing from the physical plan")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q78: CMS sketch partial-merges before the exchange") {
+    val p = plan("q78_cms_freq")
+    assert(p.contains("partial_countmin_longs"),
+      "no map-side partial CMS aggregation before the shuffle")
+    assert(p.contains("ObjectHashAggregate"))
+  }
 }
