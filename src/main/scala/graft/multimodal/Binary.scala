@@ -18,10 +18,13 @@ import javax.sound.sampled.AudioSystem
   *    pixel-grid descriptors, [[resizeImage]] Graphics2D scaling — all via
   *    javax.imageio (PNG/JPEG/GIF/BMP);
   *  - audio containers: [[decodeAudio]] header parse via
-  *    javax.sound.sampled (WAV/AIFF/AU).
-  * Only formats the JDK genuinely cannot decode (video, compressed audio)
-  * fall back to the deterministic [[decodeStub]]; swap that one function
-  * for ffmpeg/JNI bindings without touching anything else.
+  *    javax.sound.sampled (WAV/AIFF/AU);
+  *  - video/compressed-audio containers: [[Containers]] pure-byte header
+  *    parsers for MP4/MOV (ISO BMFF box tree), WebM/MKV (EBML), and MP3
+  *    (frame walk) — container metadata needs no codec.
+  * Only bytes NONE of those recognize fall back to the deterministic
+  * [[decodeStub]]; swap that one function for ffmpeg/JNI bindings without
+  * touching anything else.
   *
   * Scale notes: decode is embarrassingly parallel and CPU-heavy, so the
   * frame should be repartitioned to ~cores before [[decodeMeta]] (no
@@ -37,9 +40,11 @@ object Binary {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** STUB for non-image media (audio/video — no codec libs here): derives
-    * deterministic fake dimensions from the byte content. A real deployment
-    * replaces ONLY this function (ffmpeg/JNI bindings).
+  /** STUB for bytes no parser here recognizes (raw elementary streams,
+    * exotic containers): derives deterministic fake dimensions from the
+    * byte content. A real deployment replaces ONLY this function
+    * (ffmpeg/JNI bindings). MP4/MOV, WebM/MKV and MP3 no longer reach it —
+    * [[Containers]] parses those headers in pure JVM bytes.
     */
   def decodeStub(bytes: Array[Byte]): Row = {
     val n = bytes.length
@@ -92,12 +97,14 @@ object Binary {
 
   /** The codec dispatch used by [[decodeMeta]]: real javax.imageio decode
     * for image bytes, real javax.sound.sampled header parse for audio
-    * containers the JDK knows (WAV/AIFF/AU), deterministic stub only for
-    * the formats this environment truly cannot decode (video, compressed
-    * audio).
+    * containers the JDK knows (WAV/AIFF/AU), real pure-byte *container*
+    * parsers for MP4/MOV + WebM/MKV + MP3 ([[Containers]] — header
+    * metadata needs no codec), deterministic stub only for bytes none of
+    * those recognize.
     */
   def decode(bytes: Array[Byte]): Row =
-    decodeImage(bytes).orElse(decodeAudio(bytes)).getOrElse(decodeStub(bytes))
+    decodeImage(bytes).orElse(decodeAudio(bytes))
+      .orElse(Containers.decode(bytes)).getOrElse(decodeStub(bytes))
 
   /** Attach an opaque binary column (here: utf8 of a text column — stands
     * in for real media bytes) plus its size and digest metadata. Pure

@@ -153,6 +153,99 @@ class MultimodalSpec extends SparkTestBase {
     assert(Binary.resizeStub(Array.empty[Byte], 2, 2).length == 4)
   }
 
+  // ---- hand-crafted container fixtures (pure bytes, no codec needed) ----
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+
+  /** Minimal valid MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+  private def mp4Bytes(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    val ftyp = mp4Box("ftyp", "isom".getBytes ++ be32(512) ++ "isom".getBytes)
+    // mvhd v0: version/flags, ctime, mtime, timescale, duration (24 bytes)
+    val mvhd = mp4Box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale.toLong) ++ be32(duration.toLong) ++ be32(0))
+    // tkhd v0: version/flags + 72 bytes of fixed fields, then 16.16 w/h
+    val tkhd = mp4Box("tkhd",
+      be32(0) ++ new Array[Byte](72) ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    ftyp ++ mp4Box("moov", mvhd ++ mp4Box("trak", tkhd))
+  }
+
+  test("Containers: MP4 box-tree walk yields dimensions + duration, no codec") {
+    import graft.multimodal.Containers
+    // 90210 ticks at timescale 1000 = 90210 ms
+    val r = Containers.decodeMp4(mp4Bytes(640, 360, 1000, 90210)).get
+    assert(r.getInt(0) == 640 && r.getInt(1) == 360)
+    assert(r.getInt(2) == 90210, "duration ms in the n_frames slot")
+    assert(r.getString(3) == "video/mp4")
+    // timescale division: 7 ticks at timescale 1 = 7000 ms
+    assert(Containers.decodeMp4(mp4Bytes(16, 16, 1, 7)).get.getInt(2) == 7000)
+    // dispatch: container bytes reach the MP4 parser through Binary.decode
+    assert(Binary.decode(mp4Bytes(640, 360, 1000, 1000)).getString(3) == "video/mp4")
+    // garbage never parses as MP4
+    assert(Containers.decodeMp4("XXXXftypnope".getBytes).isEmpty)
+    assert(Containers.decodeMp4(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  /** Minimal EBML/WebM: header(DocType) + Segment(Info + Tracks(Video)). */
+  private def webmBytes(w: Int, h: Int, durationTicks: Float): Array[Byte] = {
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      id ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def uint(v: Long): Array[Byte] =
+      if (v < 256) Array(v.toByte)
+      else if (v < 65536) Array((v >> 8).toByte, v.toByte)
+      else be32(v)
+    val header = el(Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte),
+      el(Array(0x42.toByte, 0x82.toByte), "webm".getBytes))
+    val info = el(Array(0x15.toByte, 0x49.toByte, 0xa9.toByte, 0x66.toByte),
+      el(Array(0x2a.toByte, 0xd7.toByte, 0xb1.toByte), uint(1000000L)) ++
+        el(Array(0x44.toByte, 0x89.toByte), be32(java.lang.Float.floatToIntBits(durationTicks).toLong & 0xffffffffL)))
+    val video = el(Array(0xe0.toByte),
+      el(Array(0xb0.toByte), uint(w.toLong)) ++ el(Array(0xba.toByte), uint(h.toLong)))
+    val tracks = el(Array(0x16.toByte, 0x54.toByte, 0xae.toByte, 0x6b.toByte),
+      el(Array(0xae.toByte), video))
+    header ++ el(Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte), info ++ tracks)
+  }
+
+  test("Containers: WebM/MKV EBML walk yields dimensions + duration") {
+    import graft.multimodal.Containers
+    val r = Containers.decodeMkv(webmBytes(1920, 1080, durationTicks = 12345f)).get
+    assert(r.getInt(0) == 1920 && r.getInt(1) == 1080)
+    // 12345 ticks * 1,000,000 ns/tick = 12345 ms
+    assert(r.getInt(2) == 12345)
+    assert(r.getString(3) == "video/webm")
+    assert(Binary.decode(webmBytes(2, 2, 1f)).getString(3) == "video/webm")
+    assert(Containers.decodeMkv("random bytes".getBytes).isEmpty)
+  }
+
+  /** Minimal MP3: ID3v2 tag + n CBR frames (MPEG1 Layer III 128kbps 44.1k). */
+  private def mp3Bytes(nFrames: Int): Array[Byte] = {
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 10) ++ new Array[Byte](10)
+    // 0xFFFB: MPEG1 Layer III no-CRC; 0x90: bitrate idx 9 (128k), sr idx 0
+    // (44100), no padding; 0x00: stereo. frameLen = 144*128000/44100 = 417.
+    val frame = Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte) ++ new Array[Byte](413)
+    id3 ++ Array.fill(nFrames)(frame).flatten
+  }
+
+  test("Containers: MP3 frame walk yields bitrate/channels/frame count") {
+    import graft.multimodal.Containers
+    val r = Containers.decodeMp3(mp3Bytes(3)).get
+    assert(r.getInt(0) == 128, "bitrate kbps in the width slot")
+    assert(r.getInt(1) == 2, "channels in the height slot")
+    assert(r.getInt(2) == 3, "frame count")
+    assert(r.getString(3) == "audio/mpeg")
+    assert(Binary.decode(mp3Bytes(2)).getString(3) == "audio/mpeg")
+    // a lone 0xFFEx pair in arbitrary data is NOT accepted (needs 2 in-sync
+    // frames or exact end-of-data)
+    val junk = Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte) ++
+      Array.fill(500)(0x55.toByte)
+    assert(Containers.decodeMp3(junk).isEmpty)
+  }
+
   test("sampleFrames + explode: per-frame rows with bounded fan-out") {
     import spark.implicits._
     val vids = Seq((1L, Array.fill[Byte](40)(7)), (2L, Array.fill[Byte](7)(1)),
