@@ -37,6 +37,21 @@ case class CountMinLongs(
   extends TypedImperativeAggregate[Array[Long]] {
 
   require(d > 0 && w > 0, "d and w must be positive")
+  // Bound the per-partial buffer: d*w longs are allocated per aggregation
+  // buffer (one per group per task), so an unbounded d*w from SQL text
+  // would be an arbitrary-allocation hole. 2^22 counters = 32 MB, far
+  // above any sensible sketch and far below harm.
+  require(d.toLong * w <= (1L << 22),
+    s"countmin d*w = ${d.toLong * w} exceeds the 2^22 counter bound")
+
+  // SQL-path misuse (non-BIGINT child) must fail at analysis, not as a
+  // mid-job ClassCastException in update().
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_countmin_longs requires a BIGINT input, got ${child.dataType.catalogString}")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

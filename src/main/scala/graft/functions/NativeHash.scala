@@ -19,11 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * one-liner and the JIT compiles the loop. EngineProps property-checks
   * native == declarative on random inputs.
   *
-  * Exactness note: the spec's per-character weights are `CAST(pow(31.0, k)
-  * AS BIGINT)` — a DOUBLE pow in both engines — so the kernels use
-  * `(long) Math.pow(31.0, k)` rather than integer pow, reproducing the spec
-  * bit-for-bit even where a double pow would round (tokens longer than 11
-  * chars).
+  * Exactness note (token hash): Horner form with a mod at EVERY step —
+  * `h = (h*31 + code) % 1000003` — so no intermediate ever exceeds
+  * 31*1000002 + 0x10FFFF (~3.2e7) regardless of token length. The earlier
+  * weighted-sum form (`code * CAST(pow(31, k) AS BIGINT)`) overflowed
+  * int64 at k=13, where DuckDB raises a conversion error but the JVM's
+  * double pow saturates — a silent cross-engine divergence for 14+-char
+  * tokens. The SQL mirror is the identical Horner fold via list_reduce.
+  * The FIXED 8-char rolling window keeps its weighted-sum form (31^7 is
+  * integer-exact in a double and the window sum is < 2.5e17 — safe).
   */
 object TextKernels {
 
@@ -31,20 +35,17 @@ object TextKernels {
 
   private def pow31(k: Int): Long = Math.pow(31.0, k.toDouble).toLong
 
-  /** Codepoint-polynomial token hash mod 1000003 (Text.tokenHashMod). */
+  /** Codepoint-polynomial token hash mod 1000003 (Text.tokenHashMod):
+    * Horner with per-step mod — overflow-free at any token length. */
   def tokenHash(s: String): Long = {
-    val n = s.codePointCount(0, s.length)
-    if (n == 0) return 0L
-    var sum = 0L
-    var i = 0
+    var h = 0L
     var idx = 0
-    while (i < n) {
+    while (idx < s.length) {
       val cp = s.codePointAt(idx)
       idx += Character.charCount(cp)
-      sum += cp * pow31(n - 1 - i)
-      i += 1
+      h = (h * 31L + cp) % HashMod
     }
-    ((sum % HashMod) + HashMod) % HashMod
+    h
   }
 
   /** UTF8String entry point for [[tokenHash]] (single-token hash). */
@@ -242,6 +243,7 @@ case class TokenHashExpr(child: Expression) extends NativeUnaryExpression {
 }
 
 case class WordNgramsExpr(child: Expression, n: Int) extends NativeUnaryExpression {
+  require(n > 0, s"graft_word_ngrams: n must be positive, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def staticCall: String =
     s"graft.functions.TextKernels.wordNgrams(%s, $n)"
@@ -252,6 +254,7 @@ case class WordNgramsExpr(child: Expression, n: Int) extends NativeUnaryExpressi
 }
 
 case class WordChunksExpr(child: Expression, n: Int) extends NativeUnaryExpression {
+  require(n > 0, s"graft_word_chunks: n must be positive, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def staticCall: String =
     s"graft.functions.TextKernels.wordChunks(%s, $n)"

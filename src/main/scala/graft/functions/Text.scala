@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * oracle — has an exact integer-arithmetic SQL mirror that DuckDB computes
   * bit-identically. Hash design notes:
   *
-  *  - token hash = polynomial sum_i code(c_i)*31^(len-i) mod 1000003.
-  *    Tokens are short words, so 31^(len-1)*code stays well under 2^63 and
-  *    pow(31, k) is integer-exact in a double up to k=10.
+  *  - token hash = polynomial code(c_1)*31^(len-1)+...+code(c_len) mod
+  *    1000003, computed in HORNER form with a mod at every step
+  *    ((h*31+code) % m), so it cannot overflow int64 at ANY token length —
+  *    the weighted-sum form overflowed at 14+ chars, where DuckDB errors
+  *    but a JVM double pow saturates (silent divergence).
   *  - 3-gram shingle hash = th1*1000003^2 + th2*1000003 + th3 — a perfect
   *    (collision-free) packing of three mod-1000003 token hashes, max
   *    ~1.00e18 < 2^63.
@@ -43,20 +45,23 @@ object Text {
   /** Whitespace tokenization (the documents table is single-space text). */
   def tokens(c: Column): Column = split(c, " ")
 
-  /** Cross-engine polynomial token hash, mod 1000003. SQL mirror:
+  /** Cross-engine polynomial token hash, mod 1000003 — Horner fold with a
+    * per-step mod (overflow-free at any token length). SQL mirror:
     * {{{
-    * COALESCE(list_sum(list_transform(generate_series(1, length(t)),
-    *   i -> ord(substr(t,i,1)) * CAST(pow(31, length(t)-i) AS BIGINT))), 0)
-    *   % 1000003
+    * list_reduce(list_prepend(CAST(0 AS BIGINT),
+    *   list_transform(generate_series(1, length(t)),
+    *     i -> CAST(ord(substr(t,i,1)) AS BIGINT))),
+    *   (a, b) -> (a * 31 + b) % 1000003)
     * }}}
+    * (the prepended 0 is the Horner seed, and makes the empty token fold
+    * to 0 instead of erroring on an empty list).
     */
   def tokenHashMod(t: Column): Column = {
     val raw = aggregate(
       sequence(lit(1), length(t)),
       lit(0L),
-      (acc, i) => acc + ascii(t.substr(i, lit(1))).cast("long") *
-        pow(lit(31.0), (length(t) - i).cast("double")).cast("long"))
-    when(length(t) > 0, raw % HashMod).otherwise(lit(0L))
+      (acc, i) => (acc * 31L + ascii(t.substr(i, lit(1))).cast("long")) % HashMod)
+    when(length(t) > 0, raw).otherwise(lit(0L))
   }
 
   /** Hashes of all 3-gram word shingles (empty below 3 tokens). The token

@@ -32,14 +32,17 @@ object TextQueries {
 
   // ---- shared SQL fragments mirroring graft.functions.Text --------------
 
-  /** Token-hash CTE: polynomial char hash mod 1000003 per token. */
+  /** Token-hash CTE: polynomial char hash mod 1000003 per token — Horner
+    * fold with per-step mod (overflow-free at any token length; the
+    * prepended 0 seeds the fold and makes empty tokens hash to 0). */
   private val thCte =
     """th_t AS (
       |  SELECT doc_id, lang, text,
       |         list_transform(string_split(text, ' '), t ->
-      |           COALESCE(CAST(list_sum(list_transform(generate_series(1, length(t)),
-      |             i -> ord(substr(t, i, 1)) * CAST(pow(31, length(t) - i) AS BIGINT))) AS BIGINT), 0)
-      |           % 1000003) AS th
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(generate_series(1, length(t)),
+      |               i -> CAST(ord(substr(t, i, 1)) AS BIGINT))),
+      |             (a, b) -> (a * 31 + b) % 1000003)) AS th
       |  FROM documents)""".stripMargin
 
   /** 3-gram shingle-hash CTE over th_t (perfect packing of 3 token hashes). */
@@ -239,9 +242,10 @@ object TextQueries {
            |           i -> CAST(list_sum(list_transform(generate_series(0, 7),
            |                  k -> ord(substr(text, i + k, 1)) * CAST(pow(31, 7 - k) AS BIGINT))) AS BIGINT)
            |                % 1000003))
-           |       ELSE COALESCE(CAST(list_sum(list_transform(generate_series(1, length(text)),
-           |              i -> ord(substr(text, i, 1)) * CAST(pow(31, length(text) - i) AS BIGINT))) AS BIGINT), 0)
-           |            % 1000003 END AS fp_min8
+           |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |              list_transform(generate_series(1, length(text)),
+           |                i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+           |              (a, b) -> (a * 31 + b) % 1000003) END AS fp_min8
            |FROM tx_t
            |ORDER BY doc_id""".stripMargin),
       (s, d) => docs(s, d)
@@ -462,9 +466,10 @@ object TextQueries {
            |           i -> CAST(list_sum(list_transform(generate_series(0, 7),
            |                  k -> ord(substr(text, i + k, 1)) * CAST(pow(31, 7 - k) AS BIGINT))) AS BIGINT)
            |                % 1000003))
-           |       ELSE COALESCE(CAST(list_sum(list_transform(generate_series(1, length(text)),
-           |              i -> ord(substr(text, i, 1)) * CAST(pow(31, length(text) - i) AS BIGINT))) AS BIGINT), 0)
-           |            % 1000003 END AS fp_min8
+           |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |              list_transform(generate_series(1, length(text)),
+           |                i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+           |              (a, b) -> (a * 31 + b) % 1000003) END AS fp_min8
            |FROM tx_t
            |ORDER BY doc_id""".stripMargin),
       (s, d) => {
@@ -742,21 +747,22 @@ object TextQueries {
         // never fires and the n-gram explode would run once PER consumer
         // — persist() materializes it once (MEMORY_AND_DISK: spills, never
         // OOMs; at corpus scale this is the standard price of reuse >= 2,
-        // same tradeoff Spark ML's LSH models make).
-        val grams = docs(s, d)
+        // same tradeoff Spark ML's LSH models make). CacheScope bounds the
+        // handles' lifetime to one live generation per rebuild — no
+        // session-lifetime leak.
+        graft.operators.CacheScope.release("q74")
+        val grams = graft.operators.CacheScope.persist("q74", docs(s, d)
           .select(col("doc_id"), explode(NativeText.wordNgrams(col("text"), 5)).as("gram"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .distinct())
         // df / per-doc rank / set size via windows: the doc-keyed windows
         // share ONE exchange (vs separate aggregate+join-back subplans).
         val wd = Window.partitionBy(col("doc_id"))
-        val prefix = grams
+        val prefix = graft.operators.CacheScope.persist("q74", grams
           .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
           .withColumn("rnk", row_number().over(wd.orderBy(col("df"), col("gram"))))
           .withColumn("n", count(lit(1)).over(wd))
           .filter(col("rnk") <= col("n") - floor((col("n") + 1) / 2) + 1)
-          .select("doc_id", "gram")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .select("doc_id", "gram"))
         val cands = prefix.as("a").join(prefix.as("b"),
             col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
@@ -868,9 +874,14 @@ object TextQueries {
           explode(NativeText.wordNgrams(col("text"), 13)).as("gram"))
         val bench = grams.filter(col("source") === "src0").select("gram").distinct()
         // Build the filter from the benchmark side: one small aggregate
-        // job whose single binary result is the broadcast payload.
+        // job whose single binary result is the broadcast payload. The
+        // filter is sized from the ACTUAL benchmark gram count (~10
+        // bits/item ≈ 1% fpp) — a hardcoded size silently degrades to
+        // no-op pruning once the eval suite outgrows it.
+        val benchGrams = math.max(bench.count(), 1L)
         val bf = bench
-          .agg(Bloom.bloomAgg(xxhash64(col("gram")), 100000L, 1000000L).as("bf"))
+          .agg(Bloom.bloomAgg(xxhash64(col("gram")), benchGrams,
+            math.max(benchGrams * 10L, 1024L)).as("bf"))
           .head().getAs[Array[Byte]](0)
         val corpusGrams = grams.filter(col("source") =!= "src0")
           .select("doc_id", "gram").distinct()
@@ -898,9 +909,10 @@ object TextQueries {
     Q("q78_cms_freq",
       Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
              |h AS (SELECT token,
-             |  COALESCE(CAST(list_sum(list_transform(generate_series(1, length(token)),
-             |    i -> ord(substr(token, i, 1)) * CAST(pow(31, length(token) - i) AS BIGINT))) AS BIGINT), 0)
-             |    % 1000003 AS th
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, length(token)),
+             |      i -> CAST(ord(substr(token, i, 1)) AS BIGINT))),
+             |    (a, b) -> (a * 31 + b) % 1000003) AS th
              |  FROM t),
              |c AS (SELECT token, th, count(*) AS n FROM h GROUP BY 1, 2),
              |cmr AS (SELECT r, ((th % 2147483647) * (2*r+3) + (101*r+7)) % 2147483647 % 256 AS b,
