@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+import graft.sources.{Sinks, Tables}
+
+/** Multi-way star-join queries over a PARTITIONED fact copy — the shape a
+  * 100 TB warehouse engine actually lives on: a date-partitioned fact table,
+  * a chain of dimension joins, and runtime partition pruning deciding how
+  * much of the fact is ever read.
+  *
+  * The fact side is a date-partitioned parquet copy of `lineitem` (partition
+  * column `ship_ym` = yyyy-MM of l_shipdate), written once per sf directory
+  * via [[Sinks.overwritePartitions]] — identical ROWS to the driver's
+  * lineitem table, so the DuckDB oracle runs against the plain table while
+  * the engine proves the partitioned path (content equality is the point).
+  *
+  * Scale design (q79): the quarter filter sits on a derived month DIMENSION,
+  * not on the fact — static partition pruning cannot see it, so the plan
+  * must carry a DynamicPartitionPruning subquery that seeds the fact scan's
+  * partition filter from the dimension at runtime (pinned in PlanAuditSpec).
+  * The selective dimension chain (nation → customer → orders) is reduced
+  * FIRST and each step stays a size-gated broadcast, so the pruned fact scan
+  * meets an already-small build side: zero wide shuffles before the final
+  * aggregate. At 100 TB the same plan degrades gracefully — the broadcasts
+  * are size-gated ([[Joins.dimBroadcast]]), flipping to shuffle joins only
+  * when a reduced dimension genuinely outgrows the threshold.
+  */
+object StarQueries {
+
+  /** Location of the date-partitioned lineitem copy for a given sf dir. */
+  def factPath(sfDir: String): String = {
+    val base = new java.io.File(sfDir).getName
+    s"/tmp/graft_derived/$base/lineitem_by_ym"
+  }
+
+  private val writeLock = new Object
+
+  /** Write the partitioned copy once per sf dir. Completion is marked by an
+    * explicit sentinel file — dynamic partition overwrite commits by moving
+    * partition directories and leaves NO _SUCCESS at the root, so checking
+    * for that would silently rewrite the whole copy on every call (measured
+    * 2.5 s/call at sf0.1 before this marker existed).
+    */
+  def ensurePartitionedFact(s: SparkSession, sfDir: String): String = {
+    val path = factPath(sfDir)
+    val marker = new java.io.File(path, ".graft_complete")
+    writeLock.synchronized {
+      if (!marker.exists()) {
+        val li = Tables.lineitem(s, sfDir)
+          .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
+        Sinks.overwritePartitions(li, path, Seq("ship_ym"))
+        marker.createNewFile()
+      }
+    }
+    path
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    graft.functions.Exact.cents(c)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q79: 4-way star join with dynamic partition pruning. Filters:
+    // a selective nation (1 of 25) and a quarter picked on a derived month
+    // dimension (3 of ~84 fact partitions). Revenue in exact e4 units.
+    Q("q79_star_dpp",
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ym
+             |  FROM orders
+             |  WHERE strftime(o_orderdate, '%Y') || '-Q' ||
+             |        CAST((CAST(strftime(o_orderdate, '%m') AS INT) - 1) // 3 + 1 AS VARCHAR)
+             |        = '1996-Q2')
+             |SELECT n.n_name, strftime(l.l_shipdate, '%Y-%m') AS ship_ym,
+             |       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+             |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             |         AS revenue_e4,
+             |       COUNT(*) AS n
+             |FROM lineitem l
+             |JOIN dim ON strftime(l.l_shipdate, '%Y-%m') = dim.ym
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE n.n_name = 'NATION_7'
+             |GROUP BY 1, 2
+             |ORDER BY ship_ym""".stripMargin),
+      (s, d) => {
+        val fact = s.read.parquet(ensurePartitionedFact(s, d))
+        // Month dimension DERIVED FROM A SCAN (a LocalRelation dim would be
+        // constant-folded and DPP would never see a selective predicate).
+        val dim = Tables.orders(s, d)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .distinct()
+          .withColumn("quarter", concat(
+            substring(col("ym"), 1, 4), lit("-Q"),
+            (floor((substring(col("ym"), 6, 2).cast("int") - 1) / 3) + 1).cast("string")))
+          .filter(col("quarter") === "1996-Q2")
+          .select("ym")
+        // Selective dimension chain reduced first, size-gated broadcasts.
+        val nat = Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_7")
+          .select("n_nationkey", "n_name")
+        val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .join(Joins.dimBroadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "n_name")
+        val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Joins.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "n_name")
+        fact
+          .join(Joins.dimBroadcast(dim), col("ship_ym") === col("ym"))
+          .join(Joins.dimBroadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), col("ship_ym"))
+          .agg(
+            sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+              .as("revenue_e4"),
+            count(lit(1)).as("n"))
+          .orderBy("ship_ym")
+      })
+  )
+}

@@ -142,4 +142,20 @@ class PlanAuditSpec extends SparkTestBase {
       "no map-side partial CMS aggregation before the shuffle")
     assert(p.contains("ObjectHashAggregate"))
   }
+
+  test("q79: star join prunes fact partitions DYNAMICALLY and broadcasts dims") {
+    val p = plan("q79_star_dpp")
+    // The quarter filter lives on the derived month dimension — only a
+    // DynamicPartitionPruning subquery can translate it into a partition
+    // filter on the fact scan. Its absence means the full fact is read.
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no dynamic partition pruning on the partitioned fact scan:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    // The reduced dimension chain must stay broadcast (nation→customer→
+    // orders, plus the month dim): no shuffle join anywhere in the star.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "dimension chain fell out of broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "star join degenerated to a wide shuffle join at dimension scale")
+  }
 }
