@@ -61,6 +61,33 @@ object StarQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     graft.functions.Exact.cents(c)
 
+  /** Create the bucketed orders/lineitem tables (8 buckets on the join key,
+    * sorted) once per session+sf; table files live under /tmp (external
+    * path), metadata in the session catalog. The one-time write is the
+    * price of REMOVING the per-join shuffle of both fact tables forever
+    * after — the recurring fact-fact join pattern bucketing exists for.
+    */
+  def ensureBucketedTables(s: SparkSession, sfDir: String): (String, String) = {
+    val base = new java.io.File(sfDir).getName
+    val tag = base.replace('.', '_').replace('-', '_')
+    val (to, tl) = (s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag")
+    writeLock.synchronized {
+      if (!s.catalog.tableExists(to)) {
+        Tables.orders(s, sfDir).select("o_orderkey", "o_orderstatus")
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"/tmp/graft_derived/$base/orders_bkt")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+      }
+      if (!s.catalog.tableExists(tl)) {
+        Tables.lineitem(s, sfDir).select("l_orderkey", "l_extendedprice")
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"/tmp/graft_derived/$base/lineitem_bkt")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+      }
+    }
+    (to, tl)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- q79: 4-way star join with dynamic partition pruning. Filters:
@@ -117,6 +144,32 @@ object StarQueries {
               .as("revenue_e4"),
             count(lit(1)).as("n"))
           .orderBy("ship_ym")
+      }),
+
+    // ---- q81: co-located fact-fact join over BUCKETED tables — both
+    // sides pre-bucketed (8 buckets) and sorted on the join key, so the
+    // sort-merge join consumes the bucketed layout directly and the
+    // dominant exchange of a 100 TB recurring join disappears (pinned in
+    // PlanAuditSpec: SortMergeJoin, no shuffle below it). The merge hint
+    // documents intent: at fact scale this join is never a broadcast.
+    // Oracle: the same join over the plain (unbucketed) tables — layout
+    // must not change results.
+    Q("q81_bucketed_join",
+      Some("""SELECT o.o_orderstatus AS status,
+             |       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_base_c,
+             |       COUNT(*) AS n
+             |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |GROUP BY 1
+             |ORDER BY status""".stripMargin),
+      (s, d) => {
+        val (to, tl) = ensureBucketedTables(s, d)
+        s.table(to)
+          .join(s.table(tl).hint("merge"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+            count(lit(1)).as("n"))
+          .orderBy("status")
       })
   )
 }

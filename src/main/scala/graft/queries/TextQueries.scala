@@ -941,6 +941,50 @@ object TextQueries {
             CountMin.estimate(col("sk"), col("th"), dRows, wCols).as("cms_n"))
           .withColumn("overcount", col("cms_n") - col("exact_n"))
           .orderBy(col("exact_n").desc, col("token"))
+      }),
+
+    // ---- q80: edit-distance fuzzy self-join via the DELETION NEIGHBORHOOD
+    // (FastSS/SymSpell family): two strings with levenshtein <= 1 MUST
+    // share an entry between their {self + all single-deletion variants}
+    // sets — a substitution at i shares the delete-at-i variant, an
+    // insert/delete pair shares the shorter string itself. So candidates
+    // come from an EQUI-JOIN on variant strings (full recall by
+    // construction, like q74's prefix filter), and the exact levenshtein
+    // runs on candidates only — never on the n^2 cross product the oracle
+    // computes. Fan-in per variant bucket is the true typo-neighborhood
+    // density, i.e. the signal itself. The classic vocabulary-cleanup /
+    // entity-dedup operator at corpus scale.
+    Q("q80_fuzzy_join_ed1",
+      Some("""WITH n AS (SELECT DISTINCT c_name FROM customer)
+             |SELECT a.c_name AS name_a, b.c_name AS name_b,
+             |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+             |FROM n a JOIN n b
+             |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY name_a, name_b""".stripMargin),
+      (s, d) => {
+        graft.operators.CacheScope.release("q80")
+        val names = Tables.customer(s, d).select(col("c_name").as("name")).distinct()
+        // self + every single-deletion variant, deduped per name. Cached:
+        // the self-join consumes it twice and Catalyst would otherwise
+        // recompute the explode per side (see q74's ReuseExchange note).
+        val variants = graft.operators.CacheScope.persist("q80",
+          names.select(col("name"), explode(array_distinct(concat(
+            array(col("name")),
+            transform(sequence(lit(1), length(col("name"))), i =>
+              concat(col("name").substr(lit(1), i - 1),
+                col("name").substr(i + 1, length(col("name")))))))).as("v")))
+        val cands = variants.as("a")
+          .join(variants.as("b"),
+            col("a.v") === col("b.v") && col("a.name") < col("b.name"))
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+          .distinct()
+        // Cached so the final orderBy's range-partitioner SAMPLES the
+        // materialized pairs instead of executing the join+distinct
+        // subplan a second time (global sort = sample pass + real pass).
+        val pairs = graft.operators.CacheScope.persist("q80", cands
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 1))
+        pairs.orderBy("name_a", "name_b")
       })
   )
 }

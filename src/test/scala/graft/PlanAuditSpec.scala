@@ -158,4 +158,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "star join degenerated to a wide shuffle join at dimension scale")
   }
+
+  test("q80: fuzzy-join candidates come from an equi-join, never all-pairs") {
+    val p = plan("q80_fuzzy_join_ed1")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "edit-distance join degenerated to the n^2 cross product")
+    assert(p.contains("Join"), "no candidate join found in the plan")
+  }
+
+  test("q81: bucketed fact-fact join has NO shuffle below the merge join") {
+    val p = plan("q81_bucketed_join")
+    val ops = opTree(p)
+    assert(ops.exists(_.startsWith("SortMergeJoin")),
+      s"bucketed join did not plan as sort-merge: $ops")
+    val joinIdx = ops.indexWhere(_.startsWith("SortMergeJoin"))
+    // formatted plans list children BEFORE their parent: every op after the
+    // join node is above it (agg/sort), so any Exchange at or before the
+    // join index means the bucketed layout was reshuffled.
+    assert(!ops.take(joinIdx).exists(_.startsWith("Exchange")),
+      s"bucketed join reshuffled its inputs: $ops")
+  }
 }
