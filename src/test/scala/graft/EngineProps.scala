@@ -207,4 +207,46 @@ object EngineProps extends Properties("graft") {
         r.getSeq[Long](0) == r.getSeq[Long](1) && r.getLong(2) == r.getLong(3)
       }
     }
+
+  // ---- container-parser fuzz: a 100 TB corpus WILL contain corrupt media
+  // bytes; the metadata parsers must classify or decline, never throw.
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+  private val magicPrefixed: Gen[Array[Byte]] = for {
+    tail <- rawBytes
+    magic <- Gen.oneOf(
+      Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p'),                  // ISO BMFF
+      Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte),                   // EBML
+      Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte),                   // MP3 frame
+      "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 50))           // ID3v2
+  } yield magic ++ tail
+
+  property("container parsers never throw on arbitrary or truncated bytes") =
+    forAll(Gen.oneOf(rawBytes, magicPrefixed)) { b =>
+      graft.multimodal.Containers.decode(b) // Option result or nothing at all
+      graft.multimodal.Binary.decode(b)     // full dispatch incl. stub
+      true
+    }
+
+  property("valid-container prefixes never crash the parsers when truncated") =
+    forAll(Gen.choose(0, 400)) { n =>
+      // structurally valid MP4 truncated at every possible length
+      val full = mp4Fixture(640, 360, 1000, 5000)
+      graft.multimodal.Containers.decode(full.take(n min full.length))
+      true
+    }
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def mp4Fixture(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isom".getBytes)
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale.toLong) ++ be32(duration.toLong) ++ be32(0))
+    val tkhd = box("tkhd",
+      be32(0) ++ new Array[Byte](72) ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
 }

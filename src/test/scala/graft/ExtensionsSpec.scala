@@ -79,4 +79,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(err.getMessage.toLowerCase.contains("graft_simhash20"))
     assert(GraftExtensions.registrations.map(_._1.funcName).toSet.size == 10)
   }
+
+  test("SQL-surface misuse fails at analysis, not mid-job") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    // n <= 0 for the n-gram kernels: rejected at expression construction
+    intercept[Exception](s.sql("SELECT graft_word_ngrams('a b c', 0)").collect())
+    intercept[Exception](s.sql("SELECT graft_word_chunks('a b c', -3)").collect())
+    // non-BIGINT CMS input: rejected by checkInputDataTypes at analysis
+    intercept[Exception](
+      s.sql("SELECT graft_countmin_longs(x, 4, 256) FROM (SELECT 'str' AS x)").collect())
+    // unbounded d*w: rejected before any buffer allocation
+    intercept[Exception](
+      s.sql("SELECT graft_countmin_longs(x, 100000, 100000) FROM (SELECT 1L AS x)").collect())
+    // the happy path still works in the same session
+    val ok = s.sql("SELECT graft_word_ngrams('a b c', 2)").collect()
+    assert(ok.head.getSeq[String](0) == Seq("a b", "b c"))
+  }
 }
