@@ -22,6 +22,8 @@ import graft.functions._
   *
   *  - `graft_shingle_hashes(text)` → array<bigint> 3-gram shingle hashes
   *  - `graft_simhash20(array<bigint>)` → bigint 20-bit SimHash
+  *  - `graft_minhash8(array<bigint>)` → array<bigint> 8 MinHash minima
+  *    in one pass (empty array in → empty array out)
   *  - `graft_rolling_minhash8(text)` → bigint winnowing-style min hash
   *  - `graft_dot_long(array<bigint>, array<bigint>)` → bigint exact dot
   *  - `graft_micro_quantize(array<float>)` → array<bigint> micro units
@@ -58,6 +60,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash20"),
       new ExpressionInfo(classOf[SimHash20Expr].getName, "graft_simhash20"),
       args => SimHash20Expr(one(args, "graft_simhash20"))),
+    (FunctionIdentifier("graft_minhash8"),
+      new ExpressionInfo(classOf[MinHash8Expr].getName, "graft_minhash8"),
+      args => MinHash8Expr(one(args, "graft_minhash8"))),
     (FunctionIdentifier("graft_rolling_minhash8"),
       new ExpressionInfo(classOf[RollingMinHash8Expr].getName, "graft_rolling_minhash8"),
       args => RollingMinHash8Expr(one(args, "graft_rolling_minhash8"))),

@@ -113,6 +113,32 @@ object TextKernels {
   }
 
   /** 20-bit SimHash over a hash array (Text.simhash20). */
+  /** All 8 MinHash minima in one pass over a shingle-hash array — value-
+    * identical to Text.minhash(sh, k) for k = 0..7 (same universal hash
+    * family ((x%P)*(2k+3) + 101k+7) % P), but one array walk instead of 8
+    * interpreted HOF walks. EMPTY array for empty input (total function —
+    * codegen cannot express a value-level null; callers that need
+    * array_min's null-on-empty should filter `size(sh) > 0` first).
+    */
+  def minhash8(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val P = 2147483647L
+    val out = Array.fill(8)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val m = arr.getLong(i) % P
+      var k = 0
+      while (k < 8) {
+        val v = (m * (2 * k + 3) + (101 * k + 7)) % P
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def simhash20(arr: ArrayData): Long = {
     val n = arr.numElements()
     var res = 0L
@@ -209,6 +235,16 @@ case class ShingleHashesExpr(child: Expression) extends NativeUnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     TextKernels.shingleHashes(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class MinHash8Expr(child: Expression) extends NativeUnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def staticCall: String =
+    "graft.functions.TextKernels.minhash8(%s)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhash8(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): MinHash8Expr =
     copy(child = newChild)
 }
 
@@ -330,6 +366,10 @@ object NativeText {
   def shingleHashesOfText(c: Column): Column = wrap(ShingleHashesExpr(expr(c)))
 
   def simhash20(arr: Column): Column = wrap(SimHash20Expr(expr(arr)))
+
+  /** All 8 MinHash minima of a shingle-hash array in ONE pass — replaces
+    * 8 interpreted Text.minhash walks in the q33/q34 hot path. */
+  def minhash8(arr: Column): Column = wrap(MinHash8Expr(expr(arr)))
 
   /** Native Text.wordNgrams(Text.tokens(c), n) over a text column. */
   def wordNgrams(c: Column, n: Int): Column = wrap(WordNgramsExpr(expr(c), n))

@@ -265,12 +265,18 @@ object TextQueries {
            |FROM sh_t
            |ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        // materialize the shingle array once; the 8 minhash projections
-        // reference the column (CollapseProject keeps non-cheap expressions
-        // from being duplicated across references)
-        val base = docs(s, d).select(col("doc_id"), NativeText.shingleHashesOfText(col("text")).as("sh"))
-        base
-          .select(col("doc_id") +: (0 until 8).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
+        // materialize the shingle array once; the native one-pass kernel
+        // (round 4) computes all 8 minima in a single array walk where the
+        // declarative form paid 8 interpreted HOF walks. The size guard
+        // reproduces array_min's null-on-empty, which the total-function
+        // kernel (empty array) cannot express in codegen.
+        val base = docs(s, d).select(col("doc_id"),
+          NativeText.shingleHashesOfText(col("text")).as("sh"))
+        val withMh = base.select(col("doc_id"), col("sh"),
+          NativeText.minhash8(col("sh")).as("mh8"))
+        withMh
+          .select(col("doc_id") +: (0 until 8).map(k =>
+            when(size(col("sh")) > 0, element_at(col("mh8"), k + 1)).as(s"mh$k")): _*)
           .orderBy("doc_id")
       }),
 
@@ -304,12 +310,14 @@ object TextQueries {
       (s, d) => {
         val base = docs(s, d)
           .select(col("doc_id"), NativeText.shingleHashesOfText(col("text")).as("sh"))
-        val sig = base.select(
-          col("doc_id") +: col("sh") +:
-            (0 until 8).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
+        // one-pass native signature; the size guard keeps the declared
+        // null-on-empty banding semantics (see q33)
+        val sig = base.select(col("doc_id"), col("sh"),
+          NativeText.minhash8(col("sh")).as("mh8"))
+        def mhk(k: Int) = when(size(col("sh")) > 0, element_at(col("mh8"), k + 1))
         val bands = sig.select(col("doc_id"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band"),
-            concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))): _*)).as("bk"))
+            concat_ws(":", mhk(2 * b), mhk(2 * b + 1)).as("bkey"))): _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
         val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

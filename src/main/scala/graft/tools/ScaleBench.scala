@@ -1,0 +1,159 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NativeText, Text}
+
+/** Scale stress for the dedup family: a SYNTHESIZED corpus orders of
+  * magnitude past sf0.1 (default 2M docs ≈ 30× the sf0.1 documents table by
+  * rows × tokens), with duplicates injected BY CONSTRUCTION so recall is
+  * checkable without an oracle:
+  *
+  *  - ids ≡ 5 (mod 10) repeat the text of id-1 → N/10 exact-dup pairs;
+  *  - ids ≡ 9 (mod 10) copy id-1 and flip the LAST token → N/10 near-dup
+  *    pairs at Jaccard ≈ (k-2)/(k+2) for k-token docs (≈ 0.87 at k=28).
+  *
+  * Corpus text is generated distributively (spark.range → hash-derived
+  * tokens; no driver-side data), so N scales to whatever the box holds.
+  * Three pipelines run over it, each the declared-query shape:
+  *
+  *  1. exact dedup  — md5 groupBy (q28 shape);
+  *  2. MinHash LSH  — 8 minhashes, 4 bands, band equi-join + exact
+  *     shingle-Jaccard ≥ 0.5 verify (q34 shape);
+  *  3. SimHash      — 20-bit fingerprint, 4×5-bit band equi-join,
+  *     Hamming ≤ 3 verify (q35 shape).
+  *
+  * Each reports wall seconds, docs/sec, and found-vs-expected pair counts
+  * (exact must be EQUAL; LSH/SimHash are probabilistic recalls, reported
+  * as fractions). One JSON line at the end for the record.
+  *
+  * Run: SPARK_GRAFT_SCALE_N=2000000 sbt "runMain graft.tools.ScaleBench"
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- corpus synthesis: 28 body tokens drawn uniformly from a 50k
+    // vocab by hashing (doc, position), one trailing token that the
+    // near-dup variant flips.
+    val k = 28
+    val vocab = 50000L
+    def bodyFor(idCol: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(sequence(lit(1), lit(k)), i =>
+        concat(lit("t"), pmod(xxhash64(idCol * 37L + i.cast("long")), lit(vocab)))))
+    val base = spark.range(n).toDF("doc_id")
+      .withColumn("eff", when(pmod(col("doc_id"), lit(10)) === 5, col("doc_id") - 1)
+        .when(pmod(col("doc_id"), lit(10)) === 9, col("doc_id") - 1)
+        .otherwise(col("doc_id")))
+      .withColumn("tail", when(pmod(col("doc_id"), lit(10)) === 9,
+        concat(lit("z"), col("doc_id"))).otherwise(concat(lit("t"), pmod(xxhash64(col("eff") * 991L), lit(vocab)))))
+      .select(col("doc_id"), concat_ws(" ", bodyFor(col("eff")), col("tail")).as("text"))
+    val docs = base.repartition(cpus.toInt * 2).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = docs.count() // materialize: generation cost excluded from op timings
+
+    val expectExact = n / 10
+    val expectNear = n / 10
+
+    def timed[A](label: String)(body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label: $s%.1fs")
+      (r, s)
+    }
+
+    // ---- 1. exact dedup (q28 shape): one shuffle on content hash.
+    val (exactPairs, tExact) = timed("exact dedup") {
+      docs.groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("copies"))
+        .where(col("copies") > 1)
+        .agg(sum(col("copies") - 1)).head.getLong(0)
+    }
+
+    // ---- 2. MinHash LSH (q34 shape): 8 hashes, 4 bands of 2 → band
+    // equi-join on (band, h1, h2); verify exact Jaccard >= 0.5 on shingle
+    // hash sets, candidates only.
+    val (lshFound, tLsh) = timed("minhash lsh + verify") {
+      // Shingle sets are persisted and joined back AFTER candidate
+      // generation (q74's shape): the band exchange and the pair-distinct
+      // must carry bare (doc_id, band, h1, h2) rows, NOT the ~230-byte
+      // shingle arrays — carrying arrays through those shuffles measured
+      // 3x slower at 2M docs.
+      val sets = docs.select(col("doc_id"),
+        NativeText.shingleHashesOfText(col("text")).as("sh"))
+        .where(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = sets.select(col("doc_id"),
+        NativeText.minhash8(col("sh")).as("mh"))
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), lit(3)), b => struct(b.as("band"),
+            element_at(col("mh"), b * 2 + 1).as("h1"),
+            element_at(col("mh"), b * 2 + 2).as("h2")))).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.h1").as("h1"), col("bk.h2").as("h2"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
+            col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val found = cands
+        .join(sets.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
+        .select(size(array_intersect(col("s1"), col("s2"))).as("inter"),
+          size(col("s1")).as("n1"), size(col("s2")).as("n2"))
+        .where(col("inter") * 3 >= col("n1") + col("n2")) // jac >= 0.5
+        .count()
+      sets.unpersist(blocking = false)
+      found
+    }
+
+    // ---- 3. SimHash (q35 shape): 20-bit fingerprint, 4 bands of 5 bits,
+    // band equi-join, Hamming <= 3 verify. Run on a <=100k-doc slice: a
+    // 20-bit fingerprint space saturates beyond ~10^5 docs (measured:
+    // 6.4M Hamming-<=3 pairs at 100k docs, overwhelmingly birthday
+    // collisions, not near-dups) — corpus-scale SimHash needs fingerprint
+    // width grown with corpus size, exactly like q39's hyperplane count.
+    // The saturated number is REPORTED, not hidden: it is the measured
+    // argument for that design rule.
+    val simSlice = math.max(n / 100000L, 1L)
+    val (shFound, tSim) = timed("simhash + verify (<=100k slice)") {
+      val fp = docs.where(pmod(col("doc_id"), lit(simSlice)) === 0)
+        .select(col("doc_id"),
+          NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("fp"))
+      val bands = fp.select(col("doc_id"), col("fp"), explode(
+        transform(sequence(lit(0), lit(3)), b => struct(b.as("band"),
+          floor(col("fp") / pow(lit(2.0), (b * 5).cast("double"))).cast("long")
+            .bitwiseAND(lit(31L)).as("bits")))).as("bk"))
+        .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.fp").as("f1"), col("b.fp").as("f2")).distinct()
+        .where(bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3)
+        .count()
+    }
+
+    def rate(t: Double): Long = (nd.toDouble / t).toLong
+    val json =
+      s"""{"n_docs":$nd,"exact":{"sec":$tExact,"pairs":$exactPairs,"expected":$expectExact},""" +
+      s""""lsh":{"sec":$tLsh,"verified_pairs":$lshFound,"expected_min":$expectNear},""" +
+      s""""simhash":{"sec":$tSim,"verified_pairs":$shFound,"slice_docs":${nd / simSlice}},""" +
+      s""""docs_per_sec":{"exact":${rate(tExact)},"lsh":${rate(tLsh)},"simhash":${rate(tSim)}}}"""
+    spark.stop()
+    println(json)
+  }
+}

@@ -208,6 +208,17 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("native one-pass minhash8 matches the 8 declarative minhash walks") =
+    forAll(Gen.listOfN(6, Gen.alphaLowerStr.map(_.take(40)))) { texts =>
+      val df = texts.toDF("text")
+        .select(NativeText.shingleHashesOfText(col("text")).as("sh"))
+        .where(size(col("sh")) > 0)
+      val cmp = df.select(
+        NativeText.minhash8(col("sh")).as("native"),
+        array((0 until 8).map(k => Text.minhash(col("sh"), k)): _*).as("decl"))
+      cmp.collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+
   // ---- container-parser fuzz: a 100 TB corpus WILL contain corrupt media
   // bytes; the metadata parsers must classify or decline, never throw.
   private val rawBytes: Gen[Array[Byte]] =
