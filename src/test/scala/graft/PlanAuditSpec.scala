@@ -166,6 +166,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Join"), "no candidate join found in the plan")
   }
 
+  test("inventory sweep: every declared plan builds; none contains an all-pairs join") {
+    // Allowed appearances, each bounded-by-construction on one side:
+    //  - q67/q78: 1-row scalar broadcasts (corpus count N; the sketch row);
+    //  - q36: the DECLARED exact-kNN baseline — bounded query set
+    //    broadcast against a linear corpus scan (its ANN replacements are
+    //    q38/q44/q65);
+    //  - q44/q65: the query-to-centroid assignment — bounded query set ×
+    //    64-row centroid table; corpus-side candidate generation stays an
+    //    equi-join on cell ids.
+    // None is the corpus² all-pairs shape this sweep exists to catch.
+    val scalarCross = Set("q67_tfidf", "q78_cms_freq",
+      "q36_embed_knn_brute", "q44_embed_ivf_ann", "q65_embed_ivf_nprobe2")
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name) // throws -> test fails: the plan must at least build
+      if (!scalarCross(name) &&
+          (p.contains("CartesianProduct") || p.contains("NestedLoop")))
+        Some(name)
+      else None
+    }
+    assert(bad.isEmpty, s"all-pairs joins appeared in: $bad")
+  }
+
   test("q81: bucketed fact-fact join has NO shuffle below the merge join") {
     val p = plan("q81_bucketed_join")
     val ops = opTree(p)
