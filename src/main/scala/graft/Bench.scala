@@ -33,6 +33,22 @@ import java.nio.file.{Files, Paths}
   * a burst now inflates at most one pass per query and the per-query median
   * discards it. getSystemLoadAverage is recorded per (query, pass) so a
   * contaminated window is diagnosable from the artifact alone.
+  *
+  * Round-5 lesson: loadavg alone cannot ATTRIBUTE contamination — the r4
+  * driver run had passes running 30-100x slow at recorded load 1.0
+  * (cfs-throttled tasks leave the runqueue, so loadavg misses them). Each
+  * (query, pass) now also records:
+  *  - "cpu": process CPU seconds consumed during the pass
+  *    (com.sun.management.OperatingSystemMXBean.getProcessCpuTime delta).
+  *    cpu << sec on a slow pass certifies "this JVM never got the CPU";
+  *    a slow pass with proportionally large cpu says the code really ran.
+  *  - "thrN"/"thrUs": cgroup CPU-throttle deltas (nr_throttled and
+  *    throttled usec) read from /sys/fs/cgroup/cpu.stat (v2) or
+  *    /sys/fs/cgroup/cpu/cpu.stat (v1, throttled_time ns -> us). thrUs > 0
+  *    during a slow pass is a direct cfs-throttling certificate.
+  * bench_out.json also reports per-query "min" alongside the median: min is
+  * the best evidence of what the code CAN do; median stays the robust
+  * headline estimate.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -62,14 +78,48 @@ object Bench {
 
     val osBean = ManagementFactory.getOperatingSystemMXBean
     def loadAvg: Double = osBean.getSystemLoadAverage
+    // Process CPU time (ns since JVM start); -1 if the platform bean is not
+    // a com.sun.management one (never the case on this JDK, but stay safe).
+    def procCpuNs: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _                                           => -1L
+    }
+    // Cgroup CPU-throttle counters: (nr_throttled, throttled_usec).
+    // v2 keeps them in <root>/cpu.stat as throttled_usec; v1 in
+    // cpu/cpu.stat as throttled_time (nanoseconds). Missing file or key
+    // (e.g. no CPU controller) reads as (0, 0) — deltas then stay 0, which
+    // honestly reports "no throttle evidence available".
+    val throttleStatPath: Option[java.nio.file.Path] =
+      Seq("/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/cpu/cpu.stat")
+        .map(Paths.get(_)).find(Files.isReadable)
+    def throttleCounters: (Long, Long) = throttleStatPath.map { p =>
+      try {
+        val kv = Files.readAllLines(p).toArray.map(_.toString.split("\\s+"))
+          .collect { case Array(k, v) => k -> v.toLong }.toMap
+        val usec = kv.get("throttled_usec")
+          .orElse(kv.get("throttled_time").map(_ / 1000L)).getOrElse(0L)
+        (kv.getOrElse("nr_throttled", 0L), usec)
+      } catch { case _: Throwable => (0L, 0L) }
+    }.getOrElse((0L, 0L))
 
-    def runOnce(name: String): Either[String, Double] = {
+    /** One timed execution: wall seconds + process-CPU seconds + cgroup
+      * throttle deltas over the pass window.
+      */
+    case class Sample(sec: Double, cpuSec: Double, thrN: Long, thrUs: Long)
+    def runOnce(name: String): Either[String, Sample] = {
       spark.catalog.clearCache()
+      val (thrN0, thrUs0) = throttleCounters
+      val cpu0 = procCpuNs
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cpu1 = procCpuNs
+        val (thrN1, thrUs1) = throttleCounters
+        Right(Sample(sec,
+          if (cpu0 < 0 || cpu1 < 0) -1.0 else (cpu1 - cpu0) / 1e9,
+          thrN1 - thrN0, thrUs1 - thrUs0))
       } catch { case e: Throwable => Left(s"$name: ${e.getMessage}") }
     }
 
@@ -82,28 +132,36 @@ object Bench {
 
     var errors = List.empty[String]
     names.foreach { n => // warmup pass (untimed)
-      System.err.println(s"[bench] warmup $n: ${runOnce(n).fold(identity, t => f"$t%.1fs")}")
+      System.err.println(s"[bench] warmup $n: ${runOnce(n).fold(identity, s => f"${s.sec}%.1fs")}")
     }
 
-    // 3 timed passes, round-robin across queries. passes(p) = query -> (sec, load).
+    // 3 timed passes, round-robin across queries. passes(p) = query -> (Sample, load).
     val timedPasses = 3
     val passes = (1 to timedPasses).map { p =>
       names.flatMap { name =>
         val load = loadAvg
         runOnce(name) match {
-          case Right(t) =>
-            System.err.println(f"[bench] pass $p $name: $t%.2fs (load $load%.1f)")
-            Some(name -> (t, load))
+          case Right(s) =>
+            System.err.println(
+              f"[bench] pass $p $name: ${s.sec}%.2fs (load $load%.1f cpu ${s.cpuSec}%.1fs thrUs ${s.thrUs})")
+            Some(name -> (s, load))
           case Left(e) =>
             errors ::= e; None
         }
       }.toMap
     }
 
+    val perQuerySecs = names.map { name =>
+      name -> passes.flatMap(_.get(name)).map(_._1.sec).sorted
+    }.toMap
     val medians = names.map { name =>
-      val runs = passes.flatMap(_.get(name)).map(_._1).sorted
+      val runs = perQuerySecs(name)
       name -> (if (runs.isEmpty) -1.0 else runs(runs.size / 2))
     }
+    val mins = names.map { name =>
+      val runs = perQuerySecs(name)
+      name -> (if (runs.isEmpty) -1.0 else runs.head)
+    }.toMap
 
     def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = medians.map(_._2).filter(_ >= 0).sum
@@ -111,16 +169,21 @@ object Bench {
       "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"").takeWhile(_ >= ' ').take(160) + "\"")
       .mkString("[", ",", "]")
 
-    // Full artifact: medians + every pass time + the load sampled at each pass.
+    // Full artifact: per-query median + min, every pass's wall/cpu/load/
+    // throttle sample. A slow pass with cpu << sec or thrUs > 0 is
+    // CPU-starvation, attributable from this artifact alone.
     val qJson = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val minJson = names.map(n => "\"" + n + "\":" + fmt(mins(n))).mkString("{", ",", "}")
     val passJson = passes.zipWithIndex.map { case (m, i) =>
-      val entries = names.flatMap(n => m.get(n).map { case (t, l) =>
-        "\"" + n + "\":{\"sec\":" + fmt(t) + ",\"load\":" + fmt(l) + "}"
+      val entries = names.flatMap(n => m.get(n).map { case (s, l) =>
+        "\"" + n + "\":{\"sec\":" + fmt(s.sec) + ",\"load\":" + fmt(l) +
+          ",\"cpu\":" + fmt(s.cpuSec) + ",\"thrN\":" + s.thrN + ",\"thrUs\":" + s.thrUs + "}"
       }).mkString("{", ",", "}")
       s"""{"pass":${i + 1},"entries":$entries}"""
     }.mkString("[", ",", "]")
+    val totalMin = mins.values.filter(_ >= 0).sum
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qJson,"mins":$minJson,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), fullJson + "\n")
     catch { case _: Throwable => () }
@@ -128,7 +191,7 @@ object Bench {
     // Compact final line — MUST stay well under 2,000 chars so it survives
     // the driver's tail capture; per-query detail lives in bench_out.json.
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${names.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"nqueries":${names.size},"errors":$errJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE the final print so executor/session teardown logging
     // can't land after the metric line: the driver parses the LAST line of
     // output as JSON (build.sbt silences sbt's own epilogue via
