@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native (JIT-compiled) kernels for the hot text-fingerprint expressions.
@@ -112,7 +113,6 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
-  /** 20-bit SimHash over a hash array (Text.simhash20). */
   /** All 8 MinHash minima in one pass over a shingle-hash array — value-
     * identical to Text.minhash(sh, k) for k = 0..7 (same universal hash
     * family ((x%P)*(2k+3) + 101k+7) % P), but one array walk instead of 8
@@ -224,11 +224,26 @@ abstract class NativeUnaryExpression extends UnaryExpression {
   /** Fully-qualified static call template, e.g. "graft...kernel(%s)". */
   protected def staticCall: String
 
+  /** Analysis-time input contract. SQL-path misuse (e.g.
+    * graft_minhash8('x')) must fail in the analyzer with a readable
+    * message, not mid-job as a codegen ClassCastException — the same
+    * failure mode fixed for graft_countmin_longs in round 4.
+    * (ExpectsInputTypes and DataType.sameType are private[sql]; catalogString
+    * comparison is the public nullability-insensitive equivalent.)
+    */
+  protected def expectedInputType: DataType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.catalogString == expectedInputType.catalogString)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ${expectedInputType.catalogString}, got ${child.dataType.catalogString}")
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => staticCall.format(c))
 }
 
 case class ShingleHashesExpr(child: Expression) extends NativeUnaryExpression {
+  override protected def expectedInputType: DataType = StringType
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def staticCall: String =
     "graft.functions.TextKernels.shingleHashes(%s)"
@@ -239,6 +254,7 @@ case class ShingleHashesExpr(child: Expression) extends NativeUnaryExpression {
 }
 
 case class MinHash8Expr(child: Expression) extends NativeUnaryExpression {
+  override protected def expectedInputType: DataType = ArrayType(LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def staticCall: String =
     "graft.functions.TextKernels.minhash8(%s)"
@@ -249,6 +265,7 @@ case class MinHash8Expr(child: Expression) extends NativeUnaryExpression {
 }
 
 case class SimHash20Expr(child: Expression) extends NativeUnaryExpression {
+  override protected def expectedInputType: DataType = ArrayType(LongType)
   override def dataType: DataType = LongType
   override protected def staticCall: String =
     "graft.functions.TextKernels.simhash20(%s)"
@@ -269,6 +286,7 @@ case class RollingMinHash8Expr(child: Expression) extends NativeUnaryExpression 
 }
 
 case class TokenHashExpr(child: Expression) extends NativeUnaryExpression {
+  override protected def expectedInputType: DataType = StringType
   override def dataType: DataType = LongType
   override protected def staticCall: String =
     "graft.functions.TextKernels.tokenHashU(%s)"
@@ -280,6 +298,7 @@ case class TokenHashExpr(child: Expression) extends NativeUnaryExpression {
 
 case class WordNgramsExpr(child: Expression, n: Int) extends NativeUnaryExpression {
   require(n > 0, s"graft_word_ngrams: n must be positive, got $n")
+  override protected def expectedInputType: DataType = StringType
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def staticCall: String =
     s"graft.functions.TextKernels.wordNgrams(%s, $n)"
@@ -291,6 +310,7 @@ case class WordNgramsExpr(child: Expression, n: Int) extends NativeUnaryExpressi
 
 case class WordChunksExpr(child: Expression, n: Int) extends NativeUnaryExpression {
   require(n > 0, s"graft_word_chunks: n must be positive, got $n")
+  override protected def expectedInputType: DataType = StringType
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def staticCall: String =
     s"graft.functions.TextKernels.wordChunks(%s, $n)"
@@ -324,6 +344,12 @@ object LayoutKernels {
 }
 
 case class Morton2Expr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.catalogString == LongType.catalogString &&
+        right.dataType.catalogString == LongType.catalogString)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, bigint), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     LayoutKernels.morton2(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -335,6 +361,12 @@ case class Morton2Expr(left: Expression, right: Expression) extends BinaryExpres
 }
 
 case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.catalogString == ArrayType(LongType).catalogString &&
+        right.dataType.catalogString == ArrayType(LongType).catalogString)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -346,6 +378,7 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
 }
 
 case class MicroQuantizeExpr(child: Expression) extends NativeUnaryExpression {
+  override protected def expectedInputType: DataType = ArrayType(FloatType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def staticCall: String =
     "graft.functions.VecKernels.microQuantize(%s)"

@@ -136,8 +136,14 @@ object Containers {
       if (szLen == 0) return
       val payload = p + idLen + szLen
       val unknownSize = size == (1L << (7 * szLen)) - 1
-      val payloadEnd = if (unknownSize) end else payload + size.toInt
-      if (payloadEnd < payload || payloadEnd > end) return
+      // Compute the end in Long BEFORE narrowing: a 64-bit EBML size above
+      // Int.MaxValue would wrap under `payload + size.toInt` and could land
+      // back in range, silently misparsing — decline it instead (the walk
+      // operates on in-memory byte arrays, so a >2 GiB payload can never
+      // be valid here anyway). Mirrors walkBoxes' Long bounds check.
+      val payloadEndL = if (unknownSize) end.toLong else payload.toLong + size
+      if (payloadEndL < payload || payloadEndL > end) return
+      val payloadEnd = payloadEndL.toInt
       f(id, payload, payloadEnd)
       p = payloadEnd
     }
