@@ -24,6 +24,8 @@ import graft.functions._
   *  - `graft_simhash20(array<bigint>)` → bigint 20-bit SimHash
   *  - `graft_minhash8(array<bigint>)` → array<bigint> 8 MinHash minima
   *    in one pass (empty array in → empty array out)
+  *  - `graft_simhash64(array<bigint>)` → array<bigint> [lo, hi] 32-bit
+  *    halves of the 64-bit per-bit-hash SimHash ([0, 0] on empty)
   *  - `graft_rolling_minhash8(text)` → bigint winnowing-style min hash
   *  - `graft_dot_long(array<bigint>, array<bigint>)` → bigint exact dot
   *  - `graft_micro_quantize(array<float>)` → array<bigint> micro units
@@ -63,6 +65,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_minhash8"),
       new ExpressionInfo(classOf[MinHash8Expr].getName, "graft_minhash8"),
       args => MinHash8Expr(one(args, "graft_minhash8"))),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      args => SimHash64Expr(one(args, "graft_simhash64"))),
     (FunctionIdentifier("graft_rolling_minhash8"),
       new ExpressionInfo(classOf[RollingMinHash8Expr].getName, "graft_rolling_minhash8"),
       args => RollingMinHash8Expr(one(args, "graft_rolling_minhash8"))),

@@ -139,6 +139,29 @@ object Text {
       }.reduce(_ + _)
     }
 
+  /** One 32-bit half of the 64-bit SimHash (off = 0 for bits 0..31, 32
+    * for bits 32..63). Unlike [[simhash20]], bit j's ±1 vote is the sign
+    * of the MinHash universal hash h_j(x) = ((x%P)(2j+3) + 101j+7) % P
+    * against P/2 rather than a raw fingerprint bit — shingle hashes only
+    * populate ~60 bits, and per-bit hashing keeps every one of the 64
+    * bits balanced. Two positive halves instead of one packed long: bit
+    * 63 would need the sign bit, which the JVM wraps silently and a
+    * DuckDB BIGINT sum refuses — halves keep both engines exact.
+    * SQL mirror per bit j (global j = off + local j):
+    * `CASE WHEN list_sum(list_transform(sh, x ->
+    *    CASE WHEN ((x % 2147483647) * (2j+3) + (101j+7)) % 2147483647
+    *         >= 1073741824 THEN 1 ELSE -1 END)) > 0
+    *  THEN 2^(j-off) ELSE 0 END`.
+    */
+  def simhash64Half(sh: Column, off: Int): Column =
+    (0 until 32).map { jj =>
+      val j = off + jj
+      val vote = aggregate(sh, lit(0L), (acc, x) =>
+        acc + when(((x % MinhashP) * lit(2L * j + 3) + lit(101L * j + 7)) % MinhashP
+          >= lit(1073741824L), lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << jj)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Minimum rolling 8-char window hash of a string — a winnowing-style
     * content fingerprint (robust to edits outside the minimizing window).
     * Null-safe: strings shorter than 8 chars hash their full length via

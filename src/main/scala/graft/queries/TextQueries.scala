@@ -69,6 +69,19 @@ object TextQueries {
       s"CASE WHEN list_sum(list_transform($arr, x -> (x // ${1L << j}) % 2 * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** One 32-bit half of the 64-bit SimHash (mirror of
+    * Text.simhash64Half): bit j's ±1 vote is the sign of the MinHash
+    * universal hash against P/2, so all 64 bits are balanced regardless
+    * of the feature hashes' bit width. off = 0 → bits 0..31 (lo),
+    * 32 → bits 32..63 (hi); both halves are non-negative, so no
+    * engine disagrees about the sign bit.
+    */
+  private def simhash64HalfSql(arr: String, off: Int): String =
+    (0 until 32).map { jj =>
+      val j = off + jj
+      s"CASE WHEN list_sum(list_transform($arr, x -> CASE WHEN ((x % 2147483647) * ${2 * j + 3} + ${101 * j + 7}) % 2147483647 >= 1073741824 THEN 1 ELSE -1 END)) > 0 THEN ${1L << jj} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   /** Language-marker profiles for the stopword-scoring language-ID
     * heuristic. Deterministic fixed sets over the corpus vocabulary; the
     * priority order (ties) is the declaration order below.
@@ -993,6 +1006,57 @@ object TextQueries {
           .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
           .filter(col("dist") <= 1))
         pairs.orderBy("name_a", "name_b")
+      }),
+
+    // ---- q82: 64-bit SimHash near-dup pairs — the corpus-scale
+    // replacement for q35's 20-bit fingerprint (ScaleBench measured 20
+    // bits saturating at ~10^5 docs: 6.4M birthday-collision pairs at 2M).
+    // Fingerprint = two 32-bit halves (per-bit universal-hash votes, every
+    // bit balanced); candidates from equality on any of 8 eight-bit bands;
+    // verify Hamming(lo)+Hamming(hi) <= 3. Pigeonhole: <= 3 differing bits
+    // touch at most 3 of the 8 bands, so >= 5 bands stay clean and banding
+    // loses NO recall at this radius — which is why the oracle can be the
+    // brute-force all-pairs join: full recall is PROVEN on every
+    // correctness run, not asserted. Band width is the corpus-size knob
+    // (fan-in per bucket = n / 2^bits): 8-bit bands fit sf scales;
+    // ScaleBench runs the same fingerprint with 4x16-bit bands at 2M docs
+    // (same <= 3 pigeonhole, 256x smaller buckets).
+    Q("q82_neardup_simhash64",
+      Some(
+        s"""WITH $thCte, $shCte,
+           |sim_t AS (SELECT doc_id, ${simhash64HalfSql("sh", 0)} AS lo,
+           |                 ${simhash64HalfSql("sh", 32)} AS hi FROM sh_t)
+           |SELECT a.doc_id AS i, b.doc_id AS j,
+           |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+           |FROM sim_t a JOIN sim_t b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+           |ORDER BY i, j""".stripMargin),
+      (s, d) => {
+        val sim = docs(s, d)
+          .select(col("doc_id"),
+            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
+          .select(col("doc_id"),
+            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val bands = sim.select(col("doc_id"), col("lo"), col("hi"), explode(array(
+          (0 until 8).map { b =>
+            val half = if (b < 4) col("lo") else col("hi")
+            struct(lit(b).as("band"),
+              shiftright(half, 8 * (b % 4)).bitwiseAND(lit(255L)).as("bval"))
+          }: _*)).as("bk"))
+          .select(col("doc_id"), col("lo"), col("hi"),
+            col("bk.band").as("band"), col("bk.bval").as("bval"))
+        val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+            col("a.lo").as("lo_i"), col("a.hi").as("hi_i"),
+            col("b.lo").as("lo_j"), col("b.hi").as("hi_j"))
+          .distinct()
+        val ham = (bit_count(col("lo_i").bitwiseXOR(col("lo_j"))) +
+          bit_count(col("hi_i").bitwiseXOR(col("hi_j")))).cast("long")
+        cand.filter(ham <= 3L)
+          .select(col("i"), col("j"), ham.as("hamming"))
+          .orderBy("i", "j")
       })
   )
 }

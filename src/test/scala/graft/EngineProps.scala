@@ -208,6 +208,17 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("native simhash64 halves match the declarative per-bit-hash spec") =
+    forAll(Gen.listOfN(6, text)) { texts =>
+      val df = texts.toDF("text")
+        .select(NativeText.shingleHashesOfText(col("text")).as("sh"))
+      val cmp = df.select(
+        NativeText.simhash64(col("sh")).as("native"),
+        array(Text.simhash64Half(col("sh"), 0),
+          Text.simhash64Half(col("sh"), 32)).as("decl"))
+      cmp.collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+
   property("native one-pass minhash8 matches the 8 declarative minhash walks") =
     forAll(Gen.listOfN(6, Gen.alphaLowerStr.map(_.take(40)))) { texts =>
       val df = texts.toDF("text")

@@ -77,7 +77,7 @@ class ExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT graft_simhash20(array(1L))").collect()
     }
     assert(err.getMessage.toLowerCase.contains("graft_simhash20"))
-    assert(GraftExtensions.registrations.map(_._1.funcName).toSet.size == 11)
+    assert(GraftExtensions.registrations.map(_._1.funcName).toSet.size == 12)
   }
 
   test("SQL-surface misuse fails at analysis, not mid-job") {
