@@ -418,8 +418,24 @@ object TextQueries {
            |FROM reach GROUP BY a
            |ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val sim = docs(s, d)
-          .select(col("doc_id"),
+        // Contract exact-duplicate groups BEFORE the pair graph: identical
+        // text => identical fingerprint => same component, so only one
+        // representative (the group's min doc_id) needs to band, verify,
+        // and iterate through CC. Components are preserved exactly — every
+        // edge between members of two exact groups induces the same edge
+        // between their representatives — and the component minimum IS a
+        // representative (the min doc of a component is the min of its own
+        // exact group), so lifting rep clusters back over the group
+        // mapping reproduces the uncontracted fixpoint bit-for-bit. On a
+        // real corpus (20-50% exact dups) this halves the CC input; the
+        // price is one content-hash shuffle the dedup pipeline (q28) pays
+        // anyway.
+        val withH = docs(s, d).select(col("doc_id"), md5(col("text")).as("h"),
+          col("text"))
+        val groups = withH.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"))
+        val sim = groups
+          .select(col("rep").as("doc_id"),
             NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("simhash"))
         val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band"),
@@ -435,9 +451,13 @@ object TextQueries {
         val e = cand
           .filter(bit_count(col("sh_i").bitwiseXOR(col("sh_j"))) <= 3)
           .select("i", "j")
-        graft.operators.Components
+        val repClusters = graft.operators.Components
           .altStar(sim.select("doc_id"), "doc_id", e, "i", "j")._1
-          .toDF("doc_id", "cluster_id")
+          .toDF("rep", "cluster_id")
+        withH.select(col("doc_id"), col("h"))
+          .join(groups.select(col("h"), col("rep")), "h")
+          .join(repClusters, "rep")
+          .select(col("doc_id"), col("cluster_id"))
           .orderBy("doc_id")
       }),
 
