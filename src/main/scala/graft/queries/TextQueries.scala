@@ -914,16 +914,23 @@ object TextQueries {
         val grams = base.select(col("doc_id"), col("source"),
           explode(NativeText.wordNgrams(col("text"), 13)).as("gram"))
         val bench = grams.filter(col("source") === "src0").select("gram").distinct()
-        // Build the filter from the benchmark side: one small aggregate
-        // job whose single binary result is the broadcast payload. The
-        // filter is sized from the ACTUAL benchmark gram count (~10
-        // bits/item ≈ 1% fpp) — a hardcoded size silently degrades to
-        // no-op pruning once the eval suite outgrows it.
-        val benchGrams = math.max(bench.count(), 1L)
-        val bf = bench
-          .agg(Bloom.bloomAgg(xxhash64(col("gram")), benchGrams,
-            math.max(benchGrams * 10L, 1024L)).as("bf"))
-          .head().getAs[Array[Byte]](0)
+        // Build the filter from the benchmark side in ONE job: a single
+        // aggregate row carries (actual distinct gram count, filter). The
+        // filter is sized optimistically at boundBits; the count read from
+        // the SAME row validates the sizing, and only an overflow
+        // (count * 10 bits/item no longer fits) pays a second,
+        // exactly-sized build — so the 10 bits/item ≈ 1% fpp guarantee
+        // still holds without a separate count() action in the normal path.
+        val boundBits = 1L << 22 // 512 KiB filter ≈ 400k grams at 1% fpp
+        val row = bench.agg(count(lit(1)).as("cnt"),
+          Bloom.bloomAgg(xxhash64(col("gram")), boundBits / 10, boundBits).as("bf"))
+          .head()
+        val benchGrams = math.max(row.getLong(0), 1L)
+        val bf =
+          if (benchGrams * 10L <= boundBits) row.getAs[Array[Byte]](1)
+          else bench
+            .agg(Bloom.bloomAgg(xxhash64(col("gram")), benchGrams, benchGrams * 10L).as("bf"))
+            .head().getAs[Array[Byte]](0)
         val corpusGrams = grams.filter(col("source") =!= "src0")
           .select("doc_id", "gram").distinct()
           .where(Bloom.mightContain(bf, xxhash64(col("gram"))))
