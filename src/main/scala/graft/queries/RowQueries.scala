@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.Tables
+import graft.sources.{Derived, Tables}
 import graft.operators.Cleaning
 
 /** Row-level scalar-function inventory (SURVEY.md §2.2-2.3): string
@@ -121,6 +121,61 @@ object RowQueries {
           col("event_type").as("etype"),
           regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(IntegerType).as("k"))
         .orderBy("eid")),
+
+    // ---- q83: PERMISSIVE CSV read with bad-record QUARANTINE — the
+    // 100 TB posture for dirty text inputs: FAILFAST kills the job on one
+    // bad line, DROPMALFORMED hides data loss; PERMISSIVE routes every
+    // unparseable line's raw text into _corrupt_record so ONE read splits
+    // clean rows from a bad-record audit frame (Tables.csvWithQuarantine,
+    // SinksSpec-tested since round 3 — declared here so the driver's
+    // oracle certifies the split). The dirty CSV is SYNTHESIZED
+    // deterministically from the customer parquet (rows with
+    // c_custkey % 37 = 3 get "N/A" in a BIGINT column), so the oracle
+    // can compute both sides from the clean source: good rows must
+    // reproduce count/key-sum/points-sum exactly, and the quarantined
+    // side re-derives its keys FROM THE RAW CORRUPT LINES
+    // (regexp_extract), proving the audit frame carries enough to triage.
+    Q("q83_csv_quarantine",
+      Some("""SELECT 'good' AS status, count(*) AS n,
+             |       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+             |       CAST(sum(c_custkey % 1000) AS BIGINT) AS pts_sum
+             |FROM customer WHERE c_custkey % 37 <> 3
+             |UNION ALL
+             |SELECT 'quarantined', count(*),
+             |       CAST(sum(c_custkey) AS BIGINT), CAST(NULL AS BIGINT)
+             |FROM customer WHERE c_custkey % 37 = 3
+             |ORDER BY status""".stripMargin),
+      (s, d) => {
+        val dir = s"/tmp/graft_derived/${new java.io.File(d).getName}/dirty_csv"
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("customer"))) {
+          Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_name"),
+              when(col("c_custkey") % 37 === 3, lit("N/A"))
+                .otherwise((col("c_custkey") % 1000).cast("string")).as("points"))
+            .write.mode("overwrite").option("header", "true").csv(dir)
+        }
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("points", LongType)))
+        // Cached handle: Spark disallows plans that reference ONLY the
+        // corrupt column of a raw CSV scan (the parser would never
+        // materialize it); caching the parsed frame is the documented
+        // idiom, and both branches reuse the single read anyway.
+        val parsed = graft.operators.CacheScope.persist("q83",
+          Tables.csvWithQuarantine(s, schema, dir))
+        val good = parsed.filter(col("_corrupt_record").isNull)
+          .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"),
+            sum(col("points")).as("pts_sum"))
+          .select(lit("good").as("status"), col("n"), col("key_sum"), col("pts_sum"))
+        val quarantined = parsed.filter(col("_corrupt_record").isNotNull)
+          .agg(count(lit(1)).as("n"),
+            sum(regexp_extract(col("_corrupt_record"), "^([0-9]+),", 1)
+              .cast("long")).as("key_sum"))
+          .select(lit("quarantined").as("status"), col("n"), col("key_sum"),
+            lit(null).cast("long").as("pts_sum"))
+        good.unionByName(quarantined).orderBy("status")
+      }),
 
     // ---- q69: PII masking + stable pseudonymization — the anonymization
     // stage of a training-data pipeline: identifier digits masked by regex,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Joins
-import graft.sources.{Sinks, Tables}
+import graft.sources.{Derived, Sinks, Tables}
 
 /** Multi-way star-join queries over a PARTITIONED fact copy — the shape a
   * 100 TB warehouse engine actually lives on: a date-partitioned fact table,
@@ -36,27 +36,20 @@ object StarQueries {
     s"/tmp/graft_derived/$base/lineitem_by_ym"
   }
 
-  private val writeLock = new Object
-
-  /** Write the partitioned copy once per sf dir. Completion is marked by an
-    * explicit sentinel file — dynamic partition overwrite commits by moving
-    * partition directories and leaves NO _SUCCESS at the root, so checking
-    * for that would silently rewrite the whole copy on every call (measured
-    * 2.5 s/call at sf0.1 before this marker existed).
+  /** Write the partitioned copy once per (sf dir, source build) via
+    * Derived.ensure: dynamic partition overwrite leaves NO _SUCCESS at the
+    * root (it commits by moving partition directories), so an explicit
+    * sentinel is required — and the sentinel carries the source
+    * fingerprint so a regenerated testdata dir triggers a rewrite instead
+    * of baffling oracle mismatches. (Before the sentinel existed the copy
+    * was silently rewritten on every call: 2.5 s/call at sf0.1.)
     */
-  def ensurePartitionedFact(s: SparkSession, sfDir: String): String = {
-    val path = factPath(sfDir)
-    val marker = new java.io.File(path, ".graft_complete")
-    writeLock.synchronized {
-      if (!marker.exists()) {
-        val li = Tables.lineitem(s, sfDir)
-          .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
-        Sinks.overwritePartitions(li, path, Seq("ship_ym"))
-        marker.createNewFile()
-      }
+  def ensurePartitionedFact(s: SparkSession, sfDir: String): String =
+    Derived.ensure(factPath(sfDir), Derived.fingerprint(sfDir, Seq("lineitem"))) {
+      val li = Tables.lineitem(s, sfDir)
+        .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
+      Sinks.overwritePartitions(li, factPath(sfDir), Seq("ship_ym"))
     }
-    path
-  }
 
   private def cents(c: org.apache.spark.sql.Column) =
     graft.functions.Exact.cents(c)
@@ -71,20 +64,28 @@ object StarQueries {
     val base = new java.io.File(sfDir).getName
     val tag = base.replace('.', '_').replace('-', '_')
     val (to, tl) = (s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag")
-    writeLock.synchronized {
-      if (!s.catalog.tableExists(to)) {
-        Tables.orders(s, sfDir).select("o_orderkey", "o_orderstatus")
-          .write.mode("overwrite").format("parquet")
-          .option("path", s"/tmp/graft_derived/$base/orders_bkt")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
-      }
-      if (!s.catalog.tableExists(tl)) {
-        Tables.lineitem(s, sfDir).select("l_orderkey", "l_extendedprice")
-          .write.mode("overwrite").format("parquet")
-          .option("path", s"/tmp/graft_derived/$base/lineitem_bkt")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    // Same staleness rule as ensurePartitionedFact, plus a catalog check:
+    // the sentinel says the FILES match the source build, but a fresh
+    // session must still re-register the table (extraCheck vetoes the
+    // skip when the catalog entry is missing).
+    def ensure(table: String, src: String, build: String => Unit): Unit = {
+      val dir = s"/tmp/graft_derived/$base/${table.stripPrefix("graft_").stripSuffix(s"_$tag")}"
+      Derived.ensure(dir, Derived.fingerprint(sfDir, Seq(src)),
+        extraCheck = s.catalog.tableExists(table)) {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        build(dir)
       }
     }
+    ensure(to, "orders", dir =>
+      Tables.orders(s, sfDir).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .option("path", dir)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to))
+    ensure(tl, "lineitem", dir =>
+      Tables.lineitem(s, sfDir).select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").format("parquet")
+        .option("path", dir)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl))
     (to, tl)
   }
 
