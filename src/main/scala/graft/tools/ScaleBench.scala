@@ -147,16 +147,55 @@ object ScaleBench {
         .count()
     }
 
+    // ---- 3b. 64-bit SimHash (q82 shape) at FULL corpus size — the
+    // round-4 measurement showed the 20-bit fingerprint saturating at
+    // ~10^5 docs; this is the fix, run at the scale that broke it. Same
+    // Hamming <= 3 radius, but banded as 4 x 16-bit blocks instead of
+    // q82's sf-scale 8 x 8-bit bands: pigeonhole still guarantees full
+    // recall at <= 3 (4 blocks, at most 3 dirty), and 16-bit buckets keep
+    // band fan-in at n/65536 (~30 docs at 2M) where 8-bit buckets would
+    // hold ~8k docs each and the candidate join would be ~6e10 pairs.
+    // Band WIDTH, not fingerprint width, is the corpus-size knob:
+    // width ≈ log2(n) + slack, exactly like q39's hyperplane count.
+    val (sh64Found, tSim64) = timed("simhash64 (4x16-bit bands) + verify, full corpus") {
+      val fp = docs.select(col("doc_id"),
+        NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("f"))
+        .select(col("doc_id"),
+          element_at(col("f"), 1).as("lo"), element_at(col("f"), 2).as("hi"))
+      val bands = fp.select(col("doc_id"), col("lo"), col("hi"), explode(array(
+        (0 until 4).map { b =>
+          val half = if (b < 2) col("lo") else col("hi")
+          struct(lit(b).as("band"),
+            shiftright(half, 16 * (b % 2)).bitwiseAND(lit(65535L)).as("bits"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("lo"), col("hi"),
+          col("bk.band").as("band"), col("bk.bits").as("bits"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.lo").as("l1"), col("a.hi").as("h1"),
+          col("b.lo").as("l2"), col("b.hi").as("h2"))
+        .distinct()
+        .where((bit_count(col("l1").bitwiseXOR(col("l2"))) +
+          bit_count(col("h1").bitwiseXOR(col("h2")))) <= 3)
+        .count()
+    }
+
     // ---- 4. similarity search at the same scale: N 16-dim vectors
-    // (hash-synthesized, exact integer micros), 100 queries. Brute-force
-    // exact cosine top-10 via the bounded-heap TopKLongs aggregate (the
-    // q36/q49 shapes: only k rows per query cross the shuffle, never a
-    // window sort over N×queries rows) is the baseline AND the ground
-    // truth; IVF with 64 seed cells and nprobe=1 (the q44 shape: cell
-    // assignment by exact integer L2, probe = equi-join on cell id) is
-    // the scale path, graded by recall@10 against the brute truth.
+    // (hash-synthesized, exact integer micros), swept over QUERY COUNT
+    // (SPARK_GRAFT_ANN_QS, default 100,1000,10000) to MEASURE the
+    // brute-vs-IVF crossover instead of asserting it. Brute-force exact
+    // cosine top-10 via the bounded-heap TopKLongs aggregate (the q36/q49
+    // shapes) is the baseline AND the ground truth at each Q; IVF with 64
+    // seed cells and nprobe=1 (the q44 shape) pays its index build ONCE
+    // (persisted) and a per-Q probe — brute scales linearly with Q while
+    // the probe touches ~n/64 docs per query, so total-cost curves cross
+    // where build amortizes.
     import graft.functions.TopKLongs
     val dims = 16
+    val annQs = sys.env.getOrElse("SPARK_GRAFT_ANN_QS", "100,1000,10000")
+      .split(",").map(_.trim.toLong).filter(_ > 0).sorted
     val emb = spark.range(n).toDF("id")
       .withColumn("em", NativeText.microQuantize(
         transform(sequence(lit(1), lit(dims)), i =>
@@ -165,62 +204,81 @@ object ScaleBench {
       .withColumn("nsq", NativeText.dotLong(col("em"), col("em")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     emb.count()
-    val queries = emb.where(col("id") < 100)
-      .select(col("id").as("qid"), col("em").as("qem"), col("nsq").as("qnsq"))
     def cosMicro(dot: Column, nsqA: Column, nsqB: Column): Column =
       floor(dot.cast("double") / sqrt(nsqA.cast("double") * nsqB.cast("double")) * 1e6)
         .cast("long")
+    def queriesOf(q: Long) = emb.where(col("id") < q)
+      .select(col("id").as("qid"), col("em").as("qem"), col("nsq").as("qnsq"))
+    def topkOf(scored: DataFrame): DataFrame = scored
+      .groupBy("qid").agg(TopKLongs.topK(col("s"), col("id"), 10).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(col("qid"), col("e.id").as("id"))
 
-    val (bruteTop, tBrute) = timed("brute-force exact kNN (baseline)") {
-      val top = emb.crossJoin(broadcast(queries))
-        .select(col("qid"),
-          cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
-          col("id"))
-        .groupBy("qid").agg(TopKLongs.topK(col("s"), col("id"), 10).as("tk"))
-        .select(col("qid"), explode(col("tk")).as("e"))
-        .select(col("qid"), col("e.id").as("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      top.count()
-      top
-    }
-
-    val (ivfRecall, tIvf) = timed("IVF(64 cells, nprobe=1) build + probe") {
-      val cents = emb.where(col("id") < 64)
-        .select(col("id").as("cell"), col("em").as("cvec"), col("nsq").as("cnorm"))
-      // index build: nearest cell by exact integer L2, one broadcast pass
+    // IVF index build, paid once: nearest of 64 cells by exact integer
+    // L2, one broadcast pass; the assigned corpus is persisted so every
+    // probe below reuses it (that amortization IS the thing measured).
+    val cents = emb.where(col("id") < 64)
+      .select(col("id").as("cell"), col("em").as("cvec"), col("nsq").as("cnorm"))
+    val (docsInCell, tIvfBuild) = timed("IVF(64 cells) index build") {
       val assign = emb.crossJoin(broadcast(cents))
         .select(col("id"), struct(
           (col("nsq") + col("cnorm") - NativeText.dotLong(col("em"), col("cvec")) * 2L).as("l2"),
           col("cell")).as("dc"))
         .groupBy("id").agg(min(col("dc")).as("dc"))
         .select(col("id"), col("dc.cell").as("cell"))
-      val docsInCell = emb.join(assign, "id")
-      val qCell = queries.crossJoin(broadcast(cents))
-        .select(col("qid"), col("qem"), col("qnsq"), struct(
-          (col("qnsq") + col("cnorm") - NativeText.dotLong(col("qem"), col("cvec")) * 2L).as("l2"),
-          col("cell")).as("dc"))
-        .groupBy(col("qid"), col("qem"), col("qnsq")).agg(min(col("dc")).as("dc"))
-        .select(col("qid"), col("qem"), col("qnsq"), col("dc.cell").as("cell"))
-      val ivfTop = docsInCell.join(broadcast(qCell), "cell")
-        .select(col("qid"),
-          cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
-          col("id"))
-        .groupBy("qid").agg(TopKLongs.topK(col("s"), col("id"), 10).as("tk"))
-        .select(col("qid"), explode(col("tk")).as("e"))
-        .select(col("qid"), col("e.id").as("id"))
-      val hits = ivfTop.join(bruteTop, Seq("qid", "id")).count()
-      hits
+      val dic = emb.join(assign, "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dic.count()
+      dic
     }
+
+    case class AnnPoint(q: Long, bruteSec: Double, probeSec: Double,
+                        hits: Long, truthRows: Long)
+    val annPoints = annQs.map { q =>
+      val queries = queriesOf(q)
+      val (bruteTop, tBrute) = timed(s"brute-force exact kNN (Q=$q)") {
+        val top = topkOf(emb.crossJoin(broadcast(queries))
+          .select(col("qid"),
+            cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
+            col("id")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        top.count()
+        top
+      }
+      val truthRows = bruteTop.count() // actual ground-truth rows: ties or
+      // tiny corpora can yield < 10 per query; recall divides by THIS.
+      val ((hits, tProbe)) = timed(s"IVF probe (Q=$q, nprobe=1)") {
+        val qCell = queries.crossJoin(broadcast(cents))
+          .select(col("qid"), col("qem"), col("qnsq"), struct(
+            (col("qnsq") + col("cnorm") - NativeText.dotLong(col("qem"), col("cvec")) * 2L).as("l2"),
+            col("cell")).as("dc"))
+          .groupBy(col("qid"), col("qem"), col("qnsq")).agg(min(col("dc")).as("dc"))
+          .select(col("qid"), col("qem"), col("qnsq"), col("dc.cell").as("cell"))
+        val ivfTop = topkOf(docsInCell.join(broadcast(qCell), "cell")
+          .select(col("qid"),
+            cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
+            col("id")))
+        ivfTop.join(bruteTop, Seq("qid", "id")).count()
+      }
+      bruteTop.unpersist(blocking = false)
+      AnnPoint(q, tBrute, tProbe, hits, truthRows)
+    }
+    docsInCell.unpersist(blocking = false)
     emb.unpersist(blocking = false)
-    bruteTop.unpersist(blocking = false)
 
     def rate(t: Double): Long = (nd.toDouble / t).toLong
+    val annJson = annPoints.map { p =>
+      val recall = if (p.truthRows == 0) 0.0 else p.hits.toDouble / p.truthRows
+      s"""{"q":${p.q},"brute_sec":${p.bruteSec},"ivf_probe_sec":${p.probeSec},""" +
+        s""""ivf_total_sec":${tIvfBuild + p.probeSec},"recall_at_10":$recall}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"n_docs":$nd,"exact":{"sec":$tExact,"pairs":$exactPairs,"expected":$expectExact},""" +
       s""""lsh":{"sec":$tLsh,"verified_pairs":$lshFound,"expected_min":$expectNear},""" +
       s""""simhash":{"sec":$tSim,"verified_pairs":$shFound,"slice_docs":${nd / simSlice}},""" +
-      s""""ann":{"brute_sec":$tBrute,"ivf_sec":$tIvf,"recall_at_10":${ivfRecall / 1000.0}},""" +
-      s""""docs_per_sec":{"exact":${rate(tExact)},"lsh":${rate(tLsh)},"simhash":${rate(tSim)}}}"""
+      s""""simhash64":{"sec":$tSim64,"verified_pairs":$sh64Found,"exact_floor":$expectExact,"near_target":$expectNear},""" +
+      s""""ann":{"ivf_build_sec":$tIvfBuild,"points":$annJson},""" +
+      s""""docs_per_sec":{"exact":${rate(tExact)},"lsh":${rate(tLsh)},"simhash":${rate(tSim)},"simhash64":${rate(tSim64)}}}"""
     spark.stop()
     println(json)
   }
