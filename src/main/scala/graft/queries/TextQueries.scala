@@ -430,12 +430,18 @@ object TextQueries {
         // real corpus (20-50% exact dups) this halves the CC input; the
         // price is one content-hash shuffle the dedup pipeline (q28) pays
         // anyway.
-        val withH = docs(s, d).select(col("doc_id"), md5(col("text")).as("h"),
-          col("text"))
-        val groups = withH.groupBy(col("h"))
-          .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"))
-        val sim = groups
-          .select(col("rep").as("doc_id"),
+        // rep = min doc_id over the content-hash group, via ONE window
+        // exchange (a groupBy + join-back costs two more tiny stages, which
+        // at sf scale outweigh the contraction). Persisted: both the
+        // fingerprint branch and the final lift consume it.
+        graft.operators.CacheScope.release("q63")
+        val withRep = graft.operators.CacheScope.persist("q63",
+          docs(s, d).select(col("doc_id"), col("text"),
+            min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+              .as("rep")))
+        val sim = withRep.filter(col("doc_id") === col("rep"))
+          .select(col("doc_id"),
             NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("simhash"))
         val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band"),
@@ -454,8 +460,7 @@ object TextQueries {
         val repClusters = graft.operators.Components
           .altStar(sim.select("doc_id"), "doc_id", e, "i", "j")._1
           .toDF("rep", "cluster_id")
-        withH.select(col("doc_id"), col("h"))
-          .join(groups.select(col("h"), col("rep")), "h")
+        withRep.select(col("doc_id"), col("rep"))
           .join(repClusters, "rep")
           .select(col("doc_id"), col("cluster_id"))
           .orderBy("doc_id")
