@@ -162,6 +162,7 @@ object RowQueries {
         // corrupt column of a raw CSV scan (the parser would never
         // materialize it); caching the parsed frame is the documented
         // idiom, and both branches reuse the single read anyway.
+        graft.operators.CacheScope.release("q83")
         val parsed = graft.operators.CacheScope.persist("q83",
           Tables.csvWithQuarantine(s, schema, dir))
         val good = parsed.filter(col("_corrupt_record").isNull)
