@@ -41,6 +41,15 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // The bounded-heap top-k aggregate (ObjectHashAggregate) falls back
+      // to SORT-BASED aggregation past 128 distinct groups per partition
+      // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) — at
+      // Q=10k query groups that silently turns the brute-force kNN's
+      // partial aggregate into a full external sort of N*Q pair rows
+      // (measured: filled the disk at 2M x 10k). The heap state is what
+      // makes top-k bounded — Q heaps x 10 entries ≈ 1.6 MB at Q=10k —
+      // so the threshold, not the algorithm, is the scale knob here.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
