@@ -1089,6 +1089,58 @@ object TextQueries {
         cand.filter(ham <= 3L)
           .select(col("i"), col("j"), ham.as("hamming"))
           .orderBy("i", "j")
+      }),
+
+    // ---- q84: document CONTAINMENT detection — the curation gap the
+    // near-dup family doesn't cover: q34/q35/q82 score SYMMETRIC
+    // similarity, so a short document quoted wholesale inside a long one
+    // scores low Jaccard and slips through; containment |F_A ∩ F_B|/|F_A|
+    // catches it. Fingerprints are mod-p sampled shingle hashes (p = 8,
+    // Manber/Broder-style content-defined selection): deterministic, so
+    // any shared text region yields shared fingerprints regardless of the
+    // documents' relative sizes, and the oracle reproduces the set
+    // bit-for-bit with list_filter. ASYMMETRIC by construction — both
+    // (i contained-in j) and (j contained-in i) are evaluated, so the
+    // pair join is <> not <. Candidates come from an equi-join on
+    // fingerprint VALUES (fan-in per value bounded by true duplication,
+    // q75's argument), one groupBy counts shared prints, and the
+    // containment ratio is exact integer ppm. Min-support: documents
+    // with < 4 fingerprints (too short to attest containment) are
+    // excluded as the CONTAINED side — the standard guard against
+    // 1-of-1 = 100% noise; p and min-support are the density knobs a
+    // deployment tunes to its document-length floor.
+    Q("q84_containment_fp",
+      Some(
+        s"""WITH $thCte, $shCte,
+           |fp AS (SELECT doc_id, list_distinct(list_filter(sh, x -> x % 8 = 0)) AS f FROM sh_t),
+           |sz AS (SELECT doc_id, len(f) AS n FROM fp WHERE len(f) >= 4),
+           |e AS (SELECT doc_id, unnest(f) AS v FROM fp),
+           |pair AS (
+           |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+           |  FROM e a JOIN e b ON a.v = b.v AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT p.i, p.j, CAST(p.shared AS BIGINT) AS shared,
+           |       CAST(s.n AS BIGINT) AS fp_i,
+           |       CAST((p.shared * 1000000) // s.n AS BIGINT) AS cont_ppm
+           |FROM pair p JOIN sz s ON p.i = s.doc_id
+           |WHERE p.shared * 10 >= 8 * s.n
+           |ORDER BY p.i, p.j""".stripMargin),
+      (s, d) => {
+        val fp = docs(s, d).select(col("doc_id"),
+          array_distinct(filter(NativeText.shingleHashesOfText(col("text")),
+            x => x % 8L === 0L)).as("f"))
+        val sz = fp.filter(size(col("f")) >= 4)
+          .select(col("doc_id").as("i"), size(col("f")).cast("long").as("n"))
+        val e = fp.select(col("doc_id"), explode(col("f")).as("v"))
+        val pair = e.as("a").join(e.as("b"),
+          col("a.v") === col("b.v") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .agg(count(lit(1)).as("shared"))
+        pair.join(sz, "i")
+          .filter(col("shared") * 10L >= col("n") * 8L)
+          .select(col("i"), col("j"), col("shared"), col("n").as("fp_i"),
+            expr("(shared * 1000000) div n").as("cont_ppm"))
+          .orderBy("i", "j")
       })
   )
 }
