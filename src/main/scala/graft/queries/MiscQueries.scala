@@ -458,6 +458,48 @@ object MiscQueries {
             when(col("n_seen") < 64, col("n_seen"))
               .otherwise(expr("(63 * 281474976710656) div kth"))
               .cast("long").as("est"))
+      }),
+
+    // ---- q85: GROUPED KMV distinct-count sketch — q58's construction
+    // keyed by dimension, the shape that matters at 100 TB: "distinct
+    // users per event type" via exact count(distinct) shuffles every
+    // (type, user) pair; the sketch ships 64 longs per (partial, group)
+    // regardless of user cardinality, and the per-group estimate stays a
+    // deterministic integer construction the oracle reproduces
+    // bit-for-bit (exact below k, (k-1)*2^48/h_k above). The per-group
+    // bounded heap is the same TypedImperativeAggregate partial-merge
+    // pattern as q49's top-k.
+    Q("q85_kmv_grouped",
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |    CAST(list_sum(list_transform(generate_series(1, 12),
+             |    i -> (CASE WHEN ord(substr(md5(CAST(user_id AS VARCHAR)), i, 1)) >= 97
+             |          THEN ord(substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 87
+             |          ELSE ord(substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 48 END)
+             |         * CAST(pow(16, 12 - i) AS BIGINT))) AS BIGINT) AS hv
+             |  FROM events),
+             |r AS (SELECT event_type, hv,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+             |k AS (SELECT event_type, MAX(rn) AS n_seen, MAX(hv) AS kth
+             |      FROM r WHERE rn <= 64 GROUP BY event_type)
+             |SELECT event_type, CAST(n_seen AS BIGINT) AS n_seen, kth,
+             |       CAST(CASE WHEN n_seen < 64 THEN n_seen
+             |            ELSE (63 * 281474976710656) // kth END AS BIGINT) AS est
+             |FROM k ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val h = Tables.events(s, d)
+          .select(col("event_type"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+              .cast("long").as("hv"))
+          .distinct()
+        h.groupBy(col("event_type"))
+          .agg(TopKLongs.topK(-col("hv"), col("hv"), 64).as("tk"))
+          .select(col("event_type"), size(col("tk")).cast("long").as("n_seen"),
+            element_at(col("tk"), size(col("tk"))).getField("id").as("kth"))
+          .select(col("event_type"), col("n_seen"), col("kth"),
+            when(col("n_seen") < 64, col("n_seen"))
+              .otherwise(expr("(63 * 281474976710656) div kth"))
+              .cast("long").as("est"))
+          .orderBy("event_type")
       })
   )
 }
