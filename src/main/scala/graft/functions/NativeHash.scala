@@ -34,6 +34,19 @@ object TextKernels {
 
   private val HashMod = 1000003L
 
+  /** Null-element guard for the array kernels. checkInputDataTypes
+    * compares catalogString (the public nullability-INSENSITIVE type
+    * check — ExpectsInputTypes is private[sql]), so an array<bigint>
+    * column with containsNull=true (any parquet-read array) passes
+    * analysis; a null SLOT would then read as garbage via getLong. This
+    * turns that into a readable per-row error instead. One bitmap probe
+    * per element — negligible next to the arithmetic it guards.
+    */
+  @inline private[functions] def requireSlot(arr: ArrayData, i: Int, fn: String): Unit =
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"$fn: null array element at index $i — drop or coalesce null elements first")
+
   private def pow31(k: Int): Long = Math.pow(31.0, k.toDouble).toLong
 
   /** Codepoint-polynomial token hash mod 1000003 (Text.tokenHashMod):
@@ -127,6 +140,7 @@ object TextKernels {
     val out = Array.fill(8)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      requireSlot(arr, i, "graft_minhash8")
       val m = arr.getLong(i) % P
       var k = 0
       while (k < 8) {
@@ -162,6 +176,7 @@ object TextKernels {
     val sums = new Array[Int](64)
     var i = 0
     while (i < n) {
+      requireSlot(arr, i, "graft_simhash64")
       val m = arr.getLong(i) % P // shingle hashes are non-negative (< ~1.0e18)
       var j = 0
       while (j < 64) {
@@ -190,6 +205,7 @@ object TextKernels {
       var sum = 0L
       var i = 0
       while (i < n) {
+        requireSlot(arr, i, "graft_simhash20")
         sum += ((arr.getLong(i) >> j) & 1L) * 2L - 1L
         i += 1
       }
@@ -239,7 +255,12 @@ object VecKernels {
     val n = a.numElements()
     var sum = 0L
     var i = 0
-    while (i < n) { sum += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      TextKernels.requireSlot(a, i, "graft_dot_long")
+      TextKernels.requireSlot(b, i, "graft_dot_long")
+      sum += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     sum
   }
 
@@ -252,6 +273,7 @@ object VecKernels {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      TextKernels.requireSlot(a, i, "graft_micro_quantize")
       val v = a.getFloat(i).toDouble * 1000000.0
       out(i) = (if (v >= 0) Math.floor(v + 0.5) else Math.ceil(v - 0.5)).toLong
       i += 1

@@ -444,7 +444,7 @@ object MiscQueries {
              |k AS (SELECT MAX(rn) AS n_seen, MAX(hv) AS kth FROM r WHERE rn <= 64)
              |SELECT CAST(n_seen AS BIGINT) AS n_seen, kth,
              |       CAST(CASE WHEN n_seen < 64 THEN n_seen
-             |            ELSE (63 * 281474976710656) // kth END AS BIGINT) AS est
+             |            ELSE (63 * 281474976710656) // greatest(kth, 1) END AS BIGINT) AS est
              |FROM k""".stripMargin),
       (s, d) => {
         val h = Tables.events(s, d)
@@ -456,7 +456,11 @@ object MiscQueries {
             element_at(col("tk"), size(col("tk"))).getField("id").as("kth"))
           .select(col("n_seen"), col("kth"),
             when(col("n_seen") < 64, col("n_seen"))
-              .otherwise(expr("(63 * 281474976710656) div kth"))
+              // greatest(kth, 1): a kth of 0 (md5 prefix of 12 zero hex
+              // digits, ~2^-48 per key) would make DuckDB's // 0 error
+              // while Spark's div returns NULL — floor both engines
+              // identically so they can never diverge.
+              .otherwise(expr("(63 * 281474976710656) div greatest(kth, 1L)"))
               .cast("long").as("est"))
       }),
 
@@ -483,7 +487,7 @@ object MiscQueries {
              |      FROM r WHERE rn <= 64 GROUP BY event_type)
              |SELECT event_type, CAST(n_seen AS BIGINT) AS n_seen, kth,
              |       CAST(CASE WHEN n_seen < 64 THEN n_seen
-             |            ELSE (63 * 281474976710656) // kth END AS BIGINT) AS est
+             |            ELSE (63 * 281474976710656) // greatest(kth, 1) END AS BIGINT) AS est
              |FROM k ORDER BY event_type""".stripMargin),
       (s, d) => {
         val h = Tables.events(s, d)
@@ -496,8 +500,10 @@ object MiscQueries {
           .select(col("event_type"), size(col("tk")).cast("long").as("n_seen"),
             element_at(col("tk"), size(col("tk"))).getField("id").as("kth"))
           .select(col("event_type"), col("n_seen"), col("kth"),
+            // same greatest(kth, 1) floor as q58 — keep the engines
+            // exactly aligned on the (astronomically unlikely) kth = 0.
             when(col("n_seen") < 64, col("n_seen"))
-              .otherwise(expr("(63 * 281474976710656) div kth"))
+              .otherwise(expr("(63 * 281474976710656) div greatest(kth, 1L)"))
               .cast("long").as("est"))
           .orderBy("event_type")
       })

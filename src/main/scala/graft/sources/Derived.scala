@@ -16,16 +16,22 @@ object Derived {
 
   private val lock = new Object
 
-  /** Cheap source fingerprint: (name, length, mtime) of each table's
-    * parquet file(s), MD5-hashed. Listing-only — no data read.
+  /** Cheap source fingerprint: (path, length, mtime) of each table's
+    * parquet file(s), MD5-hashed. Listing-only — no data read. Walks
+    * directories RECURSIVELY (a partitioned source is nested one dir per
+    * partition value; a top-level-only listing would miss nested-data
+    * changes), and a concurrently-removed directory lists as empty rather
+    * than NPE-ing (listFiles returns null on IO error).
     */
   def fingerprint(sfDir: String, tables: Seq[String]): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
     val desc = tables.map { t =>
-      val f = new java.io.File(sfDir, s"$t.parquet")
-      val files =
-        if (f.isDirectory) f.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
-        else Seq(f)
-      files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
+      walk(new java.io.File(sfDir, s"$t.parquet"))
+        .map(x => s"${x.getPath}:${x.length}:${x.lastModified}").mkString(",")
     }.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
