@@ -1046,13 +1046,17 @@ object TextQueries {
     // Fingerprint = two 32-bit halves (per-bit universal-hash votes, every
     // bit balanced); candidates from equality on any of 8 eight-bit bands;
     // verify Hamming(lo)+Hamming(hi) <= 3. Pigeonhole: <= 3 differing bits
-    // touch at most 3 of the 8 bands, so >= 5 bands stay clean and banding
-    // loses NO recall at this radius — which is why the oracle can be the
-    // brute-force all-pairs join: full recall is PROVEN on every
-    // correctness run, not asserted. Band width is the corpus-size knob
-    // (fan-in per bucket = n / 2^bits): 8-bit bands fit sf scales;
-    // ScaleBench runs the same fingerprint with 4x16-bit bands at 2M docs
-    // (same <= 3 pigeonhole, 256x smaller buckets).
+    // dirty at most 3 bands, so at least one band stays clean at either
+    // supported width and banding loses NO recall at this radius — which
+    // is why the oracle can be the brute-force all-pairs join: full
+    // recall is PROVEN on every correctness run, not asserted. Band width
+    // is the corpus-size knob (fan-in per bucket = n / 2^bits), AUTO-SIZED
+    // from a cheap corpus count via SimHashBands.bandBitsFor (r6): 8-bit
+    // at sf scales, 16-bit past 16k docs — the declared query and
+    // ScaleBench's 2M-doc run now share the one banding/verify code path
+    // (graft.operators.SimHashBands), so the scale measurement certifies
+    // the same code the oracle checks. Width only shapes the candidate
+    // set, never the verified result, so the oracle needs no mirror.
     Q("q82_neardup_simhash64",
       Some(
         s"""WITH $thCte, $shCte,
@@ -1064,30 +1068,16 @@ object TextQueries {
            |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
            |ORDER BY i, j""".stripMargin),
       (s, d) => {
+        import graft.operators.SimHashBands
+        // parquet-metadata count — one cheap job that sizes the bands
+        val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
         val sim = docs(s, d)
           .select(col("doc_id"),
             NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
           .select(col("doc_id"),
             element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
-        val bands = sim.select(col("doc_id"), col("lo"), col("hi"), explode(array(
-          (0 until 8).map { b =>
-            val half = if (b < 4) col("lo") else col("hi")
-            struct(lit(b).as("band"),
-              shiftright(half, 8 * (b % 4)).bitwiseAND(lit(255L)).as("bval"))
-          }: _*)).as("bk"))
-          .select(col("doc_id"), col("lo"), col("hi"),
-            col("bk.band").as("band"), col("bk.bval").as("bval"))
-        val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-            col("a.lo").as("lo_i"), col("a.hi").as("hi_i"),
-            col("b.lo").as("lo_j"), col("b.hi").as("hi_j"))
-          .distinct()
-        val ham = (bit_count(col("lo_i").bitwiseXOR(col("lo_j"))) +
-          bit_count(col("hi_i").bitwiseXOR(col("hi_j")))).cast("long")
-        cand.filter(ham <= 3L)
-          .select(col("i"), col("j"), ham.as("hamming"))
+        val bands = SimHashBands.bandsOf(sim, bits)
+        SimHashBands.verifiedPairs(bands, bands, col("a.doc_id") < col("b.doc_id"))
           .orderBy("i", "j")
       }),
 

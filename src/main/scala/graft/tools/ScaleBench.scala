@@ -158,36 +158,23 @@ object ScaleBench {
 
     // ---- 3b. 64-bit SimHash (q82 shape) at FULL corpus size — the
     // round-4 measurement showed the 20-bit fingerprint saturating at
-    // ~10^5 docs; this is the fix, run at the scale that broke it. Same
-    // Hamming <= 3 radius, but banded as 4 x 16-bit blocks instead of
-    // q82's sf-scale 8 x 8-bit bands: pigeonhole still guarantees full
-    // recall at <= 3 (4 blocks, at most 3 dirty), and 16-bit buckets keep
-    // band fan-in at n/65536 (~30 docs at 2M) where 8-bit buckets would
-    // hold ~8k docs each and the candidate join would be ~6e10 pairs.
-    // Band WIDTH, not fingerprint width, is the corpus-size knob:
-    // width ≈ log2(n) + slack, exactly like q39's hyperplane count.
-    val (sh64Found, tSim64) = timed("simhash64 (4x16-bit bands) + verify, full corpus") {
+    // ~10^5 docs; this is the fix, run at the scale that broke it.
+    // Round 6: the banding/verify is now the SAME code path as the
+    // declared q82 (graft.operators.SimHashBands, auto-sized band width
+    // from the corpus count — 16-bit here: fan-in n/65536 ≈ 30 docs at
+    // 2M, where 8-bit buckets would hold ~8k docs and the candidate join
+    // would be ~6e10 pairs; pigeonhole keeps full recall at Hamming ≤ 3
+    // for both widths). Band WIDTH, not fingerprint width, is the
+    // corpus-size knob: width ≈ log2(n) + slack, like q39's hyperplanes.
+    import graft.operators.SimHashBands
+    val sh64Bits = SimHashBands.bandBitsFor(nd)
+    val (sh64Found, tSim64) = timed(s"simhash64 (auto ${sh64Bits}-bit bands) + verify, full corpus") {
       val fp = docs.select(col("doc_id"),
         NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("f"))
         .select(col("doc_id"),
           element_at(col("f"), 1).as("lo"), element_at(col("f"), 2).as("hi"))
-      val bands = fp.select(col("doc_id"), col("lo"), col("hi"), explode(array(
-        (0 until 4).map { b =>
-          val half = if (b < 2) col("lo") else col("hi")
-          struct(lit(b).as("band"),
-            shiftright(half, 16 * (b % 2)).bitwiseAND(lit(65535L)).as("bits"))
-        }: _*)).as("bk"))
-        .select(col("doc_id"), col("lo"), col("hi"),
-          col("bk.band").as("band"), col("bk.bits").as("bits"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.lo").as("l1"), col("a.hi").as("h1"),
-          col("b.lo").as("l2"), col("b.hi").as("h2"))
-        .distinct()
-        .where((bit_count(col("l1").bitwiseXOR(col("l2"))) +
-          bit_count(col("h1").bitwiseXOR(col("h2")))) <= 3)
+      val bands = SimHashBands.bandsOf(fp, sh64Bits)
+      SimHashBands.verifiedPairs(bands, bands, col("a.doc_id") < col("b.doc_id"))
         .count()
     }
 
