@@ -1081,6 +1081,68 @@ object TextQueries {
           .orderBy("i", "j")
       }),
 
+    // ---- q86: INCREMENTAL (delta) dedup — the daily-ingest shape a real
+    // 100 TB pipeline actually runs: the corpus's simhash64 fingerprints
+    // are PERSISTED once per source build (Derived-fingerprint-keyed
+    // parquet, the q79/q81 staleness pattern), and deduping a newly
+    // arriving batch (doc_id % 10 = 0 stands in for today's shard) costs
+    //   fingerprint(batch) + band-join(batch × index) + band-join(batch²)
+    // — the corpus side is a 16-byte-per-doc INDEX SCAN, never a
+    // re-fingerprint of corpus text (the expensive part: shingling +
+    // 64-bit simhash over every token). Cost therefore scales with the
+    // batch, not the corpus (measured in ScaleBench: 2M corpus / 100k
+    // batch). Full recall at Hamming <= 3 holds by the same pigeonhole as
+    // q82, so the oracle is exact: the brute-force all-pairs join
+    // restricted to pairs touching the batch. At deployment scale the
+    // stored index would additionally be partitioned by band and bucketed
+    // by band value so the candidate join co-locates without a shuffle
+    // (the q81 layout); the parquet here keeps (doc_id, lo, hi) — banding
+    // is a free map-side explode at read time and keeps the index
+    // re-bandable as the corpus grows past a width threshold.
+    Q("q86_incremental_dedup",
+      Some(
+        s"""WITH $thCte, $shCte,
+           |sim_t AS (SELECT doc_id, ${simhash64HalfSql("sh", 0)} AS lo,
+           |                 ${simhash64HalfSql("sh", 32)} AS hi FROM sh_t)
+           |SELECT a.doc_id AS i, b.doc_id AS j,
+           |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+           |FROM sim_t a JOIN sim_t b ON a.doc_id < b.doc_id
+           |WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+           |  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+           |ORDER BY i, j""".stripMargin),
+      (s, d) => {
+        import graft.operators.SimHashBands
+        import graft.sources.Derived
+        val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
+        def fpOf(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"),
+            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
+          .select(col("doc_id"),
+            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val idxPath =
+          s"/tmp/graft_derived/${new java.io.File(d).getName}/simhash64_index"
+        Derived.ensure(idxPath, Derived.fingerprint(d, Seq("documents"))) {
+          fpOf(docs(s, d).filter(col("doc_id") % 10L =!= 0L))
+            .write.mode("overwrite").parquet(idxPath)
+        }
+        val corpusBands = SimHashBands.bandsOf(s.read.parquet(idxPath), bits)
+        // The batch fingerprints feed three join sides (batch×index plus
+        // both sides of batch²) — persist ONE generation (CacheScope) so
+        // the batch is fingerprinted once, the incremental cost model.
+        graft.operators.CacheScope.release("q86")
+        val batchFp = graft.operators.CacheScope.persist("q86",
+          fpOf(docs(s, d).filter(col("doc_id") % 10L === 0L)))
+        val batchBands = SimHashBands.bandsOf(batchFp, bits)
+        // new-vs-corpus (sides disjoint, normalize to i < j) + new-vs-new;
+        // the unions are disjoint pair sets, so no cross-set distinct.
+        val cross = SimHashBands.verifiedPairs(batchBands, corpusBands, lit(true))
+          .select(least(col("i"), col("j")).as("i"),
+            greatest(col("i"), col("j")).as("j"), col("hamming"))
+        val within = SimHashBands.verifiedPairs(batchBands, batchBands,
+          col("a.doc_id") < col("b.doc_id"))
+        cross.unionByName(within).orderBy("i", "j")
+      }),
+
     // ---- q84: document CONTAINMENT detection — the curation gap the
     // near-dup family doesn't cover: q34/q35/q82 score SYMMETRIC
     // similarity, so a short document quoted wholesale inside a long one
