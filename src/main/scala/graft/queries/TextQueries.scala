@@ -867,6 +867,51 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q87: exact-substring dedup via SLIDING token windows — closes
+    // q75's boundary gap: tumbling 10-token chunks miss a duplicated span
+    // that straddles a chunk boundary (a 10-token span can cover at most
+    // one full chunk only when aligned), while EVERY 10-token duplicated
+    // span matches at least one of the overlapping windows — the
+    // training-data literature's exact-substring dedup (suffix-style
+    // overlapping windows) in its shuffle-friendly form. Same two-shuffle
+    // shape as q75 (window df, join back, per-doc agg); the price of full
+    // span coverage is fan-OUT — ~k windows per k-token doc vs k/10
+    // chunks, a constant 10x on the explode — while per-WINDOW join
+    // fan-in stays bounded by true cross-corpus duplication, exactly
+    // q75's argument (a window shared by m docs costs m joined rows, and
+    // that sharing IS the measured signal). At 100 TB the join key would
+    // be a 128-bit window hash instead of the window string (same
+    // construction, 16-byte shuffle rows); the string key here keeps the
+    // oracle construction identical term-for-term.
+    Q("q87_substring_dup",
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |c AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 9),
+             |        i -> list_aggregate(t[i:i+9], 'string_agg', ' '))) AS win FROM tk),
+             |w AS (SELECT win, count(*) AS docs_with
+             |      FROM (SELECT DISTINCT doc_id, win FROM c) GROUP BY 1)
+             |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             |       CAST(SUM(CASE WHEN w.docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+             |       CAST(SUM(CASE WHEN w.docs_with >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_frac_micro
+             |FROM c JOIN w USING (win)
+             |GROUP BY 1
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        // Same no-persist call as q75: re-exploding windows for the second
+        // consumer is map-side native-kernel work, cheaper than caching a
+        // corpus-sized (x10 exploded) table.
+        val wins = docs(s, d)
+          .select(col("doc_id"), explode(NativeText.wordNgrams(col("text"), 10)).as("win"))
+        val docsWith = wins.select("doc_id", "win").distinct()
+          .groupBy("win").agg(count(lit(1)).as("docs_with"))
+        wins.join(docsWith, "win")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("docs_with") >= 2L, 1L).otherwise(0L)).as("n_dup_windows"))
+          .withColumn("dup_frac_micro",
+            floor(col("n_dup_windows") * 1000000L / col("n_windows")).cast("long"))
+          .orderBy("doc_id")
+      }),
+
     // ---- q76: token-budget estimation — whitespace word count vs a
     // BPE-ish regex piece count (runs of <=4 word chars, the "~4 chars per
     // token" budgeting rule; punctuation would count as single pieces).
