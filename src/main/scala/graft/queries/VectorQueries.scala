@@ -93,6 +93,29 @@ object VectorQueries {
 
   private val cosSql = "CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))"
 
+  /** One Lloyd round as oracle CTEs: assign every vector to its nearest
+    * cell from `prevCent` (exact integer L2, tie-break on cell id), then
+    * recompute floored-mean centroids + norms. Emits a{r}_t, cell{r}_t,
+    * s{r}_t (per-(cell, dim) cv and member count), c{r}_t, cn{r}_t.
+    */
+  private def lloydRoundSql(r: Int, prevCent: String): String =
+    s"""a${r}_t AS (
+       |  SELECT vec_id, em, nsq, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           nsq + cnorm - 2 * CAST(list_sum(list_transform(generate_series(1, $Dim),
+       |             i -> em[i] * cvec[i])) AS BIGINT), cell) AS rnk_c
+       |  FROM n_t CROSS JOIN $prevCent),
+       |cell${r}_t AS (SELECT vec_id, em, nsq, cell FROM a${r}_t WHERE rnk_c = 1),
+       |s${r}_t AS (
+       |  SELECT cell, i AS dim,
+       |         CAST(FLOOR(CAST(SUM(em[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv,
+       |         COUNT(*) AS n
+       |  FROM cell${r}_t, generate_series(1, $Dim) t(i) GROUP BY 1, 2),
+       |c${r}_t AS (SELECT cell, list(cv ORDER BY dim) AS cvec FROM s${r}_t GROUP BY 1),
+       |cn${r}_t AS (SELECT cell, cvec,
+       |             CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm
+       |             FROM c${r}_t)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- q36: brute-force cosine top-k — the exact-ANN baseline. The
@@ -377,6 +400,68 @@ object VectorQueries {
           .filter(col("cos") >= 0.4)
           .select(col("i"), col("j"), col("dot"), col("cos"))
           .orderBy("i", "j")
+      }),
+
+    // ---- q88: Lloyd-refined coarse quantizer — the k-means step the IVF
+    // family (q44/q65) was missing: their cells are raw per-label means,
+    // and ScaleBench r5 measured the cost of unrefined seeds directly
+    // (nprobe=1 recall decaying 0.82 -> 0.53 at Q=10k). Two Lloyd rounds,
+    // each = ONE broadcast of the (tiny, cells x 64) centroid table
+    // against a corpus scan for assignment + ONE per-(cell, dim)
+    // partial-agg shuffle for the floored-mean update — at 100 TB the
+    // corpus never shuffles, only (cells x dims)-sized partials do, and
+    // rounds are a constant (2-3 suffice for a coarse quantizer; the knob
+    // a deployment turns). Every step is exact integer arithmetic (L2 via
+    // nsq + cnorm - 2*dot on micros, floored means, cell-id tie-break),
+    // so DuckDB reproduces the full iteration bit-for-bit — an
+    // oracle-checkable k-means, which float k-means can never be. An
+    // emptied cell simply vanishes from the output in both engines.
+    // Output: final per-(cell, dim) centroid micros + member count.
+    Q("q88_kmeans_lloyd",
+      Some(
+        s"""WITH $emCte,
+           |s0_t AS (
+           |  SELECT label AS cell, i AS dim,
+           |         CAST(FLOOR(CAST(SUM(em[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |  FROM n_t, generate_series(1, $Dim) t(i) GROUP BY 1, 2),
+           |c0_t AS (SELECT cell, list(cv ORDER BY dim) AS cvec FROM s0_t GROUP BY 1),
+           |cn0_t AS (SELECT cell, cvec,
+           |          CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm
+           |          FROM c0_t),
+           |${lloydRoundSql(1, "cn0_t")},
+           |${lloydRoundSql(2, "cn1_t")}
+           |SELECT cell, CAST(dim AS BIGINT) AS dim, cv, CAST(n AS BIGINT) AS n
+           |FROM s2_t
+           |ORDER BY cell, dim""".stripMargin),
+      (s, d) => {
+        val n = quantized(s, d)
+        // floored-mean centroid array + norm from an assigned frame
+        def centFrom(assigned: org.apache.spark.sql.DataFrame, key: String) = assigned
+          .select(col(key).as("cell"), posexplode(col("em")).as(Seq("dim0", "v")))
+          .groupBy(col("cell"), (col("dim0") + 1).as("dim"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+          .withColumn("cv", floor(col("sv").cast("double") / col("cnt")).cast("long"))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+          .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
+        // nearest-cell assignment: broadcast centroids, exact integer L2
+        def assign(cent: org.apache.spark.sql.DataFrame) = {
+          val dist = col("nsq") + col("cnorm") -
+            NativeText.dotLong(col("em"), col("cvec")) * 2L
+          n.join(broadcast(cent))
+            .withColumn("rnk_c", row_number().over(
+              Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
+            .filter(col("rnk_c") === 1)
+            .select(col("vec_id"), col("em"), col("nsq"), col("cell"))
+        }
+        val c0 = centFrom(n, "label")
+        val a2 = assign(centFrom(assign(c0), "cell"))
+        a2.select(col("cell"), posexplode(col("em")).as(Seq("dim0", "v")))
+          .groupBy(col("cell"), (col("dim0") + 1).cast("long").as("dim"))
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"),
+            count(lit(1)).as("n"))
+          .orderBy("cell", "dim")
       })
   )
 }
