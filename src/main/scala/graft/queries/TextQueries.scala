@@ -430,16 +430,28 @@ object TextQueries {
         // real corpus (20-50% exact dups) this halves the CC input; the
         // price is one content-hash shuffle the dedup pipeline (q28) pays
         // anyway.
-        // rep = min doc_id over the content-hash group, via ONE window
-        // exchange (a groupBy + join-back costs two more tiny stages, which
-        // at sf scale outweigh the contraction). Persisted: both the
-        // fingerprint branch and the final lift consume it.
+        // rep = min doc_id over the content-hash group. Round 6 A/B'd the
+        // r5 window form (ONE exchange, but it moves full (doc_id, text)
+        // rows) against this groupBy + join-back: the aggregation
+        // exchange carries only (hash, partial-min/count) — text never
+        // shuffles — and the join-back side is restricted to TRUE dup
+        // groups (n_copies > 1; singletons rep to themselves via
+        // coalesce), which is bounded by actual duplication, hence
+        // size-gated-broadcastable at sf AND the natural skew-free shape
+        // at corpus scale (degrades to a shuffle join only if dup groups
+        // genuinely outgrow the threshold). Persisted: the fingerprint
+        // branch and the final lift both consume it.
         graft.operators.CacheScope.release("q63")
+        val dupGroups = docs(s, d)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("grp_rep"), count(lit(1)).as("nc"))
+          .filter(col("nc") > 1L)
+          .select("h", "grp_rep")
         val withRep = graft.operators.CacheScope.persist("q63",
-          docs(s, d).select(col("doc_id"), col("text"),
-            min(col("doc_id")).over(
-              org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
-              .as("rep")))
+          docs(s, d).select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+            .join(graft.operators.Joins.dimBroadcast(dupGroups), Seq("h"), "left")
+            .select(col("doc_id"), col("text"),
+              coalesce(col("grp_rep"), col("doc_id")).as("rep")))
         val sim = withRep.filter(col("doc_id") === col("rep"))
           .select(col("doc_id"),
             NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("simhash"))
@@ -457,8 +469,11 @@ object TextQueries {
         val e = cand
           .filter(bit_count(col("sh_i").bitwiseXOR(col("sh_j"))) <= 3)
           .select("i", "j")
+        // auto: size-gated single-task union-find (the sf / daily-delta
+        // regime — one job instead of ~5 iterative rounds) with altStar
+        // as the scale path once edges outgrow one partition.
         val repClusters = graft.operators.Components
-          .altStar(sim.select("doc_id"), "doc_id", e, "i", "j")._1
+          .auto(sim.select("doc_id"), "doc_id", e, "i", "j")._1
           .toDF("rep", "cluster_id")
         withRep.select(col("doc_id"), col("rep"))
           .join(repClusters, "rep")

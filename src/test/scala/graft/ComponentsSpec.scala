@@ -47,4 +47,33 @@ class ComponentsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(10L -> 10L, 20L -> 20L))
   }
+
+  test("auto: local union-find path matches alt-star on random graphs") {
+    // The size gate dispatches small graphs to the single-task union-find;
+    // both paths must compute the identical min-id fixpoint. Deterministic
+    // pseudo-random graphs over several densities, alt-star as the oracle.
+    val rng = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val m = n * (trial % 3 + 1) / 2
+      val nodes = (1 to n).map(_.toLong).toDF("id")
+      val edges = (1 to m).map(_ =>
+        (rng.nextInt(n).toLong + 1, rng.nextInt(n).toLong + 1)).toDF("s", "t")
+      val viaStar = Components.altStar(nodes, "id", edges, "s", "t")._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (viaAuto, rounds) = Components.auto(nodes, "id", edges, "s", "t")
+      assert(rounds == 1, s"small graph must take the one-job local path, got $rounds")
+      val got = viaAuto.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == viaStar, s"trial $trial: local union-find diverged from alt-star")
+    }
+  }
+
+  test("auto: above the edge gate it falls through to alt-star") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val (out, rounds) = Components.auto(nodes, "id", edges, "s", "t", localMaxEdges = 1L)
+    assert(rounds > 1, "2 edges > gate of 1 must run the iterative path")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
