@@ -175,9 +175,12 @@ class PlanAuditSpec extends SparkTestBase {
     //  - q44/q65: the query-to-centroid assignment — bounded query set ×
     //    64-row centroid table; corpus-side candidate generation stays an
     //    equi-join on cell ids.
+    //  - q88: the Lloyd assignment — corpus × cells-row centroid table
+    //    per round, the same bounded-broadcast shape as q44's assignment.
     // None is the corpus² all-pairs shape this sweep exists to catch.
     val scalarCross = Set("q67_tfidf", "q78_cms_freq",
-      "q36_embed_knn_brute", "q44_embed_ivf_ann", "q65_embed_ivf_nprobe2")
+      "q36_embed_knn_brute", "q44_embed_ivf_ann", "q65_embed_ivf_nprobe2",
+      "q88_kmeans_lloyd")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&
@@ -186,6 +189,27 @@ class PlanAuditSpec extends SparkTestBase {
       else None
     }
     assert(bad.isEmpty, s"all-pairs joins appeared in: $bad")
+  }
+
+  test("q86: incremental dedup joins the batch against a parquet index scan") {
+    val p = plan("q86_incremental_dedup")
+    // the corpus side must be the persisted fingerprint index (a parquet
+    // scan of (doc_id, lo, hi)), never a re-fingerprint of corpus text —
+    // pin the index scan's schema...
+    assert(p.contains("simhash64_index"),
+      "corpus side is not the persisted fingerprint index:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    // ...and the candidate joins stay equi-joins (no all-pairs)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "incremental dedup degraded to all-pairs")
+  }
+
+  test("q87: window doc-frequency aggregates partial-merge before shuffling") {
+    val p = plan("q87_substring_dup")
+    val ops = opTree(p)
+    assert(ops.containsSlice(Seq("HashAggregate", "Exchange", "HashAggregate")),
+      s"window counting lost its map-side partial: $ops")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
   test("q81: bucketed fact-fact join has NO shuffle below the merge join") {
