@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.{NativeText, Text}
@@ -105,6 +106,15 @@ object TextQueries {
     */
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d).repartition(col("doc_id"))
+
+  /** q84 deployment knobs — declared BEFORE `all` because the q84 oracle
+    * string interpolates them eagerly at object init (a forward reference
+    * would silently interpolate 0); documented at [[containmentPairs]].
+    */
+  private val ContainModP = 8
+  private val ContainMinSupport = 4
+  private val ContainThrNum = 8
+  private val ContainThrDen = 10
 
   val all: Seq[Q] = Seq(
 
@@ -1221,11 +1231,141 @@ object TextQueries {
     // excluded as the CONTAINED side — the standard guard against
     // 1-of-1 = 100% noise; p and min-support are the density knobs a
     // deployment tunes to its document-length floor.
+    // ---- q90: domain-mixture rebalancing — the data-MIXING step between
+    // curation and training: equalize token mass across languages at the
+    // scarcest language's level (uniform multilingual mixture, the
+    // Pile/ROOTS-style re-weighting executed as sampling). Rates are
+    // DERIVED FROM THE DATA — rate_lang = min_lang_tokens / lang_tokens
+    // in parts-per-2^20 (exact integer division; the scarcest language
+    // hits the min(1, ·) cap naturally as rate = 2^20) — then applied as
+    // the q64 deterministic md5-bucket sample (6 hex chars is 2^24
+    // uniform, so % 2^20 is EXACTLY uniform; rerun-, cluster-size- and
+    // partitioning-stable, unlike df.sample). Distinct from q70, whose
+    // per-stratum rates are fixed constants: here the rate computation is
+    // itself the operator. Plan: one vocabulary-light partial-agg for the
+    // per-lang token mass, a 1-row scalar broadcast for the min, a 5-row
+    // broadcast rates dim back onto the map-side sampler — at 100 TB the
+    // corpus is scanned twice (mass pass + sample pass) with nothing
+    // corpus-sized shuffled; a deployment fuses the first pass into
+    // whatever per-doc stat job already runs.
+    Q("q90_domain_mixture",
+      Some("""WITH tok AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+             |cnt AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+             |tgt AS (SELECT MIN(n_tokens) AS mn FROM cnt),
+             |rate AS (SELECT lang, n_docs, n_tokens,
+             |         CAST((mn * 1048576) // n_tokens AS BIGINT) AS rate_pp20 FROM cnt CROSS JOIN tgt),
+             |h AS (SELECT doc_id, lang, n_tok,
+             |      CAST(list_sum(list_transform(generate_series(1, 6),
+             |        i -> (CASE WHEN ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) >= 97
+             |              THEN ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 87
+             |              ELSE ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 48 END)
+             |             * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 1048576 AS pp20
+             |      FROM tok)
+             |SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs, r.n_tokens, r.rate_pp20,
+             |       CAST(COUNT(CASE WHEN h.pp20 < r.rate_pp20 THEN 1 END) AS BIGINT) AS kept_docs,
+             |       CAST(COALESCE(SUM(CASE WHEN h.pp20 < r.rate_pp20 THEN h.n_tok END), 0) AS BIGINT) AS kept_tokens
+             |FROM rate r JOIN h ON h.lang = r.lang
+             |GROUP BY 1, 2, 3, 4 ORDER BY r.lang""".stripMargin),
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        val cnt = tok.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        // 1-row scalar broadcast (same exempted shape as q67/q78)
+        val rate = cnt.crossJoin(broadcast(cnt.agg(min(col("n_tokens")).as("mn"))))
+          .withColumn("rate_pp20", expr("(mn * 1048576) div n_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("rate_pp20"))
+        val pp20 = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 1048576L
+        tok.withColumn("pp20", pp20)
+          .join(broadcast(rate), "lang")
+          .groupBy(col("lang"), col("n_docs"), col("n_tokens"), col("rate_pp20"))
+          .agg(sum(when(col("pp20") < col("rate_pp20"), 1L).otherwise(0L)).as("kept_docs"),
+            coalesce(sum(when(col("pp20") < col("rate_pp20"), col("n_tok"))), lit(0L))
+              .as("kept_tokens"))
+          .orderBy("lang")
+      }),
+
+    // ---- q91: near-dup cluster SURVIVORSHIP — the last mile of the dedup
+    // pipeline: pair-finding (q82) and clustering (q63) decide WHO is
+    // duplicated; this decides WHAT SURVIVES. Clusters come from the
+    // 64-bit SimHash pair graph (banded candidates via the shared
+    // SimHashBands path — the 20-bit graph saturates at corpus scale,
+    // the r4 lesson) over pair-TOUCHED docs only (singletons need no
+    // election), contracted by Components.auto; the survivor per cluster
+    // is elected by (n_chars DESC, doc_id ASC) — keep the longest, the
+    // standard curation rule (longer near-dup usually supersets the
+    // shorter), deterministic tie-break. Output per multi-doc cluster:
+    // survivor + what the dedup drops (doc and char mass). At 100 TB:
+    // banded equi-joins, an edge-bounded CC, and a window over clusters
+    // whose width is bounded by true duplication — nothing corpus².
+    Q("q91_cluster_survivors",
+      Some(
+        s"""WITH RECURSIVE $thCte, $shCte,
+           |sim_t AS (SELECT doc_id, ${simhash64HalfSql("sh", 0)} AS lo,
+           |                 ${simhash64HalfSql("sh", 32)} AS hi FROM sh_t),
+           |e AS (SELECT a.doc_id AS i, b.doc_id AS j
+           |      FROM sim_t a JOIN sim_t b ON a.doc_id < b.doc_id
+           |      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+           |nodes AS (SELECT i AS doc_id FROM e UNION SELECT j FROM e),
+           |es AS (SELECT i AS a, j AS b FROM e UNION SELECT j AS a, i AS b FROM e),
+           |reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM nodes
+           |  UNION
+           |  SELECT r.a, es.b FROM reach r JOIN es ON r.b = es.a),
+           |clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+           |memb AS (SELECT c.cluster_id, d.doc_id, d.n_chars
+           |         FROM clus c JOIN documents d ON d.doc_id = c.doc_id),
+           |elect AS (SELECT cluster_id, doc_id, n_chars,
+           |                 row_number() OVER (PARTITION BY cluster_id
+           |                   ORDER BY n_chars DESC, doc_id) AS rnk
+           |          FROM memb)
+           |SELECT cluster_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       MIN(CASE WHEN rnk = 1 THEN doc_id END) AS survivor_id,
+           |       MIN(CASE WHEN rnk = 1 THEN n_chars END) AS survivor_chars,
+           |       CAST(SUM(CASE WHEN rnk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+           |FROM elect
+           |GROUP BY 1
+           |ORDER BY cluster_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.{CacheScope, Components, SimHashBands}
+        val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
+        val sim = docs(s, d)
+          .select(col("doc_id"),
+            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
+          .select(col("doc_id"),
+            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val bands = SimHashBands.bandsOf(sim, bits)
+        // the edge list feeds nodes + CC (and CC reads it twice more):
+        // persist the verified pairs, scoped
+        CacheScope.release("q91")
+        val e = CacheScope.persist("q91",
+          SimHashBands.verifiedPairs(bands, bands, col("a.doc_id") < col("b.doc_id")))
+        val nodes = e.select(col("i").as("doc_id"))
+          .union(e.select(col("j").as("doc_id"))).distinct()
+        val clus = Components.auto(nodes, "doc_id", e, "i", "j")._1
+        val memb = clus
+          .join(docs(s, d).select(col("doc_id"), col("n_chars")),
+            col("id") === col("doc_id"))
+          .select(col("cluster_id"), col("doc_id"), col("n_chars"))
+        memb
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("cluster_id"))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_docs"),
+            min(when(col("rnk") === 1, col("doc_id"))).as("survivor_id"),
+            min(when(col("rnk") === 1, col("n_chars"))).as("survivor_chars"),
+            sum(when(col("rnk") > 1, col("n_chars")).otherwise(0L)).as("dropped_chars"))
+          .orderBy("cluster_id")
+      }),
+
     Q("q84_containment_fp",
       Some(
         s"""WITH $thCte, $shCte,
-           |fp AS (SELECT doc_id, list_distinct(list_filter(sh, x -> x % 8 = 0)) AS f FROM sh_t),
-           |sz AS (SELECT doc_id, len(f) AS n FROM fp WHERE len(f) >= 4),
+           |fp AS (SELECT doc_id, list_distinct(list_filter(sh, x -> x % $ContainModP = 0)) AS f FROM sh_t),
+           |sz AS (SELECT doc_id, len(f) AS n FROM fp WHERE len(f) >= $ContainMinSupport),
            |e AS (SELECT doc_id, unnest(f) AS v FROM fp),
            |pair AS (
            |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
@@ -1235,24 +1375,41 @@ object TextQueries {
            |       CAST(s.n AS BIGINT) AS fp_i,
            |       CAST((p.shared * 1000000) // s.n AS BIGINT) AS cont_ppm
            |FROM pair p JOIN sz s ON p.i = s.doc_id
-           |WHERE p.shared * 10 >= 8 * s.n
+           |WHERE p.shared * $ContainThrDen >= $ContainThrNum * s.n
            |ORDER BY p.i, p.j""".stripMargin),
-      (s, d) => {
-        val fp = docs(s, d).select(col("doc_id"),
-          array_distinct(filter(NativeText.shingleHashesOfText(col("text")),
-            x => x % 8L === 0L)).as("f"))
-        val sz = fp.filter(size(col("f")) >= 4)
-          .select(col("doc_id").as("i"), size(col("f")).cast("long").as("n"))
-        val e = fp.select(col("doc_id"), explode(col("f")).as("v"))
-        val pair = e.as("a").join(e.as("b"),
-          col("a.v") === col("b.v") && col("a.doc_id") =!= col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-          .agg(count(lit(1)).as("shared"))
-        pair.join(sz, "i")
-          .filter(col("shared") * 10L >= col("n") * 8L)
-          .select(col("i"), col("j"), col("shared"), col("n").as("fp_i"),
-            expr("(shared * 1000000) div n").as("cont_ppm"))
-          .orderBy("i", "j")
-      })
+      (s, d) => containmentPairs(docs(s, d)))
   )
+
+  /** Containment pairs over a (doc_id, text) frame — q84's operator body
+    * with the deployment knobs hoisted to parameters (VERDICT r5 #3); the
+    * declared query's oracle interpolates the SAME default constants, so
+    * tuning a deployment means calling this with other values, not editing
+    * the query. Exact integer arithmetic throughout (SURVEY §2.9 L56).
+    *  - modP: mod-p fingerprint sampling rate (expected prints per doc =
+    *    shingles/p; p rises with document length at deployment).
+    *  - minSupport: minimum sampled prints for a meaningful denominator
+    *    (guards 1-of-1 noise; tuned to the corpus's document-length floor).
+    *  - thrNum/thrDen: containment threshold |F_A∩F_B|/|F_A| >= Num/Den.
+    */
+  def containmentPairs(docsDf: org.apache.spark.sql.DataFrame,
+                       modP: Int = ContainModP,
+                       minSupport: Int = ContainMinSupport,
+                       thrNum: Int = ContainThrNum,
+                       thrDen: Int = ContainThrDen): org.apache.spark.sql.DataFrame = {
+    val fp = docsDf.select(col("doc_id"),
+      array_distinct(filter(NativeText.shingleHashesOfText(col("text")),
+        x => x % modP.toLong === 0L)).as("f"))
+    val sz = fp.filter(size(col("f")) >= minSupport)
+      .select(col("doc_id").as("i"), size(col("f")).cast("long").as("n"))
+    val e = fp.select(col("doc_id"), explode(col("f")).as("v"))
+    val pair = e.as("a").join(e.as("b"),
+      col("a.v") === col("b.v") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared"))
+    pair.join(sz, "i")
+      .filter(col("shared") * thrDen.toLong >= col("n") * thrNum.toLong)
+      .select(col("i"), col("j"), col("shared"), col("n").as("fp_i"),
+        expr("(shared * 1000000) div n").as("cont_ppm"))
+      .orderBy("i", "j")
+  }
 }

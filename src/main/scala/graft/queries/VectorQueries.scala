@@ -116,6 +116,44 @@ object VectorQueries {
        |             CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm
        |             FROM c${r}_t)""".stripMargin
 
+  // ---- shared Lloyd building blocks (q88 refinement, q89 SemDeDup) ----
+
+  /** Floored-mean centroid array + exact norm per cell of an assigned
+    * frame (vec_id, em, nsq, `key`): the k-means "update" step.
+    */
+  private def centFrom(assigned: org.apache.spark.sql.DataFrame, key: String) = assigned
+    .select(col(key).as("cell"), posexplode(col("em")).as(Seq("dim0", "v")))
+    .groupBy(col("cell"), (col("dim0") + 1).as("dim"))
+    .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+    .withColumn("cv", floor(col("sv").cast("double") / col("cnt")).cast("long"))
+    .groupBy(col("cell"))
+    .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+      x => x.getField("cv")).as("cvec"))
+    .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
+
+  /** Nearest-cell assignment of the quantized frame `n`: broadcast the
+    * (tiny) centroid table, exact integer L2 via nsq + cnorm - 2*dot,
+    * cell-id tie-break — the k-means "assign" step.
+    */
+  private def assign(n: org.apache.spark.sql.DataFrame,
+                     cent: org.apache.spark.sql.DataFrame) = {
+    val dist = col("nsq") + col("cnorm") -
+      NativeText.dotLong(col("em"), col("cvec")) * 2L
+    n.join(broadcast(cent))
+      .withColumn("rnk_c", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
+      .filter(col("rnk_c") === 1)
+      .select(col("vec_id"), col("em"), col("nsq"), col("cell"))
+  }
+
+  /** Two-round-Lloyd cell assignment from per-label seeds — q88's
+    * refined coarse quantizer, reused as q89's clustering.
+    */
+  private def lloyd2Cells(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val n = quantized(s, d)
+    assign(n, centFrom(assign(n, centFrom(n, "label")), "cell"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- q36: brute-force cosine top-k — the exact-ANN baseline. The
@@ -434,34 +472,71 @@ object VectorQueries {
            |FROM s2_t
            |ORDER BY cell, dim""".stripMargin),
       (s, d) => {
-        val n = quantized(s, d)
-        // floored-mean centroid array + norm from an assigned frame
-        def centFrom(assigned: org.apache.spark.sql.DataFrame, key: String) = assigned
-          .select(col(key).as("cell"), posexplode(col("em")).as(Seq("dim0", "v")))
-          .groupBy(col("cell"), (col("dim0") + 1).as("dim"))
-          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-          .withColumn("cv", floor(col("sv").cast("double") / col("cnt")).cast("long"))
-          .groupBy(col("cell"))
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-            x => x.getField("cv")).as("cvec"))
-          .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
-        // nearest-cell assignment: broadcast centroids, exact integer L2
-        def assign(cent: org.apache.spark.sql.DataFrame) = {
-          val dist = col("nsq") + col("cnorm") -
-            NativeText.dotLong(col("em"), col("cvec")) * 2L
-          n.join(broadcast(cent))
-            .withColumn("rnk_c", row_number().over(
-              Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
-            .filter(col("rnk_c") === 1)
-            .select(col("vec_id"), col("em"), col("nsq"), col("cell"))
-        }
-        val c0 = centFrom(n, "label")
-        val a2 = assign(centFrom(assign(c0), "cell"))
+        val a2 = lloyd2Cells(s, d)
         a2.select(col("cell"), posexplode(col("em")).as(Seq("dim0", "v")))
           .groupBy(col("cell"), (col("dim0") + 1).cast("long").as("dim"))
           .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"),
             count(lit(1)).as("n"))
           .orderBy("cell", "dim")
+      }),
+
+    // ---- q89: semantic dedup (SemDeDup, Abbas et al. 2023 shape) — the
+    // embedding-space dedup modality the text family can't see: documents
+    // that SAY the same thing in different words have distant shingle
+    // fingerprints but near-identical embeddings. Cluster with the
+    // Lloyd-refined coarse quantizer (q88's exact-integer k-means — the
+    // composition is the point: the quantizer IS the dedup's blocking
+    // structure), then compare pairs WITHIN a cell only and drop the
+    // higher vec_id of any pair with exact cosine >= 0.4 (greedy
+    // keep-lowest-id, the deterministic survivor rule). At 100 TB the
+    // quadratic term is bounded per cell: cells scale with corpus count
+    // (more centroids, same per-cell population), the centroid table
+    // stays broadcastable, and the pair join is an equi-join on cell id —
+    // never all-pairs (the same cost model as q44's probe; a vector's
+    // semantic duplicates land in its own cell because near-identical
+    // embeddings get identical nearest-centroid assignments except
+    // exactly at cell boundaries — the recall knob is nprobe-style
+    // neighbor-cell comparison, not a wider join).
+    // Output: every vector with its cell and whether it survives.
+    Q("q89_semdedup",
+      Some(
+        s"""WITH $emCte,
+           |s0_t AS (
+           |  SELECT label AS cell, i AS dim,
+           |         CAST(FLOOR(CAST(SUM(em[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |  FROM n_t, generate_series(1, $Dim) t(i) GROUP BY 1, 2),
+           |c0_t AS (SELECT cell, list(cv ORDER BY dim) AS cvec FROM s0_t GROUP BY 1),
+           |cn0_t AS (SELECT cell, cvec,
+           |          CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm
+           |          FROM c0_t),
+           |${lloydRoundSql(1, "cn0_t")},
+           |${lloydRoundSql(2, "cn1_t")},
+           |p_t AS (
+           |  SELECT a.vec_id AS i, b.vec_id AS j,
+           |         CAST(list_sum(list_transform(generate_series(1, $Dim), k -> a.em[k] * b.em[k])) AS BIGINT) AS dot,
+           |         a.nsq AS qn, b.nsq AS cn
+           |  FROM cell2_t a JOIN cell2_t b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           |d_t AS (SELECT DISTINCT j FROM p_t WHERE $cosSql >= 0.4)
+           |SELECT c.vec_id, c.cell, (d.j IS NULL) AS kept
+           |FROM cell2_t c LEFT JOIN d_t d ON c.vec_id = d.j
+           |ORDER BY c.vec_id""".stripMargin),
+      (s, d) => {
+        // one Lloyd pipeline serves three consumers (both pair sides +
+        // the final flag join): persist, scoped like q80/q63
+        graft.operators.CacheScope.release("q89")
+        val cells = graft.operators.CacheScope.persist("q89", lloyd2Cells(s, d))
+        val dups = cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("b.vec_id").as("j"),
+            dotCols(col("a.em"), col("b.em")).as("dot"),
+            col("a.nsq").as("qn"), col("b.nsq").as("cn"))
+          .filter(Exact.cosineMicro(col("dot"), col("qn"), col("cn")) >= 0.4)
+          .select(col("j").as("vec_id")).distinct()
+          .withColumn("dup", lit(true))
+        cells.select(col("vec_id"), col("cell"))
+          .join(dups, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), col("dup").isNull.as("kept"))
+          .orderBy("vec_id")
       })
   )
 }

@@ -175,12 +175,15 @@ class PlanAuditSpec extends SparkTestBase {
     //  - q44/q65: the query-to-centroid assignment — bounded query set ×
     //    64-row centroid table; corpus-side candidate generation stays an
     //    equi-join on cell ids.
-    //  - q88: the Lloyd assignment — corpus × cells-row centroid table
-    //    per round, the same bounded-broadcast shape as q44's assignment.
+    //  - q88/q89: the Lloyd assignment — corpus × cells-row centroid table
+    //    per round, the same bounded-broadcast shape as q44's assignment
+    //    (q89's pair join itself is an equi-join on cell id).
+    //  - q90: the 1-row min-token-mass scalar against the 5-row per-lang
+    //    counts (q67's shape).
     // None is the corpus² all-pairs shape this sweep exists to catch.
     val scalarCross = Set("q67_tfidf", "q78_cms_freq",
       "q36_embed_knn_brute", "q44_embed_ivf_ann", "q65_embed_ivf_nprobe2",
-      "q88_kmeans_lloyd")
+      "q88_kmeans_lloyd", "q89_semdedup", "q90_domain_mixture")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&
