@@ -267,13 +267,13 @@ object ScaleBench {
 
     def cellDist = col("nsq") + col("cnorm") -
       NativeText.dotLong(col("em"), col("cvec")) * 2L
-    def assignIds(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
+    def assignIds(base: DataFrame, cents: DataFrame): DataFrame =
+      base.crossJoin(broadcast(cents))
         .select(col("id"), struct(cellDist.as("l2"), col("cell")).as("dc"))
         .groupBy("id").agg(min(col("dc")).as("dc"))
         .select(col("id"), col("dc.cell").as("cell"))
-    def centsFrom(assign: DataFrame): DataFrame =
-      emb.join(assign, "id")
+    def centsFrom(base: DataFrame, assign: DataFrame): DataFrame =
+      base.join(assign, "id")
         .select(col("cell"), posexplode(col("em")).as(Seq("dim0", "v")))
         .groupBy(col("cell"), (col("dim0") + 1).as("dim"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
@@ -287,11 +287,11 @@ object ScaleBench {
       .select(col("id").as("cell"), col("em").as("cvec"), col("nsq").as("cnorm"))
     val (cents, tLloyd) = timed(s"IVF($nCells cells) Lloyd refine (3 rounds)") {
       var c = seedCents
-      for (_ <- 1 to 3) c = centsFrom(assignIds(c)).localCheckpoint()
+      for (_ <- 1 to 3) c = centsFrom(emb, assignIds(emb, c)).localCheckpoint()
       c
     }
     val (docsInCell, tIvfBuild) = timed(s"IVF($nCells cells) index build") {
-      val dic = emb.join(assignIds(cents), "id")
+      val dic = emb.join(assignIds(emb, cents), "id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       dic.count()
       dic
@@ -435,6 +435,61 @@ object ScaleBench {
       s"""{"g":$g,"domain":${domains(g)},"exact":$ex,"kmv":$es,"rel_err":$relErr}"""
     }.mkString("[", ",", "]")
 
+    // ---- 7. SEMANTIC dedup (q89 shape) with near-identical vectors
+    // injected BY CONSTRUCTION: ids ≡ 3 (mod 10) copy id-1's vector with
+    // dim 1 perturbed by one milli — cosine ≈ 1 - (0.001/||v||)²/2 >
+    // 0.9999, while independent 16-dim hash vectors essentially never
+    // reach the 0.99 threshold, so found-vs-injected IS the recall
+    // statement and any non-injected pair found is measured noise. The
+    // scale argument under test: CELLS SCALE WITH CORPUS (semCells =
+    // docs/200) so per-cell population — hence the within-cell quadratic
+    // term — stays bounded; the cost certificate is the measured max
+    // cell size next to wall time. Misses are Lloyd boundary splits of a
+    // near-identical pair (the q89 Scaladoc's nprobe-style caveat),
+    // expected small because identical-up-to-milli vectors share a
+    // nearest centroid except exactly at a boundary.
+    val semN = math.max(n / 10L, 1000L)    // 200k at the 2M default
+    val semCells = math.max(64L, semN / 200L)
+    val semTau = 990000L                   // cos_micro threshold 0.99
+    val semInjected = (semN - 4L) / 10L + 1L // ids ≡ 3 (mod 10) in [0, semN)
+    val seff = when(pmod(col("id"), lit(10)) === 3, col("id") - 1).otherwise(col("id"))
+    val semb = spark.range(semN).toDF("id")
+      .withColumn("em", NativeText.microQuantize(
+        transform(sequence(lit(1), lit(dims)), i =>
+          (((pmod(xxhash64(seff * 17L + i.cast("long")), lit(2001L)) - 1000L).cast("double")
+            + when(pmod(col("id"), lit(10)) === 3 && i === 1, 1.0).otherwise(0.0))
+            / 1000.0).cast("float"))))
+      .withColumn("nsq", NativeText.dotLong(col("em"), col("em")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    semb.count()
+    val (semCents, tSemLloyd) = timed(s"semdedup Lloyd ($semCells cells, 2 rounds)") {
+      var c = semb.where(col("id") < semCells)
+        .select(col("id").as("cell"), col("em").as("cvec"), col("nsq").as("cnorm"))
+      for (_ <- 1 to 2) c = centsFrom(semb, assignIds(semb, c)).localCheckpoint()
+      c
+    }
+    val ((semFound, semInjFound, semMaxCell), tSemPairs) = timed(
+      s"semdedup within-cell pairs ($semN docs)") {
+      val assigned = semb.join(assignIds(semb, semCents), "id")
+        .select(col("id"), col("em"), col("nsq"), col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxCell = assigned.groupBy("cell").count().agg(max("count")).head.getLong(0)
+      val pairs = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("i"), col("b.id").as("j"),
+          cosMicro(NativeText.dotLong(col("a.em"), col("b.em")),
+            col("a.nsq"), col("b.nsq")).as("cm"))
+        .where(col("cm") >= semTau)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = pairs.count()
+      val inj = pairs.where(col("j") === col("i") + 1 &&
+        pmod(col("j"), lit(10)) === 3).count()
+      pairs.unpersist(blocking = false)
+      assigned.unpersist(blocking = false)
+      (total, inj, maxCell)
+    }
+    semb.unpersist(blocking = false)
+
     def rate(t: Double): Long = (nd.toDouble / t).toLong
     val annJson = annPoints.map { p =>
       def rec(h: Long) = if (p.truthRows == 0) 0.0 else h.toDouble / p.truthRows
@@ -460,6 +515,9 @@ object ScaleBench {
       s""""containment":$containJson,""" +
       s""""kmv_grouped":{"exact_sec":$tKmvExact,"kmv_sec":$tKmv,"groups":$kmvJson},""" +
       s""""ann":{"lloyd_sec":$tLloyd,"ivf_build_sec":$tIvfBuild,"points":$annJson},""" +
+      s""""semdedup":{"docs":$semN,"cells":$semCells,"lloyd_sec":$tSemLloyd,""" +
+      s""""pair_sec":$tSemPairs,"found_pairs":$semFound,"injected_found":$semInjFound,""" +
+      s""""injected":$semInjected,"max_cell":$semMaxCell},""" +
       s""""docs_per_sec":{"exact":${rate(tExact)},"lsh":${rate(tLsh)},"simhash":${rate(tSim)},"simhash64":${rate(tSim64)}}}"""
     spark.stop()
     println(json)
