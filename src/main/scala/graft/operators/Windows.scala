@@ -48,6 +48,37 @@ object Windows {
     df.sparkSession.createDataFrame(indexed, schema)
   }
 
+  /** Scale-safe GLOBAL running sum (inclusive prefix sum) of `value` over
+    * the total order `order` — the 100 TB form of
+    * `sum(value) OVER (ORDER BY order)`, whose direct window collapses to a
+    * single partition. Classic two-phase scan: range-partition by the order
+    * columns and sort within partitions; per-partition window cumsum (each
+    * partition sorts only its slice); per-partition totals (one row per
+    * partition) get an exclusive-prefix offset via a WINDOW OVER THE
+    * PARTITION IDS — #partitions rows, trivially single-partition — and a
+    * broadcast join adds the offset back. Deterministic when `order` is a
+    * total order (include a unique tie-break key); sampling-dependent range
+    * boundaries move rows between buckets but never change the result.
+    */
+  def prefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                outCol: String): DataFrame = {
+    val bucketed = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__bkt", spark_partition_id())
+    val local = bucketed.withColumn("__local",
+      sum(value).over(Window.partitionBy(col("__bkt")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(value).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop("__bkt", "__local", "__off")
+  }
+
   /** W3: top-k rows per group by rank with a deterministic tie-break
     * (the dashboard "ranking" queries, ref: README.md:47-51). */
   def topKPerGroup(df: DataFrame, partitionCols: Seq[Column], order: Seq[Column],

@@ -1377,7 +1377,180 @@ object TextQueries {
            |FROM pair p JOIN sz s ON p.i = s.doc_id
            |WHERE p.shared * $ContainThrDen >= $ContainThrNum * s.n
            |ORDER BY p.i, p.j""".stripMargin),
-      (s, d) => containmentPairs(docs(s, d)))
+      (s, d) => containmentPairs(docs(s, d))),
+
+    // ---- q92: sequence packing — the corpus→training handoff: documents
+    // are concatenated in a deterministic order and chunked into
+    // fixed-capacity context windows (GPT-style concat-and-chunk); each
+    // document is assigned to the shard its FIRST token lands in, and the
+    // output is the per-shard manifest a training loader consumes. The
+    // global running token sum is the crux at scale: a naive
+    // `sum() OVER (ORDER BY doc_id)` collapses to one partition, so the
+    // engine uses Windows.prefixSum — range-partition + per-partition
+    // cumsum + a #partitions-row offset window + broadcast offsets (the
+    // q41 two-phase shape for a weighted index). The oracle's plain
+    // window is semantically identical; 2048 tokens is the context size.
+    Q("q92_seq_packing",
+      Some("""WITH tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+             |cum AS (SELECT doc_id, n_tok,
+             |               CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+             |        FROM tok),
+             |a AS (SELECT doc_id, n_tok, (cs - n_tok) // 2048 AS shard_id FROM cum)
+             |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM a GROUP BY 1 ORDER BY shard_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.Windows
+        val tok = docs(s, d).select(col("doc_id"), size(toks).cast("long").as("n_tok"))
+        Windows.prefixSum(tok, Seq(col("doc_id")), col("n_tok"), "cs")
+          .withColumn("shard_id", expr("(cs - n_tok) div 2048"))
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("shard_id")
+      }),
+
+    // ---- q93: boilerplate REMOVAL by global chunk document-frequency —
+    // the CCNet/RefinedWeb step the detection family (q75/q87) feeds:
+    // a chunk appearing in >= 3 distinct documents is boilerplate
+    // (headers, footers, licence blocks) and is STRIPPED; the output is
+    // the scrubbed document (content hash + retained mass), not just a
+    // score. Distinct from q75: q75 measures pairwise duplication
+    // (df >= 2) per doc; this applies a corpus-frequency threshold and
+    // reconstructs the retained text in token order. Plan: chunk explode
+    // (native kernel, map-side) → distinct + count per chunk (the global
+    // document-frequency table) → join back → per-doc agg whose
+    // collect_list is bounded by the DOCUMENT length, never the corpus.
+    // At 100 TB the join key is a 128-bit chunk hash (16-byte shuffle
+    // rows); the string key keeps the oracle term-for-term identical.
+    Q("q93_boilerplate_strip",
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |c0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) // 10),
+             |         j -> {'j': j, 'chunk': list_aggregate(t[(j-1)*10+1:j*10], 'string_agg', ' ')})) AS u FROM tk),
+             |c AS (SELECT doc_id, u.j AS j, u.chunk AS chunk FROM c0),
+             |w AS (SELECT chunk, count(*) AS docs_with
+             |      FROM (SELECT DISTINCT doc_id, chunk FROM c) GROUP BY 1)
+             |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |       CAST(SUM(CASE WHEN w.docs_with < 3 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+             |       CAST(SUM(CASE WHEN w.docs_with < 3 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS kept_frac_micro,
+             |       md5(COALESCE(string_agg(CASE WHEN w.docs_with < 3 THEN c.chunk END, ' ' ORDER BY c.j), '')) AS kept_md5
+             |FROM c JOIN w USING (chunk)
+             |GROUP BY 1
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val chunks = docs(s, d).select(col("doc_id"),
+          posexplode(NativeText.wordChunks(col("text"), 10)).as(Seq("pos", "chunk")))
+        val docsWith = chunks.select("doc_id", "chunk").distinct()
+          .groupBy("chunk").agg(count(lit(1)).as("docs_with"))
+        chunks.join(docsWith, "chunk")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("docs_with") < 3L, 1L).otherwise(0L)).as("kept_chunks"),
+            // nulls (boilerplate) drop out of collect_list; sort restores
+            // token order (pos is unique per doc, so the struct sort is a
+            // pos sort); list size is bounded by the document length.
+            array_sort(collect_list(
+              when(col("docs_with") < 3L, struct(col("pos"), col("chunk"))))).as("kept"))
+          .withColumn("kept_frac_micro",
+            floor(col("kept_chunks") * 1000000L / col("n_chunks")).cast("long"))
+          .withColumn("kept_md5",
+            md5(array_join(transform(col("kept"), x => x.getField("chunk")), " ")))
+          .select(col("doc_id"), col("n_chunks"), col("kept_chunks"),
+            col("kept_frac_micro"), col("kept_md5"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q94: PII detection + redaction — the compliance pass every
+    // public-corpus pipeline runs before training: find and mask emails
+    // and phone numbers, report per-doc counts and the redacted content
+    // hash. The synthetic corpus carries no PII, so the query INJECTS it
+    // deterministically from doc_id (both engines compute the same
+    // augmented text — the q83 dirty-input idea without a derived file);
+    // a real corpus drops the injection and keeps the scrub. Patterns
+    // use explicit character classes only (no \d, no lookaround), the
+    // subset where Java regex and RE2 agree token-for-token. Map-only —
+    // at 100 TB this fuses into whatever per-doc pass already runs, and
+    // the counts partial-aggregate into the DQ report (P7's shape).
+    Q("q94_pii_redact",
+      Some("""WITH aug AS (SELECT doc_id,
+             |    text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com for details' ELSE '' END
+             |         || CASE WHEN doc_id % 11 = 0 THEN ' or call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+             |    FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             |       CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+             |       md5(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5,
+             |       CAST(length(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+             |FROM aug ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val aug = concat(col("text"),
+          when(col("doc_id") % 7L === 0L,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com for details"))).otherwise(lit("")),
+          when(col("doc_id") % 11L === 0L,
+            concat(lit(" or call 555-"),
+              lpad((col("doc_id") % 1000L).cast("string"), 3, "0"), lit("-"),
+              lpad((col("doc_id") % 10000L).cast("string"), 4, "0"))).otherwise(lit("")))
+        val redacted = regexp_replace(
+          regexp_replace(col("t"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+        docs(s, d).select(col("doc_id"), aug.as("t"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+              .cast("long").as("n_phones"),
+            md5(redacted).as("redacted_md5"),
+            length(redacted).cast("long").as("redacted_len"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q95: adaptive quality cutoff — per-language EXACT median token
+    // count as a data-derived keep threshold (keep docs at or above their
+    // language's median). The scale trick is the HISTOGRAM median: the
+    // cutoff is computed from groupBy(lang, n_tok) counts — cardinality
+    // bounded by langs x distinct lengths, NOT the corpus — so the
+    // cumulative window sorts a histogram, never documents; the 5-row
+    // cutoff table broadcasts back onto a map-side filter. Contrast q90
+    // (rates from token MASS, applied by sampling): here the threshold
+    // itself is a distributional statistic. An exact corpus-wide median
+    // via percent_rank would be a global sort — this shape replaces it.
+    Q("q95_quality_cutoff",
+      Some("""WITH tok AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+             |h AS (SELECT lang, n_tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+             |c AS (SELECT lang, n_tok, cnt,
+             |             SUM(cnt) OVER (PARTITION BY lang ORDER BY n_tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |             SUM(cnt) OVER (PARTITION BY lang) AS tot
+             |      FROM h),
+             |cut AS (SELECT lang, MIN(n_tok) AS cutoff FROM c WHERE 2 * cum >= tot GROUP BY 1)
+             |SELECT t.lang, CAST(cut.cutoff AS BIGINT) AS cutoff,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(CASE WHEN t.n_tok >= cut.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+             |       CAST(COALESCE(SUM(CASE WHEN t.n_tok >= cut.cutoff THEN t.n_tok END), 0) AS BIGINT) AS kept_tokens
+             |FROM tok t JOIN cut ON t.lang = cut.lang
+             |GROUP BY 1, 2 ORDER BY t.lang""".stripMargin),
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tok"))
+        val h = tok.groupBy("lang", "n_tok").agg(count(lit(1)).as("cnt"))
+        val cut = h
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("lang")).orderBy(col("n_tok"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+          .filter(col("cum") * 2L >= col("tot"))
+          .groupBy("lang").agg(min(col("n_tok")).as("cutoff"))
+        tok.join(broadcast(cut), "lang")
+          .groupBy(col("lang"), col("cutoff"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_tok") >= col("cutoff"), 1L).otherwise(0L)).as("kept_docs"),
+            coalesce(sum(when(col("n_tok") >= col("cutoff"), col("n_tok"))), lit(0L))
+              .as("kept_tokens"))
+          .orderBy("lang")
+      })
   )
 
   /** Containment pairs over a (doc_id, text) frame — q84's operator body
