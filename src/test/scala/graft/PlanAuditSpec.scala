@@ -215,6 +215,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q92: packing offsets come back via a broadcast join") {
+    // prefixSum's per-partition offsets table is #partitions rows — it must
+    // broadcast onto the data path, never shuffle the corpus against it
+    val p = plan("q92_seq_packing")
+    assert(p.contains("BroadcastHashJoin"),
+      "prefixSum offsets were not broadcast:\n" + p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q93: chunk doc-frequency partial-merges before shuffling") {
+    val p = plan("q93_boilerplate_strip")
+    val ops = opTree(p)
+    assert(ops.containsSlice(Seq("HashAggregate", "Exchange", "HashAggregate")),
+      s"chunk df count lost its map-side partial: $ops")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q95: the 5-row cutoff table joins back as a broadcast") {
+    val p = plan("q95_quality_cutoff")
+    assert(p.contains("BroadcastHashJoin"),
+      "cutoff table was shuffled instead of broadcast:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("q81: bucketed fact-fact join has NO shuffle below the merge join") {
     val p = plan("q81_bucketed_join")
     val ops = opTree(p)

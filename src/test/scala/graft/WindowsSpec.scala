@@ -44,6 +44,23 @@ class WindowsSpec extends SparkTestBase {
     assert(ids.toSeq == (1L to 1000L))
   }
 
+  test("prefixSum matches the single-partition global window cumsum") {
+    // weights deliberately irregular; input spread over many partitions so
+    // the two-phase offsets actually cross bucket boundaries
+    val df = (1 to 997).map(i => (i.toLong, ((i * 131) % 53 + 1).toLong))
+      .toDF("k", "w").repartition(13)
+    val expected = df
+      .withColumn("cs", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .select("k", "cs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val actual = Windows.prefixSum(df, Seq(col("k")), col("w"), "cs")
+      .select("k", "cs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected)
+    assert(actual(997L) == expected.values.max, "inclusive prefix must end at the total")
+  }
+
   test("topKPerGroup keeps rank<=k with deterministic tie-break") {
     val df = Seq(("g1", 1, 100), ("g1", 2, 100), ("g1", 3, 50), ("g2", 4, 10))
       .toDF("g", "id", "score")
