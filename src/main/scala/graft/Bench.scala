@@ -58,7 +58,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // Bound per-execution status tracking: the default retains 1000 full
       // SQL-plan graphs in driver memory, which degraded the r1 tail.

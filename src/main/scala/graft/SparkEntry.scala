@@ -16,7 +16,7 @@ object SparkEntry {
     CoreQueries.all ++ RowQueries.all ++ GroupQueries.all ++
       WindowQueries.all ++ JoinSetQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ MiscQueries.all ++
-      TypedQueries.all ++ StarQueries.all
+      TypedQueries.all ++ StarQueries.all ++ GraphQueries.all
 
   private val (qMap, oMap) = registry(declared)
 

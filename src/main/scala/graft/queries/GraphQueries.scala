@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CacheScope
+import graft.sources.Tables
+
+/** Link-graph queries over the `documents` table — the centrality-scoring
+  * modality of corpus curation (Common-Crawl-style pipelines rank hosts by
+  * link centrality and use the score as a quality prior). The corpus
+  * tables carry no hyperlinks, so the graph is DERIVED deterministically
+  * from doc_ids (both engines construct the same edges); a real deployment
+  * swaps the synthetic edge CTE for an extracted link table and keeps the
+  * iteration unchanged.
+  *
+  * Scale design: PageRank here is the classic Pregel shape expressed as
+  * DataFrame joins — per iteration, ONE hash join of the edge list against
+  * the rank vector (both partitioned by src) and ONE partial-aggregated
+  * shuffle of (dst, contrib) pairs. Nothing corpus-squared exists; cost per
+  * iteration = O(|E|) shuffled bytes carrying bare (long, long) rows. At
+  * 100 TB the edge list is hash-partitioned ONCE (persist below) and every
+  * iteration's join reuses that partitioning — the rank vector (24 bytes a
+  * row) is the only side that moves. Arithmetic is exact fixed-point
+  * (pp10^6 with floored div), so the DuckDB oracle replays the iteration
+  * bit-for-bit — float PageRank could never hash-match across engines.
+  */
+object GraphQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q96: 3-iteration PageRank (damping 0.85) on a deterministic
+    // out-degree-<=3 graph: dst_k = (src*31 + k*7919) mod n for k in 1..3,
+    // self-loops dropped. Ranks live in pp10^6: r0 = 1_000_000;
+    // r' = 150_000 + (850_000 * sum(r(u) div deg(u))) div 1_000_000.
+    // Every operation is positive-integer floored division, identical in
+    // Spark (`div`) and DuckDB (`//`). Per-node inbound mass is bounded by
+    // in-degree (~3 expected), so the 850_000 * sum product stays far from
+    // Long overflow at any corpus size that fits a cluster.
+    Q("q96_link_pagerank",
+      Some("""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |nodes AS (SELECT doc_id FROM documents),
+             |e AS (SELECT src, dst FROM (
+             |        SELECT nd.doc_id AS src,
+             |               (nd.doc_id * 31 + ks.k * 7919) % nn.n AS dst
+             |        FROM nodes nd CROSS JOIN nn
+             |             CROSS JOIN (VALUES (1), (2), (3)) ks(k)) t
+             |      WHERE src <> dst),
+             |outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+             |ej AS (SELECT e.src, e.dst, outd.deg FROM e JOIN outd USING (src)),
+             |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+             |s1 AS (SELECT ej.dst, SUM(r0.r // ej.deg) AS s FROM ej JOIN r0 ON r0.doc_id = ej.src GROUP BY 1),
+             |r1 AS (SELECT nodes.doc_id, 150000 + (850000 * COALESCE(s1.s, 0)) // 1000000 AS r
+             |       FROM nodes LEFT JOIN s1 ON s1.dst = nodes.doc_id),
+             |s2 AS (SELECT ej.dst, SUM(r1.r // ej.deg) AS s FROM ej JOIN r1 ON r1.doc_id = ej.src GROUP BY 1),
+             |r2 AS (SELECT nodes.doc_id, 150000 + (850000 * COALESCE(s2.s, 0)) // 1000000 AS r
+             |       FROM nodes LEFT JOIN s2 ON s2.dst = nodes.doc_id),
+             |s3 AS (SELECT ej.dst, SUM(r2.r // ej.deg) AS s FROM ej JOIN r2 ON r2.doc_id = ej.src GROUP BY 1),
+             |r3 AS (SELECT nodes.doc_id, 150000 + (850000 * COALESCE(s3.s, 0)) // 1000000 AS r
+             |       FROM nodes LEFT JOIN s3 ON s3.dst = nodes.doc_id)
+             |SELECT doc_id, CAST(r AS BIGINT) AS rank_pp
+             |FROM r3 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        CacheScope.release("q96")
+        val nodes = Tables.documents(s, d).select(col("doc_id"))
+        // 1-row scalar broadcast (the exempted q67/q78 shape): graph size.
+        val nRow = nodes.agg(count(lit(1)).as("n"))
+        val e = nodes.crossJoin(broadcast(nRow))
+          .select(col("doc_id").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("n"))
+          .select(col("src"),
+            ((col("src") * 31L + col("k") * 7919L) % col("n")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val outd = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        // The edge list (with out-degrees) is the loop-invariant side of
+        // every iteration's join — persist ONE generation, CacheScope-bound.
+        val ej = CacheScope.persist("q96", e.join(outd, "src"))
+        var r = nodes.select(col("doc_id"), lit(1000000L).as("r"))
+        for (_ <- 1 to 3) {
+          val sums = ej.join(r, ej("src") === r("doc_id"))
+            .select(col("dst"), expr("r div deg").as("contrib"))
+            .groupBy("dst").agg(sum(col("contrib")).as("s"))
+          r = nodes.join(sums, nodes("doc_id") === sums("dst"), "left")
+            .select(nodes("doc_id"),
+              (lit(150000L) + expr("(850000 * coalesce(s, 0)) div 1000000"))
+                .as("r"))
+        }
+        r.select(col("doc_id"), col("r").as("rank_pp")).orderBy("doc_id")
+      })
+  )
+}

@@ -14,11 +14,19 @@ import graft.functions.TopKLongs
   */
 object MiscQueries {
 
-  /** 30-minute session gap, in microseconds. events.ts is TIMESTAMP(NANOS)
-    * — Spark reads it as BIGINT nanos (spark.sql.legacy.parquet.nanosAsLong)
-    * while DuckDB truncates to micros on read, so all session arithmetic is
-    * done on `ts div 1000` micros to agree with the oracle. */
+  /** 30-minute session gap, in microseconds. events.ts is a micros-precision
+    * naive timestamp (Spark reads TIMESTAMP_NTZ, DuckDB TIMESTAMP); all
+    * session arithmetic runs on exact epoch micros via [[eventTsu]]. */
   val SessionGapUs: Long = 1800L * 1000000L
+
+  /** events.ts (TIMESTAMP_NTZ) as exact epoch micros. Every graft session
+    * pins spark.sql.session.timeZone=UTC, so the NTZ->TIMESTAMP cast reads
+    * the wall clock as UTC and unix_micros equals DuckDB's epoch_us on the
+    * same naive column. (Before testdata regeneration ts was INT64 nanos —
+    * then read as BIGINT and divided; this helper is the single point that
+    * tracks the driver's schema.) */
+  def eventTsu: org.apache.spark.sql.Column =
+    unix_micros(col("ts").cast("timestamp"))
 
   val all: Seq[Q] = Seq(
 
@@ -67,10 +75,10 @@ object MiscQueries {
     // ---- q42: event-time tumbling aggregation — hourly revenue/volume per
     // event type (the batch equivalent of a Structured Streaming tumbling
     // window; graft.streaming.EventStream runs the same agg incrementally).
-    // ts nanos -> micros uses integer `div` (a double divide would lose
-    // precision above 2^53). Hour emitted as a formatted string: Spark
-    // writes tz-normalized TIMESTAMP while DuckDB reads naive TIMESTAMP_NS,
-    // so raw timestamp columns would hash-mismatch on representation.
+    // The events table stores micros-precision naive timestamps (Spark
+    // reads TIMESTAMP_NTZ, DuckDB TIMESTAMP). Hour emitted as a formatted
+    // string: raw timestamp columns can hash-mismatch on representation
+    // across engines, wall-clock strings cannot (UTC session everywhere).
     Q("q42_event_hour_agg",
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              |       event_type,
@@ -82,8 +90,7 @@ object MiscQueries {
              |ORDER BY hour, event_type""".stripMargin),
       (s, d) => {
         val hour = date_format(
-          date_trunc("hour", timestamp_micros(expr("ts div 1000"))),
-          "yyyy-MM-dd HH:mm:ss")
+          date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
         Tables.events(s, d)
           .groupBy(hour.as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -120,7 +127,7 @@ object MiscQueries {
         val brk = when(lag(col("tsu"), 1).over(w).isNull ||
           col("tsu") - lag(col("tsu"), 1).over(w) > SessionGapUs, 1L).otherwise(0L)
         Tables.events(s, d)
-          .withColumn("tsu", expr("ts div 1000"))
+          .withColumn("tsu", eventTsu)
           .withColumn("brk", brk)
           .withColumn("sess", sum(col("brk")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -260,7 +267,7 @@ object MiscQueries {
     // matched to the user's most recent prior-or-equal 'view' event. The
     // right side is pre-aggregated unique per (user, time) so the DuckDB
     // ASOF LEFT JOIN oracle is deterministic. Event time in exact micros
-    // (ts div 1000 == epoch_us, see q42/q43).
+    // (eventTsu under the UTC session == DuckDB epoch_us, see q42/q43).
     Q("q50_asof_join",
       Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS tsu
              |          FROM events WHERE event_type = 'purchase'),
@@ -271,7 +278,7 @@ object MiscQueries {
              |  ON p.user_id = v.user_id AND p.tsu >= v.view_tsu
              |ORDER BY p.user_id, p.tsu, p.event_id""".stripMargin),
       (s, d) => {
-        val e = Tables.events(s, d).withColumn("tsu", expr("ts div 1000"))
+        val e = Tables.events(s, d).withColumn("tsu", eventTsu)
         val purchases = e.filter(col("event_type") === "purchase")
           .select("user_id", "event_id", "tsu")
         val views = e.filter(col("event_type") === "view")

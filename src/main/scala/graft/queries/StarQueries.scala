@@ -171,6 +171,55 @@ object StarQueries {
           .agg(sum(cents(col("l_extendedprice"))).as("sum_base_c"),
             count(lit(1)).as("n"))
           .orderBy("status")
+      }),
+
+    // ---- q98: SCD (slowly-changing dimension) MERGE classification — the
+    // warehouse upsert the reference's star-schema loader implies but its
+    // full-reload script never performs (ref: etl/loader.py truncates and
+    // reloads): given the CURRENT dimension and an arriving SNAPSHOT,
+    // classify every business key into the action a MERGE INTO would take —
+    // insert (new key), close (key vanished), update (tracked attribute
+    // changed -> close old version + open new), unchanged. The SCD2 write
+    // set is a projection of this frame (inserts+updates open rows,
+    // closes+updates close rows); emitting the classification keeps the
+    // full decision auditable. Both inputs are deterministic slices of
+    // `customer` so the oracle reproduces them exactly: the dimension
+    // lacks keys %7==0 (-> inserts), the snapshot lacks keys %11==0
+    // (-> closes), and the snapshot re-segments keys %5==0 (-> updates).
+    // Scale design: ONE full-outer hash join on the business key — at
+    // 100 TB both sides bucket on that key (the q81 layout) and the
+    // exchange disappears; the classification itself is a map-side
+    // when-chain. No window, no skew surface (keys are unique per side).
+    Q("q98_scd2_merge",
+      Some("""WITH dim AS (SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_custkey % 7 <> 0),
+             |snap AS (SELECT c_custkey,
+             |                CASE WHEN c_custkey % 5 = 0 THEN 'SEG_NEW' ELSE c_mktsegment END AS seg
+             |         FROM customer WHERE c_custkey % 11 <> 0)
+             |SELECT COALESCE(d.c_custkey, s.c_custkey) AS c_custkey,
+             |       CASE WHEN d.c_custkey IS NULL THEN 'insert'
+             |            WHEN s.c_custkey IS NULL THEN 'close'
+             |            WHEN d.seg <> s.seg THEN 'update'
+             |            ELSE 'unchanged' END AS action,
+             |       d.seg AS old_seg, s.seg AS new_seg
+             |FROM dim d FULL OUTER JOIN snap s ON d.c_custkey = s.c_custkey
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val dim = cust.filter(col("c_custkey") % 7L =!= 0L)
+          .select(col("c_custkey").as("d_key"), col("c_mktsegment").as("old_seg"))
+        val snap = cust.filter(col("c_custkey") % 11L =!= 0L)
+          .select(col("c_custkey").as("s_key"),
+            when(col("c_custkey") % 5L === 0L, lit("SEG_NEW"))
+              .otherwise(col("c_mktsegment")).as("new_seg"))
+        dim.join(snap, col("d_key") === col("s_key"), "full_outer")
+          .select(
+            coalesce(col("d_key"), col("s_key")).as("c_custkey"),
+            when(col("d_key").isNull, lit("insert"))
+              .when(col("s_key").isNull, lit("close"))
+              .when(col("old_seg") =!= col("new_seg"), lit("update"))
+              .otherwise(lit("unchanged")).as("action"),
+            col("old_seg"), col("new_seg"))
+          .orderBy("c_custkey")
       })
   )
 }

@@ -1550,6 +1550,123 @@ object TextQueries {
             coalesce(sum(when(col("n_tok") >= col("cutoff"), col("n_tok"))), lit(0L))
               .as("kept_tokens"))
           .orderBy("lang")
+      }),
+
+    // ---- q97: TEMPERATURE-scaled mixture sampling (alpha = 1/2) — the
+    // mT5/XLM-R multilingual re-weighting: sampling rate proportional to
+    // mass^alpha instead of q90's hard equalization (alpha=0 keeps the
+    // scarcest language's absolute mass; alpha=1 keeps the natural
+    // distribution; 1/2 is the standard compromise that up-samples tails
+    // without starving heads). rate = sqrt(min_mass / mass), capped at 1
+    // by construction, in pp2^20 fixed point:
+    //   x = (min_mass * 2^20) div mass   (<= 2^20)
+    //   rate_pp20 = isqrt(x * 2^20)      (<= 2^20)
+    // isqrt is made EXACT in both engines by one +/-1 correction around
+    // floor(sqrt(double)) — IEEE sqrt is correctly rounded so the seed is
+    // within 1 of the true integer root, and the correction removes the
+    // engine's rounding from the result entirely. Application is the q64
+    // deterministic md5-bucket sample; same two-scan shape as q90
+    // (vocabulary-light partial-agg + 1-row scalar + 5-row broadcast dim).
+    Q("q97_temperature_mix",
+      Some("""WITH tok AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+             |cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+             |tgt AS (SELECT MIN(n_tokens) AS mn FROM cnt),
+             |x AS (SELECT lang, n_docs, n_tokens,
+             |             ((mn * 1048576) // n_tokens) * 1048576 AS y FROM cnt CROSS JOIN tgt),
+             |sq AS (SELECT lang, n_docs, n_tokens, y,
+             |              CAST(floor(sqrt(CAST(y AS DOUBLE))) AS BIGINT) AS s0 FROM x),
+             |sq2 AS (SELECT lang, n_docs, n_tokens, y,
+             |               s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= y THEN 1 ELSE 0 END) AS s1 FROM sq),
+             |rate AS (SELECT lang, n_docs, n_tokens,
+             |                s1 - (CASE WHEN s1 * s1 > y THEN 1 ELSE 0 END) AS rate_pp20 FROM sq2),
+             |h AS (SELECT doc_id, lang, n_tok,
+             |      CAST(list_sum(list_transform(generate_series(1, 6),
+             |        i -> (CASE WHEN ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) >= 97
+             |              THEN ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 87
+             |              ELSE ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 48 END)
+             |             * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 1048576 AS pp20
+             |      FROM tok)
+             |SELECT r.lang, r.n_docs, r.n_tokens, CAST(r.rate_pp20 AS BIGINT) AS rate_pp20,
+             |       CAST(COUNT(CASE WHEN h.pp20 < r.rate_pp20 THEN 1 END) AS BIGINT) AS kept_docs,
+             |       CAST(COALESCE(SUM(CASE WHEN h.pp20 < r.rate_pp20 THEN h.n_tok END), 0) AS BIGINT) AS kept_tokens
+             |FROM rate r JOIN h ON h.lang = r.lang
+             |GROUP BY 1, 2, 3, 4 ORDER BY r.lang""".stripMargin),
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        val cnt = tok.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        val rate = cnt.crossJoin(broadcast(cnt.agg(min(col("n_tokens")).as("mn"))))
+          .withColumn("y", expr("((mn * 1048576) div n_tokens) * 1048576"))
+          .withColumn("s0", floor(sqrt(col("y").cast("double"))).cast("long"))
+          .withColumn("s1", col("s0") +
+            when((col("s0") + 1L) * (col("s0") + 1L) <= col("y"), 1L).otherwise(0L))
+          .withColumn("rate_pp20", col("s1") -
+            when(col("s1") * col("s1") > col("y"), 1L).otherwise(0L))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("rate_pp20"))
+        val pp20 = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 1048576L
+        tok.withColumn("pp20", pp20)
+          .join(broadcast(rate), "lang")
+          .groupBy(col("lang"), col("n_docs"), col("n_tokens"), col("rate_pp20"))
+          .agg(sum(when(col("pp20") < col("rate_pp20"), 1L).otherwise(0L)).as("kept_docs"),
+            coalesce(sum(when(col("pp20") < col("rate_pp20"), col("n_tok"))), lit(0L))
+              .as("kept_tokens"))
+          .orderBy("lang")
+      }),
+
+    // ---- q99: collocation extraction — corpus-level bigram association
+    // by LIFT: lift(w1 w2) = P(w1 w2) / (P(w1) P(w2)), the PMI family's
+    // ratio computed in exact integer ppm so both engines agree
+    // bit-for-bit (log-space PMI never could). Useful as a tokenizer/
+    // vocabulary signal (multi-word expressions) and as a corpus-drift
+    // statistic. Shape: one unigram count (vocabulary-sized partial-agg),
+    // one bigram count via the native wordNgrams kernel (min-support
+    // pruned BEFORE any join, so the join input is the interesting tail,
+    // not the corpus), two equi-joins against the unigram table keyed by
+    // the bigram's component words, a 1-row scalar broadcast for the
+    // total-token normalizer, then a bounded top-100. Floor-division
+    // composition ((c12*10^6 div c1) * N div c2) keeps every intermediate
+    // under 10^14 at bench scales; a 100 TB deployment keeps the same
+    // pipeline and widens the normalizer to DECIMAL(38,0) — noted here
+    // because c12*10^6 div c1 <= 10^6 makes the second product the only
+    // wide term. Ties broken by bigram text: fully deterministic top-k.
+    Q("q99_collocations",
+      Some("""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+             |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+             |        FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tot FROM uni),
+             |bi AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12
+             |       FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+             |                    i -> t[i] || ' ' || t[i + 1])) AS bg FROM tk)
+             |       GROUP BY 1 HAVING COUNT(*) >= 5),
+             |sp AS (SELECT bg, c12, string_split(bg, ' ')[1] AS w1,
+             |              string_split(bg, ' ')[2] AS w2 FROM bi)
+             |SELECT sp.bg AS bigram, sp.c12, u1.c1 AS cw1, u2.c1 AS cw2,
+             |       CAST(((sp.c12 * 1000000) // u1.c1) * tot.n_tot // u2.c1 AS BIGINT) AS lift_ppm
+             |FROM sp JOIN uni u1 ON sp.w1 = u1.w
+             |        JOIN uni u2 ON sp.w2 = u2.w
+             |        CROSS JOIN tot
+             |ORDER BY lift_ppm DESC, bigram LIMIT 100""".stripMargin),
+      (s, d) => {
+        val tok = docs(s, d).select(explode(tokens(col("text"))).as("w"))
+        val uni = tok.groupBy("w").agg(count(lit(1)).as("c1"))
+        val nTot = uni.agg(sum(col("c1")).as("n_tot"))
+        val bi = docs(s, d)
+          .select(explode(NativeText.wordNgrams(col("text"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5L)
+        val sp = bi
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+        sp.join(uni.select(col("w").as("w1"), col("c1").as("cw1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c1").as("cw2")), "w2")
+          .crossJoin(broadcast(nTot))
+          .withColumn("lift_ppm",
+            expr("((c12 * 1000000) div cw1) * n_tot div cw2"))
+          .select(col("bg").as("bigram"), col("c12"), col("cw1"), col("cw2"),
+            col("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("bigram")).limit(100)
       })
   )
 

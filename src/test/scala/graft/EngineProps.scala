@@ -258,6 +258,19 @@ object EngineProps extends Properties("graft") {
       true
     }
 
+  property("q97's corrected floor(sqrt(double)) is the exact integer sqrt") =
+    forAll(Gen.oneOf(
+      Gen.choose(0L, 1L << 40),                       // the q97 domain (y <= 2^40)
+      Gen.choose(0L, 1L << 20).map(s => s * s),       // perfect squares
+      Gen.choose(1L, 1L << 20).map(s => s * s - 1))) { y =>
+      // the exact construction both engines run: one +/-1 correction around
+      // the IEEE sqrt seed makes the result independent of its rounding
+      val s0 = math.floor(math.sqrt(y.toDouble)).toLong
+      val s1 = s0 + (if ((s0 + 1) * (s0 + 1) <= y) 1L else 0L)
+      val s = s1 - (if (s1 * s1 > y) 1L else 0L)
+      s * s <= y && (s + 1) * (s + 1) > y
+    }
+
   private def be32(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

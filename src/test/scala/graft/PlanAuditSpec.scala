@@ -178,12 +178,17 @@ class PlanAuditSpec extends SparkTestBase {
     //  - q88/q89: the Lloyd assignment — corpus × cells-row centroid table
     //    per round, the same bounded-broadcast shape as q44's assignment
     //    (q89's pair join itself is an equi-join on cell id).
-    //  - q90: the 1-row min-token-mass scalar against the 5-row per-lang
-    //    counts (q67's shape).
+    //  - q90/q97: the 1-row min-token-mass scalar against the 5-row
+    //    per-lang counts (q67's shape).
+    //  - q96: the 1-row graph-size scalar against the node list (edge
+    //    derivation needs n per row);
+    //  - q99: the 1-row total-token normalizer against the min-support-
+    //    pruned bigram table.
     // None is the corpus² all-pairs shape this sweep exists to catch.
     val scalarCross = Set("q67_tfidf", "q78_cms_freq",
       "q36_embed_knn_brute", "q44_embed_ivf_ann", "q65_embed_ivf_nprobe2",
-      "q88_kmeans_lloyd", "q89_semdedup", "q90_domain_mixture")
+      "q88_kmeans_lloyd", "q89_semdedup", "q90_domain_mixture",
+      "q96_link_pagerank", "q97_temperature_mix", "q99_collocations")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&
@@ -249,5 +254,44 @@ class PlanAuditSpec extends SparkTestBase {
     // join index means the bucketed layout was reshuffled.
     assert(!ops.take(joinIdx).exists(_.startsWith("Exchange")),
       s"bucketed join reshuffled its inputs: $ops")
+  }
+
+  test("q96: iteration joins reuse the persisted edge list; all rank joins are hash joins") {
+    val p = plan("q96_link_pagerank")
+    // The loop-invariant edge⋈outdeg side must come from the cache, not be
+    // rebuilt per iteration (3 iterations = 3 consumers of the same table).
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "edge list is re-derived per iteration instead of persisted:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    // Rank propagation must stay hash-join shaped (the Pregel shuffle),
+    // never a nested loop over nodes.
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.linesIterator.count(_.trim.startsWith("BroadcastNestedLoopJoin")) <= 1,
+      "rank joins degenerated to nested loops")
+  }
+
+  test("q97: the 5-row rate table joins back as a broadcast") {
+    val p = plan("q97_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "rate table was shuffled instead of broadcast:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q98: the SCD merge is ONE join on the business key") {
+    val p = plan("q98_scd2_merge")
+    val ops = opTree(p)
+    assert(ops.count(_.contains("Join")) == 1,
+      s"merge classification should cost exactly one join: $ops")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q99: bigram counts partial-merge before shuffling; top-k is a TakeOrdered") {
+    val p = plan("q99_collocations")
+    val ops = opTree(p)
+    assert(ops.containsSlice(Seq("HashAggregate", "Exchange", "HashAggregate")),
+      s"bigram count lost its map-side partial: $ops")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 planned as a global sort instead of TakeOrdered:\n" +
+        p.linesIterator.take(30).mkString("\n"))
   }
 }

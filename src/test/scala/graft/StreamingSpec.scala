@@ -45,10 +45,10 @@ class StreamingSpec extends SparkTestBase {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    // stream the same events (ts nanos -> Timestamp micros) in one batch
+    // stream the same events (ts NTZ -> Timestamp, UTC session) in one batch
     val events = spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")
-      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+      .selectExpr("event_id", "cast(ts as timestamp) AS ts",
         "user_id", "event_type", "value")
       .as[Event].collect()
     val ms = MemoryStream[Event]
