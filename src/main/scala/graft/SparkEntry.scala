@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries.all ++ RowQueries.all ++ GroupQueries.all ++
       WindowQueries.all ++ JoinSetQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ MiscQueries.all ++
-      TypedQueries.all ++ StarQueries.all ++ GraphQueries.all
+      TypedQueries.all ++ StarQueries.all ++ GraphQueries.all ++
+      FormatQueries.all
 
   private val (qMap, oMap) = registry(declared)
 

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact.cents
+import graft.sources.{Derived, Tables}
+
+/** Columnar-format interchange queries: ORC and Avro read+write round
+  * trips, declared with FULL DuckDB oracles. The trick that makes a
+  * non-parquet format oracle-checkable in a parquet-only harness: the
+  * engine writes a fingerprint-keyed derived COPY of a source table in
+  * the target format (rebuilt only when the source build changes — the
+  * q79/q81 Derived pattern), reads it back, and aggregates; the oracle
+  * runs the same aggregate on the original parquet. Content equality
+  * across the format hop is exactly the property a format integration
+  * must prove — a corrupted writer, a lossy type mapping, or a
+  * misconfigured reader all surface as a hash mismatch.
+  *
+  * Scale notes: both formats are splittable columnar containers — the
+  * read path partitions by file/stripe (ORC) / block (Avro) the same way
+  * the parquet scans do, and predicate/column pushdown is native for ORC
+  * (`spark.sql.orc.filterPushdown` on by default). Numeric columns only
+  * (long/int/double/string): the exact-cents aggregation would expose any
+  * lossy round-trip in the value path.
+  */
+object FormatQueries {
+
+  private def derivedDir(sfDir: String, name: String): String = {
+    val base = new java.io.File(sfDir).getName
+    s"/tmp/graft_derived/$base/$name"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q100: ORC write + read round trip over `supplier`. Spark's ORC
+    // support is built in (no extra jars); the aggregate proves the hop
+    // preserved every row and every value to the cent.
+    Q("q100_orc_roundtrip",
+      Some("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c
+             |FROM supplier
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val dir = derivedDir(d, "supplier_orc")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("supplier"))) {
+          Tables.supplier(s, d).write.mode("overwrite").orc(dir)
+        }
+        s.read.orc(dir)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("sum_bal_c"))
+          .orderBy("s_nationkey")
+      }),
+
+    // ---- q101: Avro write + read round trip over `part`. Avro is the
+    // row-oriented interchange format of Kafka/schema-registry pipelines,
+    // so the ingest edge of a 100 TB corpus often speaks it. Spark 4.1
+    // ships org.apache.spark.sql.avro.AvroFileFormat inside spark-sql,
+    // but this distribution's DataSourceRegister service file does not
+    // map the "avro" short name — hence the fully-qualified provider
+    // class, which lookupDataSource resolves via Class.forName.
+    Q("q101_avro_roundtrip",
+      Some("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+             |       CAST(SUM(p_size) AS BIGINT) AS sum_size
+             |FROM part
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val dir = derivedDir(d, "part_avro")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("part"))) {
+          Tables.part(s, d).write.mode("overwrite").format("org.apache.spark.sql.avro.AvroFileFormat").save(dir)
+        }
+        s.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(dir)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("p_retailprice"))).as("sum_price_c"),
+            sum(col("p_size")).cast("long").as("sum_size"))
+          .orderBy("p_brand")
+      })
+  )
+}

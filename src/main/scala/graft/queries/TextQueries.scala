@@ -1667,6 +1667,51 @@ object TextQueries {
           .select(col("bg").as("bigram"), col("c12"), col("cw1"), col("cw2"),
             col("lift_ppm"))
           .orderBy(col("lift_ppm").desc, col("bigram")).limit(100)
+      }),
+
+    // ---- q103: corpus drift by total variation distance — per source,
+    // 2·TVD between the source's token distribution and the global one,
+    // in exact pp2^20 (KL/JS divergence needs logs and can never
+    // cross-engine hash-match; TVD is the exact-arithmetic drift metric).
+    // The absent-token subtlety: tokens the source never emits still
+    // contribute |0 - p_global| — instead of densifying sources × vocab
+    // (a real cross join), that mass is computed ANALYTICALLY as
+    // G - Σ_present(p_global), where G = Σ_all(p_global) is a 1-row
+    // scalar (floored divisions don't telescope, so G must be summed,
+    // not assumed 2^20). Shape: per-(source, token) partial-agg, one
+    // vocabulary-sized equi-join on token, two 1-row scalar broadcasts —
+    // nothing sources×vocab, nothing corpus². The drift monitor a
+    // pipeline runs per ingest batch against the trailing corpus.
+    Q("q103_source_drift_tvd",
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+             |sc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+             |st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM sc GROUP BY 1),
+             |g AS (SELECT w, CAST(SUM(n) AS BIGINT) AS gn FROM sc GROUP BY 1),
+             |gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS gtot FROM g),
+             |gm AS (SELECT CAST(SUM((gn * 1048576) // gtot) AS BIGINT) AS gmass FROM g CROSS JOIN gt),
+             |j AS (SELECT sc.source, sc.n, st.tot, g.gn, gt.gtot
+             |      FROM sc JOIN g USING (w) JOIN st USING (source) CROSS JOIN gt)
+             |SELECT j.source, j.tot AS n_tokens,
+             |       CAST(SUM(ABS((j.n * 1048576) // j.tot - (j.gn * 1048576) // j.gtot))
+             |            + MAX(gm.gmass) - SUM((j.gn * 1048576) // j.gtot) AS BIGINT) AS tvd2_pp20
+             |FROM j CROSS JOIN gm
+             |GROUP BY 1, 2 ORDER BY j.source""".stripMargin),
+      (s, d) => {
+        val sc = docs(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("n"))
+        val st = sc.groupBy("source").agg(sum(col("n")).as("tot"))
+        val g = sc.groupBy("w").agg(sum(col("n")).as("gn"))
+        val gt = g.agg(sum(col("gn")).as("gtot"))
+        val gm = g.crossJoin(broadcast(gt))
+          .agg(sum(expr("(gn * 1048576) div gtot")).as("gmass"))
+        sc.join(g, "w").join(broadcast(st), "source").crossJoin(broadcast(gt))
+          .crossJoin(broadcast(gm))
+          .groupBy(col("source"), col("tot").as("n_tokens"))
+          .agg((sum(abs(expr("(n * 1048576) div tot - (gn * 1048576) div gtot")))
+            + max(col("gmass")) - sum(expr("(gn * 1048576) div gtot")))
+            .as("tvd2_pp20"))
+          .orderBy("source")
       })
   )
 

@@ -108,6 +108,37 @@ object WindowQueries {
           col("o_orderkey").as("okey"),
           col("o_orderdate").cast(DateType).as("odate"),
           col("running_c"))
-        .orderBy("custkey", "okey"))
+        .orderBy("custkey", "okey")),
+
+    // ---- q102: gaps-and-islands sequence audit — given the keys that
+    // SURVIVE a predicate (here: open orders), report each contiguous key
+    // run (island) with its bounds and size; the complement is the gap
+    // report a data-quality pass raises when a loader drops ranges. The
+    // classic trick: key - row_number() over (order by key) is constant
+    // exactly within a contiguous run. The global row_number is the
+    // scale hazard — a naive window collapses to ONE partition, so this
+    // reuses Windows.denseIdsScalable (q41's two-phase range-partition +
+    // zipWithIndex path); the oracle computes the same values with the
+    // plain window. Output is islands-sized (bounded by true
+    // fragmentation), never keys-sized.
+    Q("q102_sequence_islands",
+      Some("""WITH k AS (SELECT o_orderkey AS key FROM orders WHERE o_orderstatus = 'O'),
+             |r AS (SELECT key, key - row_number() OVER (ORDER BY key) AS grp FROM k)
+             |SELECT MIN(key) AS island_start, MAX(key) AS island_end,
+             |       CAST(COUNT(*) AS BIGINT) AS n_keys
+             |FROM r GROUP BY grp
+             |ORDER BY island_start""".stripMargin),
+      (s, d) => {
+        val k = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey").as("key"))
+        Windows.denseIdsScalable(k, Seq(col("key")), "rn")
+          .withColumn("grp", col("key") - col("rn"))
+          .groupBy("grp")
+          .agg(min(col("key")).as("island_start"),
+            max(col("key")).as("island_end"),
+            count(lit(1)).as("n_keys"))
+          .select("island_start", "island_end", "n_keys")
+          .orderBy("island_start")
+      })
   )
 }
