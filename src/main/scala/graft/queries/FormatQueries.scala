@@ -75,6 +75,35 @@ object FormatQueries {
             sum(cents(col("p_retailprice"))).as("sum_price_c"),
             sum(col("p_size")).cast("long").as("sum_size"))
           .orderBy("p_brand")
+      }),
+
+    // ---- q104: XML write + read round trip over `nation`. Spark 4
+    // absorbed spark-xml (the Databricks donation) as a native source,
+    // service-registered under "xml". XML is the partner-feed edge of
+    // enterprise ingest. The read passes an EXPLICIT schema: XML carries
+    // no type system, so schema inference would round-trip the INT keys
+    // as LONG and hash-mismatch the oracle — the explicit schema is the
+    // correct production posture anyway.
+    Q("q104_xml_roundtrip",
+      Some("""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+             |       MIN(n_name) AS min_name
+             |FROM nation
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = derivedDir(d, "nation_xml")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("nation"))) {
+          Tables.nation(s, d).write.mode("overwrite")
+            .option("rowTag", "nation").format("xml").save(dir)
+        }
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        s.read.schema(schema).option("rowTag", "nation").format("xml").load(dir)
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), min(col("n_name")).as("min_name"))
+          .orderBy("n_regionkey")
       })
   )
 }

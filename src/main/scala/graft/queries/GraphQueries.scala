@@ -85,6 +85,34 @@ object GraphQueries {
                 .as("r"))
         }
         r.select(col("doc_id"), col("r").as("rank_pp")).orderBy("doc_id")
+      }),
+
+    // ---- q106: market-basket pair mining — co-occurring item pairs with
+    // minimum support (the support-counting core of Apriori/FP-growth,
+    // and the same co-occurrence-edge shape recommender graphs are built
+    // from). The self-join keys on the BASKET id, so fan-out per order is
+    // C(items-per-order, 2) — bounded by basket size (<=13 items here,
+    // <=78 pairs), never corpus²; min-support then prunes before the
+    // bounded top-100. At 100 TB the same plan holds: the basket join is
+    // an ordinary hash-partitioned equi-join whose per-key fan-in is the
+    // basket-size distribution — a retail/clickstream invariant, not a
+    // function of corpus growth. Ties broken by (p1, p2): deterministic.
+    Q("q106_basket_pairs",
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |pairs AS (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS support
+             |          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+             |          GROUP BY 1, 2)
+             |SELECT p1, p2, support FROM pairs WHERE support >= 2
+             |ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin),
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        items.as("a").join(items.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2L)
+          .orderBy(col("support").desc, col("p1"), col("p2")).limit(100)
       })
   )
 }

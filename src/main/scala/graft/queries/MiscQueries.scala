@@ -513,6 +513,96 @@ object MiscQueries {
               .otherwise(expr("(63 * 281474976710656) div greatest(kth, 1L)"))
               .cast("long").as("est"))
           .orderBy("event_type")
+      }),
+
+    // ---- q105: robust outlier detection by MAD (median absolute
+    // deviation) — the monitoring pass that flags anomalous metric values
+    // per event type without assuming a distribution (stddev-based
+    // z-scores break on the heavy tails monitoring exists to catch; the
+    // median/MAD pair is the robust-statistics standard). Both medians
+    // run the q95 HISTOGRAM shape: cumulative windows over per-(type,
+    // value) counts — cardinality bounded by types × distinct values,
+    // never event count — then the 5-row med/MAD tables broadcast back
+    // onto map-side passes. Exact integer cents throughout; the flag
+    // threshold is the classic |x - med| > 5·MAD.
+    Q("q105_mad_outliers",
+      Some("""WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |h1 AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+             |m1 AS (SELECT event_type, MIN(c) AS med FROM (
+             |    SELECT event_type, c,
+             |           SUM(cnt) OVER (PARTITION BY event_type ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |           SUM(cnt) OVER (PARTITION BY event_type) AS tot
+             |    FROM h1) WHERE 2 * cum >= tot GROUP BY 1),
+             |d AS (SELECT v.event_type, v.c, m1.med, ABS(v.c - m1.med) AS ad
+             |      FROM v JOIN m1 USING (event_type)),
+             |h2 AS (SELECT event_type, ad, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+             |m2 AS (SELECT event_type, MIN(ad) AS mad FROM (
+             |    SELECT event_type, ad,
+             |           SUM(cnt) OVER (PARTITION BY event_type ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |           SUM(cnt) OVER (PARTITION BY event_type) AS tot
+             |    FROM h2) WHERE 2 * cum >= tot GROUP BY 1)
+             |SELECT d.event_type, MAX(d.med) AS med_c, MAX(m2.mad) AS mad_c,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CASE WHEN d.ad > 5 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN m2 USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        def histMedian(df: org.apache.spark.sql.DataFrame, grp: String,
+                       v: String, out: String) = {
+          val h = df.groupBy(col(grp), col(v)).agg(count(lit(1)).as("cnt"))
+          h.withColumn("cum", sum(col("cnt")).over(
+              Window.partitionBy(col(grp)).orderBy(col(v))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col(grp))))
+            .filter(col("cum") * 2L >= col("tot"))
+            .groupBy(grp).agg(min(col(v)).as(out))
+        }
+        val v = Tables.events(s, d)
+          .select(col("event_type"), cents(col("value")).as("c"))
+        val m1 = histMedian(v, "event_type", "c", "med")
+        val dd = v.join(broadcast(m1), "event_type")
+          .withColumn("ad", abs(col("c") - col("med")))
+        val m2 = histMedian(dd.select(col("event_type"), col("ad")),
+          "event_type", "ad", "mad")
+        dd.join(broadcast(m2), "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("med")).as("med_c"), max(col("mad")).as("mad_c"),
+            count(lit(1)).as("n"),
+            sum(when(col("ad") > col("mad") * 5L, 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      }),
+
+    // ---- q107: event funnel — per user, time from FIRST 'view' to the
+    // first 'purchase' at or after it (the conversion funnel every
+    // product-analytics deployment runs). Two aggregations co-partitioned
+    // on user_id and one broadcast-sized join back; exact micros
+    // arithmetic (eventTsu, see q42). Non-converted users surface with
+    // null purchase columns — the funnel report keeps them (drop-off IS
+    // the statistic).
+    Q("q107_event_funnel",
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |fv AS (SELECT user_id, MIN(tsu) AS first_view FROM e WHERE event_type = 'view' GROUP BY 1),
+             |fp AS (SELECT e.user_id, MIN(e.tsu) AS first_purchase
+             |       FROM e JOIN fv ON e.user_id = fv.user_id
+             |       WHERE e.event_type = 'purchase' AND e.tsu >= fv.first_view
+             |       GROUP BY 1)
+             |SELECT fv.user_id, fv.first_view, fp.first_purchase,
+             |       fp.first_purchase - fv.first_view AS delay_us
+             |FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+             |ORDER BY fv.user_id""".stripMargin),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), eventTsu.as("tsu"))
+        val fv = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("tsu")).as("first_view"))
+        val fp = e.filter(col("event_type") === "purchase")
+          .join(fv, "user_id")
+          .filter(col("tsu") >= col("first_view"))
+          .groupBy("user_id").agg(min(col("tsu")).as("first_purchase"))
+        fv.join(fp, Seq("user_id"), "left")
+          .select(col("user_id"), col("first_view"), col("first_purchase"),
+            (col("first_purchase") - col("first_view")).as("delay_us"))
+          .orderBy("user_id")
       })
   )
 }

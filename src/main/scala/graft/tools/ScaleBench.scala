@@ -490,6 +490,45 @@ object ScaleBench {
     }
     semb.unpersist(blocking = false)
 
+    // ---- PageRank (q96 shape): Pregel-as-DataFrame-joins at graph scale.
+    // Two scale points (n/10 and n nodes, out-degree <=3 by the same
+    // deterministic derivation as the declared query) certify the claim
+    // that ONE iteration costs one O(|E|) hash join + one partial-agged
+    // shuffle — wall time should scale ~linearly in |E| and the persisted
+    // edge list should be built once. rank_mass/rank_max are the sanity
+    // certificate: total mass stays within damping bounds of n*10^6 and
+    // no node diverges (every value positive, exact fixed point).
+    case class PrPoint(nodes: Long, edgeBuildSec: Double, iter3Sec: Double,
+                       rankMass: Long, rankMax: Long)
+    def prOf(nNodes: Long): PrPoint = {
+      val nodes = spark.range(nNodes).toDF("doc_id")
+      val e = nodes
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"), ((col("src") * 31L + col("k") * 7919L) % nNodes).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val outd = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ej = e.join(outd, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (_, tBuild) = timed(s"pagerank edge build ($nNodes nodes)")(ej.count())
+      val ((mass, mx), tIter) = timed(s"pagerank 3 iterations ($nNodes nodes)") {
+        var r = nodes.select(col("doc_id"), lit(1000000L).as("r"))
+        for (_ <- 1 to 3) {
+          val sums = ej.join(r, ej("src") === r("doc_id"))
+            .select(col("dst"), expr("r div deg").as("contrib"))
+            .groupBy("dst").agg(sum(col("contrib")).as("s"))
+          r = nodes.join(sums, nodes("doc_id") === sums("dst"), "left")
+            .select(nodes("doc_id"),
+              (lit(150000L) + expr("(850000 * coalesce(s, 0)) div 1000000")).as("r"))
+        }
+        val row = r.agg(sum("r"), max("r")).head
+        (row.getLong(0), row.getLong(1))
+      }
+      ej.unpersist(blocking = false)
+      PrPoint(nNodes, tBuild, tIter, mass, mx)
+    }
+    val prPoints = Seq(prOf(math.max(n / 10L, 1000L)), prOf(n))
+
     def rate(t: Double): Long = (nd.toDouble / t).toLong
     val annJson = annPoints.map { p =>
       def rec(h: Long) = if (p.truthRows == 0) 0.0 else h.toDouble / p.truthRows
@@ -518,6 +557,10 @@ object ScaleBench {
       s""""semdedup":{"docs":$semN,"cells":$semCells,"lloyd_sec":$tSemLloyd,""" +
       s""""pair_sec":$tSemPairs,"found_pairs":$semFound,"injected_found":$semInjFound,""" +
       s""""injected":$semInjected,"max_cell":$semMaxCell},""" +
+      s""""pagerank":${prPoints.map(p =>
+        s"""{"nodes":${p.nodes},"edge_build_sec":${p.edgeBuildSec},""" +
+        s""""iter3_sec":${p.iter3Sec},"rank_mass":${p.rankMass},"rank_max":${p.rankMax}}""")
+        .mkString("[", ",", "]")},""" +
       s""""docs_per_sec":{"exact":${rate(tExact)},"lsh":${rate(tLsh)},"simhash":${rate(tSim)},"simhash64":${rate(tSim64)}}}"""
     spark.stop()
     println(json)

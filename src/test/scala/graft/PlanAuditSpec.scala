@@ -289,6 +289,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q105: the per-type median and MAD tables join back as broadcasts") {
+    val p = plan("q105_mad_outliers")
+    // both histogram-median outputs are groups-sized dims — they must
+    // broadcast onto the event stream, never shuffle it (the med/MAD
+    // join-backs are the ONLY joins in this plan)
+    assert(p.contains("BroadcastHashJoin"),
+      "med/MAD dims were not broadcast:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a groups-sized dim shuffled the event stream:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q106: basket pairs key on the order id and end in a TakeOrdered") {
+    val p = plan("q106_basket_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "basket self-join degenerated to all-pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 planned as a global sort:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("q99: bigram counts partial-merge before shuffling; top-k is a TakeOrdered") {
     val p = plan("q99_collocations")
     val ops = opTree(p)
