@@ -220,6 +220,51 @@ object StarQueries {
               .otherwise(lit("unchanged")).as("action"),
             col("old_seg"), col("new_seg"))
           .orderBy("c_custkey")
+      }),
+
+    // ---- q108: incremental aggregate maintenance (materialized-view
+    // refresh) — the q86 daily-ingest idea applied to AGGREGATES: a
+    // persisted per-key state of mergeable partials (count/sum/min/max
+    // over the history, fingerprint-keyed like every derived artifact)
+    // is REFRESHED by aggregating only the arriving batch and merging
+    // partial states — the history is never rescanned. The oracle is the
+    // full recompute over all rows: the query IS the proof that the
+    // partial-aggregate algebra (sum of counts, sum of sums, min of
+    // mins, max of maxes) reproduces the from-scratch answer exactly.
+    // At 100 TB: state and batch both bucket by key (q81 layout) and the
+    // merge is exchange-free; refresh cost = O(state + batch), vs
+    // O(history + batch) for the naive recompute. avg/stddev extend the
+    // same way ((sum, count) / (sum, sum2, count) partials); sketches
+    // (L30/L50) merge too — this is the batch face of streaming state.
+    Q("q108_incremental_agg",
+      Some("""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+             |       CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_c,
+             |       CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_c
+             |FROM orders
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val base = new java.io.File(d).getName
+        val statePath = s"/tmp/graft_derived/$base/orders_aggstate"
+        val cutoff = lit("2001-01-01").cast("date")
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("o_custkey")
+            .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"),
+              min(cents(col("o_totalprice"))).as("min_c"),
+              max(cents(col("o_totalprice"))).as("max_c"))
+        Derived.ensure(statePath, Derived.fingerprint(d, Seq("orders"))) {
+          partials(Tables.orders(s, d)
+              .filter(col("o_orderdate").cast("date") < cutoff))
+            .write.mode("overwrite").parquet(statePath)
+        }
+        val state = s.read.parquet(statePath)
+        val batch = partials(Tables.orders(s, d)
+          .filter(col("o_orderdate").cast("date") >= cutoff))
+        state.unionByName(batch)
+          .groupBy("o_custkey")
+          .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"),
+            min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+          .orderBy("o_custkey")
       })
   )
 }

@@ -1712,6 +1712,44 @@ object TextQueries {
             + max(col("gmass")) - sum(expr("(gn * 1048576) div gtot")))
             .as("tvd2_pp20"))
           .orderBy("source")
+      }),
+
+    // ---- q110: equi-depth decile binning — per language, split the
+    // token-count distribution into 10 equal-mass bins (the binning step
+    // behind length-balanced batch sampling and monotonic feature
+    // bucketing). The naive form ranks every document (corpus-sized
+    // global sort); the histogram form bins VALUES: per (lang, n_tok)
+    // counts get a cumulative window (cardinality = langs × distinct
+    // lengths), and a value's bin is its PRECEDING mass ((cum − cnt)·10
+    // div tot) — every doc with the same value lands in the same bin,
+    // deterministically, with no per-doc rank. The histogram IS the
+    // assignment: the output is the bin table (bounds + exact
+    // populations); a map-side broadcast join tags documents at
+    // deployment, same as q95's cutoff application.
+    Q("q110_equidepth_bins",
+      Some("""WITH tok AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+             |h AS (SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+             |c AS (SELECT lang, v, cnt,
+             |        SUM(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |        SUM(cnt) OVER (PARTITION BY lang) AS tot
+             |      FROM h)
+             |SELECT lang, CAST(((cum - cnt) * 10) // tot AS BIGINT) AS decile,
+             |       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             |       MIN(v) AS lo_tok, MAX(v) AS hi_tok
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val tok = docs(s, d).select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("v"))
+        val h = tok.groupBy("lang", "v").agg(count(lit(1)).as("cnt"))
+        h.withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("lang")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+          .withColumn("decile", expr("((cum - cnt) * 10) div tot"))
+          .groupBy(col("lang"), col("decile"))
+          .agg(sum(col("cnt")).as("n_docs"),
+            min(col("v")).as("lo_tok"), max(col("v")).as("hi_tok"))
+          .orderBy("lang", "decile")
       })
   )
 

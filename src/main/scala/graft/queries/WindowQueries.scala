@@ -139,6 +139,37 @@ object WindowQueries {
             count(lit(1)).as("n_keys"))
           .select("island_start", "island_end", "n_keys")
           .orderBy("island_start")
+      }),
+
+    // ---- q109: trailing RANGE-frame window — per customer, revenue in
+    // the 30 days ENDING at each order (trend/velocity features; fraud
+    // scoring's "spend in the last N days"). The frame is a VALUE range
+    // over exact epoch micros, not a row count — rows-frames (q23) break
+    // on irregular event spacing. Range frames are also the
+    // deterministic choice under timestamp ties: all peers of the
+    // current value join the frame regardless of sort order, so the
+    // output is tie-stable without a unique tiebreak column. One
+    // exchange on the partition key; the per-key sliding sum is linear
+    // (two-pointer over the sorted run), never quadratic.
+    Q("q109_trailing_window",
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS tsu,
+             |                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |          FROM orders)
+             |SELECT o_orderkey AS okey, o_custkey AS custkey, tsu,
+             |       CAST(SUM(c) OVER (PARTITION BY o_custkey ORDER BY tsu
+             |              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS trail30_c
+             |FROM o ORDER BY custkey, tsu, okey""".stripMargin),
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey").as("okey"), col("o_custkey").as("custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("tsu"),
+          cents(col("o_totalprice")).as("c"))
+        val w = Window.partitionBy(col("custkey")).orderBy(col("tsu"))
+          .rangeBetween(-2592000000000L, 0L) // 30 days in micros
+        o.withColumn("trail30_c", sum(col("c")).over(w))
+          .select("okey", "custkey", "tsu", "trail30_c")
+          .orderBy("custkey", "tsu", "okey")
       })
   )
 }

@@ -311,6 +311,28 @@ class PlanAuditSpec extends SparkTestBase {
         p.linesIterator.take(30).mkString("\n"))
   }
 
+  test("q108: the refresh merges the persisted state, never rescans history") {
+    val p = plan("q108_incremental_agg")
+    // one side of the union must be the persisted partial-aggregate state
+    // (a parquet scan of orders_aggstate); the history scan would show as
+    // a second orders scan WITHOUT the batch's date filter
+    assert(p.contains("orders_aggstate"),
+      "refresh does not read the persisted aggregate state:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    assert(p.contains("Union"), "state+batch merge lost its union shape")
+  }
+
+  test("q109: the trailing range frame costs ONE exchange") {
+    val p = plan("q109_trailing_window")
+    val ops = opTree(p)
+    // one shuffle on the partition key feeds the window; the final
+    // presentation sort may add exchanges ABOVE the window, not below
+    val winIdx = ops.indexWhere(_.startsWith("Window"))
+    assert(winIdx >= 0, s"no Window node: $ops")
+    assert(ops.take(winIdx).count(_.startsWith("Exchange")) == 1,
+      s"range window should sit on exactly one exchange: $ops")
+  }
+
   test("q99: bigram counts partial-merge before shuffling; top-k is a TakeOrdered") {
     val p = plan("q99_collocations")
     val ops = opTree(p)
