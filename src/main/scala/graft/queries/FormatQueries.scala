@@ -104,6 +104,41 @@ object FormatQueries {
           .groupBy(col("n_regionkey"))
           .agg(count(lit(1)).as("n"), min(col("n_name")).as("min_name"))
           .orderBy("n_regionkey")
+      }),
+
+    // ---- q113: schema-evolution read — a dataset whose later batches
+    // ADDED a column (the normal life of any long-lived feed): batch 1
+    // was written before `o_orderpriority` existed, batch 2 carries it.
+    // `mergeSchema=true` unions the file schemas and null-fills the old
+    // batch — the mechanism that lets a 100 TB historical lake evolve
+    // without rewriting history. The two batches live as partition
+    // directories (batch=1/2) of ONE fingerprint-keyed derived dataset;
+    // the oracle reproduces the evolution with a CASE on the same date
+    // cutoff. Old-batch rows surface with priority 'none' — proving the
+    // null-fill, not hiding it.
+    Q("q113_schema_evolution",
+      Some("""SELECT COALESCE(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '2001-01-01'
+             |                     THEN o_orderpriority END, 'none') AS prio,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+             |FROM orders
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val dir = derivedDir(d, "orders_evolved")
+        val cutoff = lit("2001-01-01").cast("date")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val o = Tables.orders(s, d)
+          o.filter(col("o_orderdate").cast("date") < cutoff)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite").parquet(s"$dir/batch=1")
+          o.filter(col("o_orderdate").cast("date") >= cutoff)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite").parquet(s"$dir/batch=2")
+        }
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy(coalesce(col("o_orderpriority"), lit("none")).as("prio"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
+          .orderBy("prio")
       })
   )
 }

@@ -603,6 +603,65 @@ object MiscQueries {
           .select(col("user_id"), col("first_view"), col("first_purchase"),
             (col("first_purchase") - col("first_view")).as("delay_us"))
           .orderBy("user_id")
+      }),
+
+    // ---- q111: event transition matrix — per-user next-event pairs
+    // (the first-order Markov counts behind journey analysis and
+    // anomalous-flow detection). One exchange on user_id feeds a lead()
+    // window ordered by (tsu, event_id) — the unique event_id tiebreak
+    // makes the successor deterministic under timestamp ties — then the
+    // types×types transition matrix partial-aggregates map-side. Output
+    // is |types|² rows regardless of event volume.
+    Q("q111_event_transitions",
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |s AS (SELECT event_type AS src,
+             |             lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS dst
+             |      FROM e)
+             |SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM s WHERE dst IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), eventTsu.as("tsu"))
+          .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+          .orderBy("src", "dst")
+      }),
+
+    // ---- q112: retention cohorts — users grouped by signup week, counted
+    // as active in each subsequent week (the retention triangle every
+    // growth dashboard renders). Weeks are exact integer buckets of epoch
+    // micros (floored div by 7·86400·10^6 — positive epochs, so Spark
+    // `div` and DuckDB `//` agree); activity is ANY event. Two
+    // aggregations co-partitioned on user_id, one join between them, then
+    // a cohorts×weeks-sized count-distinct — output is bounded by the
+    // calendar, not the event volume.
+    Q("q112_retention_cohorts",
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |c AS (SELECT user_id, MIN(tsu) // 604800000000 AS cohort_wk
+             |      FROM e WHERE event_type = 'signup' GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, tsu // 604800000000 AS act_wk FROM e),
+             |j AS (SELECT c.cohort_wk, a.act_wk - c.cohort_wk AS wk_offset, a.user_id
+             |      FROM c JOIN a ON c.user_id = a.user_id
+             |      WHERE a.act_wk >= c.cohort_wk)
+             |SELECT cohort_wk, wk_offset, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val wk = 604800000000L
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), eventTsu.as("tsu"))
+        val c = e.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(expr(s"min(tsu) div $wk").as("cohort_wk"))
+        val a = e.select(col("user_id"),
+          expr(s"tsu div $wk").as("act_wk")).distinct()
+        c.join(a, "user_id")
+          .filter(col("act_wk") >= col("cohort_wk"))
+          .groupBy(col("cohort_wk"), (col("act_wk") - col("cohort_wk")).as("wk_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_wk", "wk_offset")
       })
   )
 }

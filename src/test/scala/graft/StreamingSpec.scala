@@ -207,4 +207,45 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains((ts("2024-01-01 14:00:00"), "view", 1L)), rows.toString)
     assert(rows.map(_._3).sum == rows.distinct.map(_._3).sum, "duplicate windows in sink")
   }
+
+  test("streaming materialized view: foldered shards equal the batch recompute; replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod}
+    import graft.streaming.MviewStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_mview").toString
+
+    // q108's input slice, streamed in three deterministic shards
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_custkey", $"o_totalprice")
+    val shards = (0 to 2).map(k =>
+      orders.filter(pmod($"o_custkey", lit(3)) === k)
+        .as[(Long, Double)].collect().toSeq)
+
+    val ms = MemoryStream[(Long, Double)]
+    val query = ms.toDF().toDF("o_custkey", "o_totalprice")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        MviewStream.refresh(spark, stateDir, id, batch)
+      }
+      .outputMode("append").start()
+    try {
+      shards.foreach { sh => ms.addData(sh); query.processAllAvailable() }
+    } finally query.stop()
+
+    // replayed micro-batch (at-least-once delivery) must not double-fold
+    val genBefore = MviewStream.latest(stateDir).get
+    MviewStream.refresh(spark, stateDir, batchId = 0,
+      batch = orders.limit(50))
+    assert(MviewStream.latest(stateDir).get == genBefore, "replay advanced the state")
+
+    val got = MviewStream.readState(spark, stateDir).get
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = MviewStream.orderPartials(orders)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want, s"state diverged from batch recompute (${got.size} vs ${want.size} keys)")
+    // exactly one live generation remains after GC
+    val gens = new java.io.File(stateDir).listFiles().count(_.getName.startsWith("gen-"))
+    assert(gens == 1, s"old generations not GC'd: $gens")
+  }
 }
