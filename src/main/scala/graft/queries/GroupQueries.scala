@@ -192,6 +192,36 @@ object GroupQueries {
         .agg(count(lit(1)).as("n"),
           expr("percentile(o_totalprice, 0.5)").as("p50"),
           expr("percentile(o_totalprice, 0.95)").as("p95"))
-        .orderBy("priority"))
+        .orderBy("priority")),
+
+    // ---- q114: contribution analysis — each nation's share of its
+    // region's revenue, in exact ppm (the percent-of-total column every
+    // drill-down report carries). The window runs over the AGGREGATED
+    // frame (nations-sized), so the share computation costs nothing at
+    // any fact scale — the pattern to pin is "aggregate first, window
+    // the rollup", never a window over fact rows. Revenue is strictly
+    // positive, keeping the floored division on the positive domain
+    // where Spark `div` and DuckDB `//` agree (they differ on negatives:
+    // truncation vs floor — every graft ratio keeps positive operands).
+    Q("q114_contribution",
+      Some("""WITH r AS (SELECT n.n_regionkey AS region, n.n_name AS nation,
+             |                 CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+             |          FROM orders o
+             |          JOIN customer c ON o.o_custkey = c.c_custkey
+             |          JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |          GROUP BY 1, 2)
+             |SELECT region, nation, rev_c,
+             |       CAST((rev_c * 1000000) // SUM(rev_c) OVER (PARTITION BY region) AS BIGINT) AS share_ppm
+             |FROM r ORDER BY region, nation""".stripMargin),
+      (s, d) => {
+        val r = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").as("region"), col("n_name").as("nation"))
+          .agg(sum(graft.functions.Exact.cents(col("o_totalprice"))).as("rev_c"))
+        r.withColumn("share_ppm",
+            expr("(rev_c * 1000000) div sum(rev_c) over (partition by region)"))
+          .orderBy("region", "nation")
+      })
   )
 }

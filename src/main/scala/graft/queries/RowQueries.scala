@@ -197,6 +197,40 @@ object RowQueries {
           col("c_custkey").as("ckey"),
           regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
           md5(concat(lit("graft_salt_v1:"), col("c_name"))).as("pseudonym"))
-        .orderBy("ckey"))
+        .orderBy("ckey")),
+
+    // ---- q117: order-independent table checksum — one row summarizing a
+    // table's full content as (row count, sum of bounded row hashes), the
+    // anti-entropy fingerprint replicas/migrations compare to detect
+    // divergence without moving data (pairs with q62's row-level
+    // reconcile: checksum first, cogroup-diff only on mismatch). SUM over
+    // per-row md5-derived integers is commutative — partition order,
+    // file order, and parallelism cannot change it — and partial
+    // aggregation makes it one scan + a 1-row exchange. Row hashes are
+    // bounded to 10^12 so 10^6 rows stay ~10^18, inside BIGINT; at
+    // larger scales the sum wraps per-partition into modular arithmetic
+    // (both engines would need the same mod — noted, not needed here).
+    Q("q117_table_checksum",
+      Some("""WITH m AS (SELECT md5(CONCAT_WS('|',
+             |             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus,
+             |             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))) AS hx
+             |          FROM orders),
+             |h AS (SELECT CAST(list_sum(list_transform(generate_series(1, 12),
+             |        i -> (CASE WHEN ord(substr(hx, i, 1)) >= 97
+             |              THEN ord(substr(hx, i, 1)) - 87
+             |              ELSE ord(substr(hx, i, 1)) - 48 END)
+             |             * CAST(pow(16, 12 - i) AS BIGINT))) AS BIGINT) % 1000000000000 AS hv
+             |      FROM m)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(hv) AS BIGINT) AS checksum
+             |FROM h""".stripMargin),
+      (s, d) => {
+        val rowHash = conv(substring(md5(concat_ws("|",
+            col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+            col("o_orderstatus"),
+            graft.functions.Exact.cents(col("o_totalprice")).cast("string"))),
+          1, 12), 16, 10).cast("long") % 1000000000000L
+        Tables.orders(s, d)
+          .agg(count(lit(1)).as("n"), sum(rowHash).as("checksum"))
+      })
   )
 }

@@ -1750,6 +1750,82 @@ object TextQueries {
           .agg(sum(col("cnt")).as("n_docs"),
             min(col("v")).as("lo_tok"), max(col("v")).as("hi_tok"))
           .orderBy("lang", "decile")
+      }),
+
+    // ---- q115: URL canonicalization — the dedup key of every web-corpus
+    // pipeline: scheme/host case-folded, www. and default port dropped,
+    // query parameters SORTED (the same resource arrives under
+    // param-order permutations). The corpus carries no URLs, so they are
+    // injected deterministically from doc_id (the q94 idea): messy case,
+    // explicit :80, unsorted params — the canonicalizer must fix all
+    // three. All string surgery is regexp_extract with explicit classes
+    // + lexicographic sort (array_sort ≡ list_sort on ASCII), exact in
+    // both engines. Map-only per doc, then a hosts-sized aggregate:
+    // the per-host inventory a crawl-frontier audit reads.
+    Q("q115_url_canonical",
+      Some("""WITH u AS (SELECT doc_id,
+             |    'HTTP://WWW.Host' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM:80/p/'
+             |      || CAST(doc_id AS VARCHAR) || '?b=2&a=1&c=' || CAST(doc_id % 7 AS VARCHAR) AS url
+             |    FROM documents),
+             |c AS (SELECT doc_id,
+             |    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?]+)', 1)), '^www\.', '') AS host,
+             |    regexp_extract(url, '://[^/?]+(/[^?]*)', 1) AS path,
+             |    list_aggregate(list_sort(string_split(regexp_extract(url, '\?(.*)$', 1), '&')),
+             |                   'string_agg', '&') AS q
+             |    FROM u)
+             |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(DISTINCT 'https://' || host || path || '?' || q) AS BIGINT) AS nd_urls,
+             |       MIN('https://' || host || path || '?' || q) AS sample_url
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val url = concat(lit("HTTP://WWW.Host"), (col("doc_id") % 50L).cast("string"),
+          lit(".Example.COM:80/p/"), col("doc_id").cast("string"),
+          lit("?b=2&a=1&c="), (col("doc_id") % 7L).cast("string"))
+        val host = regexp_replace(
+          lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/:?]+)", 1)),
+          "^www\\.", "")
+        val path = regexp_extract(col("url"), "://[^/?]+(/[^?]*)", 1)
+        val q = array_join(array_sort(
+          split(regexp_extract(col("url"), "\\?(.*)$", 1), "&")), "&")
+        val canon = concat(lit("https://"), col("host"), col("path"),
+          lit("?"), col("q"))
+        docs(s, d).select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), host.as("host"), path.as("path"), q.as("q"))
+          .select(col("doc_id"), col("host"), canon.as("canon"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("canon")).as("nd_urls"),
+            min(col("canon")).as("sample_url"))
+          .orderBy("host")
+      }),
+
+    // ---- q116: per-host diversity cap — keep at most K documents per
+    // host, chosen by deterministic hash order (C4-style per-domain
+    // caps: a handful of giant hosts otherwise dominate the corpus).
+    // The window partitions by host and orders by (md5(doc_id), doc_id)
+    // — a stable shuffle-proof lottery, no RNG state — so reruns keep
+    // the SAME documents. Per-host fan-in is the window width; hosts
+    // are the partition key, so a pathological giant host is exactly
+    // the L17 skew case and salts the same way if it ever matters.
+    Q("q116_host_cap",
+      Some("""WITH u AS (SELECT doc_id,
+             |    'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host FROM documents),
+             |r AS (SELECT doc_id, host,
+             |        row_number() OVER (PARTITION BY host
+             |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+             |      FROM u)
+             |SELECT doc_id, host, CAST(rnk AS BIGINT) AS rnk,
+             |       CASE WHEN rnk <= 12 THEN 1 ELSE 0 END AS kept
+             |FROM r ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val host = concat(lit("host"), (col("doc_id") % 50L).cast("string"),
+          lit(".example.com"))
+        val w = Window.partitionBy(col("host"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs(s, d).select(col("doc_id"), host.as("host"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("kept", when(col("rnk") <= 12L, 1).otherwise(0))
+          .orderBy("doc_id")
       })
   )
 
