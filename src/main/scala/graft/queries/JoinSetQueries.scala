@@ -111,6 +111,48 @@ object JoinSetQueries {
         val custOnly = c.except(su).select(lit("cust_only").as("op"), col("nkey"))
         val suppOnly = su.except(c).select(lit("supp_only").as("op"), col("nkey"))
         both.unionAll(custOnly).unionAll(suppOnly).orderBy("op", "nkey")
+      }),
+
+    // ---- q120: referential-integrity matrix — one audit frame covering
+    // every FK edge of the star (child rows, orphan rows) in a single
+    // run; the pre-load gate a warehouse runs before the q98 merge, and
+    // the fleet-wide view q13's single anti-join generalizes to. Each
+    // edge costs ONE left join against a unique parent key + a
+    // count/sum aggregate (no second anti-join pass). Parent sides go
+    // through the size-gated dimBroadcast: true dims broadcast, while a
+    // fact-sized parent (lineitem->orders at 100 TB) degrades to a
+    // shuffle join instead of a fatal forced broadcast.
+    // Zero orphans is the PASS state — the row proves the check ran.
+    Q("q120_fk_integrity",
+      Some("""SELECT 'customer->nation' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+             |       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+             |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |UNION ALL
+             |SELECT 'lineitem->orders' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+             |       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+             |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |UNION ALL
+             |SELECT 'orders->customer' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+             |       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+             |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             |ORDER BY edge""".stripMargin),
+      (s, d) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame,
+                 childKey: String, parent: org.apache.spark.sql.DataFrame,
+                 parentKey: String) =
+          child.select(col(childKey))
+            .join(dimBroadcast(parent.select(col(parentKey).as("pk"))),
+              col(childKey) === col("pk"), "left")
+            .agg(count(lit(1)).as("n_child"),
+              sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+        edge("customer->nation", Tables.customer(s, d), "c_nationkey",
+            Tables.nation(s, d), "n_nationkey")
+          .unionAll(edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"))
+          .unionAll(edge("orders->customer", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey"))
+          .orderBy("edge")
       })
   )
 }

@@ -662,6 +662,57 @@ object MiscQueries {
           .groupBy(col("cohort_wk"), (col("act_wk") - col("cohort_wk")).as("wk_offset"))
           .agg(countDistinct(col("user_id")).as("n_users"))
           .orderBy("cohort_wk", "wk_offset")
+      }),
+
+    // ---- q119: percentile winsorization — clamp each event value to its
+    // type's exact [p1, p99] band before aggregating (the feature-
+    // engineering standard for taming outliers WITHOUT dropping rows —
+    // contrast q105, which flags and counts). Both cut points come from
+    // the q95 histogram shape (per-(type, value) counts + cumulative
+    // window — histogram-sized, never event-sized), broadcast back onto
+    // a map-side clamp. Exact integer cents; reported raw vs winsorized
+    // sums quantify the tail mass the clamp removed.
+    Q("q119_winsorize",
+      Some("""WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |h AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+             |cw AS (SELECT event_type, c, cnt,
+             |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+             |       FROM h),
+             |lo AS (SELECT event_type, MIN(c) AS p1 FROM cw WHERE cum * 100 >= tot GROUP BY 1),
+             |hi AS (SELECT event_type, MIN(c) AS p99 FROM cw WHERE cum * 100 >= 99 * tot GROUP BY 1)
+             |SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |       MAX(lo.p1) AS p1_c, MAX(hi.p99) AS p99_c,
+             |       CAST(SUM(v.c) AS BIGINT) AS sum_raw_c,
+             |       CAST(SUM(CASE WHEN v.c < lo.p1 THEN lo.p1
+             |                     WHEN v.c > hi.p99 THEN hi.p99 ELSE v.c END) AS BIGINT) AS sum_wins_c,
+             |       CAST(SUM(CASE WHEN v.c < lo.p1 OR v.c > hi.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+             |FROM v JOIN lo USING (event_type) JOIN hi USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .select(col("event_type"), cents(col("value")).as("c"))
+        val cw = v.groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("c"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum(col("cnt")).over(
+            Window.partitionBy(col("event_type"))))
+        val lo = cw.filter(col("cum") * 100L >= col("tot"))
+          .groupBy("event_type").agg(min(col("c")).as("p1"))
+        val hi = cw.filter(col("cum") * 100L >= col("tot") * 99L)
+          .groupBy("event_type").agg(min(col("c")).as("p99"))
+        v.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            max(col("p1")).as("p1_c"), max(col("p99")).as("p99_c"),
+            sum(col("c")).as("sum_raw_c"),
+            sum(when(col("c") < col("p1"), col("p1"))
+              .when(col("c") > col("p99"), col("p99"))
+              .otherwise(col("c"))).as("sum_wins_c"),
+            sum(when(col("c") < col("p1") || col("c") > col("p99"), 1L)
+              .otherwise(0L)).as("n_clamped"))
+          .orderBy("event_type")
       })
   )
 }

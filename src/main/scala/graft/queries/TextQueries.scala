@@ -1826,6 +1826,69 @@ object TextQueries {
           .withColumn("rnk", row_number().over(w).cast("long"))
           .withColumn("kept", when(col("rnk") <= 12L, 1).otherwise(0))
           .orderBy("doc_id")
+      }),
+
+    // ---- q118: LEAKAGE-SAFE train/test split — the q64 deterministic
+    // split with the constraint the eval literature demands: near-
+    // duplicate documents must land in the SAME split, or the test set
+    // leaks into training (the contamination q73 guards against, created
+    // by the splitter itself). Mechanism: the split lottery hashes the
+    // CLUSTER id (q91's near-dup components; singletons are their own
+    // cluster), not the doc id — every member inherits the cluster's
+    // split by construction. Costs one cluster pass + a map-side hash;
+    // the corpus-sized frame never shuffles for the assignment itself.
+    Q("q118_leakage_safe_split",
+      Some(
+        s"""WITH RECURSIVE $thCte, $shCte,
+           |sim_t AS (SELECT doc_id, ${simhash64HalfSql("sh", 0)} AS lo,
+           |                 ${simhash64HalfSql("sh", 32)} AS hi FROM sh_t),
+           |e AS (SELECT a.doc_id AS i, b.doc_id AS j
+           |      FROM sim_t a JOIN sim_t b ON a.doc_id < b.doc_id
+           |      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+           |nodes AS (SELECT i AS doc_id FROM e UNION SELECT j FROM e),
+           |es AS (SELECT i AS a, j AS b FROM e UNION SELECT j AS a, i AS b FROM e),
+           |reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM nodes
+           |  UNION
+           |  SELECT r.a, es.b FROM reach r JOIN es ON r.b = es.a),
+           |clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+           |asg AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cid
+           |        FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+           |b AS (SELECT doc_id, cid,
+           |      CAST(list_sum(list_transform(generate_series(1, 6),
+           |        i -> (CASE WHEN ord(substr(md5(CAST(cid AS VARCHAR)), i, 1)) >= 97
+           |              THEN ord(substr(md5(CAST(cid AS VARCHAR)), i, 1)) - 87
+           |              ELSE ord(substr(md5(CAST(cid AS VARCHAR)), i, 1)) - 48 END)
+           |             * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 100 AS pp
+           |      FROM asg)
+           |SELECT doc_id, cid AS cluster_id,
+           |       CASE WHEN pp < 10 THEN 'test' ELSE 'train' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.{CacheScope, Components, SimHashBands}
+        val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
+        val sim = docs(s, d)
+          .select(col("doc_id"),
+            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
+          .select(col("doc_id"),
+            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val bands = SimHashBands.bandsOf(sim, bits)
+        CacheScope.release("q118")
+        val e = CacheScope.persist("q118",
+          SimHashBands.verifiedPairs(bands, bands, col("a.doc_id") < col("b.doc_id")))
+        val nodes = e.select(col("i").as("doc_id"))
+          .union(e.select(col("j").as("doc_id"))).distinct()
+        val clus = Components.auto(nodes, "doc_id", e, "i", "j")._1
+        val dd = docs(s, d).select(col("doc_id"))
+        val asg = dd.join(clus, dd("doc_id") === clus("id"), "left")
+          .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+        asg
+          .withColumn("pp",
+            conv(substring(md5(col("cid").cast("string")), 1, 6), 16, 10)
+              .cast("long") % 100L)
+          .select(col("doc_id"), col("cid").as("cluster_id"),
+            when(col("pp") < 10L, lit("test")).otherwise(lit("train")).as("split"))
+          .orderBy("doc_id")
       })
   )
 
