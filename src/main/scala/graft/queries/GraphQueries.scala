@@ -113,6 +113,52 @@ object GraphQueries {
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2L)
           .orderBy(col("support").desc, col("p1"), col("p2")).limit(100)
+      }),
+
+    // ---- q121: triangle counting over the mined co-occurrence graph —
+    // the clustering-structure metric (community density, recommender
+    // neighborhood quality) computed on q106's support>=2 edge list.
+    // The classic ordered triangle join: edges stored with p1 < p2, so
+    // each triangle (a<b<c) matches exactly once via e(a,b) ⋈ e(b,c)
+    // ⋈ e(a,c) — two equi-joins, no direction double-counting, no
+    // corpus² term (the mined edge list is signal-sized: min-support
+    // already pruned it). Output: the triangle count plus the top
+    // participating nodes — the dense-neighborhood shortlist.
+    Q("q121_cooccur_triangles",
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT a.p AS p1, b.p AS p2
+             |      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+             |        FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+             |                  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+             |pn AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+             |SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+             |       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes_in_triangles,
+             |       MIN(node) AS min_node, MAX(node) AS max_node
+             |FROM pn""".stripMargin),
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val e = items.as("a").join(items.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2L)
+          .select("p1", "p2")
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
+          .join(e.as("e3"),
+            col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+          .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+        val pn = tri.select(col("a").as("node"))
+          .unionAll(tri.select(col("b").as("node")))
+          .unionAll(tri.select(col("c").as("node")))
+        pn.agg(count(lit(1)).cast("long").as("rows3x"),
+            countDistinct(col("node")).as("n_nodes_in_triangles"),
+            min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+          .select(expr("rows3x div 3").as("n_triangles"),
+            col("n_nodes_in_triangles"), col("min_node"), col("max_node"))
       })
   )
 }

@@ -713,6 +713,80 @@ object MiscQueries {
             sum(when(col("c") < col("p1") || col("c") > col("p99"), 1L)
               .otherwise(0L)).as("n_clamped"))
           .orderBy("event_type")
+      }),
+
+    // ---- q122: OHLC time-series downsampling — per (event type, hour):
+    // open/high/low/close of the value stream, the canonical lossy
+    // compaction for dashboards and feature windows. Open/close need a
+    // deterministic FIRST/LAST: row_number over (tsu, event_id) both
+    // directions inside the bucket (the unique event_id breaks timestamp
+    // ties — min_by/arg_min across engines have subtly different tie
+    // rules, the windows do not). One exchange on the bucket key; output
+    // is buckets-sized.
+    Q("q122_ohlc_downsample",
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             |                 epoch_us(ts) AS tsu, event_id,
+             |                 CAST(round(value * 100) AS BIGINT) AS c
+             |          FROM events),
+             |r AS (SELECT event_type, hr, c,
+             |        row_number() OVER (PARTITION BY event_type, hr ORDER BY tsu, event_id) AS rf,
+             |        row_number() OVER (PARTITION BY event_type, hr ORDER BY tsu DESC, event_id DESC) AS rl
+             |      FROM e)
+             |SELECT event_type, CAST(hr AS BIGINT) AS hr,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       MIN(CASE WHEN rf = 1 THEN c END) AS open_c,
+             |       MAX(c) AS high_c, MIN(c) AS low_c,
+             |       MIN(CASE WHEN rl = 1 THEN c END) AS close_c
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"), eventTsu.as("tsu"), col("event_id"),
+            cents(col("value")).as("c"))
+          .withColumn("hr", expr("tsu div 3600000000"))
+        val wf = Window.partitionBy(col("event_type"), col("hr"))
+          .orderBy(col("tsu"), col("event_id"))
+        val wl = Window.partitionBy(col("event_type"), col("hr"))
+          .orderBy(col("tsu").desc, col("event_id").desc)
+        e.withColumn("rf", row_number().over(wf))
+          .withColumn("rl", row_number().over(wl))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("n"),
+            min(when(col("rf") === 1, col("c"))).as("open_c"),
+            max(col("c")).as("high_c"), min(col("c")).as("low_c"),
+            min(when(col("rl") === 1, col("c"))).as("close_c"))
+          .orderBy("event_type", "hr")
+      }),
+
+    // ---- q123: date-spine gap fill — reporting's dense time series: a
+    // generated calendar spine (sequence/generate_series over the data's
+    // own min..max day) left-joined to daily order counts, absent days
+    // emitted as explicit zeros (a missing row and a zero are different
+    // facts; trend windows and forecasting both need the zeros). The
+    // spine is calendar-sized and generated, not scanned; the daily
+    // counts partial-aggregate before the single join.
+    Q("q123_date_spine",
+      Some("""WITH bounds AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             |                       MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+             |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+             |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+             |                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+             |          FROM orders GROUP BY 1)
+             |SELECT s.day, COALESCE(d.n, 0) AS n, COALESCE(d.rev_c, 0) AS rev_c
+             |FROM spine s LEFT JOIN daily d ON s.day = d.day
+             |ORDER BY s.day""".stripMargin),
+      (s, d) => {
+        val bounds = Tables.orders(s, d)
+          .agg(min(col("o_orderdate").cast("date")).as("lo"),
+            max(col("o_orderdate").cast("date")).as("hi"))
+        val spine = bounds
+          .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val daily = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("rev_c"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("rev_c"), lit(0L)).as("rev_c"))
+          .orderBy("day")
       })
   )
 }
