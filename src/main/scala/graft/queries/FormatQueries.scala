@@ -139,6 +139,58 @@ object FormatQueries {
           .groupBy(coalesce(col("o_orderpriority"), lit("none")).as("prio"))
           .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
           .orderBy("prio")
+      }),
+
+    // ---- q124: JSONL write + read round trip over `documents` metadata.
+    // Spark's json writer emits one object per line — exactly the JSONL
+    // that LLM training loaders and data-exchange pipelines consume, so
+    // this hop is the EXPORT path of the corpus engine. Read back under
+    // an explicit schema (JSON numbers would otherwise infer wide) and
+    // aggregate per language; text itself stays out of the frame to keep
+    // the round trip about structure, not string-escaping trivia.
+    Q("q124_jsonl_roundtrip",
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM documents
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = derivedDir(d, "documents_jsonl")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("documents"))) {
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+            .write.mode("overwrite").json(dir)
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).json(dir)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy("lang")
+      }),
+
+    // ---- q125: zstd-compressed parquet round trip — codec choice is a
+    // first-order cost lever at 100 TB (zstd ~30% smaller than snappy at
+    // comparable scan speed; the write option is per-dataset, not
+    // cluster-wide). Content equality across the codec hop is the check;
+    // the exact-cents aggregate would expose any decode corruption.
+    Q("q125_zstd_roundtrip",
+      Some("""SELECT l_returnflag AS rf, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM lineitem
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val dir = derivedDir(d, "lineitem_zstd")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("lineitem"))) {
+          Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+            .write.mode("overwrite").option("compression", "zstd").parquet(dir)
+        }
+        s.read.parquet(dir)
+          .groupBy(col("l_returnflag").as("rf"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("sum_price_c"))
+          .orderBy("rf")
       })
   )
 }

@@ -159,6 +159,53 @@ object GraphQueries {
             min(col("node")).as("min_node"), max(col("node")).as("max_node"))
           .select(expr("rows3x div 3").as("n_triangles"),
             col("n_nodes_in_triangles"), col("min_node"), col("max_node"))
+      }),
+
+    // ---- q126: item-item collaborative similarity — the bipartite
+    // projection recommenders run: for parts co-purchased in ≥2 orders,
+    // cosine over the order sets, cos = c / sqrt(d1·d2), in exact ppm
+    // via the q97 corrected-isqrt (IEEE sqrt seed ±1-corrected → the
+    // result is engine-independent; float cosine never hash-matches).
+    // Degrees join back from a vocabulary-sized count table; min-support
+    // prunes BEFORE the degree joins and the normalization; bounded
+    // deterministic top-50. d1·d2 ≤ ~10^8 here; the correction step
+    // keeps the result exact regardless of the double seed's rounding.
+    Q("q126_item_similarity",
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM items GROUP BY 1),
+             |co AS (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |j AS (SELECT co.p1, co.p2, co.c, d1.d * d2.d AS dd
+             |      FROM co JOIN deg d1 ON co.p1 = d1.p JOIN deg d2 ON co.p2 = d2.p),
+             |sq AS (SELECT p1, p2, c, dd,
+             |              CAST(floor(sqrt(CAST(dd AS DOUBLE))) AS BIGINT) AS s0 FROM j),
+             |sq2 AS (SELECT p1, p2, c, dd,
+             |               s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= dd THEN 1 ELSE 0 END) AS s1 FROM sq),
+             |r AS (SELECT p1, p2, c,
+             |             s1 - (CASE WHEN s1 * s1 > dd THEN 1 ELSE 0 END) AS sd FROM sq2)
+             |SELECT p1, p2, c, CAST((c * 1000000) // sd AS BIGINT) AS cos_ppm
+             |FROM r ORDER BY cos_ppm DESC, p1, p2 LIMIT 50""".stripMargin),
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val deg = items.groupBy("p").agg(count(lit(1)).as("deg"))
+        val co = items.as("a").join(items.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2L)
+        co.join(deg.select(col("p").as("p1"), col("deg").as("d1")), "p1")
+          .join(deg.select(col("p").as("p2"), col("deg").as("d2")), "p2")
+          .withColumn("dd", col("d1") * col("d2"))
+          .withColumn("s0", floor(sqrt(col("dd").cast("double"))).cast("long"))
+          .withColumn("s1", col("s0") +
+            when((col("s0") + 1L) * (col("s0") + 1L) <= col("dd"), 1L).otherwise(0L))
+          .withColumn("sd", col("s1") -
+            when(col("s1") * col("s1") > col("dd"), 1L).otherwise(0L))
+          .select(col("p1"), col("p2"), col("c"),
+            expr("(c * 1000000) div sd").as("cos_ppm"))
+          .orderBy(col("cos_ppm").desc, col("p1"), col("p2")).limit(50)
       })
   )
 }

@@ -170,6 +170,48 @@ object WindowQueries {
         o.withColumn("trail30_c", sum(col("c")).over(w))
           .select("okey", "custkey", "tsu", "trail30_c")
           .orderBy("custkey", "tsu", "okey")
+      }),
+
+    // ---- q127: ranking-analytics breadth — rank (tie-sharing), EXACT
+    // percent-rank, and quartile per group in one window pass. Spark's
+    // percent_rank() emits a double ((rnk-1)/(n-1)) whose decimal
+    // rendering is engine-dependent — this computes the same statistic
+    // as exact integer ppm from rank() and the partition count instead,
+    // keeping the hash-compare byte-stable. rank orders by value only
+    // (ties share a rank — the semantics under test); row_number adds
+    // the unique-key tiebreak for a deterministic top-5 cut; ntile
+    // buckets over the same deterministic order. One exchange, one
+    // window sort, three functions.
+    Q("q127_rank_analytics",
+      Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderkey AS okey,
+             |                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |          FROM orders),
+             |r AS (SELECT prio, okey, c,
+             |        rank() OVER (PARTITION BY prio ORDER BY c DESC) AS rnk,
+             |        row_number() OVER (PARTITION BY prio ORDER BY c DESC, okey) AS rn,
+             |        ntile(4) OVER (PARTITION BY prio ORDER BY c DESC, okey) AS quartile,
+             |        COUNT(*) OVER (PARTITION BY prio) AS n
+             |      FROM o)
+             |SELECT prio, okey, c, CAST(rnk AS BIGINT) AS rnk,
+             |       CAST(((rnk - 1) * 1000000) // (n - 1) AS BIGINT) AS pr_ppm,
+             |       CAST(quartile AS BIGINT) AS quartile
+             |FROM r WHERE rn <= 5 ORDER BY prio, rnk, okey""".stripMargin),
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_orderpriority").as("prio"), col("o_orderkey").as("okey"),
+          cents(col("o_totalprice")).as("c"))
+        val wv = Window.partitionBy(col("prio")).orderBy(col("c").desc)
+        val wu = Window.partitionBy(col("prio")).orderBy(col("c").desc, col("okey"))
+        val wp = Window.partitionBy(col("prio"))
+        o.withColumn("rnk", rank().over(wv).cast("long"))
+          .withColumn("rn", row_number().over(wu))
+          .withColumn("quartile", ntile(4).over(wu).cast("long"))
+          .withColumn("n", count(lit(1)).over(wp))
+          .filter(col("rn") <= 5)
+          .select(col("prio"), col("okey"), col("c"), col("rnk"),
+            expr("((rnk - 1) * 1000000) div (n - 1)").as("pr_ppm"),
+            col("quartile"))
+          .orderBy("prio", "rnk", "okey")
       })
   )
 }
