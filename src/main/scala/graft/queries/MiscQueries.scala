@@ -787,6 +787,70 @@ object MiscQueries {
           .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
             coalesce(col("rev_c"), lit(0L)).as("rev_c"))
           .orderBy("day")
+      }),
+
+    // ---- q129: burst deduplication — suppress repeated (user, type)
+    // events arriving within 10 minutes of the previous occurrence,
+    // keeping the FIRST of each burst (double-click/retry suppression in
+    // telemetry ingest). Same lag-gap construction as q43's session
+    // break: kept=1 exactly where a new burst starts, so bursts are
+    // maximal chains with intra-gap < threshold. One exchange on
+    // (user, type); the unique event_id tiebreak makes burst boundaries
+    // deterministic under timestamp ties. Emits the full audit frame
+    // (kept AND suppressed) — the drop rate is the ingest-health metric.
+    Q("q129_burst_dedup",
+      Some("""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu FROM events),
+             |l AS (SELECT user_id, event_type, event_id, tsu,
+             |        lag(tsu) OVER (PARTITION BY user_id, event_type
+             |                       ORDER BY tsu, event_id) AS prev
+             |      FROM e)
+             |SELECT user_id, event_type, event_id, tsu,
+             |       CASE WHEN prev IS NULL OR tsu - prev > 600000000 THEN 1 ELSE 0 END AS kept
+             |FROM l ORDER BY user_id, event_type, tsu, event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("tsu"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            eventTsu.as("tsu"))
+          .withColumn("prev", lag(col("tsu"), 1).over(w))
+          .select(col("user_id"), col("event_type"), col("event_id"), col("tsu"),
+            when(col("prev").isNull || col("tsu") - col("prev") > 600000000L, 1)
+              .otherwise(0).as("kept"))
+          .orderBy("user_id", "event_type", "tsu", "event_id")
+      }),
+
+    // ---- q130: deterministic mixture interleaving — the ORDER a
+    // training loader reads the curated corpus in: strict round-robin
+    // across sources (pos = per-source rank × n_sources + source index),
+    // so every window of n_sources consecutive positions sees every
+    // source once — maximal short-range mixture without RNG state, and
+    // reproducible across reruns. Per-source ranks are per-partition
+    // windows; the source index is a 20-row dim joined back broadcast;
+    // the scalar source count rides on it. Top-100 positions here;
+    // deployment writes pos as the sort key of the packed shards (q92).
+    Q("q130_mixture_interleave",
+      Some("""WITH si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+             |           FROM (SELECT DISTINCT source FROM documents)),
+             |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM si),
+             |r AS (SELECT doc_id, source,
+             |        row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r
+             |      FROM documents)
+             |SELECT r.doc_id, r.source, CAST(r.r * ns.n + si.idx AS BIGINT) AS pos
+             |FROM r JOIN si USING (source) CROSS JOIN ns
+             |ORDER BY pos LIMIT 100""".stripMargin),
+      (s, d) => {
+        val srcs = Tables.documents(s, d).select("source").distinct()
+        val si = Windows.denseIdsGlobal(srcs, Seq(col("source")), "rn")
+          .withColumn("idx", col("rn") - 1L).select("source", "idx")
+        val ns = si.agg(count(lit(1)).as("n"))
+        val r = Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long") - 1L)
+        r.join(broadcast(si), "source").crossJoin(broadcast(ns))
+          .select(col("doc_id"), col("source"),
+            (col("r") * col("n") + col("idx")).as("pos"))
+          .orderBy("pos").limit(100)
       })
   )
 }

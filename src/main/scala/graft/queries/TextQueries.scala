@@ -1889,6 +1889,83 @@ object TextQueries {
           .select(col("doc_id"), col("cid").as("cluster_id"),
             when(col("pp") < 10L, lit("test")).otherwise(lit("train")).as("split"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q128: golden-record construction — MDM-style survivorship that
+    // MERGES fields across a duplicate cluster instead of electing one
+    // row (q91): representative doc by (longest, lowest id), language by
+    // MODE with a deterministic lexicographic tie-break, char mass
+    // summed. Each field rule is a window or aggregate over members —
+    // per-cluster fan-in bounded by true duplication; singletons pass
+    // through as their own golden record. The field-rule vocabulary
+    // (latest/longest/most-frequent/sum) is the standard MDM set; two of
+    // them compose here and the rest are the same shapes.
+    Q("q128_golden_record",
+      Some(
+        s"""WITH RECURSIVE $thCte, $shCte,
+           |sim_t AS (SELECT doc_id, ${simhash64HalfSql("sh", 0)} AS lo,
+           |                 ${simhash64HalfSql("sh", 32)} AS hi FROM sh_t),
+           |e AS (SELECT a.doc_id AS i, b.doc_id AS j
+           |      FROM sim_t a JOIN sim_t b ON a.doc_id < b.doc_id
+           |      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+           |nodes AS (SELECT i AS doc_id FROM e UNION SELECT j FROM e),
+           |es AS (SELECT i AS a, j AS b FROM e UNION SELECT j AS a, i AS b FROM e),
+           |reach(a, b) AS (
+           |  SELECT doc_id, doc_id FROM nodes
+           |  UNION
+           |  SELECT r.a, es.b FROM reach r JOIN es ON r.b = es.a),
+           |clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+           |memb AS (SELECT COALESCE(c.cluster_id, d.doc_id) AS cid, d.doc_id, d.lang, d.n_chars
+           |         FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+           |lm AS (SELECT cid, lang, CAST(COUNT(*) AS BIGINT) AS cnt FROM memb GROUP BY 1, 2),
+           |lmr AS (SELECT cid, lang,
+           |          row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, lang) AS r FROM lm),
+           |rep AS (SELECT cid, doc_id, n_chars,
+           |          row_number() OVER (PARTITION BY cid ORDER BY n_chars DESC, doc_id) AS r FROM memb)
+           |SELECT m.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       MIN(CASE WHEN rep.r = 1 THEN rep.doc_id END) AS rep_doc,
+           |       MIN(CASE WHEN lmr.r = 1 THEN lmr.lang END) AS golden_lang,
+           |       CAST(SUM(m.n_chars) AS BIGINT) AS total_chars
+           |FROM memb m
+           |LEFT JOIN rep ON rep.cid = m.cid AND rep.doc_id = m.doc_id
+           |LEFT JOIN lmr ON lmr.cid = m.cid AND lmr.lang = m.lang
+           |GROUP BY 1 ORDER BY cluster_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.{CacheScope, Components, SimHashBands}
+        val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
+        val sim = docs(s, d)
+          .select(col("doc_id"),
+            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
+          .select(col("doc_id"),
+            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val bands = SimHashBands.bandsOf(sim, bits)
+        CacheScope.release("q128")
+        val e = CacheScope.persist("q128",
+          SimHashBands.verifiedPairs(bands, bands, col("a.doc_id") < col("b.doc_id")))
+        val nodes = e.select(col("i").as("doc_id"))
+          .union(e.select(col("j").as("doc_id"))).distinct()
+        val clus = Components.auto(nodes, "doc_id", e, "i", "j")._1
+        val dd = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        val memb = dd.join(clus, dd("doc_id") === clus("id"), "left")
+          .select(coalesce(col("cluster_id"), col("doc_id")).as("cid"),
+            col("doc_id"), col("lang"), col("n_chars"))
+        val repW = Window.partitionBy(col("cid"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val langCnt = memb.groupBy("cid", "lang").agg(count(lit(1)).as("cnt"))
+        val langW = Window.partitionBy(col("cid"))
+          .orderBy(col("cnt").desc, col("lang"))
+        val golden = langCnt.withColumn("r", row_number().over(langW))
+          .filter(col("r") === 1)
+          .select(col("cid"), col("lang").as("golden_lang"))
+        memb.withColumn("r", row_number().over(repW))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_docs"),
+            min(when(col("r") === 1, col("doc_id"))).as("rep_doc"),
+            sum(col("n_chars")).as("total_chars"))
+          .join(golden, "cid")
+          .select(col("cid").as("cluster_id"), col("n_docs"), col("rep_doc"),
+            col("golden_lang"), col("total_chars"))
+          .orderBy("cluster_id")
       })
   )
 
