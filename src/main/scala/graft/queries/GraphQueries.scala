@@ -105,8 +105,12 @@ object GraphQueries {
              |SELECT p1, p2, support FROM pairs WHERE support >= 2
              |ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin),
       (s, d) => {
-        val items = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        // the distinct item table feeds BOTH sides of the self-join —
+        // persist one generation (the q74 multi-consumer rule) so the
+        // (order, part) distinct shuffle happens once, not twice
+        CacheScope.release("q106")
+        val items = CacheScope.persist("q106", Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
         items.as("a").join(items.as("b"),
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
@@ -138,14 +142,18 @@ object GraphQueries {
              |       MIN(node) AS min_node, MAX(node) AS max_node
              |FROM pn""".stripMargin),
       (s, d) => {
-        val items = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val e = items.as("a").join(items.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2L)
-          .select("p1", "p2")
+        // the mined edge list has THREE consumers (e1/e2/e3) — without a
+        // persist Spark re-runs the whole mining pipeline per consumer
+        CacheScope.release("q121")
+        val items = CacheScope.persist("q121", Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+        val e = CacheScope.persist("q121",
+          items.as("a").join(items.as("b"),
+              col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+            .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+            .agg(count(lit(1)).as("support"))
+            .filter(col("support") >= 2L)
+            .select("p1", "p2"))
         val tri = e.as("e1")
           .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
           .join(e.as("e3"),
@@ -187,8 +195,11 @@ object GraphQueries {
              |SELECT p1, p2, c, CAST((c * 1000000) // sd AS BIGINT) AS cos_ppm
              |FROM r ORDER BY cos_ppm DESC, p1, p2 LIMIT 50""".stripMargin),
       (s, d) => {
-        val items = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        // items feeds the degree table AND both self-join sides — one
+        // persisted generation, three cache reads
+        CacheScope.release("q126")
+        val items = CacheScope.persist("q126", Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
         val deg = items.groupBy("p").agg(count(lit(1)).as("deg"))
         val co = items.as("a").join(items.as("b"),
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
