@@ -851,6 +851,107 @@ object MiscQueries {
           .select(col("doc_id"), col("source"),
             (col("r") * col("n") + col("idx")).as("pos"))
           .orderBy("pos").limit(100)
+      }),
+
+    // ---- q131: multi-step funnel — q107 generalized to the 3-step
+    // chain every activation analysis runs: first 'view', first 'click'
+    // at-or-after it, first 'purchase' at-or-after that. Each step is an
+    // aggregation co-partitioned on user_id joined to the previous
+    // step's anchor; users surviving k steps carry k timestamps, and
+    // drop-off is visible per step (nulls). Exact micros; step count
+    // extends linearly (one agg + one join per step), never a window
+    // over the whole event stream.
+    Q("q131_funnel_3step",
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |s1 AS (SELECT user_id, MIN(tsu) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, MIN(e.tsu) AS t_click
+             |       FROM e JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'click' AND e.tsu >= s1.t_view GROUP BY 1),
+             |s3 AS (SELECT e.user_id, MIN(e.tsu) AS t_purchase
+             |       FROM e JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.tsu >= s2.t_click GROUP BY 1)
+             |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+             |       CASE WHEN s3.user_id IS NOT NULL THEN 3
+             |            WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS steps_done
+             |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+             |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+             |ORDER BY s1.user_id""".stripMargin),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), eventTsu.as("tsu"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("tsu")).as("t_view"))
+        val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+          .filter(col("tsu") >= col("t_view"))
+          .groupBy("user_id").agg(min(col("tsu")).as("t_click"))
+        val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+          .filter(col("tsu") >= col("t_click"))
+          .groupBy("user_id").agg(min(col("tsu")).as("t_purchase"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+            when(col("t_purchase").isNotNull, 3)
+              .when(col("t_click").isNotNull, 2).otherwise(1).as("steps_done"))
+          .orderBy("user_id")
+      }),
+
+    // ---- q132: month-over-month growth — the reporting staple: monthly
+    // revenue with the previous month's value and the delta in exact
+    // ppm of the prior month. The lag window runs over the MONTHS-sized
+    // rollup (q114's aggregate-first rule); the sign-split keeps the
+    // ppm division on positive operands where both engines floor
+    // identically (deltas can be negative — the division operand is
+    // |delta|, the sign rides separately).
+    Q("q132_mom_growth",
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+             |          FROM orders GROUP BY 1),
+             |l AS (SELECT ym, rev_c, lag(rev_c) OVER (ORDER BY ym) AS prev_c FROM m)
+             |SELECT ym, rev_c, prev_c,
+             |       CASE WHEN prev_c IS NULL THEN NULL
+             |            WHEN rev_c >= prev_c THEN CAST(((rev_c - prev_c) * 1000000) // prev_c AS BIGINT)
+             |            ELSE -CAST(((prev_c - rev_c) * 1000000) // prev_c AS BIGINT) END AS growth_ppm
+             |FROM l ORDER BY ym""".stripMargin),
+      (s, d) => {
+        val m = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+        // months-sized frame: the single-partition window is the right
+        // plan here (~80 rows), not a scale hazard
+        val w = Window.orderBy(col("ym"))
+        m.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+          .withColumn("growth_ppm",
+            when(col("prev_c").isNull, lit(null))
+              .when(col("rev_c") >= col("prev_c"),
+                expr("((rev_c - prev_c) * 1000000) div prev_c"))
+              .otherwise(-expr("((prev_c - rev_c) * 1000000) div prev_c")))
+          .orderBy("ym")
+      }),
+
+    // ---- q133: cumulative distinct users per day — running uniques is
+    // the metric naive SQL gets wrong (COUNT(DISTINCT) OVER a running
+    // frame re-scans every prefix: quadratic). The exact linear trick:
+    // each user contributes on their FIRST-SEEN day only, so cumulative
+    // uniques = running sum of first-seen counts — one user-keyed agg,
+    // one days-sized rollup, one window over the calendar. The shape
+    // sketches can't replace when the count must be exact.
+    Q("q133_cumulative_uniques",
+      Some("""WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day FROM events GROUP BY 1),
+             |dnew AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+             |SELECT CAST(day AS BIGINT) AS day, new_users,
+             |       CAST(SUM(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS cum_users
+             |FROM dnew ORDER BY day""".stripMargin),
+      (s, d) => {
+        val f = Tables.events(s, d)
+          .select(col("user_id"), eventTsu.as("tsu"))
+          .groupBy("user_id").agg(expr("min(tsu div 86400000000)").as("first_day"))
+        val dnew = f.groupBy(col("first_day").as("day"))
+          .agg(count(lit(1)).as("new_users"))
+        // days-sized frame: single-partition window over the calendar
+        dnew.withColumn("cum_users", sum(col("new_users")).over(
+            Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("day")
       })
   )
 }

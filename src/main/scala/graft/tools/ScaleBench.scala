@@ -529,6 +529,31 @@ object ScaleBench {
     }
     val prPoints = Seq(prOf(math.max(n / 10L, 1000L)), prOf(n))
 
+    // ---- Basket pair mining (q106/q126 shape): the scale claim under
+    // test is BASKET-SIZE INVARIANCE — fan-out per basket is C(k,2) for
+    // k items, a distribution constant, so pair mining must scale
+    // linearly in basket count. Two scale points, fixed k=6 items/basket
+    // (15 pairs each), 20k-item vocabulary.
+    case class BkPoint(baskets: Long, sec: Double, pairsSup2: Long)
+    def bkOf(nb: Long): BkPoint = {
+      val items = spark.range(nb).toDF("o")
+        .select(col("o"), explode(sequence(lit(1), lit(6))).as("k"))
+        .select(col("o"),
+          pmod(xxhash64(col("o") * 7L + col("k").cast("long")), lit(20000L)).as("p"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      items.count()
+      val (sup2, t) = timed(s"basket pair mining ($nb baskets)") {
+        items.as("a").join(items.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p"), col("b.p")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2L).count()
+      }
+      items.unpersist(blocking = false)
+      BkPoint(nb, t, sup2)
+    }
+    val bkPoints = Seq(bkOf(math.max(n / 100L, 1000L)), bkOf(math.max(n / 10L, 10000L)))
+
     def rate(t: Double): Long = (nd.toDouble / t).toLong
     val annJson = annPoints.map { p =>
       def rec(h: Long) = if (p.truthRows == 0) 0.0 else h.toDouble / p.truthRows
@@ -560,6 +585,9 @@ object ScaleBench {
       s""""pagerank":${prPoints.map(p =>
         s"""{"nodes":${p.nodes},"edge_build_sec":${p.edgeBuildSec},""" +
         s""""iter3_sec":${p.iter3Sec},"rank_mass":${p.rankMass},"rank_max":${p.rankMax}}""")
+        .mkString("[", ",", "]")},""" +
+      s""""basket_mining":${bkPoints.map(p =>
+        s"""{"baskets":${p.baskets},"sec":${p.sec},"pairs_sup2":${p.pairsSup2}}""")
         .mkString("[", ",", "]")},""" +
       s""""docs_per_sec":{"exact":${rate(tExact)},"lsh":${rate(tLsh)},"simhash":${rate(tSim)},"simhash64":${rate(tSim64)}}}"""
     spark.stop()
