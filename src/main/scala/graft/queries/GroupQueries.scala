@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -222,6 +223,103 @@ object GroupQueries {
         r.withColumn("share_ppm",
             expr("(rev_c * 1000000) div sum(rev_c) over (partition by region)"))
           .orderBy("region", "nation")
+      }),
+
+    // ---- q134: UNPIVOT / melt — the wide→long reshape (q47's inverse):
+    // a metrics row per (group, metric) is what generic dashboards,
+    // metric stores, and drift monitors consume. Spark expresses it as
+    // the `stack` generator (codegen, map-side, no shuffle beyond the
+    // feeding aggregate); the oracle uses the portable UNION ALL form —
+    // reshaping must not change a single value, which the hash compare
+    // enforces per cell.
+    Q("q134_unpivot_metrics",
+      Some("""WITH m AS (SELECT o_orderpriority AS prio,
+             |                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+             |                 CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_c,
+             |                 CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_c
+             |          FROM orders GROUP BY 1)
+             |SELECT prio, metric, value FROM (
+             |  SELECT prio, 'n_orders' AS metric, n_orders AS value FROM m
+             |  UNION ALL SELECT prio, 'sum_c', sum_c FROM m
+             |  UNION ALL SELECT prio, 'min_c', min_c FROM m
+             |  UNION ALL SELECT prio, 'max_c', max_c FROM m)
+             |ORDER BY prio, metric""".stripMargin),
+      (s, d) => {
+        val m = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("sum_c"),
+            min(cents(col("o_totalprice"))).as("min_c"),
+            max(cents(col("o_totalprice"))).as("max_c"))
+        m.select(col("prio"), expr(
+            "stack(4, 'n_orders', n_orders, 'sum_c', sum_c, " +
+              "'min_c', min_c, 'max_c', max_c) AS (metric, value)"))
+          .orderBy("prio", "metric")
+      }),
+
+    // ---- q135: grouped ordered-array aggregation — per nation, the
+    // top-3 customer balances as an ORDERED list column (the shape
+    // feature stores and API layers export: one row per entity, ranked
+    // list inside). collect_list has no deterministic order under
+    // parallel merge, so the rank rides INSIDE the collected struct and
+    // array_sort restores it — the only safe way to emit ordered lists
+    // from a distributed agg. Emitted as a joined string: array columns
+    // hash-compare differently across engines, strings never do.
+    Q("q135_grouped_toplist",
+      Some("""WITH c AS (SELECT c_nationkey AS nk, c_custkey AS ck,
+             |                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+             |r AS (SELECT nk, ck, bal,
+             |        row_number() OVER (PARTITION BY nk ORDER BY bal DESC, ck) AS rnk FROM c)
+             |SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_top,
+             |       string_agg(CAST(bal AS VARCHAR), ',' ORDER BY rnk) AS top_bals
+             |FROM r WHERE rnk <= 3 GROUP BY 1 ORDER BY nk""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("nk"))
+          .orderBy(col("bal").desc, col("ck"))
+        Tables.customer(s, d)
+          .select(col("c_nationkey").as("nk"), col("c_custkey").as("ck"),
+            cents(col("c_acctbal")).as("bal"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .groupBy("nk")
+          .agg(count(lit(1)).as("n_top"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("rnk"), col("bal")))),
+              x => x.getField("bal").cast("string")), ",").as("top_bals"))
+          .orderBy("nk")
+      }),
+
+    // ---- q136: multi-metric pivot — q47 widened to several aggregates
+    // per pivot bucket (count AND exact-cents sum per order status), the
+    // actual shape of a KPI matrix. One Expand-free pivot: Spark plans
+    // pivot-with-multiple-aggs as a single aggregate whose output
+    // columns are the (status × metric) cross — one shuffle total; the
+    // oracle writes the same matrix as explicit CASE columns (the
+    // portable form). Column names are pinned on both sides.
+    Q("q136_pivot_multi",
+      Some("""SELECT o_orderpriority AS prio,
+             |       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+             |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS f_sum_c,
+             |       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_n,
+             |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS o_sum_c,
+             |       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n,
+             |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p_sum_c
+             |FROM orders
+             |GROUP BY 1 ORDER BY prio""".stripMargin),
+      (s, d) => {
+        val piv = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
+        // pivot emits NULL for empty (group, bucket) cells — normalize to
+        // the 0 the CASE-based oracle produces
+        def z(c: String) = coalesce(col(c), lit(0L))
+        piv.select(col("prio"),
+            z("F_n").as("f_n"), z("F_sum_c").as("f_sum_c"),
+            z("O_n").as("o_n"), z("O_sum_c").as("o_sum_c"),
+            z("P_n").as("p_n"), z("P_sum_c").as("p_sum_c"))
+          .orderBy("prio")
       })
   )
 }
