@@ -952,6 +952,134 @@ object MiscQueries {
             Window.orderBy(col("day"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .orderBy("day")
+      }),
+
+    // ---- q137: peak concurrent sessions per day via a boundary SWEEP —
+    // the interval-analytics staple (capacity planning, license audits)
+    // that naive SQL writes as an interval SELF-JOIN (quadratic in
+    // overlap). The exact linear shape: each session emits +1 at start
+    // and -1 at end, and concurrency at any instant is the running sum
+    // of deltas in boundary order — concurrency only changes at
+    // boundaries, so the per-day max over boundary rows IS the day's
+    // peak. The running sum uses Windows.prefixSum (two-phase
+    // range-partitioned scan), never a single-partition global window:
+    // boundaries are 2x sessions-sized, i.e. corpus-scale. Ties are
+    // totally ordered (tsu, delta DESC so touching sessions count as
+    // concurrent, then user/session ids) — both engines fold the same
+    // sequence.
+    Q("q137_session_concurrency",
+      Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+              |f AS (
+              |  SELECT user_id, event_id, tsu,
+              |         CASE WHEN lag(tsu) OVER w IS NULL
+              |                OR tsu - lag(tsu) OVER w > $SessionGapUs
+              |              THEN 1 ELSE 0 END AS brk
+              |  FROM e
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+              |g AS (
+              |  SELECT user_id, tsu,
+              |         SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+              |                        ROWS UNBOUNDED PRECEDING) AS sess
+              |  FROM f),
+              |sess AS (SELECT user_id, sess AS session_id,
+              |                MIN(tsu) AS start_us, MAX(tsu) AS end_us
+              |         FROM g GROUP BY 1, 2),
+              |b AS (SELECT user_id, session_id, start_us AS tsu, 1 AS delta FROM sess
+              |      UNION ALL
+              |      SELECT user_id, session_id, end_us, -1 FROM sess),
+              |r AS (SELECT tsu, delta,
+              |        SUM(delta) OVER (ORDER BY tsu, delta DESC, user_id, session_id
+              |                         ROWS UNBOUNDED PRECEDING) AS run
+              |      FROM b)
+              |SELECT CAST(tsu // 86400000000 AS BIGINT) AS day,
+              |       CAST(MAX(run) AS BIGINT) AS peak,
+              |       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+              |FROM r GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val brk = when(lag(col("tsu"), 1).over(w).isNull ||
+          col("tsu") - lag(col("tsu"), 1).over(w) > SessionGapUs, 1L).otherwise(0L)
+        val sess = Tables.events(s, d)
+          .withColumn("tsu", eventTsu)
+          .withColumn("brk", brk)
+          .withColumn("sess", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess").as("session_id"))
+          .agg(min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"))
+        val bounds = sess.select(col("user_id"), col("session_id"),
+            col("start_us").as("tsu"), lit(1L).as("delta"))
+          .unionAll(sess.select(col("user_id"), col("session_id"),
+            col("end_us").as("tsu"), lit(-1L).as("delta")))
+        Windows.prefixSum(bounds,
+            Seq(col("tsu").asc, col("delta").desc, col("user_id").asc,
+              col("session_id").asc),
+            col("delta"), "run")
+          .groupBy(expr("tsu div 86400000000").as("day"))
+          .agg(max(col("run")).as("peak"),
+            sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+          .orderBy("day")
+      }),
+
+    // ---- q139: exact linear interpolation of a gappy daily series — the
+    // time-series repair step between q123's zero-fill (absence = zero)
+    // and a forecasting consumer (absence = unobserved): known-missing
+    // feed days (here a deterministic day%3 mask standing in for feed
+    // outages) are reconstructed from their nearest observed neighbors.
+    // ffill/bfill via last/first(ignoreNulls) over the calendar spine;
+    // interpolation in exact integer arithmetic with the q132 sign-split
+    // so Spark's `div` (truncate) and DuckDB's `//` (floor) agree on the
+    // slope's sign. The spine window is calendar-sized (~2.4k rows) —
+    // the aggregate-first rule (q114), not a scale hazard.
+    Q("q139_interpolate_gaps",
+      Some("""WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             |                      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+             |               FROM orders GROUP BY 1),
+             |obs AS (SELECT d, rev_c FROM daily WHERE d % 3 != 1),
+             |bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+             |spine AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds),
+             |j AS (SELECT s.d, o.rev_c FROM spine s LEFT JOIN obs o USING (d)),
+             |f AS (SELECT d, rev_c,
+             |        last_value(rev_c IGNORE NULLS) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pv,
+             |        last_value(CASE WHEN rev_c IS NOT NULL THEN d END IGNORE NULLS)
+             |          OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pd,
+             |        first_value(rev_c IGNORE NULLS)
+             |          OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |        first_value(CASE WHEN rev_c IS NOT NULL THEN d END IGNORE NULLS)
+             |          OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |      FROM j)
+             |SELECT d, CASE WHEN rev_c IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             |       CAST(CASE WHEN rev_c IS NOT NULL THEN rev_c
+             |            WHEN nv >= pv THEN pv + ((nv - pv) * (d - pd)) // (nd - pd)
+             |            ELSE pv - ((pv - nv) * (d - pd)) // (nd - pd) END AS BIGINT) AS value_c
+             |FROM f ORDER BY d""".stripMargin),
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+        val obs = daily.filter(expr("d % 3 != 1"))
+        val spine = obs.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        val j = spine.join(obs, Seq("d"), "left")
+        val wPrev = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.orderBy(col("d"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        j.withColumn("pv", last(col("rev_c"), ignoreNulls = true).over(wPrev))
+          .withColumn("pd", last(when(col("rev_c").isNotNull, col("d")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("rev_c"), ignoreNulls = true).over(wNext))
+          .withColumn("nd", first(when(col("rev_c").isNotNull, col("d")),
+            ignoreNulls = true).over(wNext))
+          .select(col("d"),
+            when(col("rev_c").isNotNull, 1).otherwise(0).as("observed"),
+            when(col("rev_c").isNotNull, col("rev_c"))
+              .when(col("nv") >= col("pv"),
+                col("pv") + expr("((nv - pv) * (d - pd)) div (nd - pd)"))
+              .otherwise(
+                col("pv") - expr("((pv - nv) * (d - pd)) div (nd - pd)"))
+              .as("value_c"))
+          .orderBy("d")
       })
   )
 }

@@ -1966,6 +1966,110 @@ object TextQueries {
           .select(col("cid").as("cluster_id"), col("n_docs"), col("rep_doc"),
             col("golden_lang"), col("total_chars"))
           .orderBy("cluster_id")
+      }),
+
+    // ---- q138: unigram surprisal quality score — the KenLM-perplexity
+    // filter's exact integer sibling: per-token surprisal in WHOLE BITS,
+    // floor(log2(N/c)) for corpus total N and token count c. The bit
+    // count is computed as length(bin(N div c)) - 1, exact in both
+    // engines, and floor(log2(floor(x))) = floor(log2(x)) for x >= 1, so
+    // the integer division loses nothing. Rare-token-heavy (high mean
+    // surprisal) documents are the gibberish/boilerplate outliers a
+    // perplexity filter drops. Shape: doc-level token counts join the
+    // vocabulary-sized count table (an ordinary equi-join; the corpus
+    // total is a 1-row scalar derived from the vocab table, NOT a third
+    // corpus scan) — at 100 TB the vocab side partial-aggregates before
+    // its one shuffle and the surprisal math is map-side.
+    Q("q138_surprisal_score",
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |dc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS k FROM t GROUP BY 1, 2),
+             |v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v)
+             |SELECT dc.doc_id,
+             |       CAST(SUM(dc.k) AS BIGINT) AS n_tokens,
+             |       CAST(SUM(dc.k * (length(bin(n.n // v.c)) - 1)) AS BIGINT) AS sum_bits,
+             |       CAST(SUM(dc.k * (length(bin(n.n // v.c)) - 1)) // SUM(dc.k) AS BIGINT) AS mean_bits
+             |FROM dc JOIN v USING (token) CROSS JOIN n
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.CacheScope
+        CacheScope.release("q138")
+        // two consumers (doc-level counts + vocabulary) — persist the
+        // exploded token frame once (the q74 multi-consumer lesson)
+        val t = CacheScope.persist("q138", docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token")))
+        val dc = t.groupBy("doc_id", "token").agg(count(lit(1)).as("k"))
+        val v = t.groupBy("token").agg(count(lit(1)).as("c"))
+        val n = v.agg(sum(col("c")).as("n"))
+        dc.join(v, "token").crossJoin(broadcast(n))
+          .withColumn("bits", length(bin(expr("n div c"))).cast("long") - 1L)
+          .groupBy("doc_id")
+          .agg(sum(col("k")).as("n_tokens"),
+            sum(col("k") * col("bits")).as("sum_bits"))
+          .withColumn("mean_bits", expr("sum_bits div n_tokens"))
+          .select("doc_id", "n_tokens", "sum_bits", "mean_bits")
+          .orderBy("doc_id")
+      }),
+
+    // ---- q140: sketch-pruned exact heavy hitters — the two-job pattern
+    // that finds all tokens with exact count >= N/30 WITHOUT shuffling
+    // the full vocabulary: job 1 folds the corpus into one 8 KB Count-Min
+    // row (plus the total N) with constant-size map partials; job 2
+    // re-scans tokens and probes the broadcast sketch as a MAP-SIDE
+    // FILTER before the exact count's exchange. CMS estimates are
+    // one-sided (est >= exact always), so est < T proves exact < T and
+    // the prune NEVER drops a true heavy hitter — the exact HAVING on the
+    // survivors makes the result identical to the naive full count. At
+    // 100 TB the pruned exchange carries the heavy tail + sketch
+    // collisions instead of a billion-token vocabulary. The oracle
+    // rebuilds the identical counter matrix (q78's construction) so the
+    // emitted estimates are verified too, not just the exact counts.
+    Q("q140_sketch_heavy_hitters",
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |h AS (SELECT token,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, length(token)),
+             |      i -> CAST(ord(substr(token, i, 1)) AS BIGINT))),
+             |    (a, b) -> (a * 31 + b) % 1000003) AS th
+             |  FROM t),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
+             |cmr AS (SELECT r, ((th % 2147483647) * (2*r+3) + (101*r+7)) % 2147483647 % 256 AS b,
+             |               count(*) AS cnt
+             |        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+             |        GROUP BY 1, 2),
+             |c AS (SELECT token, th, CAST(count(*) AS BIGINT) AS exact_n FROM h GROUP BY 1, 2),
+             |e AS (SELECT c.token, c.exact_n, CAST(MIN(cmr.cnt) AS BIGINT) AS cms_n
+             |      FROM c JOIN cmr
+             |        ON cmr.b = ((c.th % 2147483647) * (2*cmr.r+3) + (101*cmr.r+7)) % 2147483647 % 256
+             |      GROUP BY 1, 2)
+             |SELECT e.token, e.exact_n, e.cms_n
+             |FROM e CROSS JOIN n WHERE e.exact_n >= n.n // 30
+             |ORDER BY exact_n DESC, token""".stripMargin),
+      (s, d) => {
+        import graft.functions.CountMin
+        import graft.operators.CacheScope
+        val (dRows, wCols) = (4, 256)
+        CacheScope.release("q140")
+        val toksDf = CacheScope.persist("q140", docs(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .withColumn("th", NativeText.tokenHashMod(col("token"))))
+        // job 1: ONE aggregate row carries the sketch AND the total
+        // (the q77 one-job lesson)
+        val sk = toksDf.agg(CountMin.sketch(col("th"), dRows, wCols).as("sk"),
+          count(lit(1)).as("n"))
+        // job 2: map-side sketch-probe prune, THEN the exact count of
+        // survivors only; est is per-token deterministic, so surviving
+        // tokens keep all their instances and counts stay exact
+        val pruned = toksDf.crossJoin(broadcast(sk))
+          .filter(CountMin.estimate(col("sk"), col("th"), dRows, wCols) >=
+            expr("n div 30"))
+          .select("token", "th")
+        pruned.groupBy("token", "th").agg(count(lit(1)).as("exact_n"))
+          .crossJoin(broadcast(sk))
+          .filter(col("exact_n") >= expr("n div 30"))
+          .select(col("token"), col("exact_n"),
+            CountMin.estimate(col("sk"), col("th"), dRows, wCols).as("cms_n"))
+          .orderBy(col("exact_n").desc, col("token"))
       })
   )
 
