@@ -1080,6 +1080,109 @@ object MiscQueries {
                 col("pv") - expr("((pv - nv) * (d - pd)) div (nd - pd)"))
               .as("value_c"))
           .orderBy("d")
+      }),
+
+    // ---- q142: per-group exact OLS trend slope — the closed-form
+    // least-squares fit every metrics store runs per segment, kept in
+    // exact integer arithmetic: slope = (nΣxy − ΣxΣy)/(nΣxx − ΣxΣx)
+    // over (month index, monthly revenue) points, emitted in ppm with
+    // the q132 sign-split (numerator can be negative). Aggregate-first:
+    // the regression consumes the (priority × month)-sized rollup, so
+    // the five sum terms are one partial-agg over ~400 rows regardless
+    // of fact scale. Revenue in KILODOLLARS (cents div 100000) keeps
+    // nΣxy·1e6 inside Long at any sf (cents would overflow at sf0.1);
+    // slope units: kilodollars/month, ppm resolution. Only months a
+    // group transacted in enter its fit (observed-point OLS).
+    Q("q142_trend_slope",
+      Some("""WITH m AS (SELECT o_orderpriority AS prio, strftime(o_orderdate, '%Y-%m') AS ym,
+             |                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS y
+             |          FROM orders GROUP BY 1, 2),
+             |mi AS (SELECT ym, row_number() OVER (ORDER BY ym) - 1 AS x
+             |       FROM (SELECT DISTINCT ym FROM m)),
+             |p AS (SELECT m.prio, mi.x, m.y FROM m JOIN mi USING (ym)),
+             |sums AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+             |                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |                CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+             |         FROM p GROUP BY 1)
+             |SELECT prio, n,
+             |       CAST(CASE WHEN n * sxy - sx * sy >= 0
+             |            THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+             |            ELSE -(((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx)) END
+             |         AS BIGINT) AS slope_ppm
+             |FROM sums ORDER BY prio""".stripMargin),
+      (s, d) => {
+        val m = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100000").as("y"))
+        // months-sized index dim (~80 rows): the global window is the
+        // right plan at dimension scale (q21's documented exemption)
+        val mi = Windows.denseIdsGlobal(
+            m.select("ym").distinct(), Seq(col("ym")), "rn")
+          .withColumn("x", col("rn") - 1L).select("ym", "x")
+        m.join(broadcast(mi), "ym")
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("slope_ppm",
+            when(col("n") * col("sxy") - col("sx") * col("sy") >= 0,
+              expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"))
+              .otherwise(-expr("((sx * sy - n * sxy) * 1000000) div (n * sxx - sx * sx)")))
+          .select("prio", "n", "slope_ppm")
+          .orderBy("prio")
+      }),
+
+    // ---- q143: last-touch attribution — each purchase credited to the
+    // user's most recent click at-or-before it, within a 7-day window
+    // (the marketing-attribution join). NOT an event self-join: one
+    // user-partitioned window over the click∪purchase stream carries the
+    // latest click forward (ffill of click tsu/id from the SAME total
+    // order, so the pair is consistent), then a map-side tolerance test.
+    // One exchange on user_id; the frame excludes the current row so a
+    // purchase can't attribute to itself, and clicks sort before
+    // purchases at equal timestamps (kind asc) so same-instant clicks
+    // count. Unattributed purchases stay visible as nulls.
+    Q("q143_last_touch",
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+             |                 CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+             |                 CAST(round(value * 100) AS BIGINT) AS value_c
+             |          FROM events WHERE event_type IN ('click', 'purchase')),
+             |w AS (SELECT event_id, user_id, tsu, kind, value_c,
+             |        last_value(CASE WHEN kind = 0 THEN tsu END IGNORE NULLS)
+             |          OVER win AS ct,
+             |        last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+             |          OVER win AS cid
+             |      FROM e
+             |      WINDOW win AS (PARTITION BY user_id ORDER BY tsu, kind, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT event_id AS purchase_id, user_id, tsu, value_c,
+             |       CASE WHEN ct IS NOT NULL AND tsu - ct <= 604800000000 THEN cid END AS click_id,
+             |       CASE WHEN ct IS NOT NULL AND tsu - ct <= 604800000000 THEN tsu - ct END AS gap_us
+             |FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), eventTsu.as("tsu"),
+            when(col("event_type") === "click", 0).otherwise(1).as("kind"),
+            cents(col("value")).as("value_c"))
+        val win = Window.partitionBy("user_id")
+          .orderBy(col("tsu"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val attributed = e
+          .withColumn("ct", last(when(col("kind") === 0, col("tsu")),
+            ignoreNulls = true).over(win))
+          .withColumn("cid", last(when(col("kind") === 0, col("event_id")),
+            ignoreNulls = true).over(win))
+          .filter(col("kind") === 1)
+        val inWin = col("ct").isNotNull &&
+          col("tsu") - col("ct") <= 604800000000L
+        attributed.select(col("event_id").as("purchase_id"), col("user_id"),
+            col("tsu"), col("value_c"),
+            when(inWin, col("cid")).as("click_id"),
+            when(inWin, col("tsu") - col("ct")).as("gap_us"))
+          .orderBy("purchase_id")
       })
   )
 }

@@ -2070,6 +2070,78 @@ object TextQueries {
           .select(col("token"), col("exact_n"),
             CountMin.estimate(col("sk"), col("th"), dRows, wCols).as("cms_n"))
           .orderBy(col("exact_n").desc, col("token"))
+      }),
+
+    // ---- q141: deterministic probability-proportional-to-size sampling
+    // (PPS) — the curation sampler that keeps a document with probability
+    // proportional to its size (token-budget-balanced subsets; the same
+    // mechanism serves any per-doc quality weight): keep iff the q64/q70
+    // md5 20-bit lottery draw falls below the doc's weight
+    // w = n_chars/max_chars in 2^20 units. RNG-free, rerun-stable,
+    // map-side except the 1-row max scalar; inclusion is decided per row
+    // with no coordination — the property that lets the sample run inside
+    // any existing corpus scan at 100 TB. (The 2^20 quantization is the
+    // documented resolution: weights are exact to ~1e-6.)
+    Q("q141_pps_sample",
+      Some("""WITH mx AS (SELECT MAX(n_chars) AS mc FROM documents),
+             |h AS (SELECT doc_id, n_chars,
+             |      CAST(list_sum(list_transform(generate_series(1, 6),
+             |        i -> (CASE WHEN ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) >= 97
+             |              THEN ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 87
+             |              ELSE ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 48 END)
+             |             * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 1048576 AS pp20
+             |      FROM documents)
+             |SELECT h.doc_id, h.n_chars,
+             |       CAST((h.n_chars * 1048576) // mx.mc AS BIGINT) AS w_pp20
+             |FROM h CROSS JOIN mx
+             |WHERE h.pp20 < (h.n_chars * 1048576) // mx.mc
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val mx = docs(s, d).agg(max(col("n_chars")).as("mc"))
+        val pp20 = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 1048576L
+        docs(s, d).select(col("doc_id"), col("n_chars"))
+          .withColumn("pp20", pp20)
+          .crossJoin(broadcast(mx))
+          .withColumn("w_pp20", expr("(n_chars * 1048576) div mc"))
+          .filter(col("pp20") < col("w_pp20"))
+          .select("doc_id", "n_chars", "w_pp20")
+          .orderBy("doc_id")
+      }),
+
+    // ---- q144: feature hashing (the hashing-trick vectorizer) — the
+    // fixed-width, vocabulary-free featurization sklearn/Vowpal ship:
+    // token -> bucket = token_hash mod 16, per-doc bucket counts emitted
+    // as an ordered sparse-vector string (the q135 ordered-list idiom:
+    // rank rides inside the collected struct, array_sort restores it —
+    // strings hash-compare engine-stably where arrays don't). No
+    // vocabulary table exists at ANY corpus size: the width is fixed up
+    // front, which is the operator's point — map-side hash + one
+    // (doc, bucket) partial-agg, nothing vocabulary-sized anywhere.
+    Q("q144_feature_hashing",
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |h AS (SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, length(token)),
+             |      i -> CAST(ord(substr(token, i, 1)) AS BIGINT))),
+             |    (a, b) -> (a * 31 + b) % 1000003) % 16 AS b
+             |  FROM t),
+             |pb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS k FROM h GROUP BY 1, 2)
+             |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+             |       string_agg(CAST(b AS VARCHAR) || ':' || CAST(k AS VARCHAR), ' ' ORDER BY b) AS fvec
+             |FROM pb GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .withColumn("b", NativeText.tokenHashMod(col("token")) % 16L)
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
+          .groupBy("doc_id")
+          .agg(sum(col("k")).as("n_tokens"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("b"), col("k")))),
+              x => concat_ws(":", x.getField("b"), x.getField("k"))),
+              " ").as("fvec"))
+          .orderBy("doc_id")
       })
   )
 
