@@ -1183,6 +1183,128 @@ object MiscQueries {
             when(inWin, col("cid")).as("click_id"),
             when(inWin, col("tsu") - col("ct")).as("gap_us"))
           .orderBy("purchase_id")
+      }),
+
+    // ---- q145: largest-remainder pro-rata allocation (Hamilton
+    // apportionment) — distribute a fixed integer budget across nations
+    // proportional to revenue so the allocations SUM EXACTLY to the
+    // budget: floor quotas first, then +1 to the R nations with the
+    // largest remainders (R = budget − Σfloor < #nations). The exact
+    // reconciliation naive rounding can't give — finance allocations,
+    // sampling quotas, shard budgets all need it. Aggregate-first: the
+    // windows run over the 25-row nation rollup; kilodollar quantization
+    // keeps budget×revenue inside Long at any sf (the q142 audit).
+    Q("q145_budget_allocation",
+      Some("""WITH rev AS (SELECT c.c_nationkey AS nk,
+             |              CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS r
+             |            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |            GROUP BY 1),
+             |t AS (SELECT rev.nk, n.n_name, rev.r, SUM(rev.r) OVER () AS tot
+             |      FROM rev JOIN nation n ON rev.nk = n.n_nationkey),
+             |q AS (SELECT nk, n_name, r,
+             |        (1000000 * r) // tot AS fl, (1000000 * r) % tot AS rem FROM t),
+             |w AS (SELECT nk, n_name, r, fl,
+             |        1000000 - SUM(fl) OVER () AS extra,
+             |        row_number() OVER (ORDER BY rem DESC, nk) AS rnk FROM q)
+             |SELECT n_name, CAST(r AS BIGINT) AS rev_kd,
+             |       CAST(fl + CASE WHEN rnk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |FROM w ORDER BY n_name""".stripMargin),
+      (s, d) => {
+        val rev = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100000").as("r"))
+        // nations-sized frames from here: the empty-over() windows are
+        // 25-row single-partition by design (aggregate-first rule)
+        val wAll = Window.partitionBy()
+        val t = rev.join(broadcast(Tables.nation(s, d)),
+            col("nk") === col("n_nationkey"))
+          .select(col("nk"), col("n_name"), col("r"))
+          .withColumn("tot", sum(col("r")).over(wAll))
+        t.withColumn("fl", expr("(1000000 * r) div tot"))
+          .withColumn("rem", expr("(1000000 * r) % tot"))
+          .withColumn("extra", lit(1000000L) - sum(col("fl")).over(wAll))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("rem").desc, col("nk"))))
+          .select(col("n_name"), col("r").as("rev_kd"),
+            (col("fl") + when(col("rnk") <= col("extra"), 1L).otherwise(0L))
+              .as("alloc"))
+          .orderBy("n_name")
+      }),
+
+    // ---- q146: growth accounting — the DAU decomposition every growth
+    // team reports: each active (user, day) classified new / retained
+    // (active yesterday) / resurrected (returned after a gap), and
+    // churned counted on the first day a user went silent. One distinct
+    // (user, day) pass + one user-partitioned window (lag AND lead from
+    // the same sort) → day-sized rollups; churn days land by a left
+    // join onto the active-day frame, so the four series stay exact and
+    // reconcile (new + resurrected − churned = ΔDAU-retention identity).
+    Q("q146_growth_accounting",
+      Some("""WITH ad AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+             |c AS (SELECT user_id, day,
+             |        lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+             |        lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt FROM ad),
+             |act AS (SELECT day,
+             |          CAST(COUNT(CASE WHEN prev IS NULL THEN 1 END) AS BIGINT) AS n_new,
+             |          CAST(COUNT(CASE WHEN day - prev = 1 THEN 1 END) AS BIGINT) AS n_retained,
+             |          CAST(COUNT(CASE WHEN day - prev > 1 THEN 1 END) AS BIGINT) AS n_resurrected
+             |        FROM c GROUP BY 1),
+             |ch AS (SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+             |       FROM c WHERE nxt IS NULL OR nxt > day + 1 GROUP BY 1)
+             |SELECT a.day, a.n_new, a.n_retained, a.n_resurrected,
+             |       COALESCE(ch.n_churned, 0) AS n_churned
+             |FROM act a LEFT JOIN ch ON a.day = ch.day
+             |ORDER BY a.day""".stripMargin),
+      (s, d) => {
+        val ad = Tables.events(s, d)
+          .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val c = ad.withColumn("prev", lag(col("day"), 1).over(w))
+          .withColumn("nxt", lead(col("day"), 1).over(w))
+        val act = c.groupBy("day").agg(
+          count(when(col("prev").isNull, 1)).as("n_new"),
+          count(when(col("day") - col("prev") === 1, 1)).as("n_retained"),
+          count(when(col("day") - col("prev") > 1, 1)).as("n_resurrected"))
+        val ch = c.filter(col("nxt").isNull || col("nxt") > col("day") + 1)
+          .groupBy((col("day") + 1).as("day"))
+          .agg(count(lit(1)).as("n_churned"))
+        act.join(ch, Seq("day"), "left")
+          .select(col("day"), col("n_new"), col("n_retained"),
+            col("n_resurrected"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+          .orderBy("day")
+      }),
+
+    // ---- q148: k-anonymity audit — the privacy-readiness check before
+    // a table leaves the pipeline: every quasi-identifier equivalence
+    // class (segment, nation, thousand-dollar balance band) with fewer
+    // than k=5 members is a re-identification risk and must be
+    // generalized or suppressed. One groupBy on the QI tuple; the +1000$
+    // shift keeps the band arithmetic on the positive domain (balances
+    // go to −999) where Spark div and DuckDB // agree. The output IS the
+    // suppression worklist, ordered for stable diffing.
+    Q("q148_k_anonymity",
+      Some("""WITH q AS (SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nk,
+             |                  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_kband
+             |           FROM customer),
+             |g AS (SELECT seg, nk, bal_kband, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM q GROUP BY 1, 2, 3)
+             |SELECT seg, nk, CAST(bal_kband AS BIGINT) AS bal_kband, n
+             |FROM g WHERE n < 5 ORDER BY seg, nk, bal_kband""".stripMargin),
+      (s, d) => {
+        Tables.customer(s, d)
+          .select(col("c_mktsegment").as("seg"),
+            col("c_nationkey").cast("long").as("nk"),
+            ((cents(col("c_acctbal")) + 100000L)).as("shifted"))
+          .withColumn("bal_kband", expr("shifted div 100000"))
+          .groupBy("seg", "nk", "bal_kband")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") < 5)
+          .orderBy("seg", "nk", "bal_kband")
       })
   )
 }

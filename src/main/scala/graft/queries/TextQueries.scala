@@ -2142,6 +2142,45 @@ object TextQueries {
               x => concat_ws(":", x.getField("b"), x.getField("k"))),
               " ").as("fvec"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q147: per-doc nearest text neighbor at Hamming ≤ 3 — the
+    // dedup TRIAGE view (for each doc, its closest near-duplicate and
+    // how close) rather than q82's flat pair list: symmetric band
+    // candidates from the shared SimHashBands path, then a per-doc
+    // top-1 window over (hamming, neighbor id). Within radius 3 the
+    // banding pigeonhole is recall-lossless, so the per-candidate argmin
+    // EQUALS the global argmin and the brute-force oracle is exact.
+    // Window fan-in per doc = that doc's true near-dup degree — bounded
+    // by real duplication, the same argument as the pair queries.
+    Q("q147_nearest_neighbor",
+      Some(s"""WITH $thCte, $shCte,
+              |sim_t AS (SELECT doc_id, ${simhash64HalfSql("sh", 0)} AS lo,
+              |                 ${simhash64HalfSql("sh", 32)} AS hi FROM sh_t),
+              |e AS (SELECT a.doc_id AS i, b.doc_id AS j,
+              |        bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS ham
+              |      FROM sim_t a JOIN sim_t b ON a.doc_id <> b.doc_id
+              |      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+              |r AS (SELECT i, j, ham,
+              |        row_number() OVER (PARTITION BY i ORDER BY ham, j) AS rnk FROM e)
+              |SELECT i AS doc_id, j AS nn_id, CAST(ham AS BIGINT) AS hamming
+              |FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.SimHashBands
+        val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
+        val sim = docs(s, d)
+          .select(col("doc_id"),
+            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
+          .select(col("doc_id"),
+            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val bands = SimHashBands.bandsOf(sim, bits)
+        val pairs = SimHashBands.verifiedPairs(bands, bands,
+          col("a.doc_id") =!= col("b.doc_id"))
+        pairs.withColumn("rnk", row_number().over(
+            Window.partitionBy(col("i")).orderBy(col("hamming"), col("j"))))
+          .filter(col("rnk") === 1)
+          .select(col("i").as("doc_id"), col("j").as("nn_id"), col("hamming"))
+          .orderBy("doc_id")
       })
   )
 
