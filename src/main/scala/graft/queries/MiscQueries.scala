@@ -1305,6 +1305,134 @@ object MiscQueries {
           .agg(count(lit(1)).as("n"))
           .filter(col("n") < 5)
           .orderBy("seg", "nk", "bal_kband")
+      }),
+
+    // ---- q150: bucket-level anti-entropy diff — the middle tier
+    // between q117's table checksum (one verdict) and q62's row-level
+    // cogroup diff (full scan of both sides): bucket both replicas by
+    // key range, compare per-bucket (count, order-independent hash-sum),
+    // and emit ONLY differing buckets — the sync protocol then re-reads
+    // just those. Here replica B is replica A with a deterministic
+    // 1-cent corruption at custkey 997 (both engines inject it), so
+    // exactly the buckets holding key 997 differ. Per-bucket state is
+    // two longs; the diff never joins row-level data.
+    Q("q150_bucket_diff",
+      Some("""WITH a AS (SELECT c_custkey AS k,
+             |                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+             |b AS (SELECT k, CASE WHEN k = 997 THEN bal_c + 1 ELSE bal_c END AS bal_c FROM a),
+             |ha AS (SELECT k // 64 AS bucket,
+             |         CAST(list_sum(list_transform(generate_series(1, 12),
+             |           i -> (CASE WHEN ord(substr(md5(CAST(k AS VARCHAR) || ':' || CAST(bal_c AS VARCHAR)), i, 1)) >= 97
+             |                 THEN ord(substr(md5(CAST(k AS VARCHAR) || ':' || CAST(bal_c AS VARCHAR)), i, 1)) - 87
+             |                 ELSE ord(substr(md5(CAST(k AS VARCHAR) || ':' || CAST(bal_c AS VARCHAR)), i, 1)) - 48 END)
+             |                * CAST(pow(16, 12 - i) AS BIGINT))) AS BIGINT) % 1000000000000 AS hv
+             |       FROM a),
+             |hb AS (SELECT k // 64 AS bucket,
+             |         CAST(list_sum(list_transform(generate_series(1, 12),
+             |           i -> (CASE WHEN ord(substr(md5(CAST(k AS VARCHAR) || ':' || CAST(bal_c AS VARCHAR)), i, 1)) >= 97
+             |                 THEN ord(substr(md5(CAST(k AS VARCHAR) || ':' || CAST(bal_c AS VARCHAR)), i, 1)) - 87
+             |                 ELSE ord(substr(md5(CAST(k AS VARCHAR) || ':' || CAST(bal_c AS VARCHAR)), i, 1)) - 48 END)
+             |                * CAST(pow(16, 12 - i) AS BIGINT))) AS BIGINT) % 1000000000000 AS hv
+             |       FROM b),
+             |ga AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a, CAST(SUM(hv) AS BIGINT) AS s_a FROM ha GROUP BY 1),
+             |gb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(hv) AS BIGINT) AS s_b FROM hb GROUP BY 1)
+             |SELECT ga.bucket, ga.n_a, gb.n_b
+             |FROM ga JOIN gb ON ga.bucket = gb.bucket
+             |WHERE ga.n_a != gb.n_b OR ga.s_a != gb.s_b
+             |ORDER BY ga.bucket""".stripMargin),
+      (s, d) => {
+        def hashed(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("bucket", expr("k div 64"))
+          .withColumn("hv",
+            conv(substring(md5(concat(col("k").cast("string"), lit(":"),
+              col("bal_c").cast("string"))), 1, 12), 16, 10)
+              .cast("long") % 1000000000000L)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("hv")).as("s"))
+        val a = Tables.customer(s, d)
+          .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("bal_c"))
+        val b = a.withColumn("bal_c",
+          when(col("k") === 997, col("bal_c") + 1).otherwise(col("bal_c")))
+        val ga = hashed(a).withColumnRenamed("n", "n_a").withColumnRenamed("s", "s_a")
+        val gb = hashed(b).withColumnRenamed("n", "n_b").withColumnRenamed("s", "s_b")
+        ga.join(gb, "bucket")
+          .filter(col("n_a") =!= col("n_b") || col("s_a") =!= col("s_b"))
+          .select("bucket", "n_a", "n_b")
+          .orderBy("bucket")
+      }),
+
+    // ---- q151: exact nearest-rank percentiles per group — the latency
+    // SLO report (p50/p95/p99 of event value per type) computed EXACTLY:
+    // the nearest-rank definition (value at rank ceil(p·n/100) in sorted
+    // order) is engine-independent where interpolating percentiles and
+    // approx sketches are not. One exchange on event_type + per-group
+    // sort window; the rank arithmetic ((p·n + 99) div 100) is integer.
+    // The percentile VALUE at a rank is tie-independent even though the
+    // row at that rank isn't — the unique-id tiebreak still keeps both
+    // engines on the identical row.
+    Q("q151_slo_percentiles",
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |                 CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |r AS (SELECT event_type, v,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+             |        COUNT(*) OVER (PARTITION BY event_type) AS n
+             |      FROM e)
+             |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             |       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS BIGINT) AS p50_c,
+             |       CAST(MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS BIGINT) AS p95_c,
+             |       CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT) AS p99_c
+             |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("v"), col("event_id"))
+        val wN = Window.partitionBy("event_type")
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), cents(col("value")).as("v"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wN))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            max(when(col("rn") === expr("(50 * n + 99) div 100"), col("v"))).as("p50_c"),
+            max(when(col("rn") === expr("(95 * n + 99) div 100"), col("v"))).as("p95_c"),
+            max(when(col("rn") === expr("(99 * n + 99) div 100"), col("v"))).as("p99_c"))
+          .orderBy("event_type")
+      }),
+
+    // ---- q152: column profiling — the Deequ/dbt-test statistics pass
+    // every governed lake runs before publishing a table: per column,
+    // row count, null count, exact distinct count, lexicographic
+    // min/max over a CANONICAL string rendering (doubles render
+    // engine-dependently, so c_acctbal profiles via exact cents; longs
+    // and strings render identically everywhere). One unpivot (stack)
+    // then one groupBy — a single scan profiles all columns, vs the
+    // naive per-column scan loop; the distinct count per (column, value)
+    // partial-aggregates before its exchange.
+    Q("q152_column_profile",
+      Some("""WITH u AS (
+             |  SELECT 'c_custkey' AS col_name, CAST(c_custkey AS VARCHAR) AS v FROM customer
+             |  UNION ALL SELECT 'c_name', c_name FROM customer
+             |  UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+             |  UNION ALL SELECT 'c_acctbal_c', CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) FROM customer
+             |  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer)
+             |SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(COUNT(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_null,
+             |       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+             |       MIN(v) AS min_v, MAX(v) AS max_v
+             |FROM u GROUP BY 1 ORDER BY col_name""".stripMargin),
+      (s, d) => {
+        Tables.customer(s, d)
+          .select(expr(
+            """stack(5,
+              |  'c_custkey', cast(c_custkey as string),
+              |  'c_name', c_name,
+              |  'c_nationkey', cast(c_nationkey as string),
+              |  'c_acctbal_c', cast(cast(round(c_acctbal * 100) as bigint) as string),
+              |  'c_mktsegment', c_mktsegment) as (col_name, v)""".stripMargin))
+          .groupBy("col_name")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("v").isNull, 1)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .orderBy("col_name")
       })
   )
 }

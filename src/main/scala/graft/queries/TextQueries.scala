@@ -2181,6 +2181,104 @@ object TextQueries {
           .filter(col("rnk") === 1)
           .select(col("i").as("doc_id"), col("j").as("nn_id"), col("hamming"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q149: reciprocal-rank fusion — the hybrid-retrieval merge
+    // (RRF, Cormack et al. SIGIR'09): three independent retrieval
+    // signals for query doc 0 (shingle-overlap recall, fingerprint
+    // Hamming, length proximity — the same algebra fuses any rankings,
+    // incl. a vector kNN list) each TRUNCATED to their top-100, then
+    // fused by score = Σ floor(1e9/(60+rank)) — integer-exact where the
+    // float 1/(60+r) never hash-matches. Truncation is the scale design:
+    // real fusion ranks only what each retriever RETURNED, so every
+    // ranking is a TakeOrdered(100) (no global sort materializes) and
+    // the rank windows run over 100 rows. Absent-from-a-ranking
+    // contributes 0 (standard truncated RRF).
+    Q("q149_rrf_fusion",
+      Some(s"""WITH $thCte, $shCte,
+              |qs AS (SELECT DISTINCT unnest(sh) AS v FROM sh_t WHERE doc_id = 0),
+              |ds AS (SELECT DISTINCT doc_id, v FROM
+              |        (SELECT doc_id, unnest(sh) AS v FROM sh_t WHERE doc_id <> 0)),
+              |ovl AS (SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+              |        FROM ds JOIN qs ON ds.v = qs.v GROUP BY 1),
+              |ra AS (SELECT doc_id, row_number() OVER (ORDER BY ov DESC, doc_id) AS r
+              |       FROM ovl ORDER BY ov DESC, doc_id LIMIT 100),
+              |sim_t AS (SELECT doc_id, ${simhash64HalfSql("sh", 0)} AS lo,
+              |                 ${simhash64HalfSql("sh", 32)} AS hi FROM sh_t),
+              |qf AS (SELECT lo, hi FROM sim_t WHERE doc_id = 0),
+              |hb AS (SELECT s.doc_id,
+              |         bit_count(xor(s.lo, q.lo)) + bit_count(xor(s.hi, q.hi)) AS ham
+              |       FROM sim_t s CROSS JOIN qf q WHERE s.doc_id <> 0),
+              |rb AS (SELECT doc_id, row_number() OVER (ORDER BY ham, doc_id) AS r
+              |       FROM hb ORDER BY ham, doc_id LIMIT 100),
+              |ln AS (SELECT d.doc_id, abs(d.n_chars - q.n_chars) AS ld
+              |       FROM documents d CROSS JOIN
+              |         (SELECT n_chars FROM documents WHERE doc_id = 0) q
+              |       WHERE d.doc_id <> 0),
+              |rc AS (SELECT doc_id, row_number() OVER (ORDER BY ld, doc_id) AS r
+              |       FROM ln ORDER BY ld, doc_id LIMIT 100),
+              |ids AS (SELECT doc_id FROM ra UNION SELECT doc_id FROM rb
+              |        UNION SELECT doc_id FROM rc),
+              |sc AS (SELECT ids.doc_id,
+              |         COALESCE(1000000000 // (60 + ra.r), 0)
+              |           + COALESCE(1000000000 // (60 + rb.r), 0)
+              |           + COALESCE(1000000000 // (60 + rc.r), 0) AS score
+              |       FROM ids LEFT JOIN ra ON ids.doc_id = ra.doc_id
+              |                LEFT JOIN rb ON ids.doc_id = rb.doc_id
+              |                LEFT JOIN rc ON ids.doc_id = rc.doc_id)
+              |SELECT doc_id, CAST(score AS BIGINT) AS rrf_score
+              |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      (s, d) => {
+        import graft.operators.CacheScope
+        CacheScope.release("q149")
+        // TakeOrdered(100) first, rank within the 100 after — the limit
+        // order IS the rank order, so ranks are identical to ranking
+        // the full candidate set, without a corpus-sized window.
+        def top100(df: org.apache.spark.sql.DataFrame,
+                   ord: Seq[Column]): org.apache.spark.sql.DataFrame =
+          df.orderBy(ord: _*).limit(100)
+            .withColumn("r", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+            .select("doc_id", "r")
+        val sh = CacheScope.persist("q149", docs(s, d)
+          .select(col("doc_id"),
+            NativeText.shingleHashesOfText(col("text")).as("sh"),
+            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"),
+            col("n_chars")))
+        val qs = sh.filter(col("doc_id") === 0)
+          .select(explode(col("sh")).as("v")).distinct()
+        val ds = sh.filter(col("doc_id") =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("v")).distinct()
+        val ra = top100(
+          ds.join(broadcast(qs), "v").groupBy("doc_id")
+            .agg(count(lit(1)).as("ov")),
+          Seq(col("ov").desc, col("doc_id")))
+        val qf = sh.filter(col("doc_id") === 0)
+          .select(element_at(col("fp"), 1).as("qlo"), element_at(col("fp"), 2).as("qhi"))
+        val rb = top100(
+          sh.filter(col("doc_id") =!= 0).crossJoin(broadcast(qf))
+            .select(col("doc_id"),
+              (bit_count(element_at(col("fp"), 1).bitwiseXOR(col("qlo"))) +
+                bit_count(element_at(col("fp"), 2).bitwiseXOR(col("qhi"))))
+                .cast("long").as("ham")),
+          Seq(col("ham").asc, col("doc_id")))
+        val qn = sh.filter(col("doc_id") === 0).select(col("n_chars").as("qn"))
+        val rc = top100(
+          sh.filter(col("doc_id") =!= 0).crossJoin(broadcast(qn))
+            .select(col("doc_id"), abs(col("n_chars") - col("qn")).as("ld")),
+          Seq(col("ld").asc, col("doc_id")))
+        val raR = ra.withColumnRenamed("r", "r_a")
+        val rbR = rb.withColumnRenamed("r", "r_b")
+        val rcR = rc.withColumnRenamed("r", "r_c")
+        val ids = raR.select("doc_id").union(rbR.select("doc_id"))
+          .union(rcR.select("doc_id")).distinct()
+        ids.join(raR, Seq("doc_id"), "left")
+          .join(rbR, Seq("doc_id"), "left")
+          .join(rcR, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000000 div (60 + r_a)"), lit(0L)) +
+              coalesce(expr("1000000000 div (60 + r_b)"), lit(0L)) +
+              coalesce(expr("1000000000 div (60 + r_c)"), lit(0L))).as("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
       })
   )
 

@@ -193,6 +193,8 @@ class PlanAuditSpec extends SparkTestBase {
     //  - q140: the 1-row (sketch, total) row probed per token instance —
     //    the map-side CMS prune IS the query's point.
     //  - q141: the 1-row max-chars scalar against the per-doc lottery.
+    //  - q149: the 1-row query fingerprint / query length scalars
+    //    against the candidate frames (retrieval-query broadcast).
     // None is the corpus² all-pairs shape this sweep exists to catch.
     val scalarCross = Set("q67_tfidf", "q78_cms_freq",
       "q36_embed_knn_brute", "q44_embed_ivf_ann", "q65_embed_ivf_nprobe2",
@@ -200,7 +202,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q96_link_pagerank", "q97_temperature_mix", "q99_collocations",
       "q103_source_drift_tvd", "q130_mixture_interleave",
       "q138_surprisal_score", "q140_sketch_heavy_hitters",
-      "q141_pps_sample")
+      "q141_pps_sample", "q149_rrf_fusion")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&
