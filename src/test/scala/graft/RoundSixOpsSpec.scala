@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the late round-6 operators (q137-q152):
+  * each test asserts the property that makes the operator CORRECT, by an
+  * independent in-test computation — not by re-running the same plan.
+  */
+class RoundSixOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def run(q: String, dir: String = sf) =
+    SparkEntry.queries(q)(spark, dir)
+
+  test("q145: largest-remainder allocations reconcile EXACTLY to the budget") {
+    val rows = run("q145_budget_allocation").collect()
+    val total = rows.map(_.getAs[Long]("alloc")).sum
+    assert(total == 1000000L, s"allocations sum to $total, not the budget")
+    // every allocation is the floor quota or floor+1 — Hamilton never
+    // moves more than one unit per participant
+    val revs = rows.map(_.getAs[Long]("rev_kd"))
+    val revTot = revs.sum
+    rows.foreach { r =>
+      val fl = 1000000L * r.getAs[Long]("rev_kd") / revTot
+      val alloc = r.getAs[Long]("alloc")
+      assert(alloc == fl || alloc == fl + 1,
+        s"${r.getAs[String]("n_name")}: alloc $alloc not in {$fl, ${fl + 1}}")
+    }
+  }
+
+  test("q140: CMS prune is lossless — output equals the naive exact count") {
+    import graft.functions.{NativeText, Text}
+    val naive = sources.Tables.documents(spark, sf)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val totalN = naive.agg(sum("n")).head().getLong(0)
+    val expected = naive.filter(col("n") >= totalN / 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run("q140_sketch_heavy_hitters").collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("exact_n")).toMap
+    assert(got == expected, s"pruned result diverged: got=$got expected=$expected")
+    // one-sidedness: every emitted estimate dominates its exact count
+    run("q140_sketch_heavy_hitters").collect().foreach { r =>
+      assert(r.getAs[Long]("cms_n") >= r.getAs[Long]("exact_n"),
+        s"CMS under-estimated ${r.getAs[String]("token")}")
+    }
+  }
+
+  test("q137: sweep-line peaks equal brute-force interval-overlap counts") {
+    // independent truth: sessionize the same way, then for every
+    // boundary instant count sessions covering it (O(sessions^2), fine
+    // at sf0.001) — with starts-before-ends tie handling identical to
+    // the sweep's (delta DESC at equal tsu: touching counts as overlap)
+    val gap = queries.MiscQueries.SessionGapUs
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.map(_._3).sorted
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = ts.head; var prev = ts.head
+      ts.tail.foreach { t =>
+        if (t - prev > gap) { bounds += ((start, prev)); start = t }
+        prev = t
+      }
+      bounds += ((start, prev))
+      bounds
+    }.toSeq
+    val boundaries = sessions.flatMap { case (s0, e0) => Seq(s0, e0) }.distinct
+    val brutePeak = boundaries.groupBy(_ / 86400000000L).map { case (day, bs) =>
+      day -> bs.map(t => sessions.count { case (s0, e0) => s0 <= t && t <= e0 }).max
+    }
+    val got = run("q137_session_concurrency").collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("peak").toInt).toMap
+    assert(got == brutePeak, s"sweep diverged from brute overlap count")
+  }
+
+  test("q147: per-doc nearest neighbor equals brute force over fingerprints") {
+    import graft.functions.NativeText
+    val fps = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
+      .select(col("doc_id"), element_at(col("fp"), 1).as("lo"),
+        element_at(col("fp"), 2).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = fps.flatMap { case (i, lo, hi) =>
+      val cands = fps.filter(_._1 != i).map { case (j, lo2, hi2) =>
+        (j, java.lang.Long.bitCount(lo ^ lo2) + java.lang.Long.bitCount(hi ^ hi2))
+      }.filter(_._2 <= 3)
+      if (cands.isEmpty) None
+      else Some(i -> cands.minBy(c => (c._2, c._1)))
+    }.toMap
+    val got = run("q147_nearest_neighbor").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nn_id"), r.getAs[Long]("hamming").toInt))).toMap
+    assert(got == brute, "band-candidate argmin diverged from global argmin")
+  }
+
+  test("q151: nearest-rank percentiles match an in-memory sort") {
+    val vals = sources.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    val got = run("q151_slo_percentiles").collect()
+    got.foreach { r =>
+      val sorted = vals(r.getAs[String]("event_type"))
+      val n = sorted.length
+      assert(r.getAs[Long]("n") == n.toLong)
+      def nr(p: Int) = sorted((p * n + 99) / 100 - 1)
+      assert(r.getAs[Long]("p50_c") == nr(50))
+      assert(r.getAs[Long]("p95_c") == nr(95))
+      assert(r.getAs[Long]("p99_c") == nr(99))
+    }
+  }
+
+  test("q150: exactly the bucket holding the corrupted key differs") {
+    val rows = run("q150_bucket_diff", sf01).collect()
+    assert(rows.length == 1, s"expected 1 differing bucket, got ${rows.length}")
+    assert(rows.head.getAs[Long]("bucket") == 997L / 64L)
+    // counts agree (the corruption changed a value, not cardinality)
+    assert(rows.head.getAs[Long]("n_a") == rows.head.getAs[Long]("n_b"))
+  }
+
+  test("q146: growth-accounting series reconcile (DAU identity)") {
+    val rows = run("q146_growth_accounting").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+        r.getAs[Long]("n_churned")))
+      .sortBy(_._1)
+    val dau = rows.map { case (d, nw, rt, rs, _) => d -> (nw + rt + rs) }.toMap
+    rows.sliding(2).foreach {
+      case Array((d0, _, _, _, _), (d1, nw, rt, rs, ch)) if d1 == d0 + 1 =>
+        // retained(d) = DAU(d-1) - churned(d) on consecutive days
+        assert(rt == dau(d0) - ch,
+          s"day $d1: retained $rt != DAU(${d0}) ${dau(d0)} - churned $ch")
+      case _ => ()
+    }
+  }
+}
