@@ -217,6 +217,63 @@ object GraphQueries {
           .select(col("p1"), col("p2"), col("c"),
             expr("(c * 1000000) div sd").as("cos_ppm"))
           .orderBy(col("cos_ppm").desc, col("p1"), col("p2")).limit(50)
+      }),
+
+    // ---- q156: bounded-hop BFS — shortest-path distance (≤3 hops) from
+    // a seed over the q96 link graph: the reachability/blast-radius
+    // query (lineage impact, abuse-network expansion). Min-plus Pregel,
+    // distinct from PageRank's sum-aggregation: per hop, ONE equi-join
+    // of the frontier against the edge list + one anti-join against the
+    // visited set — cost per hop is O(|frontier| · out-degree), never
+    // |V|²; the edge list partitions once on src and every hop's join
+    // reuses it (the q96 persist). Levels are disjoint by construction,
+    // so dist = the hop that first reached the node, exactly the
+    // recursive-CTE semantics the oracle unrolls.
+    Q("q156_bfs_hops",
+      Some("""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |nodes AS (SELECT doc_id FROM documents),
+             |e AS (SELECT src, dst FROM (
+             |        SELECT nd.doc_id AS src,
+             |               (nd.doc_id * 31 + ks.k * 7919) % nn.n AS dst
+             |        FROM nodes nd CROSS JOIN nn
+             |             CROSS JOIN (VALUES (1), (2), (3)) ks(k)) t
+             |      WHERE src <> dst),
+             |l0 AS (SELECT CAST(0 AS BIGINT) AS doc_id),
+             |l1 AS (SELECT DISTINCT e.dst AS doc_id FROM e JOIN l0 ON e.src = l0.doc_id
+             |       WHERE e.dst NOT IN (SELECT doc_id FROM l0)),
+             |l2 AS (SELECT DISTINCT e.dst AS doc_id FROM e JOIN l1 ON e.src = l1.doc_id
+             |       WHERE e.dst NOT IN (SELECT doc_id FROM l0 UNION SELECT doc_id FROM l1)),
+             |l3 AS (SELECT DISTINCT e.dst AS doc_id FROM e JOIN l2 ON e.src = l2.doc_id
+             |       WHERE e.dst NOT IN (SELECT doc_id FROM l0 UNION SELECT doc_id FROM l1
+             |                           UNION SELECT doc_id FROM l2))
+             |SELECT doc_id, CAST(0 AS BIGINT) AS dist FROM l0
+             |UNION ALL SELECT doc_id, 1 FROM l1
+             |UNION ALL SELECT doc_id, 2 FROM l2
+             |UNION ALL SELECT doc_id, 3 FROM l3
+             |ORDER BY dist, doc_id""".stripMargin),
+      (s, d) => {
+        CacheScope.release("q156")
+        val nodes = Tables.documents(s, d).select(col("doc_id"))
+        val nRow = nodes.agg(count(lit(1)).as("n"))
+        val e = CacheScope.persist("q156", nodes.crossJoin(broadcast(nRow))
+          .select(col("doc_id").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("n"))
+          .select(col("src"),
+            ((col("src") * 31L + col("k") * 7919L) % col("n")).as("dst"))
+          .filter(col("src") =!= col("dst")))
+        var frontier = s.range(0, 1).select(col("id").as("doc_id"))
+        var visited = frontier
+        var out = frontier.select(col("doc_id"), lit(0L).as("dist"))
+        for (h <- 1 to 3) {
+          frontier = e.join(frontier.select(col("doc_id").as("src")), "src")
+            .select(col("dst").as("doc_id")).distinct()
+            .join(visited, Seq("doc_id"), "left_anti")
+          // levels are small (≤ out-degree^hop); localCheckpoint would be
+          // overkill at 3 hops — the lineage stays 3 joins deep
+          visited = visited.unionAll(frontier)
+          out = out.unionAll(frontier.select(col("doc_id"), lit(h.toLong).as("dist")))
+        }
+        out.orderBy("dist", "doc_id")
       })
   )
 }

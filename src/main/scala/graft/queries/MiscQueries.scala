@@ -1433,6 +1433,114 @@ object MiscQueries {
             countDistinct(col("v")).as("n_distinct"),
             min(col("v")).as("min_v"), max(col("v")).as("max_v"))
           .orderBy("col_name")
+      }),
+
+    // ---- q153: SCD2 as-of enrichment — the temporal join every
+    // warehouse runs against a versioned dimension (q98 BUILDS the SCD2
+    // table; this query CONSUMES one): each fact joins the dim version
+    // whose validity interval contains the fact's event date. The dim is
+    // derived deterministically (odd customers re-segmented to 'MOVED'
+    // on 1998-07-01) so both engines see identical versions. Shape: key
+    // equi-join + interval residual — per-key version count is small and
+    // bounded (SCD2's own invariant), so the join fan-in is versions,
+    // not a range blow-up; dim side broadcasts at dim scale, buckets at
+    // fact scale (q81 layout).
+    Q("q153_scd2_asof",
+      Some("""WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_custkey % 2 = 1 AS odd FROM customer),
+             |dim AS (
+             |  SELECT k, seg, DATE '1992-01-01' AS vs,
+             |         CASE WHEN odd THEN DATE '1998-06-30' ELSE DATE '9999-12-31' END AS ve FROM c
+             |  UNION ALL
+             |  SELECT k, 'MOVED', DATE '1998-07-01', DATE '9999-12-31' FROM c WHERE odd),
+             |j AS (SELECT dim.seg, CAST(round(o.o_totalprice * 100) AS BIGINT) AS rev
+             |      FROM orders o JOIN dim ON o.o_custkey = dim.k
+             |       AND CAST(o.o_orderdate AS DATE) BETWEEN dim.vs AND dim.ve)
+             |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       CAST(SUM(rev) AS BIGINT) AS rev_c
+             |FROM j GROUP BY 1 ORDER BY seg""".stripMargin),
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            (col("c_custkey") % 2 === 1).as("odd"))
+        val v1 = c.select(col("k"), col("seg"),
+          lit("1992-01-01").cast("date").as("vs"),
+          when(col("odd"), lit("1998-06-30")).otherwise(lit("9999-12-31"))
+            .cast("date").as("ve"))
+        val v2 = c.filter(col("odd")).select(col("k"), lit("MOVED").as("seg"),
+          lit("1998-07-01").cast("date").as("vs"),
+          lit("9999-12-31").cast("date").as("ve"))
+        val dim = v1.unionAll(v2)
+        Tables.orders(s, d)
+          .join(broadcast(dim), col("o_custkey") === col("k") &&
+            col("o_orderdate").cast("date").between(col("vs"), col("ve")))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("rev_c"))
+          .orderBy("seg")
+      }),
+
+    // ---- q154: group-wise min-max feature scaling — the normalization
+    // step feature pipelines run before training, in exact ppm: per
+    // segment, scaled = (x − min)·1e6 div (max − min). Two-pass shape:
+    // a segments-sized (min, max) rollup broadcasts back onto the fact
+    // scan and the scaling is map-side — the corpus never shuffles for
+    // normalization. greatest(span, 1) guards the degenerate
+    // constant-group case identically in both engines.
+    Q("q154_minmax_scale",
+      Some("""WITH b AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+             |                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+             |mm AS (SELECT seg, MIN(bal_c) AS mn, MAX(bal_c) AS mx FROM b GROUP BY 1)
+             |SELECT b.k AS c_custkey, b.seg, b.bal_c,
+             |       CAST(((b.bal_c - mm.mn) * 1000000) // greatest(mm.mx - mm.mn, 1) AS BIGINT) AS scaled_ppm
+             |FROM b JOIN mm ON b.seg = mm.seg
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val b = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            cents(col("c_acctbal")).as("bal_c"))
+        val mm = b.groupBy("seg")
+          .agg(min(col("bal_c")).as("mn"), max(col("bal_c")).as("mx"))
+        b.join(broadcast(mm), "seg")
+          .select(col("c_custkey"), col("seg"), col("bal_c"),
+            expr("((bal_c - mn) * 1000000) div greatest(mx - mn, 1)").as("scaled_ppm"))
+          .orderBy("c_custkey")
+      }),
+
+    // ---- q155: A/B experiment lift — deterministic hash assignment
+    // (md5 lottery, the q64 mechanism: no RNG state, same arm on every
+    // rerun and in every engine) and exact per-arm conversion in ppm.
+    // The assignment is map-side; conversion is one distinct-user frame
+    // joined to a purchaser flag — the analysis pattern behind every
+    // experimentation platform, with the determinism audit built in
+    // (both engines MUST agree on every user's arm for the hashes to
+    // match).
+    Q("q155_ab_lift",
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |arm AS (SELECT user_id,
+             |      CAST(list_sum(list_transform(generate_series(1, 6),
+             |        i -> (CASE WHEN ord(substr(md5(CAST(user_id AS VARCHAR)), i, 1)) >= 97
+             |              THEN ord(substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 87
+             |              ELSE ord(substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 48 END)
+             |             * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 2 AS arm
+             |      FROM u),
+             |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+             |SELECT arm.arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |       CAST(COUNT(p.user_id) AS BIGINT) AS n_converted,
+             |       CAST((COUNT(p.user_id) * 1000000) // COUNT(*) AS BIGINT) AS conv_ppm
+             |FROM arm LEFT JOIN p ON arm.user_id = p.user_id
+             |GROUP BY 1 ORDER BY arm""".stripMargin),
+      (s, d) => {
+        val u = Tables.events(s, d).select("user_id").distinct()
+        val arm = u.withColumn("arm",
+          conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10)
+            .cast("long") % 2L)
+        val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu")).distinct()
+        arm.join(p, col("user_id") === col("pu"), "left")
+          .groupBy("arm")
+          .agg(count(lit(1)).as("n_users"), count(col("pu")).as("n_converted"))
+          .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_users"))
+          .orderBy("arm")
       })
   )
 }
