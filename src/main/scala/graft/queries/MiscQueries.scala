@@ -1541,6 +1541,162 @@ object MiscQueries {
           .agg(count(lit(1)).as("n_users"), count(col("pu")).as("n_converted"))
           .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_users"))
           .orderBy("arm")
+      }),
+
+    // ---- q157: exact rolling 7-day distinct users — the WAU-style
+    // sliding-window distinct count naive SQL computes as a quadratic
+    // COUNT(DISTINCT)-per-day rescan. The exact linear shape: each
+    // user's active days merge into COVERAGE intervals (a new interval
+    // when the gap exceeds the window, the q43 construction), every
+    // interval [s, e_last+6] contributes +1 at s and −1 at e+1, and the
+    // rolling count is the running sum of day-step deltas over the
+    // calendar spine — one user-partitioned window + a days-sized
+    // prefix. The ORACLE is the independent naive range join (not a
+    // mirror), so the interval algebra is verified against brute force
+    // on every correctness run.
+    Q("q157_rolling_dau",
+      Some("""WITH ad AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+             |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ad),
+             |spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+             |r AS (SELECT s.day, COUNT(DISTINCT a.user_id) AS dau7
+             |      FROM spine s LEFT JOIN ad a ON a.day BETWEEN s.day - 6 AND s.day
+             |      GROUP BY 1)
+             |SELECT day, CAST(COALESCE(dau7, 0) AS BIGINT) AS dau7
+             |FROM r ORDER BY day""".stripMargin),
+      (s, d) => {
+        val ad = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val iv = ad
+          .withColumn("brk", when(lag(col("day"), 1).over(w).isNull ||
+            col("day") - lag(col("day"), 1).over(w) > 6, 1L).otherwise(0L))
+          .withColumn("grp", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "grp")
+          .agg(min(col("day")).as("s"), (max(col("day")) + 6L).as("e"))
+        val deltas = iv.select(col("s").as("day"), lit(1L).as("delta"))
+          .unionAll(iv.select((col("e") + 1L).as("day"), lit(-1L).as("delta")))
+          .groupBy("day").agg(sum(col("delta")).as("delta"))
+        val spine = ad.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        // calendar-sized running sum (the aggregate-first rule); deltas
+        // past the spine end only affect days never emitted
+        spine.join(deltas, Seq("day"), "left")
+          .withColumn("dau7", sum(coalesce(col("delta"), lit(0L))).over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("day"), col("dau7"))
+          .orderBy("day")
+      }),
+
+    // ---- q159: quantile normalization — the batch-effect correction
+    // that maps each group's value distribution onto the GLOBAL
+    // distribution (microarray-lineage, now feature-pipeline standard):
+    // value at within-group rank r of n_g maps to the global value at
+    // rank ceil(r·N/n_g). Per-group ranks are partitioned windows; the
+    // global sorted order uses the scale-safe two-phase dense-id path
+    // (never a single-partition corpus window); the mapping itself is an
+    // equi-join on the computed rank. All rank arithmetic integer-exact.
+    Q("q159_quantile_normalize",
+      Some("""WITH e AS (SELECT event_id, event_type AS t,
+             |                 CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |r AS (SELECT event_id, t, v,
+             |        row_number() OVER (PARTITION BY t ORDER BY v, event_id) AS r,
+             |        COUNT(*) OVER (PARTITION BY t) AS n_g FROM e),
+             |g AS (SELECT v AS gv, row_number() OVER (ORDER BY v, event_id) AS gr FROM e),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+             |SELECT r.event_id, r.t, r.v,
+             |       g.gv AS vq
+             |FROM r CROSS JOIN nn JOIN g ON g.gr = (r.r * nn.n + r.n_g - 1) // r.n_g
+             |ORDER BY r.event_id""".stripMargin),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("event_type").as("t"),
+            cents(col("value")).as("v"))
+        val wT = Window.partitionBy("t").orderBy(col("v"), col("event_id"))
+        val r = e.withColumn("r", row_number().over(wT).cast("long"))
+          .withColumn("n_g", count(lit(1)).over(Window.partitionBy("t")))
+        val g = Windows.denseIdsScalable(
+          e.select(col("v").as("gv"), col("event_id").as("geid")),
+          Seq(col("gv"), col("geid")), "gr").select("gv", "gr")
+        val nn = e.agg(count(lit(1)).as("n"))
+        r.crossJoin(broadcast(nn))
+          .withColumn("gr", expr("(r * n + n_g - 1) div n_g"))
+          .join(g, "gr")
+          .select(col("event_id"), col("t"), col("v"), col("gv").as("vq"))
+          .orderBy("event_id")
+      }),
+
+    // ---- q160: exact Pearson correlation per group — corr(daily order
+    // count, daily revenue) per priority, integer-exact: the five sum
+    // terms come from one partial-agg over the (prio, day) rollup, and
+    // r_ppm = (nΣxy−ΣxΣy)·1e6 div (isqrt(nΣxx−Σx²)·isqrt(nΣyy−Σy²))
+    // with the corrected integer sqrt (q126's construction) applied to
+    // EACH factor — the two-isqrt denominator is the documented
+    // definition (isqrt(a)·isqrt(b), not isqrt(ab), which would overflow
+    // Long); numerator sign-split per the q132 rule. Float corr() would
+    // never hash-match across engines; this does, at any parallelism.
+    Q("q160_metric_correlation",
+      Some("""WITH daily AS (SELECT o_orderpriority AS prio,
+             |                 CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             |                 CAST(COUNT(*) AS BIGINT) AS x,
+             |                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS y
+             |               FROM orders GROUP BY 1, 2),
+             |s AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+             |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |        CAST(SUM(x*y) AS BIGINT) AS sxy,
+             |        CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+             |      FROM daily GROUP BY 1),
+             |t AS (SELECT prio, n, n*sxy - sx*sy AS num,
+             |        n*sxx - sx*sx AS a, n*syy - sy*sy AS b FROM s),
+             |ia AS (SELECT prio, n, num, a, b,
+             |         CAST(floor(sqrt(CAST(a AS DOUBLE))) AS BIGINT) AS sa0,
+             |         CAST(floor(sqrt(CAST(b AS DOUBLE))) AS BIGINT) AS sb0 FROM t),
+             |ib AS (SELECT prio, n, num, a, b,
+             |         sa0 + (CASE WHEN (sa0+1)*(sa0+1) <= a THEN 1 ELSE 0 END) AS sa1,
+             |         sb0 + (CASE WHEN (sb0+1)*(sb0+1) <= b THEN 1 ELSE 0 END) AS sb1 FROM ia),
+             |ic AS (SELECT prio, n, num,
+             |         sa1 - (CASE WHEN sa1*sa1 > a THEN 1 ELSE 0 END) AS sa,
+             |         sb1 - (CASE WHEN sb1*sb1 > b THEN 1 ELSE 0 END) AS sb
+             |       FROM ib)
+             |SELECT prio, n AS n_days,
+             |       CAST(CASE WHEN num >= 0
+             |            THEN (num * 1000000) // greatest(sa * sb, 1)
+             |            ELSE -((-num) * 1000000) // greatest(sa * sb, 1) END AS BIGINT) AS r_ppm
+             |FROM ic ORDER BY prio""".stripMargin),
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg(count(lit(1)).as("x"),
+            expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100000").as("y"))
+        // q126's corrected integer sqrt: IEEE seed, +1 if it undershot,
+        // then −1 if it overshot — exact for any Long input
+        def isqrtCorrected(v: org.apache.spark.sql.Column) = {
+          val s0 = floor(sqrt(v.cast("double"))).cast("long")
+          val s1 = s0 + when((s0 + 1L) * (s0 + 1L) <= v, 1L).otherwise(0L)
+          s1 - when(s1 * s1 > v, 1L).otherwise(0L)
+        }
+        daily.groupBy("prio")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("a", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("b", col("n") * col("syy") - col("sy") * col("sy"))
+          .withColumn("sa", isqrtCorrected(col("a")))
+          .withColumn("sb", isqrtCorrected(col("b")))
+          .withColumn("r_ppm",
+            when(col("num") >= 0,
+              expr("(num * 1000000) div greatest(sa * sb, 1)"))
+              .otherwise(-expr("((-num) * 1000000) div greatest(sa * sb, 1)")))
+          .select(col("prio"), col("n").as("n_days"), col("r_ppm"))
+          .orderBy("prio")
       })
   )
 }

@@ -2279,6 +2279,48 @@ object TextQueries {
               coalesce(expr("1000000000 div (60 + r_b)"), lit(0L)) +
               coalesce(expr("1000000000 div (60 + r_c)"), lit(0L))).as("rrf_score"))
           .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+      }),
+
+    // ---- q158: cross-source contamination matrix — WHERE the near-dups
+    // come from: q82's verified pair list aggregated by unordered source
+    // pair (least/greatest normalization so (A,B) and (B,A) are one
+    // cell). The curation diagnostic that tells you which feeds copy
+    // from which — diagonal cells are within-source duplication, off-
+    // diagonal are cross-feed contamination. Costs one pair join (the
+    // shared SimHashBands path) + a broadcast join to the (doc, source)
+    // projection + a cells-sized aggregate.
+    Q("q158_source_overlap",
+      Some(s"""WITH $thCte, $shCte,
+              |sim_t AS (SELECT doc_id, ${simhash64HalfSql("sh", 0)} AS lo,
+              |                 ${simhash64HalfSql("sh", 32)} AS hi FROM sh_t),
+              |e AS (SELECT a.doc_id AS i, b.doc_id AS j
+              |      FROM sim_t a JOIN sim_t b ON a.doc_id < b.doc_id
+              |      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+              |m AS (SELECT least(da.source, db.source) AS s_a,
+              |             greatest(da.source, db.source) AS s_b
+              |      FROM e JOIN documents da ON e.i = da.doc_id
+              |             JOIN documents db ON e.j = db.doc_id)
+              |SELECT s_a, s_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              |FROM m GROUP BY 1, 2 ORDER BY s_a, s_b""".stripMargin),
+      (s, d) => {
+        import graft.operators.SimHashBands
+        val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
+        val sim = docs(s, d)
+          .select(col("doc_id"),
+            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
+          .select(col("doc_id"),
+            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val bands = SimHashBands.bandsOf(sim, bits)
+        val pairs = SimHashBands.verifiedPairs(bands, bands,
+          col("a.doc_id") < col("b.doc_id"))
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        pairs
+          .join(broadcast(src.select(col("doc_id").as("i"), col("source").as("src_i"))), "i")
+          .join(broadcast(src.select(col("doc_id").as("j"), col("source").as("src_j"))), "j")
+          .select(least(col("src_i"), col("src_j")).as("s_a"),
+            greatest(col("src_i"), col("src_j")).as("s_b"))
+          .groupBy("s_a", "s_b").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("s_a", "s_b")
       })
   )
 

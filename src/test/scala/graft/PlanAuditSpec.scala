@@ -202,7 +202,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q96_link_pagerank", "q97_temperature_mix", "q99_collocations",
       "q103_source_drift_tvd", "q130_mixture_interleave",
       "q138_surprisal_score", "q140_sketch_heavy_hitters",
-      "q141_pps_sample", "q149_rrf_fusion", "q156_bfs_hops")
+      "q141_pps_sample", "q149_rrf_fusion", "q156_bfs_hops",
+      "q159_quantile_normalize")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&
