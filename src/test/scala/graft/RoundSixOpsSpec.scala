@@ -124,6 +124,82 @@ class RoundSixOpsSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("n_a") == rows.head.getAs[Long]("n_b"))
   }
 
+  test("q157: rolling 7-day distinct equals brute-force per-day recount") {
+    // independent truth: distinct (user, day) in memory, then for every
+    // spine day count distinct users active in [day-6, day] — the exact
+    // quadratic definition the interval-delta algebra replaces
+    val ad = sources.Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = ad.map(_._2).min; val hi = ad.map(_._2).max
+    val brute = (lo to hi).map { d =>
+      d -> ad.filter { case (_, ud) => ud >= d - 6 && ud <= d }
+        .map(_._1).distinct.length.toLong
+    }.toMap
+    val got = run("q157_rolling_dau").collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("dau7")).toMap
+    assert(got == brute, "interval-delta rolling count diverged from brute force")
+  }
+
+  test("q159: quantile normalization maps each group onto the global quantiles") {
+    // the defining property: group g's normalized multiset is exactly
+    // {global_sorted[ceil(r*N/n_g)] : r = 1..n_g} — verified from an
+    // independent in-memory sort, per group
+    val e = sources.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val globalSorted = e.map(x => (x._2, x._3)).sortBy(identity).map(_._1)
+    val n = globalSorted.length.toLong
+    val rows = run("q159_quantile_normalize").collect()
+    assert(rows.length == e.length, "normalization must preserve row count")
+    val gotByGroup = rows.groupBy(_.getAs[String]("t"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("vq")).sorted.toSeq }
+    e.groupBy(_._1).foreach { case (t, vs) =>
+      val ng = vs.length.toLong
+      val expected = (1L to ng)
+        .map(r => globalSorted(((r * n + ng - 1) / ng - 1).toInt)).sorted
+      assert(gotByGroup(t) == expected, s"group $t not mapped onto global quantiles")
+    }
+  }
+
+  test("q160: integer correlation matches float corr to ppm rounding") {
+    val daily = sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100000")
+          .cast("double").as("y"))
+      .collect().map(r => (r.getAs[String]("prio"), r.getDouble(2), r.getDouble(3)))
+    val got = run("q160_metric_correlation").collect()
+      .map(r => r.getAs[String]("prio") -> r.getAs[Long]("r_ppm")).toMap
+    daily.groupBy(_._1).foreach { case (prio, pts) =>
+      val xs = pts.map(_._2.toLong); val ys = pts.map(_._3.toLong)
+      val m = pts.length.toLong
+      val sx = xs.sum; val sy = ys.sum
+      val num = m * pts.map(p => p._2.toLong * p._3.toLong).sum - sx * sy
+      val a = m * xs.map(x => x * x).sum - sx * sx
+      val b = m * ys.map(y => y * y).sum - sy * sy
+      def isqrt(v: Long) =
+        java.math.BigInteger.valueOf(v).sqrt().longValueExact()
+      val sa = isqrt(a); val sb = isqrt(b)
+      // exact mirror of the operator's documented definition
+      val ref = if (num >= 0) num * 1000000L / math.max(sa * sb, 1L)
+                else -(-num * 1000000L / math.max(sa * sb, 1L))
+      val r = got(prio)
+      assert(r == ref, s"$prio: r_ppm $r != integer-definition $ref")
+      // sanity vs float corr: the floored two-isqrt denominator costs at
+      // most ~(1/sa + 1/sb) relative — bound the drift by that, not ±2
+      val den = math.sqrt(a.toDouble) * math.sqrt(b.toDouble)
+      val float = if (den == 0) 0L else math.round(num / den * 1e6)
+      val tol = 1000000L / math.max(sa, 1L) + 1000000L / math.max(sb, 1L) + 2L
+      assert(math.abs(r - float) <= tol && math.abs(r) <= 1000000L + tol,
+        s"$prio: r_ppm $r vs float $float beyond tol $tol")
+    }
+  }
+
   test("q146: growth-accounting series reconcile (DAU identity)") {
     val rows = run("q146_growth_accounting").collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
