@@ -1697,6 +1697,129 @@ object MiscQueries {
               .otherwise(-expr("((-num) * 1000000) div greatest(sa * sb, 1)")))
           .select(col("prio"), col("n").as("n_days"), col("r_ppm"))
           .orderBy("prio")
+      }),
+
+    // ---- q162: sort-free exact quantiles via histogram bisection — the
+    // scale path for "exact p50/p90/p99 of one corpus-sized column":
+    // q151's per-group sort window is right when groups are small, but a
+    // GLOBAL exact quantile via sort shuffles the whole corpus to order
+    // it. This shape never sorts the corpus: scan 1 folds values into a
+    // ~800-row bucket histogram (v div 65536 — partial-agg, map-side
+    // combine), the cumulative over the BUCKETS-sized frame locates the
+    // bucket holding each nearest-rank target, and scan 2 sorts ONLY the
+    // located buckets (corpus/buckets rows each) to pick the in-bucket
+    // offset. Two scans, zero corpus shuffles; bucket width is the
+    // memory-vs-precision knob. The ORACLE is the independent full-sort
+    // nearest-rank construction, so the bisection arithmetic is verified
+    // against brute force on every correctness run.
+    Q("q162_quantile_bisect",
+      Some("""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+             |SELECT CAST(t.p AS BIGINT) AS p, r.v AS value
+             |FROM (VALUES (50), (90), (99)) t(p)
+             |CROSS JOIN n
+             |JOIN r ON r.rn = (t.p * n.n + 99) // 100
+             |ORDER BY p""".stripMargin),
+      (s, d) => {
+        val withB = Tables.orders(s, d)
+          .select(cents(col("o_totalprice")).as("v"))
+          .withColumn("b", expr("v div 65536"))
+        val hc = withB.groupBy("b").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(Window.orderBy("b")))
+          .withColumn("prev", col("cum") - col("c"))
+        val nRow = withB.agg(count(lit(1)).as("n"))
+        // targets are literals; n is the only runtime scalar (1-row cross)
+        val locator = hc.crossJoin(broadcast(nRow))
+          .withColumn("t", explode(array(
+            Seq(50, 90, 99).map(p => struct(lit(p.toLong).as("p"),
+              expr(s"($p * n + 99) div 100").as("rank"))): _*)))
+          .filter(col("cum") >= col("t.rank") && col("prev") < col("t.rank"))
+          .select(col("t.p").as("p"), col("b"),
+            (col("t.rank") - col("prev")).as("off"))
+        withB.join(broadcast(locator), "b")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p", "b").orderBy("v")).cast("long"))
+          .filter(col("rn") === col("off"))
+          .select(col("p"), col("v").as("value"))
+          .orderBy("p")
+      }),
+
+    // ---- q163: Z-order layout-cell audit — the multi-dimensional
+    // clustering key behind Sinks.zorderedParquet, declared as a query so
+    // the native Morton2Expr kernel sits in the correctness gate: orders
+    // keyed by (custkey, order-day) mod 1024, bit-interleaved
+    // (graft_morton2 — codegen'd), grouped by z-prefix cell (z div 4096 =
+    // 6 low bits per dimension dropped). The emitted per-cell min/max of
+    // BOTH dimensions exhibit the property that makes Z-order work: every
+    // cell is a ≤64×64 rectangle, so a range predicate on either
+    // dimension prunes whole cells (files). The oracle rebuilds the
+    // interleave as an unrolled 10-bit sum, so the magic-number dilation
+    // is verified bit-for-bit against the definition.
+    Q("q163_zorder_cells",
+      Some {
+        val mortonSql = (0 until 10).map(i =>
+          s"((x // ${1L << i}) % 2) * ${1L << (2 * i)} + ((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        s"""WITH xy AS (SELECT o_custkey % 1024 AS x,
+           |                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) % 1024 AS y
+           |            FROM orders),
+           |z AS (SELECT x, y, ($mortonSql) AS z FROM xy)
+           |SELECT z // 4096 AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+           |       MIN(x) AS min_x, MAX(x) AS max_x,
+           |       MIN(y) AS min_y, MAX(y) AS max_y
+           |FROM z GROUP BY 1 ORDER BY cell""".stripMargin
+      },
+      (s, d) => {
+        import graft.functions.NativeText
+        Tables.orders(s, d)
+          .select(pmod(col("o_custkey"), lit(1024L)).as("x"),
+            pmod(datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long"), lit(1024L)).as("y"))
+          .withColumn("z", NativeText.morton2(col("x"), col("y")))
+          .withColumn("cell", expr("z div 4096"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+          .orderBy("cell")
+      }),
+
+    // ---- q164: exact time-weighted average — the metric a plain AVG
+    // gets wrong whenever observations are irregularly spaced (a value
+    // that held for 3 days must weigh 3 days, not 1 sample): each event's
+    // value holds until the same user's NEXT event, weight = hold
+    // duration in whole seconds (micros div 1e6 — both engines floor on
+    // the non-negative domain), TWAP = Σ(v·d) div Σ(d) per event type.
+    // One user-partitioned lead window (same (tsu, event_id) total order
+    // as q143) + one partial-agg; last-event open intervals drop out as
+    // null leads. Overflow audit: v ≤ ~2^15 cents, d seconds — Σ(v·d)
+    // stays under 2^63 until ~3·10^13 held-value seconds per type; at
+    // corpus scales beyond that the same algebra runs on a per-day
+    // rollup first (the L110 quantization rule).
+    Q("q164_twap",
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+             |                 epoch_us(ts) AS tsu,
+             |                 CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |h AS (SELECT event_type, v,
+             |        (lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - tsu) // 1000000 AS d
+             |      FROM e)
+             |SELECT event_type, CAST(SUM(d) AS BIGINT) AS hold_s,
+             |       CAST(SUM(v * d) // greatest(SUM(d), 1) AS BIGINT) AS twap_c
+             |FROM h WHERE d IS NOT NULL
+             |GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            eventTsu.as("tsu"), cents(col("value")).as("v"))
+          .withColumn("dus", lead(col("tsu"), 1).over(w) - col("tsu"))
+          .withColumn("d", expr("dus div 1000000"))
+          .filter(col("d").isNotNull)
+          .groupBy("event_type")
+          .agg(sum(col("d")).as("hold_s"),
+            expr("sum(v * d) div greatest(sum(d), 1)").as("twap_c"))
+          .orderBy("event_type")
       })
   )
 }

@@ -2321,6 +2321,49 @@ object TextQueries {
             greatest(col("src_i"), col("src_j")).as("s_b"))
           .groupBy("s_a", "s_b").agg(count(lit(1)).as("n_pairs"))
           .orderBy("s_a", "s_b")
+      }),
+
+    // ---- q161: source vocabulary Jaccard matrix — q158 asks which feeds
+    // share DOCUMENTS; this asks which feeds share LANGUAGE: pairwise
+    // Jaccard over per-source distinct-token vocabularies. The
+    // mixture-design diagnostic (two feeds with near-identical
+    // vocabularies are redundant in a training mix even when no document
+    // is a near-dup). One (source, token) distinct pass; the
+    // intersection is an equi-join ON TOKEN whose fan-out per token is
+    // bounded by sources² (20 here — never corpus-shaped); vocabulary
+    // sizes are a sources-sized broadcast dim. |A∪B| = |A|+|B|−|A∩B| so
+    // no union is materialized. Exact ppm division.
+    Q("q161_source_vocab_jaccard",
+      Some("""WITH st AS (SELECT DISTINCT source, tok
+             |            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |                  FROM documents)),
+             |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+             |i AS (SELECT a.source AS s_a, b.source AS s_b,
+             |             CAST(COUNT(*) AS BIGINT) AS n_inter
+             |      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT i.s_a, i.s_b, i.n_inter,
+             |       CAST((i.n_inter * 1000000) // (na.n + nb.n - i.n_inter) AS BIGINT) AS jaccard_ppm
+             |FROM i JOIN sz na ON i.s_a = na.source
+             |       JOIN sz nb ON i.s_b = nb.source
+             |ORDER BY s_a, s_b""".stripMargin),
+      (s, d) => {
+        val st = docs(s, d)
+          .select(col("source"), explode(toks).as("tok"))
+          .distinct()
+        val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = st.as("a")
+          .join(st.as("b"),
+            col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s_a"), col("b.source").as("s_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("s_a"), col("n").as("n_a"))), "s_a")
+          .join(broadcast(sizes.select(col("source").as("s_b"), col("n").as("n_b"))), "s_b")
+          .withColumn("jaccard_ppm",
+            expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
+          .select(col("s_a"), col("s_b"), col("n_inter"), col("jaccard_ppm"))
+          .orderBy("s_a", "s_b")
       })
   )
 

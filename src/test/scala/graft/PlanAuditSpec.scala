@@ -203,7 +203,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q103_source_drift_tvd", "q130_mixture_interleave",
       "q138_surprisal_score", "q140_sketch_heavy_hitters",
       "q141_pps_sample", "q149_rrf_fusion", "q156_bfs_hops",
-      "q159_quantile_normalize")
+      "q159_quantile_normalize",
+      //  - q162: the 1-row corpus-count scalar against the ~800-row
+      //    bucket histogram — the bisection locator, never corpus².
+      "q162_quantile_bisect")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&
