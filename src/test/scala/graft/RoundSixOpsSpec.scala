@@ -200,6 +200,54 @@ class RoundSixOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q161: vocabulary Jaccard matches in-memory set arithmetic") {
+    val vocab = sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (src, ds) => src -> ds.flatMap(_._2.split(" ")).toSet }
+    val got = run("q161_source_vocab_jaccard").collect()
+    assert(got.length == vocab.size * (vocab.size - 1) / 2,
+      "matrix must cover every unordered source pair")
+    got.foreach { r =>
+      val a = vocab(r.getAs[String]("s_a")); val b = vocab(r.getAs[String]("s_b"))
+      val inter = (a & b).size.toLong
+      assert(r.getAs[Long]("n_inter") == inter)
+      assert(r.getAs[Long]("jaccard_ppm") == inter * 1000000L / (a | b).size)
+    }
+  }
+
+  test("q163: every z-prefix cell is a <=64x64 rectangle") {
+    val rows = run("q163_zorder_cells").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") < 64L &&
+        r.getAs[Long]("max_y") - r.getAs[Long]("min_y") < 64L,
+        s"cell ${r.getAs[Long]("cell")} exceeds the 6-bit-per-dim extent")
+    }
+    // cells partition the row count
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == sources.Tables.orders(spark, sf).count())
+  }
+
+  test("q162: bisection quantiles are bracketed by the value multiset") {
+    // the oracle already brute-forces the values; here pin the invariant
+    // that makes the two-scan plan valid: each returned value's rank
+    // interval covers the nearest-rank target
+    val vals = sources.Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    run("q162_quantile_bisect").collect().foreach { r =>
+      val p = r.getAs[Long]("p"); val v = r.getAs[Long]("value")
+      val target = (p * n + 99) / 100
+      val lo = vals.indexWhere(_ == v) + 1L      // first rank holding v
+      val hi = vals.lastIndexWhere(_ == v) + 1L  // last rank holding v
+      assert(lo <= target && target <= hi,
+        s"p$p: value $v occupies ranks [$lo,$hi], target $target outside")
+    }
+  }
+
   test("q146: growth-accounting series reconcile (DAU identity)") {
     val rows = run("q146_growth_accounting").collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
