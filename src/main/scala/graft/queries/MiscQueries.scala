@@ -1820,6 +1820,142 @@ object MiscQueries {
           .agg(sum(col("d")).as("hold_s"),
             expr("sum(v * d) div greatest(sum(d), 1)").as("twap_c"))
           .orderBy("event_type")
-      })
+      }),
+
+    // ---- q165: duration-weighted exact percentiles — q151 weighs every
+    // observation equally; time-in-state analysis must weigh each value
+    // by HOW LONG it held (q164's hold durations): the weighted
+    // nearest-rank percentile is the smallest value whose cumulative
+    // weight reaches ceil(p·W/100). Same (v, event_id) total order both
+    // engines; the per-type running weight and the per-type total ride
+    // the SAME hash exchange (two window specs, one partitioning);
+    // targets are literals exploded map-side, so no join is added.
+    // Zero-weight rows can never be selected (cum−w = cum), identically
+    // in both engines.
+    Q("q165_weighted_percentiles",
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+             |                 epoch_us(ts) AS tsu,
+             |                 CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |h AS (SELECT event_type, v, event_id,
+             |        (lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - tsu) // 1000000 AS d
+             |      FROM e),
+             |c AS (SELECT event_type, v, event_id, d,
+             |        SUM(d) OVER (PARTITION BY event_type ORDER BY v, event_id) AS cum,
+             |        SUM(d) OVER (PARTITION BY event_type) AS w
+             |      FROM h WHERE d IS NOT NULL)
+             |SELECT event_type, CAST(t.p AS BIGINT) AS p, v AS value
+             |FROM c CROSS JOIN (VALUES (50), (95)) t(p)
+             |WHERE cum >= (t.p * w + 99) // 100 AND cum - d < (t.p * w + 99) // 100
+             |ORDER BY event_type, p""".stripMargin),
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val h = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            eventTsu.as("tsu"), cents(col("value")).as("v"))
+          .withColumn("dus", lead(col("tsu"), 1).over(wu) - col("tsu"))
+          .withColumn("d", expr("dus div 1000000"))
+          .filter(col("d").isNotNull)
+        val wt = Window.partitionBy("event_type").orderBy("v", "event_id")
+        h.withColumn("cum", sum(col("d")).over(
+            wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("w", sum(col("d")).over(Window.partitionBy("event_type")))
+          .withColumn("p", explode(array(lit(50L), lit(95L))))
+          .withColumn("tgt", expr("(p * w + 99) div 100"))
+          .filter(col("cum") >= col("tgt") && col("cum") - col("d") < col("tgt"))
+          .select(col("event_type"), col("p"), col("v").as("value"))
+          .orderBy("event_type", "p")
+      }),
+
+    // ---- q167: post-stratification estimator — the bias correction for
+    // analyzing a DELIBERATELY skewed sample: high-value orders (top two
+    // 100k$-bands) are kept at 77/256, the rest at 26/256 (md5 lottery,
+    // the q141 RNG-free idiom). Because the sampling rate CORRELATES
+    // with the value, the naive sample mean is biased high; reweighting
+    // each stratum's sample mean by its POPULATION share removes exactly
+    // that bias (strata = the skew variable). All three estimates
+    // emitted exactly — pop_c (truth), naive_c (biased), pstrat_c
+    // (calibrated) — so every correctness run demonstrates the
+    // calibration closing most of the gap. Cost: one scan, two
+    // strata-sized rollups, one 5-row join; the lottery is map-side.
+    Q("q167_post_stratification",
+      Some {
+        val hex2 = "CAST(list_sum(list_transform(generate_series(1, 2), " +
+          "i -> (CASE WHEN ord(substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) >= 97 " +
+          "THEN ord(substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 87 " +
+          "ELSE ord(substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 48 END) " +
+          "* CAST(pow(16, 2 - i) AS BIGINT))) AS BIGINT)"
+        s"""WITH o AS (SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 10000000, 4) AS seg,
+           |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+           |                  $hex2 AS pp
+           |           FROM orders),
+           |k AS (SELECT seg, v,
+           |        pp < (CASE WHEN seg >= 3 THEN 77 ELSE 26 END) AS keep
+           |      FROM o),
+           |pop AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS big_n, CAST(SUM(v) AS BIGINT) AS big_v
+           |        FROM k GROUP BY 1),
+           |smp AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_g, CAST(SUM(v) AS BIGINT) AS s_g
+           |        FROM k WHERE keep GROUP BY 1),
+           |j AS (SELECT pop.big_n, pop.big_v, smp.n_g, smp.s_g,
+           |             pop.big_n * (smp.s_g // smp.n_g) AS ps
+           |      FROM pop JOIN smp USING (seg))
+           |SELECT CAST(SUM(big_v) // SUM(big_n) AS BIGINT) AS pop_c,
+           |       CAST(SUM(s_g) // SUM(n_g) AS BIGINT) AS naive_c,
+           |       CAST(SUM(ps) // SUM(big_n) AS BIGINT) AS pstrat_c
+           |FROM j""".stripMargin
+      },
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(cents(col("o_totalprice")).as("v"),
+            conv(substring(md5(col("o_orderkey").cast("string")), 1, 2), 16, 10)
+              .cast("long").as("pp"))
+          .withColumn("seg", least(expr("v div 10000000"), lit(4L)))
+          .withColumn("keep",
+            col("pp") < when(col("seg") >= 3L, 77L).otherwise(26L))
+        val pop = o.groupBy("seg")
+          .agg(count(lit(1)).as("big_n"), sum(col("v")).as("big_v"))
+        val smp = o.filter(col("keep")).groupBy("seg")
+          .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s_g"))
+        pop.join(broadcast(smp), "seg")
+          .withColumn("ps", col("big_n") * expr("s_g div n_g"))
+          .agg(expr("sum(big_v) div sum(big_n)").as("pop_c"),
+            expr("sum(s_g) div sum(n_g)").as("naive_c"),
+            expr("sum(ps) div sum(big_n)").as("pstrat_c"))
+      }),
+
+    // ---- q168: clamped running balance — the NON-ASSOCIATIVE scan no
+    // window frame can express (inventory/credit semantics: balance
+    // never goes below zero, so every prefix is max(0, prev + delta) —
+    // clamping destroys the associativity sum().over() relies on). The
+    // scale-correct shape: per-user deltas collected into an ORDERED
+    // array (sort_array over (tsu, event_id, delta) structs — bounded by
+    // per-user activity, never corpus-sized) and folded by the
+    // `aggregate` higher-order function; DuckDB's list_reduce replays
+    // the identical fold, so the order-dependent semantics are
+    // hash-verified step for step. Purchases credit, everything else
+    // debits.
+    Q("q168_clamped_balance",
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+             |                 CASE WHEN event_type = 'purchase'
+             |                      THEN CAST(round(value * 100) AS BIGINT)
+             |                      ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+             |           FROM events),
+             |l AS (SELECT user_id, list(delta ORDER BY tsu, event_id) AS ds
+             |      FROM e GROUP BY 1)
+             |SELECT user_id,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+             |                   (a, b) -> greatest(a + b, 0)) AS balance_c
+             |FROM l ORDER BY user_id""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("user_id"), eventTsu.as("tsu"), col("event_id"),
+            when(col("event_type") === "purchase", cents(col("value")))
+              .otherwise(-cents(col("value"))).as("delta"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(
+            struct(col("tsu"), col("event_id"), col("delta")))).as("ds"))
+          .select(col("user_id"),
+            expr("aggregate(ds, cast(0 as bigint), (a, x) -> greatest(a + x.delta, cast(0 as bigint)))")
+              .as("balance_c"))
+          .orderBy("user_id"))
   )
 }

@@ -2364,7 +2364,34 @@ object TextQueries {
             expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
           .select(col("s_a"), col("s_b"), col("n_inter"), col("jaccard_ppm"))
           .orderBy("s_a", "s_b")
-      })
+      }),
+
+    // ---- q166: fixed-quota stratified sample — q70 keeps a FRACTION per
+    // stratum; eval sets and annotation batches need an exact COUNT per
+    // stratum (10 docs per language here, or all of them when the
+    // stratum is smaller). Deterministic and RNG-free: rank within
+    // stratum by the md5 of the doc id (a rerun-stable shuffle order —
+    // same winners every run, every engine) and keep rank ≤ quota. One
+    // partitioned window whose fan-in is the stratum size; the quota is
+    // a literal. Emitting the rank makes under-filled strata visible
+    // (max rank < quota = the stratum ran out).
+    Q("q166_stratified_quota",
+      Some("""WITH r AS (SELECT doc_id, lang,
+             |        row_number() OVER (PARTITION BY lang
+             |                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+             |        FROM documents)
+             |SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 10
+             |ORDER BY lang, rank""".stripMargin),
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("lang")
+              .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+            .cast("long"))
+          .filter(col("rank") <= 10L)
+          .orderBy("lang", "rank"))
   )
 
   /** Containment pairs over a (doc_id, text) frame — q84's operator body

@@ -248,6 +248,69 @@ class RoundSixOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q165: weighted percentiles match an in-memory weighted scan") {
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tsu"),
+        round(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // hold duration = gap to the same user's next event, floored seconds
+    val weighted = ev.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._4, r._3))
+      s.zip(s.tail).map { case (cur, nxt) => (cur._2, cur._5, cur._3, (nxt._4 - cur._4) / 1000000L) }
+    }.toSeq
+    val got = run("q165_weighted_percentiles").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("p")) -> r.getAs[Long]("value")).toMap
+    weighted.groupBy(_._1).foreach { case (t, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)) // (v, event_id) total order
+      val tw = sorted.map(_._4).sum
+      Seq(50L, 95L).foreach { p =>
+        val target = (p * tw + 99) / 100
+        var cum = 0L
+        val pick = sorted.find { r => cum += r._4; cum >= target }.get._2
+        assert(got((t, p)) == pick, s"$t p$p: got ${got((t, p))}, expected $pick")
+      }
+    }
+  }
+
+  test("q167: post-stratification closes most of the induced bias") {
+    val r = run("q167_post_stratification", sf01).collect().head
+    val pop = r.getAs[Long]("pop_c"); val naive = r.getAs[Long]("naive_c")
+    val ps = r.getAs[Long]("pstrat_c")
+    assert(math.abs(naive - pop) > 10L * math.abs(ps - pop),
+      s"calibration did not beat naive: pop=$pop naive=$naive pstrat=$ps")
+  }
+
+  test("q168: clamped fold equals a sequential in-memory replay") {
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("tsu"),
+        col("event_id"),
+        when(col("event_type") === "purchase", round(col("value") * 100))
+          .otherwise(-round(col("value") * 100)).cast("long").as("delta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._2, r._3)).map(_._4)
+        .foldLeft(0L)((a, d) => math.max(a + d, 0L))
+    }
+    val got = run("q168_clamped_balance").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("balance_c")).toMap
+    assert(got == expected, "distributed fold diverged from sequential replay")
+  }
+
+  test("q166: every stratum fills its quota or is exhausted") {
+    val avail = sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run("q166_stratified_quota").collect()
+      .groupBy(_.getAs[String]("lang"))
+    assert(got.keySet == avail.keySet)
+    got.foreach { case (lang, rows) =>
+      assert(rows.length.toLong == math.min(10L, avail(lang)))
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length.toLong), s"$lang ranks not contiguous from 1")
+    }
+  }
+
   test("q146: growth-accounting series reconcile (DAU identity)") {
     val rows = run("q146_growth_accounting").collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
