@@ -1956,6 +1956,124 @@ object MiscQueries {
           .select(col("user_id"),
             expr("aggregate(ds, cast(0 as bigint), (a, x) -> greatest(a + x.delta, cast(0 as bigint)))")
               .as("balance_c"))
+          .orderBy("user_id")),
+
+    // ---- q170: Kaplan-Meier survival curve with right-censoring — the
+    // estimator naive "average time to ship" gets wrong whenever
+    // observation is truncated: subjects are lineitems, the event is
+    // shipment at day d = shipdate − orderdate, and a fixed 60-day
+    // follow-up horizon right-censors the ~half that ship later (they
+    // leave the risk set WITHOUT an event — dropping them would bias
+    // survival low, counting them as events would bias it high; KM is
+    // the unbiased middle). S(t) = Π_{t'≤t} (n_t'−d_t') div n_t' folded
+    // in exact ppm. Scale shape: the corpus only feeds one 60-row
+    // (day, deaths) rollup + a 1-row censored count; the curve math runs
+    // on the CALENDAR-bounded 60-row frame (per-row prefix fold via the
+    // `aggregate` HOF — O(60²) on 60 rows, constant at any corpus
+    // size). DuckDB replays the same fold through list_reduce with the
+    // (n, d) pair packed into one BIGINT (n·2^20 + d), so the
+    // truncating integer steps match exactly.
+    Q("q170_km_shipping",
+      Some("""WITH base AS (SELECT CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS d
+             |              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |              WHERE CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) >= 1),
+             |cens AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM base WHERE d > 60),
+             |dt AS (SELECT t.t, CAST(COALESCE(x.cnt, 0) AS BIGINT) AS d
+             |       FROM (SELECT unnest(generate_series(1, 60)) AS t) t
+             |       LEFT JOIN (SELECT d, COUNT(*) AS cnt FROM base WHERE d <= 60 GROUP BY 1) x
+             |              ON x.d = t.t),
+             |st AS (SELECT t, d,
+             |         CAST(SUM(d) OVER (ORDER BY t DESC) + (SELECT c FROM cens) AS BIGINT) AS n
+             |       FROM dt),
+             |arr AS (SELECT list(n * 1048576 + d ORDER BY t) AS a FROM st)
+             |SELECT CAST(st.t AS BIGINT) AS t, st.d AS n_events, st.n AS n_risk,
+             |       CAST(list_reduce(list_prepend(CAST(1000000 AS BIGINT), arr.a[1:st.t]),
+             |         (s, x) -> (s * ((x // 1048576) - (x % 1048576))) // greatest(x // 1048576, 1)) AS BIGINT) AS s_ppm
+             |FROM st, arr ORDER BY t""".stripMargin),
+      (s, d) => {
+        val base = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("d"))
+          .filter(col("d") >= 1L)
+        val censRow = base.filter(col("d") > 60L).agg(count(lit(1)).as("cens"))
+        val spine = s.range(1, 61).toDF("t")
+        val dt = spine
+          .join(base.filter(col("d") <= 60L).groupBy(col("d").as("t"))
+            .agg(count(lit(1)).as("cnt")), Seq("t"), "left")
+          .select(col("t"), coalesce(col("cnt"), lit(0L)).as("d"))
+        // 1-row censored-count scalar onto the 60-row curve frame
+        val st = dt.crossJoin(broadcast(censRow))
+          .withColumn("n", sum(col("d")).over(
+            Window.orderBy(col("t").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)) + col("cens"))
+          .select(col("t"), col("d"), col("n"))
+        val arr = st.agg(sort_array(collect_list(
+          struct(col("t"), col("d"), col("n")))).as("a"))
+        st.crossJoin(broadcast(arr))
+          .withColumn("s_ppm",
+            expr("aggregate(filter(a, x -> x.t <= t), cast(1000000 as bigint), " +
+              "(s, x) -> (s * (x.n - x.d)) div greatest(x.n, 1))"))
+          .select(col("t"), col("d").as("n_events"), col("n").as("n_risk"), col("s_ppm"))
+          .orderBy("t")
+      }),
+
+    // ---- q171: day-of-week seasonal decomposition — split a daily
+    // revenue series into its weekly seasonal profile (exact per-dow
+    // mean) and residuals, and surface the 10 largest |residual| days:
+    // the anomalies that REMAIN after seasonality is explained (a plain
+    // top-10-by-revenue just returns five Sundays). Aggregate-first: the
+    // corpus folds to a days-sized rollup, the profile is a 7-row
+    // broadcast dim, residuals are map-side, and the top-10 is a
+    // TakeOrdered — no corpus-scale sort.
+    Q("q171_dow_seasonal",
+      Some("""WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             |                      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+             |               FROM orders GROUP BY 1),
+             |m AS (SELECT day % 7 AS dow, CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_c
+             |      FROM daily GROUP BY 1)
+             |SELECT d.day, d.day % 7 AS dow, d.v AS revenue_c, m.mean_c,
+             |       d.v - m.mean_c AS residual_c
+             |FROM daily d JOIN m ON m.dow = d.day % 7
+             |ORDER BY abs(d.v - m.mean_c) DESC, d.day LIMIT 10""".stripMargin),
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("v"))
+          .withColumn("dow", pmod(col("day"), lit(7L)))
+        val m = daily.groupBy("dow")
+          .agg(expr("sum(v) div count(1)").as("mean_c"))
+        daily.join(broadcast(m), "dow")
+          .select(col("day"), col("dow"), col("v").as("revenue_c"), col("mean_c"),
+            (col("v") - col("mean_c")).as("residual_c"))
+          .orderBy(abs(col("residual_c")).desc, col("day"))
+          .limit(10)
+      }),
+
+    // ---- q172: deterministic per-group mode — each user's most
+    // frequent event type, the categorical summary the A-family lacked:
+    // one (user, type) partial-agg (the shuffle carries counts, never
+    // events) + a row_number over the per-user handful of type counts;
+    // the (count DESC, type ASC) tie order is total, so both engines
+    // pick the identical winner — the trap in mode()/arg_max builtins,
+    // whose tie rules differ across engines, never arises.
+    Q("q172_group_mode",
+      Some("""WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+             |           FROM events GROUP BY 1, 2),
+             |r AS (SELECT user_id, event_type, n,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+             |      FROM c)
+             |SELECT user_id, event_type AS top_type, n FROM r WHERE rk = 1
+             |ORDER BY user_id""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("event_type").as("top_type"), col("n"))
           .orderBy("user_id"))
   )
 }

@@ -2392,6 +2392,40 @@ object TextQueries {
             .cast("long"))
           .filter(col("rank") <= 10L)
           .orderBy("lang", "rank"))
+      ,
+
+    // ---- q169: token-concentration diagnostics per source — the
+    // diversity numbers a mixture designer reads next to L129's overlap
+    // matrix: Herfindahl index (Σ share², the concentration of the
+    // source's token distribution) and its Gini-impurity complement,
+    // exactly: hhi_ppm = Σc²·1e6 div N². One (source, token) count
+    // rollup (partial-agg, vocabulary-sized) + one source-sized rollup
+    // of Σc²; all map-side after the first shuffle. Overflow audit:
+    // Σc²·1e6 needs N ≤ ~3·10^6 tokens per source in raw counts — past
+    // that, fold counts to kilotokens first (the L110 quantization
+    // rule); the sf corpus is well inside.
+    Q("q169_source_concentration",
+      Some("""WITH tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |                  FROM documents)
+             |            GROUP BY 1, 2)
+             |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |       CAST(SUM(c * c) * 1000000 // (SUM(c) * SUM(c)) AS BIGINT) AS hhi_ppm,
+             |       CAST(1000000 - SUM(c * c) * 1000000 // (SUM(c) * SUM(c)) AS BIGINT) AS gini_ppm
+             |FROM tc GROUP BY 1 ORDER BY source""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(col("source"), explode(toks).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * col("c")).as("ss"))
+          .withColumn("hhi_ppm", expr("ss * 1000000 div (n_tokens * n_tokens)"))
+          .select(col("source"), col("n_tokens"), col("n_distinct"),
+            col("hhi_ppm"), (lit(1000000L) - col("hhi_ppm")).as("gini_ppm"))
+          .orderBy("source"))
   )
 
   /** Containment pairs over a (doc_id, text) frame — q84's operator body

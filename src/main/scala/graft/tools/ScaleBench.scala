@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NativeText, Text}
@@ -554,6 +555,98 @@ object ScaleBench {
     }
     val bkPoints = Seq(bkOf(math.max(n / 100L, 1000L)), bkOf(math.max(n / 10L, 10000L)))
 
+    // ---- Sort-free exact quantiles (q162 shape): the histogram-bisection
+    // two-scan path vs the full-sort nearest-rank baseline (a GLOBAL
+    // single-partition window — deliberately the shape bisection exists
+    // to avoid). Values hashed into [0, 2^26); both paths must agree
+    // EXACTLY, so the scale run doubles as a brute-force check.
+    case class QbPoint(rows: Long, bisectSec: Double, sortSec: Double, agree: Boolean)
+    def qbOf(nr: Long): QbPoint = {
+      val vals = spark.range(nr)
+        .select(pmod(xxhash64(col("id") * 131L), lit(1L << 26)).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vals.count()
+      val ps = Seq(50, 90, 99)
+      val (bis, tB) = timed(s"quantile bisect ($nr rows)") {
+        val withB = vals.withColumn("b", expr("v div 65536"))
+        val hc = withB.groupBy("b").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(Window.orderBy("b")))
+          .withColumn("prev", col("cum") - col("c"))
+        val nRow = vals.agg(count(lit(1)).as("n"))
+        val locator = hc.crossJoin(broadcast(nRow))
+          .withColumn("t", explode(array(
+            ps.map(p => struct(lit(p.toLong).as("p"),
+              expr(s"($p * n + 99) div 100").as("rank"))): _*)))
+          .filter(col("cum") >= col("t.rank") && col("prev") < col("t.rank"))
+          .select(col("t.p").as("p"), col("b"),
+            (col("t.rank") - col("prev")).as("off"))
+        withB.join(broadcast(locator), "b")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p", "b").orderBy("v")).cast("long"))
+          .filter(col("rn") === col("off"))
+          .select("p", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val targets = ps.map(p => (p.toLong * nr + 99) / 100).toSet
+      val (srt, tS) = timed(s"quantile full sort ($nr rows)") {
+        vals.withColumn("rn", row_number().over(Window.orderBy("v")).cast("long"))
+          .filter(col("rn").isInCollection(targets))
+          .select("rn", "v").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      vals.unpersist(blocking = false)
+      val agree = ps.forall(p => bis(p.toLong) == srt((p.toLong * nr + 99) / 100))
+      QbPoint(nr, tB, tS, agree)
+    }
+    val qbPoints = Seq(qbOf(math.max(n / 10L, 10000L)), qbOf(n))
+
+    // ---- Rolling 7-day distinct (q157 shape): the linear interval-delta
+    // path vs the naive per-day range-join recount. Synthetic activity:
+    // rows/20 users x ~20 hashed active days over a 730-day span. Both
+    // paths must produce the identical day series.
+    case class RdPoint(activeRows: Long, intervalSec: Double, naiveSec: Double,
+                       agree: Boolean)
+    def rdOf(rows: Long): RdPoint = {
+      val span = 730L
+      val ad = spark.range(rows)
+        .select((col("id") % lit(math.max(rows / 20L, 1L))).as("user_id"),
+          pmod(xxhash64(col("id") * 53L), lit(span)).as("day"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val active = ad.count()
+      val (ivl, tI) = timed(s"rolling distinct via intervals ($active active rows)") {
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val iv = ad
+          .withColumn("brk", when(lag(col("day"), 1).over(w).isNull ||
+            col("day") - lag(col("day"), 1).over(w) > 6, 1L).otherwise(0L))
+          .withColumn("grp", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "grp")
+          .agg(min(col("day")).as("s"), (max(col("day")) + 6L).as("e"))
+        val deltas = iv.select(col("s").as("day"), lit(1L).as("delta"))
+          .unionAll(iv.select((col("e") + 1L).as("day"), lit(-1L).as("delta")))
+          .groupBy("day").agg(sum(col("delta")).as("delta"))
+        val spine = ad.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        spine.join(deltas, Seq("day"), "left")
+          .withColumn("dau7", sum(coalesce(col("delta"), lit(0L))).over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("day", "dau7").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val (nai, tN) = timed(s"rolling distinct naive range join ($active active rows)") {
+        val spine = ad.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("sday"))
+        spine.join(ad,
+            col("day") >= col("sday") - 6L && col("day") <= col("sday"), "left")
+          .groupBy("sday").agg(countDistinct(col("user_id")).as("dau7"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      ad.unpersist(blocking = false)
+      RdPoint(active, tI, tN, ivl == nai)
+    }
+    val rdPoints = Seq(rdOf(math.max(n / 10L, 10000L)), rdOf(n))
+
     def rate(t: Double): Long = (nd.toDouble / t).toLong
     val annJson = annPoints.map { p =>
       def rec(h: Long) = if (p.truthRows == 0) 0.0 else h.toDouble / p.truthRows
@@ -588,6 +681,12 @@ object ScaleBench {
         .mkString("[", ",", "]")},""" +
       s""""basket_mining":${bkPoints.map(p =>
         s"""{"baskets":${p.baskets},"sec":${p.sec},"pairs_sup2":${p.pairsSup2}}""")
+        .mkString("[", ",", "]")},""" +
+      s""""quantile_bisect":${qbPoints.map(p =>
+        s"""{"rows":${p.rows},"bisect_sec":${p.bisectSec},"sort_sec":${p.sortSec},"agree":${p.agree}}""")
+        .mkString("[", ",", "]")},""" +
+      s""""rolling_distinct":${rdPoints.map(p =>
+        s"""{"active_rows":${p.activeRows},"interval_sec":${p.intervalSec},"naive_sec":${p.naiveSec},"agree":${p.agree}}""")
         .mkString("[", ",", "]")},""" +
       s""""docs_per_sec":{"exact":${rate(tExact)},"lsh":${rate(tLsh)},"simhash":${rate(tSim)},"simhash64":${rate(tSim64)}}}"""
     spark.stop()

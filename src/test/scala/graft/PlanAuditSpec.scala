@@ -206,7 +206,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q159_quantile_normalize",
       //  - q162: the 1-row corpus-count scalar against the ~800-row
       //    bucket histogram — the bisection locator, never corpus².
-      "q162_quantile_bisect")
+      "q162_quantile_bisect",
+      //  - q170: two scalar/bounded crosses on the CALENDAR-sized curve
+      //    frame (1-row censored count; the 1-row collected 60-step
+      //    array each curve row prefix-folds).
+      "q170_km_shipping")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&

@@ -311,6 +311,58 @@ class RoundSixOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q170: KM curve matches an in-memory survival replay") {
+    val delays = sources.Tables.lineitem(spark, sf)
+      .join(sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")).cast("long").as("d"))
+      .collect().map(_.getLong(0)).filter(_ >= 1L)
+    val cens = delays.count(_ > 60L).toLong
+    val deaths = (1L to 60L).map(t => t -> delays.count(_ == t).toLong).toMap
+    val got = run("q170_km_shipping").collect()
+    assert(got.length == 60)
+    var s = 1000000L
+    (1L to 60L).foreach { t =>
+      val n = (t to 60L).map(deaths).sum + cens
+      val r = got((t - 1).toInt)
+      assert(r.getAs[Long]("n_events") == deaths(t) && r.getAs[Long]("n_risk") == n)
+      s = s * (n - deaths(t)) / math.max(n, 1L)
+      assert(r.getAs[Long]("s_ppm") == s, s"day $t survival diverged")
+    }
+    // survival is monotone non-increasing and censoring kept it > 0
+    assert(got.last.getAs[Long]("s_ppm") > 0L)
+  }
+
+  test("q169: HHI matches in-memory token accounting") {
+    val texts = sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = run("q169_source_concentration").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("hhi_ppm"), r.getAs[Long]("gini_ppm"))).toMap
+    texts.groupBy(_._1).foreach { case (src, ds) =>
+      val counts = ds.flatMap(_._2.split(" ")).groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val hhi = counts.map(c => c * c).sum * 1000000L / (n * n)
+      assert(got(src) == ((n, counts.size.toLong, hhi, 1000000L - hhi)), s"$src diverged")
+    }
+  }
+
+  test("q172: mode winner beats or ties every other type, ties broken by name") {
+    val counts = sources.Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    run("q172_group_mode").collect().foreach { r =>
+      val u = r.getAs[Long]("user_id"); val t = r.getAs[String]("top_type")
+      val n = r.getAs[Long]("n")
+      val best = counts(u).minBy(x => (-x._3, x._2))
+      assert((best._2, best._3) == ((t, n)), s"user $u: got ($t,$n) want $best")
+    }
+  }
+
   test("q146: growth-accounting series reconcile (DAU identity)") {
     val rows = run("q146_growth_accounting").collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
