@@ -2074,6 +2074,206 @@ object MiscQueries {
             Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))))
           .filter(col("rk") === 1)
           .select(col("user_id"), col("event_type").as("top_type"), col("n"))
-          .orderBy("user_id"))
+          .orderBy("user_id")),
+
+    // ---- q173: decile lift / gains table — the model-eval report for a
+    // ranking score: customers ranked by total spend, outcome = placed a
+    // 450k$+ order; per decile the conversion rate, cumulatively the
+    // LIFT over the base rate (how much better the top-k% of the
+    // ranking converts than random targeting — the number a campaign
+    // planner reads). Ranks come from the scale-safe two-phase dense-id
+    // path (never a corpus-wide single-partition window); totals are a
+    // 1-row scalar cross; everything after the rank is a 10-row frame.
+    // Exact ppm throughout: cum_conv·N·1e6 stays under 2^63 to ~10^5×
+    // the sf0.1 customer count.
+    Q("q173_decile_lift",
+      Some("""WITH sp AS (SELECT o_custkey AS ck,
+             |              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS score,
+             |              CAST(MAX(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) > 45000000
+             |                            THEN 1 ELSE 0 END) AS BIGINT) AS conv
+             |            FROM orders GROUP BY 1),
+             |r AS (SELECT ck, score, conv,
+             |        row_number() OVER (ORDER BY score DESC, ck) AS rk FROM sp),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS tc FROM sp),
+             |dec AS (SELECT ((rk - 1) * 10) // t.n + 1 AS decile, conv, t.n, t.tc
+             |        FROM r CROSS JOIN t),
+             |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             |        CAST(SUM(conv) AS BIGINT) AS n_conv,
+             |        MAX(n) AS n, MAX(tc) AS tc
+             |      FROM dec GROUP BY 1)
+             |SELECT CAST(decile AS BIGINT) AS decile, n_cust, n_conv,
+             |       CAST(n_conv * 1000000 // n_cust AS BIGINT) AS conv_ppm,
+             |       CAST(SUM(n_conv) OVER (ORDER BY decile) * n * 1000000
+             |            // (SUM(n_cust) OVER (ORDER BY decile) * greatest(tc, 1)) AS BIGINT) AS cum_lift_ppm
+             |FROM g ORDER BY decile""".stripMargin),
+      (s, d) => {
+        val sp = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(sum(cents(col("o_totalprice"))).as("score"),
+            max(when(cents(col("o_totalprice")) > 45000000L, 1L).otherwise(0L)).as("conv"))
+        val ranked = Windows.denseIdsScalable(sp,
+          Seq(col("score").desc, col("ck")), "rk")
+        val totals = sp.agg(count(lit(1)).as("n"), sum(col("conv")).as("tc"))
+        val wd = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked.crossJoin(broadcast(totals))
+          .withColumn("decile", expr("((rk - 1) * 10) div n + 1"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_cust"), sum(col("conv")).as("n_conv"),
+            max(col("n")).as("n"), max(col("tc")).as("tc"))
+          .withColumn("conv_ppm", expr("n_conv * 1000000 div n_cust"))
+          .withColumn("cum_conv", sum(col("n_conv")).over(wd))
+          .withColumn("cum_n", sum(col("n_cust")).over(wd))
+          .withColumn("cum_lift_ppm",
+            expr("cum_conv * n * 1000000 div (cum_n * greatest(tc, 1))"))
+          .select(col("decile"), col("n_cust"), col("n_conv"),
+            col("conv_ppm"), col("cum_lift_ppm"))
+          .orderBy("decile")
+      }),
+
+    // ---- q174: out-of-order lateness audit — the diagnostic that SIZES
+    // a streaming watermark before any stream runs: replay the batch in
+    // ARRIVAL order (event_id, the ingest sequence) and measure how far
+    // event time runs behind the per-user running maximum. late_ppm
+    // tells you how much data a zero-delay watermark would drop;
+    // max_late_s is the delay bound that drops none. One user-
+    // partitioned window in arrival order + a types-sized rollup.
+    Q("q174_lateness_audit",
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+             |                 epoch_us(ts) AS tsu FROM events),
+             |r AS (SELECT event_type, tsu,
+             |        MAX(tsu) OVER (PARTITION BY user_id ORDER BY event_id
+             |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+             |      FROM e),
+             |l AS (SELECT event_type,
+             |        CASE WHEN runmax > tsu THEN (runmax - tsu) // 1000000 END AS late_s
+             |      FROM r)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(COUNT(late_s) AS BIGINT) AS n_late,
+             |       CAST(COUNT(late_s) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm,
+             |       CAST(COALESCE(MAX(late_s), 0) AS BIGINT) AS max_late_s,
+             |       CAST(COALESCE(SUM(late_s), 0) AS BIGINT) AS sum_late_s
+             |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            eventTsu.as("tsu"))
+          .withColumn("runmax", max(col("tsu")).over(w))
+          .withColumn("late_s", when(col("runmax") > col("tsu"),
+            expr("(runmax - tsu) div 1000000")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(col("late_s")).as("n_late"),
+            expr("count(late_s) * 1000000 div count(1)").as("late_ppm"),
+            coalesce(max(col("late_s")), lit(0L)).as("max_late_s"),
+            coalesce(sum(col("late_s")), lit(0L)).as("sum_late_s"))
+          .orderBy("event_type")
+      }),
+
+    // ---- q175: annotation label consensus with one reweighting round —
+    // the RLHF/label-aggregation shape (Dawid-Skene's first EM step,
+    // integer-exact): items are days, annotators are users, a user's
+    // vote is their modal event type that day. Round 1: unweighted
+    // majority per day. Accuracy: each annotator's agreement rate with
+    // round 1, in ppm. Round 2: votes reweighted by annotator accuracy.
+    // Every argmax uses the (count/weight DESC, type ASC) total order,
+    // so both engines elect identical winners at every step. Costs: one
+    // (day, user, type) rollup, two day-partitioned windows, one
+    // users-sized accuracy frame broadcast back.
+    Q("q175_label_consensus",
+      Some("""WITH v0 AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id, event_type,
+             |                   CAST(COUNT(*) AS BIGINT) AS n
+             |            FROM events GROUP BY 1, 2, 3),
+             |v AS (SELECT day, user_id, event_type FROM (
+             |        SELECT day, user_id, event_type,
+             |          row_number() OVER (PARTITION BY day, user_id
+             |                             ORDER BY n DESC, event_type) AS rk FROM v0)
+             |      WHERE rk = 1),
+             |r1 AS (SELECT day, event_type AS label1 FROM (
+             |         SELECT day, event_type,
+             |           row_number() OVER (PARTITION BY day
+             |                              ORDER BY COUNT(*) DESC, event_type) AS rk
+             |         FROM v GROUP BY day, event_type)
+             |       WHERE rk = 1),
+             |acc AS (SELECT v.user_id,
+             |          CAST(SUM(CASE WHEN v.event_type = r1.label1 THEN 1 ELSE 0 END) * 1000000
+             |               // COUNT(*) AS BIGINT) AS w
+             |        FROM v JOIN r1 USING (day) GROUP BY 1),
+             |r2 AS (SELECT day, event_type AS label2, nv FROM (
+             |         SELECT v.day, v.event_type,
+             |           CAST(SUM(acc.w) AS BIGINT) AS ws,
+             |           CAST(COUNT(*) AS BIGINT) AS nv,
+             |           row_number() OVER (PARTITION BY v.day
+             |                              ORDER BY SUM(acc.w) DESC, v.event_type) AS rk
+             |         FROM v JOIN acc USING (user_id) GROUP BY v.day, v.event_type)
+             |       WHERE rk = 1),
+             |nv AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_voters FROM v GROUP BY 1)
+             |SELECT r1.day, r1.label1, r2.label2, nv.n_voters
+             |FROM r1 JOIN r2 USING (day) JOIN nv USING (day)
+             |ORDER BY day""".stripMargin),
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .groupBy(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+            col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("day", "user_id")
+              .orderBy(col("n").desc, col("event_type"))))
+          .filter(col("rk") === 1)
+          .select("day", "user_id", "event_type")
+        val r1 = v.groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("day").orderBy(col("c").desc, col("event_type"))))
+          .filter(col("rk") === 1)
+          .select(col("day"), col("event_type").as("label1"))
+        val acc = v.join(r1, "day")
+          .groupBy("user_id")
+          .agg(expr("sum(case when event_type = label1 then 1 else 0 end) * 1000000 div count(1)")
+            .as("w"))
+        val r2 = v.join(broadcast(acc), "user_id")
+          .groupBy("day", "event_type")
+          .agg(sum(col("w")).as("ws"), count(lit(1)).as("nvt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("day").orderBy(col("ws").desc, col("event_type"))))
+          .filter(col("rk") === 1)
+          .select(col("day"), col("event_type").as("label2"))
+        val nv = v.groupBy("day").agg(count(lit(1)).as("n_voters"))
+        r1.join(r2, "day").join(nv, "day")
+          .select(col("day"), col("label1"), col("label2"), col("n_voters"))
+          .orderBy("day")
+      }),
+
+    // ---- q176: inter-arrival burstiness profile — the traffic-shape
+    // histogram capacity planning reads: per-user gaps between
+    // consecutive events, bucketed on a log2 scale by the exact
+    // floor(log2(g+1)) = length(bin(g+1))−1 identity (the q138 trick —
+    // integer-exact in both engines where a float log2 never is). One
+    // user-partitioned lead window + a ~40-row bucket rollup; the
+    // emitted min/max per bucket double-check the bucket boundaries
+    // (min_g ≥ 2^b − 1, max_g < 2^(b+1) − 1 by construction).
+    Q("q176_interarrival_profile",
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+             |g AS (SELECT (lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - tsu)
+             |             // 1000000 AS gs
+             |      FROM e),
+             |b AS (SELECT gs, CAST(length(bin(gs + 1)) - 1 AS BIGINT) AS bucket
+             |      FROM g WHERE gs IS NOT NULL)
+             |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             |       MIN(gs) AS min_gap_s, MAX(gs) AS max_gap_s
+             |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), eventTsu.as("tsu"))
+          .withColumn("gs", expr("(lead(tsu, 1) over (partition by user_id order by tsu, event_id) - tsu) div 1000000"))
+          .filter(col("gs").isNotNull)
+          .withColumn("bucket", (length(bin(col("gs") + 1L)) - 1).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min(col("gs")).as("min_gap_s"),
+            max(col("gs")).as("max_gap_s"))
+          .orderBy("bucket")
+      })
   )
 }

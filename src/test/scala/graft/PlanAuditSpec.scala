@@ -210,7 +210,10 @@ class PlanAuditSpec extends SparkTestBase {
       //  - q170: two scalar/bounded crosses on the CALENDAR-sized curve
       //    frame (1-row censored count; the 1-row collected 60-step
       //    array each curve row prefix-folds).
-      "q170_km_shipping")
+      "q170_km_shipping",
+      //  - q173: the 1-row (N, total-conversions) scalar against the
+      //    ranked customer frame — decile arithmetic needs both per row.
+      "q173_decile_lift")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&

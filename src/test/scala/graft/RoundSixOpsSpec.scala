@@ -363,6 +363,54 @@ class RoundSixOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q173: deciles partition customers; lift ends at exactly 1.0") {
+    val rows = run("q173_decile_lift").collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val nCust = rows.map(_.getAs[Long]("n_cust")).sum
+    assert(nCust == sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count())
+    // the last cumulative row covers everyone -> lift is the base rate
+    assert(rows.last.getAs[Long]("cum_lift_ppm") == 1000000L)
+    // lift is monotone non-increasing down the ranking
+    rows.map(_.getAs[Long]("cum_lift_ppm")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "cumulative lift must not increase")
+      case _ => ()
+    }
+  }
+
+  test("q174: lateness reconciles with a sequential arrival replay") {
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tsu"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perType = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    ev.groupBy(_._1).values.foreach { rows =>
+      var runmax = Long.MinValue
+      rows.sortBy(_._3).foreach { r =>
+        val late = if (runmax > r._4) (runmax - r._4) / 1000000L else -1L
+        val (n, nl, mx) = perType.getOrElse(r._2, (0L, 0L, 0L))
+        perType(r._2) = (n + 1, nl + (if (late >= 0) 1L else 0L),
+          math.max(mx, math.max(late, 0L)))
+        runmax = math.max(runmax, r._4)
+      }
+    }
+    run("q174_lateness_audit").collect().foreach { r =>
+      val (n, nl, mx) = perType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n && r.getAs[Long]("n_late") == nl &&
+        r.getAs[Long]("max_late_s") == mx)
+    }
+  }
+
+  test("q176: every gap lands in its exact log2 bucket") {
+    run("q176_interarrival_profile").collect().foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val lo = (1L << b) - 1        // smallest g with floor(log2(g+1)) = b
+      val hi = (1L << (b + 1)) - 2  // largest
+      assert(r.getAs[Long]("min_gap_s") >= lo && r.getAs[Long]("max_gap_s") <= hi,
+        s"bucket $b bounds violated")
+    }
+  }
+
   test("q146: growth-accounting series reconcile (DAU identity)") {
     val rows = run("q146_growth_accounting").collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
