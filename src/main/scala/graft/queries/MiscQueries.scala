@@ -2274,6 +2274,142 @@ object MiscQueries {
           .agg(count(lit(1)).as("n"), min(col("gs")).as("min_gap_s"),
             max(col("gs")).as("max_gap_s"))
           .orderBy("bucket")
+      }),
+
+    // ---- q178: deadline-constrained funnel — q131's activation chain
+    // with the attribution windows a real funnel carries: first view →
+    // first click WITHIN 1 HOUR of it → first purchase WITHIN 24 HOURS
+    // of that. Still one user-keyed agg + equi-join per step (linear in
+    // steps, never a window over the event stream); the deadline is a
+    // residual predicate on the per-step join, so fan-in stays the
+    // per-user event count. Nulls propagate per step: a user with a
+    // view but no in-window click shows (v1, null, null).
+    Q("q178_deadline_funnel",
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |v AS (SELECT user_id, MIN(tsu) AS v1 FROM e WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(e.tsu) AS c1
+             |      FROM e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click'
+             |        AND e.tsu >= v.v1 AND e.tsu <= v.v1 + 3600000000
+             |      GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(e.tsu) AS p1
+             |      FROM e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase'
+             |        AND e.tsu >= c.c1 AND e.tsu <= c.c1 + 86400000000
+             |      GROUP BY 1)
+             |SELECT v.user_id, v.v1, c.c1, p.p1
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |       LEFT JOIN p ON v.user_id = p.user_id
+             |ORDER BY v.user_id""".stripMargin),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), eventTsu.as("tsu"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("tsu")).as("v1"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("tsu") >= col("v1") && col("tsu") <= col("v1") + 3600000000L)
+          .groupBy("user_id").agg(min(col("tsu")).as("c1"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("tsu") >= col("c1") && col("tsu") <= col("c1") + 86400000000L)
+          .groupBy("user_id").agg(min(col("tsu")).as("p1"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("v1"), col("c1"), col("p1"))
+          .orderBy("user_id")
+      }),
+
+    // ---- q179: token-bucket rate-limiter audit — "how much of this
+    // traffic would a 100-events-per-hour limiter reject?" replayed
+    // EXACTLY: per arrival the bucket refills 1 token per elapsed 36 s
+    // (truncated — the deterministic arrival-clock policy, documented),
+    // caps at 100, accepts (−1 token) or rejects. Like L136 this is a
+    // NON-ASSOCIATIVE fold, but with 3-component state — (last-arrival
+    // second, tokens, rejected-count) packed into ONE BIGINT
+    // (ts_s·2^8+tokens)·2^20+rej < 2^60 — so DuckDB's scalar-state
+    // list_reduce replays the identical machine. Per-user ordered
+    // arrays bounded by user activity; everything else map-side.
+    Q("q179_rate_limiter",
+      Some {
+        val st = "(a // 1048576)"
+        val rej = "(a % 1048576)"
+        val last = s"($st // 256)"
+        val tok = s"($st % 256)"
+        val tok2 = s"least($tok + (x - $last) // 36, 100)"
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s, event_id FROM events),
+           |l AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |             list(CAST(ts_s AS BIGINT) ORDER BY ts_s, event_id) AS ds
+           |      FROM e GROUP BY 1)
+           |SELECT user_id, n_events,
+           |       CAST(list_reduce(list_prepend(CAST(104857600 AS BIGINT), ds),
+           |         (a, x) -> CASE WHEN $tok2 >= 1
+           |                   THEN (x * 256 + $tok2 - 1) * 1048576 + $rej
+           |                   ELSE (x * 256 + $tok2) * 1048576 + $rej + 1 END)
+           |            % 1048576 AS BIGINT) AS n_rejected
+           |FROM l ORDER BY user_id""".stripMargin
+      },
+      (s, d) => {
+        val st = "(a div 1048576)"
+        val rej = "(a % 1048576)"
+        val last = s"($st div 256)"
+        val tok = s"($st % 256)"
+        val tok2 = s"least($tok + (x - $last) div 36, 100L)"
+        Tables.events(s, d)
+          .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_s"),
+            col("event_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sort_array(collect_list(struct(col("ts_s"), col("event_id")))).as("ds0"))
+          .select(col("user_id"), col("n_events"),
+            expr("transform(ds0, y -> y.ts_s)").as("ds"))
+          .select(col("user_id"), col("n_events"),
+            expr(s"""aggregate(ds, cast(104857600 as bigint),
+                   |  (a, x) -> CASE WHEN $tok2 >= 1
+                   |            THEN (x * 256 + $tok2 - 1) * 1048576 + $rej
+                   |            ELSE (x * 256 + $tok2) * 1048576 + $rej + 1 END)
+                   |% 1048576""".stripMargin).cast("long").as("n_rejected"))
+          .orderBy("user_id")
+      }),
+
+    // ---- q180: temporal cold-start coverage audit — the eval-hygiene
+    // companion to q118's leakage-safe split: after splitting time at
+    // the 80% day, how much TEST traffic comes from users the training
+    // window never saw? (A model keyed on user history scores those
+    // cold.) thr = lo + (hi−lo)·8 div 10 exactly; train users are one
+    // distinct frame; cold detection is a left join null-flag; per-type
+    // exact ppm. The number that decides whether per-user features are
+    // even usable on this split.
+    Q("q180_coldstart_audit",
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |                 epoch_us(ts) // 86400000000 AS day FROM events),
+             |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+             |t AS (SELECT lo + (hi - lo) * 8 // 10 AS thr FROM b),
+             |tr AS (SELECT DISTINCT e.user_id FROM e, t WHERE e.day < t.thr),
+             |te AS (SELECT e.user_id, e.event_type FROM e, t WHERE e.day >= t.thr)
+             |SELECT te.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(SUM(CASE WHEN tr.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cold,
+             |       CAST(SUM(CASE WHEN tr.user_id IS NULL THEN 1 ELSE 0 END) * 1000000
+             |            // COUNT(*) AS BIGINT) AS cold_ppm
+             |FROM te LEFT JOIN tr ON te.user_id = tr.user_id
+             |GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        // 1-row split-threshold scalar onto the scan (the q141 shape)
+        val thr = e.agg(expr("min(day) + (max(day) - min(day)) * 8 div 10").as("thr"))
+        val withThr = e.crossJoin(broadcast(thr))
+        // train users are corpus-shaped — a plain shuffle left join, no
+        // broadcast hint (Catalyst may still pick one at sf sizes)
+        val train = withThr.filter(col("day") < col("thr"))
+          .select(col("user_id")).distinct()
+          .withColumn("seen", lit(1L))
+        withThr.filter(col("day") >= col("thr"))
+          .join(train, Seq("user_id"), "left")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_cold"),
+            expr("sum(case when seen is null then 1 else 0 end) * 1000000 div count(1)")
+              .as("cold_ppm"))
+          .orderBy("event_type")
       })
   )
 }

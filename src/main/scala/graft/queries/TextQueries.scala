@@ -2426,6 +2426,46 @@ object TextQueries {
           .select(col("source"), col("n_tokens"), col("n_distinct"),
             col("hhi_ppm"), (lit(1000000L) - col("hhi_ppm")).as("gini_ppm"))
           .orderBy("source"))
+      ,
+
+    // ---- q177: vocabulary coverage curve — the tokenizer-sizing
+    // question ("how many vocab entries cover 99% of token mass?")
+    // answered exactly: tokens ranked by frequency, k_p = smallest rank
+    // whose cumulative mass reaches p% of the corpus. The cumulative
+    // runs through Windows.prefixSum (the two-phase range-partitioned
+    // scan — the vocabulary is corpus-SHAPED at web scale, so no
+    // single-partition window); k_p and the achieved coverage then need
+    // NO rank column at all: k_p = #(tokens with cum·100 < p·N) + 1 and
+    // cov(k_p) = min(cum | cum·100 ≥ p·N) — two plain aggregates over
+    // the cum frame, targets exploded map-side.
+    Q("q177_vocab_coverage",
+      Some("""WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+             |            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |            GROUP BY 1),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+             |cu AS (SELECT tok, c,
+             |         CAST(SUM(c) OVER (ORDER BY c DESC, tok) AS BIGINT) AS cum
+             |       FROM tc)
+             |SELECT CAST(t.p AS BIGINT) AS p,
+             |       CAST(SUM(CASE WHEN cu.cum * 100 < t.p * n.n THEN 1 ELSE 0 END) + 1 AS BIGINT) AS k_tokens,
+             |       CAST(MIN(CASE WHEN cu.cum * 100 >= t.p * n.n THEN cu.cum END) * 1000000 // n.n AS BIGINT) AS cov_ppm
+             |FROM cu CROSS JOIN n CROSS JOIN (VALUES (50), (90), (99)) t(p)
+             |GROUP BY t.p, n.n ORDER BY p""".stripMargin),
+      (s, d) => {
+        import graft.operators.Windows
+        val tc = docs(s, d)
+          .select(explode(toks).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val cu = Windows.prefixSum(tc, Seq(col("c").desc, col("tok")),
+          col("c"), "cum")
+        val nRow = tc.agg(sum(col("c")).as("n"))
+        cu.crossJoin(broadcast(nRow))
+          .withColumn("p", explode(array(lit(50L), lit(90L), lit(99L))))
+          .groupBy("p")
+          .agg((sum(when(expr("cum * 100 < p * n"), 1L).otherwise(0L)) + 1L).as("k_tokens"),
+            expr("min(case when cum * 100 >= p * n then cum end) * 1000000 div max(n)").as("cov_ppm"))
+          .orderBy("p")
+      })
   )
 
   /** Containment pairs over a (doc_id, text) frame — q84's operator body

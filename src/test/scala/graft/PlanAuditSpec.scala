@@ -213,7 +213,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q170_km_shipping",
       //  - q173: the 1-row (N, total-conversions) scalar against the
       //    ranked customer frame — decile arithmetic needs both per row.
-      "q173_decile_lift")
+      "q173_decile_lift",
+      //  - q177: the 1-row corpus-mass scalar against the cum frame.
+      "q177_vocab_coverage",
+      //  - q180: the 1-row split-threshold scalar against the scan.
+      "q180_coldstart_audit")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&

@@ -411,6 +411,62 @@ class RoundSixOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q179: token-bucket fold equals a sequential limiter replay") {
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_s"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      var tok = 100L; var last = 0L; var rej = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { r =>
+        tok = math.min(tok + (r._2 - last) / 36L, 100L)
+        last = r._2
+        if (tok >= 1L) tok -= 1L else rej += 1L
+      }
+      u -> rej
+    }
+    val got = run("q179_rate_limiter").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_rejected")).toMap
+    assert(got == expected, "packed-state fold diverged from sequential replay")
+  }
+
+  test("q177: coverage curve matches in-memory token mass accounting") {
+    val counts = sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+    val sorted = counts.sortBy { case (t, c) => (-c, t) }
+    val n = counts.map(_._2).sum
+    val cums = sorted.scanLeft(0L)(_ + _._2).tail
+    val got = run("q177_vocab_coverage").collect()
+      .map(r => r.getAs[Long]("p") -> (r.getAs[Long]("k_tokens"), r.getAs[Long]("cov_ppm"))).toMap
+    Seq(50L, 90L, 99L).foreach { p =>
+      val k = cums.indexWhere(_ * 100 >= p * n) + 1
+      assert(got(p) == ((k.toLong, cums(k - 1) * 1000000L / n)), s"p$p diverged")
+    }
+  }
+
+  test("q178: deadline funnel stages match a brute per-user replay") {
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("tsu"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val got = run("q178_deadline_funnel").collect()
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id"); val rows = byUser(u)
+      val v1 = rows.filter(_._2 == "view").map(_._3).min
+      val c1 = rows.filter(x => x._2 == "click" && x._3 >= v1 && x._3 <= v1 + 3600000000L)
+        .map(_._3).minOption
+      val p1 = c1.flatMap(c => rows.filter(x =>
+        x._2 == "purchase" && x._3 >= c && x._3 <= c + 86400000000L).map(_._3).minOption)
+      assert(r.getAs[Long]("v1") == v1)
+      assert(Option(r.getAs[Any]("c1")).map(_.asInstanceOf[Long]) == c1)
+      assert(Option(r.getAs[Any]("p1")).map(_.asInstanceOf[Long]) == p1)
+    }
+    assert(got.map(_.getAs[Long]("user_id")).toSet ==
+      byUser.filter(_._2.exists(_._2 == "view")).keySet)
+  }
+
   test("q146: growth-accounting series reconcile (DAU identity)") {
     val rows = run("q146_growth_accounting").collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
