@@ -2410,6 +2410,189 @@ object MiscQueries {
             expr("sum(case when seen is null then 1 else 0 end) * 1000000 div count(1)")
               .as("cold_ppm"))
           .orderBy("event_type")
+      }),
+
+    // ---- q181: order↔lineitem financial reconciliation — the audit
+    // every billing pipeline runs: does the order header total equal the
+    // sum of its lines after discount and tax? Computed WITHOUT float
+    // products (whose rounding would diverge across engines): price,
+    // discount and tax each quantize to their 2-decimal grid first, the
+    // per-line net is the exact integer ep_c·(100−disc_pct)·(100+tax_pct)
+    // in cents·10^4 units, and the header comparison divides back to
+    // cents only at the end. One fact×fact equi-join (bucketable on the
+    // order key, the q81 layout) + per-order partial-agg; top-20
+    // discrepancies by |diff| via TakeOrdered.
+    Q("q181_order_reconciliation",
+      Some("""WITH li AS (SELECT l_orderkey,
+             |              CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             |                       * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS net_c4
+             |            FROM lineitem GROUP BY 1),
+             |j AS (SELECT o.o_orderkey, li.n_lines,
+             |             CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_total_c,
+             |             CAST(li.net_c4 // 10000 AS BIGINT) AS lines_total_c
+             |      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey)
+             |SELECT o_orderkey, n_lines, o_total_c, lines_total_c,
+             |       lines_total_c - o_total_c AS diff_c
+             |FROM j
+             |ORDER BY abs(lines_total_c - o_total_c) DESC, o_orderkey
+             |LIMIT 20""".stripMargin),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount"))) *
+              (lit(100L) + cents(col("l_tax")))).as("net_c4"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("o_total_c"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("n_lines"), col("o_total_c"),
+            expr("net_c4 div 10000").as("lines_total_c"))
+          .withColumn("diff_c", col("lines_total_c") - col("o_total_c"))
+          .orderBy(abs(col("diff_c")).desc, col("o_orderkey"))
+          .limit(20)
+      }),
+
+    // ---- q182: exact Gini coefficient of customer spend — the
+    // inequality statistic, by the sort identity that replaces the n²
+    // pairwise-difference definition: G = Σ(2i−n−1)·x_(i) / (n·Σx) over
+    // ascending ranks i. Ranks from the scale-safe two-phase dense-id
+    // path; spend quantized to kilodollars FIRST so (2i−n−1)·x_kd sums
+    // stay far inside Long (the L110 overflow audit — raw cents would
+    // overflow the ·1e6 at ~10^5 customers); one totals scalar. The n²
+    // pair join never exists at any scale.
+    Q("q182_gini_spend",
+      Some("""WITH sp AS (SELECT o_custkey AS ck,
+             |              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS s
+             |            FROM orders GROUP BY 1),
+             |r AS (SELECT s, row_number() OVER (ORDER BY s, ck) AS i FROM sp),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS tot FROM sp)
+             |SELECT t.n AS n_cust, t.tot AS total_kd,
+             |       CAST(SUM((2 * r.i - t.n - 1) * r.s) * 1000000
+             |            // (t.n * greatest(t.tot, 1)) AS BIGINT) AS gini_ppm
+             |FROM r CROSS JOIN t GROUP BY t.n, t.tot""".stripMargin),
+      (s, d) => {
+        val sp = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100000").as("s"))
+        val ranked = Windows.denseIdsScalable(sp, Seq(col("s"), col("ck")), "i")
+        val totals = sp.agg(count(lit(1)).as("n"), sum(col("s")).as("tot"))
+        ranked.crossJoin(broadcast(totals))
+          .agg(max(col("n")).as("n_cust"), max(col("tot")).as("total_kd"),
+            expr("sum((2 * i - n - 1) * s) * 1000000 div (max(n) * greatest(max(tot), 1))")
+              .as("gini_ppm"))
+      }),
+
+    // ---- q183: Lorenz curve by spend decile — q182's Gini rendered as
+    // the 10 points a report plots: customers in ascending-spend order,
+    // cumulative share of total spend at each decile boundary (exact
+    // ppm, non-decreasing, ending at exactly 1e6). Same dense-id rank +
+    // totals scalar as q182; after the rank everything is a 10-row
+    // frame. The two queries share machinery deliberately — curve and
+    // coefficient come from one rank pass at deployment.
+    Q("q183_lorenz_curve",
+      Some("""WITH sp AS (SELECT o_custkey AS ck,
+             |              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS s
+             |            FROM orders GROUP BY 1),
+             |r AS (SELECT s, row_number() OVER (ORDER BY s, ck) AS i FROM sp),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS tot FROM sp),
+             |d AS (SELECT ((i - 1) * 10) // t.n + 1 AS decile, s, t.tot
+             |      FROM r CROSS JOIN t),
+             |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             |             CAST(SUM(s) AS BIGINT) AS spend_kd, MAX(tot) AS tot
+             |      FROM d GROUP BY 1)
+             |SELECT CAST(decile AS BIGINT) AS decile, n_cust,
+             |       CAST(SUM(spend_kd) OVER (ORDER BY decile) * 1000000
+             |            // greatest(tot, 1) AS BIGINT) AS cum_spend_ppm
+             |FROM g ORDER BY decile""".stripMargin),
+      (s, d) => {
+        val sp = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100000").as("s"))
+        val ranked = Windows.denseIdsScalable(sp, Seq(col("s"), col("ck")), "i")
+        val totals = sp.agg(count(lit(1)).as("n"), sum(col("s")).as("tot"))
+        val wd = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked.crossJoin(broadcast(totals))
+          .withColumn("decile", expr("((i - 1) * 10) div n + 1"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_cust"), sum(col("s")).as("spend_kd"),
+            max(col("tot")).as("tot"))
+          .withColumn("cum_spend_ppm",
+            expr("sum(spend_kd) over (order by decile rows between unbounded preceding and current row) * 1000000 div greatest(tot, 1)"))
+          .select(col("decile"), col("n_cust"), col("cum_spend_ppm"))
+          .orderBy("decile")
+      }),
+
+    // ---- q184: lag-1 autocorrelation of daily volume per type — the
+    // serial-dependence check run before ANY time-series feature ships
+    // (high r1 = yesterday predicts today; near 0 = the daily counts are
+    // noise and a lag feature is worthless). The q160 integer-exact corr
+    // machinery over (y_t, y_{t+1}) pairs from ONE lead window on the
+    // days-sized rollup — aggregate-first, so the corpus cost is a
+    // (type, day) partial-agg and the statistics run on calendar-sized
+    // frames.
+    Q("q184_autocorr_lag1",
+      Some("""WITH daily AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+             |                      CAST(COUNT(*) AS BIGINT) AS y
+             |               FROM events GROUP BY 1, 2),
+             |p AS (SELECT t, y AS x,
+             |        lead(y) OVER (PARTITION BY t ORDER BY day) AS y2
+             |      FROM daily),
+             |s AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+             |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y2) AS BIGINT) AS sy,
+             |        CAST(SUM(x * y2) AS BIGINT) AS sxy,
+             |        CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y2 * y2) AS BIGINT) AS syy
+             |      FROM p WHERE y2 IS NOT NULL GROUP BY 1),
+             |u AS (SELECT t, n, n * sxy - sx * sy AS num,
+             |        n * sxx - sx * sx AS a, n * syy - sy * sy AS b FROM s),
+             |ia AS (SELECT t, n, num, a, b,
+             |         CAST(floor(sqrt(CAST(a AS DOUBLE))) AS BIGINT) AS sa0,
+             |         CAST(floor(sqrt(CAST(b AS DOUBLE))) AS BIGINT) AS sb0 FROM u),
+             |ib AS (SELECT t, n, num, a, b,
+             |         sa0 + (CASE WHEN (sa0+1)*(sa0+1) <= a THEN 1 ELSE 0 END) AS sa1,
+             |         sb0 + (CASE WHEN (sb0+1)*(sb0+1) <= b THEN 1 ELSE 0 END) AS sb1 FROM ia),
+             |ic AS (SELECT t, n, num,
+             |         sa1 - (CASE WHEN sa1*sa1 > a THEN 1 ELSE 0 END) AS sa,
+             |         sb1 - (CASE WHEN sb1*sb1 > b THEN 1 ELSE 0 END) AS sb FROM ib)
+             |SELECT t AS event_type, n AS n_pairs,
+             |       CAST(CASE WHEN num >= 0
+             |            THEN (num * 1000000) // greatest(sa * sb, 1)
+             |            ELSE -((-num) * 1000000) // greatest(sa * sb, 1) END AS BIGINT) AS r1_ppm
+             |FROM ic ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        def isqrtCorrected(v: org.apache.spark.sql.Column) = {
+          val s0 = floor(sqrt(v.cast("double"))).cast("long")
+          val s1 = s0 + when((s0 + 1L) * (s0 + 1L) <= v, 1L).otherwise(0L)
+          s1 - when(s1 * s1 > v, 1L).otherwise(0L)
+        }
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type").as("t"),
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("y"))
+        daily
+          .withColumn("y2", lead(col("y"), 1).over(
+            Window.partitionBy("t").orderBy("day")))
+          .filter(col("y2").isNotNull)
+          .groupBy("t")
+          .agg(count(lit(1)).as("n"),
+            sum(col("y")).as("sx"), sum(col("y2")).as("sy"),
+            sum(col("y") * col("y2")).as("sxy"),
+            sum(col("y") * col("y")).as("sxx"),
+            sum(col("y2") * col("y2")).as("syy"))
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("a", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("b", col("n") * col("syy") - col("sy") * col("sy"))
+          .withColumn("sa", isqrtCorrected(col("a")))
+          .withColumn("sb", isqrtCorrected(col("b")))
+          .withColumn("r1_ppm",
+            when(col("num") >= 0,
+              expr("(num * 1000000) div greatest(sa * sb, 1)"))
+              .otherwise(-expr("((-num) * 1000000) div greatest(sa * sb, 1)")))
+          .select(col("t").as("event_type"), col("n").as("n_pairs"), col("r1_ppm"))
+          .orderBy("event_type")
       })
   )
 }

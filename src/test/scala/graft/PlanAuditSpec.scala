@@ -217,7 +217,10 @@ class PlanAuditSpec extends SparkTestBase {
       //  - q177: the 1-row corpus-mass scalar against the cum frame.
       "q177_vocab_coverage",
       //  - q180: the 1-row split-threshold scalar against the scan.
-      "q180_coldstart_audit")
+      "q180_coldstart_audit",
+      //  - q182/q183: the 1-row (n, total) scalar against the ranked
+      //    customer frame — Gini/Lorenz arithmetic needs both per row.
+      "q182_gini_spend", "q183_lorenz_curve")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&

@@ -467,6 +467,60 @@ class RoundSixOpsSpec extends SparkTestBase {
       byUser.filter(_._2.exists(_._2 == "view")).keySet)
   }
 
+  test("q182: sort-identity Gini equals the literal pairwise definition") {
+    val spends = sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100000").as("s"))
+      .collect().map(_.getAs[Long]("s"))
+    val n = spends.length.toLong
+    val tot = spends.sum
+    // G = Σ_i Σ_j |x_i − x_j| / (2 n Σx) — the O(n²) definition, fine at 150
+    val pairSum = (for (a <- spends; b <- spends) yield math.abs(a - b)).sum
+    val giniPair = pairSum * 1000000L / (2L * n * tot)
+    val r = run("q182_gini_spend").collect().head
+    assert(r.getAs[Long]("n_cust") == n && r.getAs[Long]("total_kd") == tot)
+    // the sort identity truncates once; pairwise truncates once — allow 1 ulp
+    assert(math.abs(r.getAs[Long]("gini_ppm") - giniPair) <= 1L,
+      s"sort identity ${r.getAs[Long]("gini_ppm")} vs pairwise $giniPair")
+  }
+
+  test("q183: Lorenz curve is monotone, dominated by equality, ends at 1e6") {
+    val rows = run("q183_lorenz_curve").collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val shares = rows.map(_.getAs[Long]("cum_spend_ppm"))
+    shares.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "Lorenz must be non-decreasing")
+      case _ => ()
+    }
+    assert(shares.last == 1000000L)
+    // Lorenz lies on or below the equality diagonal (give 10-row
+    // decile-boundary rounding 2% slack at sf0.001's 150 customers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_spend_ppm") <=
+        r.getAs[Long]("decile") * 100000L + 20000L)
+    }
+  }
+
+  test("q181: reconciliation diffs match in-memory integer billing math") {
+    val li = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")) *
+          (lit(100L) + round(col("l_tax") * 100).cast("long"))).as("net"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._2).sum / 10000L) }
+    val heads = sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedTop = li.map { case (k, (nl, lc)) => (k, nl, heads(k), lc, lc - heads(k)) }
+      .toSeq.sortBy(x => (-math.abs(x._5), x._1)).take(20)
+    val got = run("q181_order_reconciliation").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("o_total_c"), r.getAs[Long]("lines_total_c"),
+        r.getAs[Long]("diff_c"))).toSeq
+    assert(got == expectedTop, "top-20 discrepancies diverged")
+  }
+
   test("q146: growth-accounting series reconcile (DAU identity)") {
     val rows = run("q146_growth_accounting").collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
