@@ -108,6 +108,50 @@ object EventStream {
       }
   }
 
+  /** Per-user token-bucket state carried across micro-batches (public for
+    * the generated encoder). */
+  final case class LimiterState(lastSec: Long, tokens: Long,
+                                rejected: Long, nEvents: Long)
+
+  final case class LimiterAgg(user_id: Long, n_events: Long, n_rejected: Long)
+
+  /** Streaming twin of the q179 token-bucket rate-limiter audit: the
+    * SAME deterministic machine (refill 1 token per elapsed `refillSec`
+    * on the arrival clock, truncated; cap `cap`; accept −1 token, else
+    * reject) run as `flatMapGroupsWithState` — per-user state is 4 longs
+    * regardless of stream length, the online form of the batch fold's
+    * packed BIGINT. Emits the cumulative (events, rejected) counters per
+    * user each micro-batch (Update mode); StreamingSpec proves the final
+    * counters equal q179's batch fold on the same events.
+    *
+    * Determinism caveat shared with every arrival-ordered operator:
+    * within a micro-batch rows sort by (epoch second, event_id) — the
+    * batch query's total order — so feeding batches in time order
+    * replays the identical machine.
+    */
+  def rateLimit(events: Dataset[Event], refillSec: Long = 36L,
+                cap: Long = 100L): Dataset[LimiterAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LimiterState, LimiterAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LimiterState]) =>
+          def sec(e: Event): Long = e.ts.toInstant.getEpochSecond
+          val sorted = rows.toSeq.sortBy(e => (sec(e), e.event_id))
+          var st = state.getOption.getOrElse(LimiterState(0L, cap, 0L, 0L))
+          sorted.foreach { e =>
+            val s = sec(e)
+            val tok = math.min(st.tokens + (s - st.lastSec) / refillSec, cap)
+            st =
+              if (tok >= 1L) LimiterState(s, tok - 1L, st.rejected, st.nEvents + 1L)
+              else LimiterState(s, tok, st.rejected + 1L, st.nEvents + 1L)
+          }
+          state.update(st)
+          Iterator.single(LimiterAgg(userId, st.nEvents, st.rejected))
+      }
+  }
+
   /** Streaming → JDBC through foreachBatch with REPLAY-SAFE appends — the
     * production pattern for sinks without a streaming commit protocol.
     * Each micro-batch lands tagged with its batchId; before inserting, any

@@ -248,4 +248,40 @@ class StreamingSpec extends SparkTestBase {
     val gens = new java.io.File(stateDir).listFiles().count(_.getName.startsWith("gen-"))
     assert(gens == 1, s"old generations not GC'd: $gens")
   }
+
+  test("streaming rate limiter equals the q179 batch fold across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchTruth = graft.SparkEntry
+      .queries("q179_rate_limiter")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_rejected"))).toMap
+    // feed the same events in THREE time-ordered micro-batches — the
+    // 4-long keyed state must carry the machine across batch boundaries
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "cast(ts as timestamp) AS ts",
+        "user_id", "event_type", "value")
+      .as[Event].collect()
+      .sortBy(e => (e.ts.toInstant.getEpochSecond, e.event_id))
+    val ms = MemoryStream[Event]
+    val query = EventStream.rateLimit(ms.toDS())
+      .writeStream.format("memory").queryName("limiter").outputMode("update").start()
+    try {
+      events.grouped((events.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      // final cumulative counters per user = the row with the max n_events
+      val streamed = spark.table("limiter").as[EventStream.LimiterAgg].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rows) => u -> {
+          val last = rows.maxBy(_.n_events)
+          (last.n_events, last.n_rejected)
+        } }
+      assert(streamed == batchTruth,
+        "streaming limiter state diverged from the batch packed fold")
+    } finally query.stop()
+  }
 }
