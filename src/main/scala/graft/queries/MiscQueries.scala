@@ -2593,6 +2593,200 @@ object MiscQueries {
               .otherwise(-expr("((-num) * 1000000) div greatest(sa * sb, 1)")))
           .select(col("t").as("event_type"), col("n").as("n_pairs"), col("r1_ppm"))
           .orderBy("event_type")
+      }),
+
+    // ---- q185: weekly seasonality strength (η²) — "is the day-of-week
+    // profile signal or noise?" quantified as the between-dow share of
+    // total variance, exactly: with S=Σv, S_g/n_g per dow, N days,
+    // η² = [Σ_g S_g²·N div n_g − S²] / [N·Σv² − S²]. Daily revenue
+    // quantized to 10k$ units FIRST (the L110 audit: raw kd would push
+    // NUM·1e6 past 2^63), and the final ratio divides the DENOMINATOR
+    // to ppm scale instead of multiplying the numerator — same result,
+    // no overflow surface. Aggregate-first: a days rollup, a 7-row dow
+    // rollup, three scalars.
+    Q("q185_seasonality_strength",
+      Some("""WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             |                      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 1000000 AS BIGINT) AS v
+             |               FROM orders GROUP BY 1),
+             |g AS (SELECT day % 7 AS dow, CAST(SUM(v) AS BIGINT) AS sg,
+             |             CAST(COUNT(*) AS BIGINT) AS ng FROM daily GROUP BY 1),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+             |             CAST(SUM(v * v) AS BIGINT) AS svv FROM daily),
+             |b AS (SELECT CAST(SUM(sg * sg * t.n // ng) AS BIGINT) AS ssbn, t.n, t.s, t.svv
+             |      FROM g CROSS JOIN t GROUP BY t.n, t.s, t.svv)
+             |SELECT n AS n_days,
+             |       CAST(ssbn - s * s AS BIGINT) AS num,
+             |       CAST(n * svv - s * s AS BIGINT) AS den,
+             |       CAST((ssbn - s * s) // greatest((n * svv - s * s) // 1000000, 1) AS BIGINT) AS eta2_ppm
+             |FROM b""".stripMargin),
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 1000000").as("v"))
+        val g = daily.groupBy(pmod(col("day"), lit(7L)).as("dow"))
+          .agg(sum(col("v")).as("sg"), count(lit(1)).as("ng"))
+        val t = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(col("v") * col("v")).as("svv"))
+        g.crossJoin(broadcast(t))
+          .groupBy("n", "s", "svv")
+          .agg(sum(expr("sg * sg * n div ng")).as("ssbn"))
+          .select(col("n").as("n_days"),
+            (col("ssbn") - col("s") * col("s")).as("num"),
+            (col("n") * col("svv") - col("s") * col("s")).as("den"))
+          .withColumn("eta2_ppm",
+            expr("num div greatest(den div 1000000, 1)"))
+      }),
+
+    // ---- q186: CUSUM changepoint scan — WHERE the daily event level
+    // shifted, exactly and linearly: D_t = Σ_{i≤t}(y_i·n − S) (deviation
+    // from the overall mean scaled by n so no fraction ever appears);
+    // the |D| maxima mark the most likely changepoints. The corpus folds
+    // to a days rollup; the prefix runs over the CALENDAR-sized frame
+    // (aggregate-first); top-5 by (|D| DESC, day) via TakeOrdered.
+    Q("q186_cusum_changepoint",
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |                      CAST(COUNT(*) AS BIGINT) AS y
+             |               FROM events GROUP BY 1),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s FROM daily),
+             |c AS (SELECT day, y,
+             |        CAST(SUM(y * t.n - t.s) OVER (ORDER BY day) AS BIGINT) AS cusum
+             |      FROM daily CROSS JOIN t)
+             |SELECT day, y, cusum FROM c
+             |ORDER BY abs(cusum) DESC, day LIMIT 5""".stripMargin),
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val t = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+        daily.crossJoin(broadcast(t))
+          .withColumn("cusum", sum(col("y") * col("n") - col("s")).over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("day"), col("y"), col("cusum"))
+          .orderBy(abs(col("cusum")).desc, col("day"))
+          .limit(5)
+      }),
+
+    // ---- q187: sampling-design diagnostics — the two numbers read
+    // BEFORE trusting any weighted estimate from q167's skewed sample:
+    // effective sample size ESS = (Σw)²/Σw² (how many equal-weight
+    // observations the weighted sample is worth) and the design effect
+    // n·Σw²/(Σw)² (the variance inflation paid for the skew). Weights =
+    // inverse inclusion probability in milli-units (256000 div rate —
+    // small enough that (Σw)² stays inside Long at 10⁵ rows; the L110
+    // audit again); the ppm ratio divides the denominator down, never
+    // multiplies the numerator up. One scan + one row.
+    Q("q187_sampling_diagnostics",
+      Some {
+        val hex2 = "CAST(list_sum(list_transform(generate_series(1, 2), " +
+          "i -> (CASE WHEN ord(substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) >= 97 " +
+          "THEN ord(substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 87 " +
+          "ELSE ord(substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 48 END) " +
+          "* CAST(pow(16, 2 - i) AS BIGINT))) AS BIGINT)"
+        s"""WITH o AS (SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 10000000, 4) AS seg,
+           |                  $hex2 AS pp
+           |           FROM orders),
+           |k AS (SELECT CASE WHEN seg >= 3 THEN CAST(256000 // 77 AS BIGINT)
+           |                  ELSE CAST(256000 // 26 AS BIGINT) END AS w
+           |      FROM o WHERE pp < (CASE WHEN seg >= 3 THEN 77 ELSE 26 END)),
+           |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS sw,
+           |             CAST(SUM(w * w) AS BIGINT) AS sww FROM k)
+           |SELECT n AS n_sample,
+           |       CAST(sw * sw // greatest(sww, 1) AS BIGINT) AS ess,
+           |       CAST(n * sww // greatest(sw * sw // 1000000, 1) AS BIGINT) AS deff_ppm
+           |FROM t""".stripMargin
+      },
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(cents(col("o_totalprice")).as("v"),
+            conv(substring(md5(col("o_orderkey").cast("string")), 1, 2), 16, 10)
+              .cast("long").as("pp"))
+          .withColumn("seg", least(expr("v div 10000000"), lit(4L)))
+          .filter(col("pp") < when(col("seg") >= 3L, 77L).otherwise(26L))
+          .withColumn("w", when(col("seg") >= 3L, 256000L / 77L).otherwise(256000L / 26L))
+          .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+            sum(col("w") * col("w")).as("sww"))
+          .select(col("n").as("n_sample"),
+            expr("sw * sw div greatest(sww, 1)").as("ess"),
+            expr("n * sww div greatest(sw * sw div 1000000, 1)").as("deff_ppm"))),
+
+    // ---- q188: greedy set cover over sources — "which 3 feeds cover
+    // the most vocabulary?" — the submodular selection behind corpus
+    // acquisition budgets, run as the classic greedy (each round picks
+    // the source with the largest MARGINAL gain of unseen units;
+    // within 1−1/e of optimal by Nemhauser). Units are word BIGRAMS
+    // (unigrams saturate: this corpus's shared token vocabulary lets one
+    // source cover everything and the greedy degenerates to one round —
+    // bigrams are word-order-specific, so coverage gaps are real).
+    // Three unrolled rounds, each ONE anti-join of the (source, gram)
+    // frame against the covered set + a sources-sized argmax — never a
+    // 2^sources enumeration; the covered set grows vocabulary-shaped,
+    // exactly what the anti-join shuffles. Ties by source name;
+    // cumulative coverage in exact ppm of total distinct grams.
+    Q("q188_greedy_set_cover",
+      Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+             |st AS (SELECT DISTINCT source, tok
+             |       FROM (SELECT source,
+             |               unnest(list_transform(generate_series(1, len(ts) - 1),
+             |                 i -> ts[i] || ' ' || ts[i + 1])) AS tok
+             |             FROM toks)),
+             |tot AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n FROM st),
+             |g1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS gain FROM st GROUP BY 1),
+             |w1 AS (SELECT source, gain FROM g1 ORDER BY gain DESC, source LIMIT 1),
+             |c1 AS (SELECT DISTINCT st.tok FROM st JOIN w1 ON st.source = w1.source),
+             |g2 AS (SELECT st.source, CAST(COUNT(*) AS BIGINT) AS gain
+             |       FROM st LEFT JOIN c1 ON st.tok = c1.tok
+             |       WHERE c1.tok IS NULL AND st.source NOT IN (SELECT source FROM w1)
+             |       GROUP BY 1),
+             |w2 AS (SELECT source, gain FROM g2 ORDER BY gain DESC, source LIMIT 1),
+             |c2 AS (SELECT tok FROM c1 UNION
+             |       SELECT DISTINCT st.tok FROM st JOIN w2 ON st.source = w2.source),
+             |g3 AS (SELECT st.source, CAST(COUNT(*) AS BIGINT) AS gain
+             |       FROM st LEFT JOIN c2 ON st.tok = c2.tok
+             |       WHERE c2.tok IS NULL
+             |         AND st.source NOT IN (SELECT source FROM w1 UNION SELECT source FROM w2)
+             |       GROUP BY 1),
+             |w3 AS (SELECT source, gain FROM g3 ORDER BY gain DESC, source LIMIT 1),
+             |r AS (SELECT 1 AS round, source, gain FROM w1
+             |      UNION ALL SELECT 2, source, gain FROM w2
+             |      UNION ALL SELECT 3, source, gain FROM w3)
+             |SELECT CAST(r.round AS BIGINT) AS round, r.source, r.gain,
+             |       CAST(SUM(r.gain) OVER (ORDER BY r.round) * 1000000 // tot.n AS BIGINT) AS cum_cover_ppm
+             |FROM r CROSS JOIN tot ORDER BY round""".stripMargin),
+      (s, d) => {
+        import graft.operators.CacheScope
+        CacheScope.release("q188")
+        val st = CacheScope.persist("q188",
+          Tables.documents(s, d)
+            .select(col("source"), split(col("text"), " ").as("ts"))
+            .select(col("source"), explode(expr(
+              "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+              .as("tok"))
+            .distinct())
+        val tot = st.select(col("tok")).distinct().agg(count(lit(1)).as("n"))
+        def pick(frame: org.apache.spark.sql.DataFrame) =
+          frame.orderBy(col("gain").desc, col("source")).limit(1)
+        val w1 = pick(st.groupBy("source").agg(count(lit(1)).as("gain")))
+        val c1 = st.join(w1.select("source"), "source").select("tok").distinct()
+        val w2 = pick(st
+          .join(w1.select("source"), Seq("source"), "left_anti")
+          .join(c1, Seq("tok"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("gain")))
+        val c2 = c1.unionAll(
+          st.join(w2.select("source"), "source").select("tok")).distinct()
+        val w3 = pick(st
+          .join(w1.select("source").unionAll(w2.select("source")), Seq("source"), "left_anti")
+          .join(c2, Seq("tok"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("gain")))
+        val r = w1.withColumn("round", lit(1L))
+          .unionAll(w2.withColumn("round", lit(2L)))
+          .unionAll(w3.withColumn("round", lit(3L)))
+        r.crossJoin(broadcast(tot))
+          .withColumn("cum_cover_ppm",
+            expr("sum(gain) over (order by round rows between unbounded preceding and current row) * 1000000 div n"))
+          .select(col("round"), col("source"), col("gain"), col("cum_cover_ppm"))
+          .orderBy("round")
       })
   )
 }

@@ -220,7 +220,12 @@ class PlanAuditSpec extends SparkTestBase {
       "q180_coldstart_audit",
       //  - q182/q183: the 1-row (n, total) scalar against the ranked
       //    customer frame — Gini/Lorenz arithmetic needs both per row.
-      "q182_gini_spend", "q183_lorenz_curve")
+      "q182_gini_spend", "q183_lorenz_curve",
+      //  - q185/q186/q188: 1-row totals scalars against the 7-row dow
+      //    rollup / the calendar-sized days frame / the 3-row greedy
+      //    picks.
+      "q185_seasonality_strength", "q186_cusum_changepoint",
+      "q188_greedy_set_cover")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&

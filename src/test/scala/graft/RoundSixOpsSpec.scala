@@ -521,6 +521,56 @@ class RoundSixOpsSpec extends SparkTestBase {
     assert(got == expectedTop, "top-20 discrepancies diverged")
   }
 
+  test("q188: distributed greedy equals an in-memory set-cover replay") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val grams = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, t) =>
+        val ts = t.split(" "); ts.zip(ts.tail).map { case (a, b) => s"$a $b" }
+      }.toSet
+    }
+    var covered = Set.empty[String]
+    var remaining = grams
+    val picks = (1 to 3).map { round =>
+      val (src, gain) = remaining.map { case (s0, g) => (s0, (g -- covered).size) }
+        .toSeq.minBy { case (s0, g) => (-g, s0) }
+      covered ++= grams(src)
+      remaining -= src
+      (round.toLong, src, gain.toLong)
+    }
+    val got = run("q188_greedy_set_cover").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("source"), r.getAs[Long]("gain")))
+      .sortBy(_._1).toSeq
+    assert(got == picks, s"greedy diverged: $got vs $picks")
+  }
+
+  test("q186: CUSUM top-5 matches an in-memory prefix scan") {
+    val daily = sources.Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val s0 = daily.map(_._2).sum
+    var acc = 0L
+    val cusums = daily.map { case (day, y) => acc += y * n - s0; (day, y, acc) }
+    // the full prefix telescopes to zero — the identity that makes the
+    // scaled-deviation form exact
+    assert(cusums.last._3 == 0L)
+    val expected = cusums.sortBy { case (day, _, c) => (-math.abs(c), day) }.take(5).toSeq
+    val got = run("q186_cusum_changepoint").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("y"), r.getAs[Long]("cusum"))).toSeq
+    assert(got == expected)
+  }
+
+  test("q185: eta-squared is a valid variance share") {
+    val r = run("q185_seasonality_strength").collect().head
+    val num = r.getAs[Long]("num"); val den = r.getAs[Long]("den")
+    assert(num >= 0L && den > 0L && num <= den,
+      s"between-group SS must be within total SS: $num / $den")
+    val eta = r.getAs[Long]("eta2_ppm")
+    assert(eta >= 0L && eta <= 1000000L + 1L)
+  }
+
   test("q146: growth-accounting series reconcile (DAU identity)") {
     val rows = run("q146_growth_accounting").collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
