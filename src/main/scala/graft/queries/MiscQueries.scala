@@ -2787,6 +2787,49 @@ object MiscQueries {
             expr("sum(gain) over (order by round rows between unbounded preceding and current row) * 1000000 div n"))
           .select(col("round"), col("source"), col("gain"), col("cum_cover_ppm"))
           .orderBy("round")
+      }),
+
+    // ---- q191: session depth & bounce profile — the product-analytics
+    // daily report over q43's sessionization: per session-start day, how
+    // many sessions, what share BOUNCED (single-event sessions — the
+    // engagement red flag), and the mean session depth in exact micro
+    // units. The q43 lag-gap construction folds the event stream to a
+    // sessions frame (one user-keyed exchange); the report is a
+    // days-sized rollup of that.
+    Q("q191_session_profile",
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+             |m AS (SELECT user_id, tsu, event_id,
+             |        CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+             |               OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+             |             THEN 1 ELSE 0 END AS brk
+             |      FROM e),
+             |s AS (SELECT user_id, tsu, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |                                          ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m),
+             |sess AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS depth,
+             |                MIN(tsu) // 86400000000 AS day
+             |         FROM s GROUP BY 1, 2)
+             |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |       CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+             |       CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS bounce_ppm,
+             |       CAST(SUM(depth) * 1000000 // COUNT(*) AS BIGINT) AS mean_depth_micro
+             |FROM sess GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val sess = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), eventTsu.as("tsu"))
+          .withColumn("brk", when(lag(col("tsu"), 1).over(w).isNull ||
+            col("tsu") - lag(col("tsu"), 1).over(w) > SessionGapUs, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("depth"), expr("min(tsu) div 86400000000").as("day"))
+        sess.groupBy("day")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("depth") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+            expr("sum(case when depth = 1 then 1 else 0 end) * 1000000 div count(1)").as("bounce_ppm"),
+            expr("sum(depth) * 1000000 div count(1)").as("mean_depth_micro"))
+          .orderBy("day")
       })
   )
 }

@@ -2465,6 +2465,135 @@ object TextQueries {
           .agg((sum(when(expr("cum * 100 < p * n"), 1L).otherwise(0L)) + 1L).as("k_tokens"),
             expr("min(case when cum * 100 >= p * n then cum end) * 1000000 div max(n)").as("cov_ppm"))
           .orderBy("p")
+      }),
+
+    // ---- q189: approximate-operator audit — the engine evaluating its
+    // OWN approximation: q34's MinHash-LSH candidate generation graded
+    // against an exact Jaccard≥0.5 ground truth computed WITHOUT an
+    // all-pairs join (the q74 prefix-filter construction over shingle
+    // hashes — recall-lossless for the threshold by the prefix-filtering
+    // theorem, so "truth" really is exhaustive). recall_ppm is the
+    // number LSH theory predicts (1−(1−J²)⁴ per pair); precision_ppm is
+    // what band collisions cost before verification. One full-outer join
+    // of two pair frames + a 1-row aggregate — the eval harness AS a
+    // query, runnable at corpus scale on every ingest.
+    Q("q189_lsh_audit",
+      Some(
+        s"""WITH $thCte, $shCte,
+           |ss_t AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh_t),
+           |g AS (SELECT doc_id, unnest(ss) AS h FROM ss_t),
+           |f AS (SELECT h, COUNT(*) AS df FROM g GROUP BY 1),
+           |szt AS (SELECT doc_id, len(ss) AS n FROM ss_t),
+           |r AS (SELECT g.doc_id, g.h,
+           |        row_number() OVER (PARTITION BY g.doc_id ORDER BY f.df, g.h) AS rnk, szt.n
+           |      FROM g JOIN f USING (h) JOIN szt USING (doc_id)),
+           |p AS (SELECT doc_id, h FROM r WHERE rnk <= n - (n + 1) // 2 + 1),
+           |tcand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+           |          FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |truth AS (SELECT i, j FROM tcand JOIN ss_t x ON x.doc_id = i
+           |                 JOIN ss_t y ON y.doc_id = j
+           |          WHERE 3 * len(list_intersect(x.ss, y.ss)) >= len(x.ss) + len(y.ss)),
+           |mh_t AS (
+           |  SELECT doc_id, ${(0 until 8).map(k => mhSql(k) + s" AS mh$k").mkString(",\n         ")}
+           |  FROM sh_t),
+           |bands AS (
+           |  ${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM mh_t")
+              .mkString("\n  UNION ALL ")}),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |m AS (SELECT CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END AS tt,
+           |             CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END AS cc
+           |      FROM truth t FULL JOIN cand c ON t.i = c.i AND t.j = c.j)
+           |SELECT CAST(SUM(tt) AS BIGINT) AS n_truth,
+           |       CAST(SUM(cc) AS BIGINT) AS n_cand,
+           |       CAST(SUM(tt * cc) AS BIGINT) AS tp,
+           |       CAST(SUM(tt * cc) * 1000000 // greatest(SUM(tt), 1) AS BIGINT) AS recall_ppm,
+           |       CAST(SUM(tt * cc) * 1000000 // greatest(SUM(cc), 1) AS BIGINT) AS precision_ppm
+           |FROM m""".stripMargin),
+      (s, d) => {
+        import graft.operators.CacheScope
+        CacheScope.release("q189")
+        val base = CacheScope.persist("q189", docs(s, d)
+          .select(col("doc_id"), NativeText.shingleHashesOfText(col("text")).as("sh")))
+        val ss = base.select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+        val g = ss.select(col("doc_id"), explode(col("ss")).as("h"))
+        val wd = Window.partitionBy(col("doc_id"))
+        val prefix = g
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .withColumn("rnk", row_number().over(wd.orderBy(col("df"), col("h"))))
+          .withColumn("n", count(lit(1)).over(wd))
+          .filter(col("rnk") <= expr("n - (n + 1) div 2 + 1"))
+          .select("doc_id", "h")
+        val tcand = prefix.as("a").join(prefix.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+        val truth = tcand
+          .join(ss.select(col("doc_id").as("i"), col("ss").as("ss1")), "i")
+          .join(ss.select(col("doc_id").as("j"), col("ss").as("ss2")), "j")
+          .filter(size(array_intersect(col("ss1"), col("ss2"))).cast("long") * 3L >=
+            size(col("ss1")).cast("long") + size(col("ss2")).cast("long"))
+          .select(col("i"), col("j"))
+        val sig = base.select(col("doc_id"), col("sh"),
+          NativeText.minhash8(col("sh")).as("mh8"))
+        def mhk(k: Int) = when(size(col("sh")) > 0, element_at(col("mh8"), k + 1))
+        val bands = sig.select(col("doc_id"), explode(array(
+          (0 until 4).map(b => struct(lit(b).as("band"),
+            concat_ws(":", mhk(2 * b), mhk(2 * b + 1)).as("bkey"))): _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+        truth.withColumn("tt", lit(1L))
+          .join(cand.withColumn("cc", lit(1L)), Seq("i", "j"), "full")
+          .agg(sum(coalesce(col("tt"), lit(0L))).as("n_truth"),
+            sum(coalesce(col("cc"), lit(0L))).as("n_cand"),
+            sum(coalesce(col("tt"), lit(0L)) * coalesce(col("cc"), lit(0L))).as("tp"))
+          .select(col("n_truth"), col("n_cand"), col("tp"),
+            expr("tp * 1000000 div greatest(n_truth, 1)").as("recall_ppm"),
+            expr("tp * 1000000 div greatest(n_cand, 1)").as("precision_ppm"))
+      }),
+
+    // ---- q192: ingest novelty curve — "is the next batch of documents
+    // still worth acquiring?" measured as Heaps-law decay: docs in
+    // ingest order (doc_id) split into 10 equal batches, each bigram
+    // attributed to the batch that saw it FIRST (min bucket — one
+    // gram-keyed partial-agg), per-batch new-gram counts and the
+    // cumulative vocabulary curve in exact ppm. The decision number
+    // behind data-acquisition budgets; the corpus cost is one distinct
+    // (gram → min bucket) rollup.
+    Q("q192_novelty_curve",
+      Some("""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |g AS (SELECT least(doc_id * 10 // nn.n, 9) AS bucket,
+             |             unnest(list_transform(generate_series(1, len(ts) - 1),
+             |               i -> ts[i] || ' ' || ts[i + 1])) AS gram
+             |      FROM tk CROSS JOIN nn),
+             |fs AS (SELECT gram, CAST(MIN(bucket) AS BIGINT) AS b FROM g GROUP BY 1),
+             |nb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY 1),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM fs)
+             |SELECT nb.b AS bucket, nb.n_new,
+             |       CAST(SUM(nb.n_new) OVER (ORDER BY nb.b) * 1000000 // tot.t AS BIGINT) AS cum_vocab_ppm
+             |FROM nb CROSS JOIN tot ORDER BY bucket""".stripMargin),
+      (s, d) => {
+        val nRow = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        val g = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .crossJoin(broadcast(nRow))
+          .select(least(expr("doc_id * 10 div n"), lit(9L)).as("bucket"),
+            explode(expr(
+              "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+              .as("gram"))
+        val fs = g.groupBy("gram").agg(min(col("bucket")).as("b"))
+        val nb = fs.groupBy("b").agg(count(lit(1)).as("n_new"))
+        val tot = fs.agg(count(lit(1)).as("t"))
+        nb.crossJoin(broadcast(tot))
+          .withColumn("cum_vocab_ppm",
+            expr("sum(n_new) over (order by b rows between unbounded preceding and current row) * 1000000 div t"))
+          .select(col("b").as("bucket"), col("n_new"), col("cum_vocab_ppm"))
+          .orderBy("bucket")
       })
   )
 

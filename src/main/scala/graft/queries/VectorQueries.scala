@@ -537,6 +537,47 @@ object VectorQueries {
           .join(dups, Seq("vec_id"), "left")
           .select(col("vec_id"), col("cell"), col("dup").isNull.as("kept"))
           .orderBy("vec_id")
+      }),
+
+    // ---- q190: embedding hygiene audit — the vector-data-quality pass
+    // run BEFORE any index build trusts the column: per label, the
+    // vector count, the number of DISTINCT dimensionalities observed
+    // (anything but 1 means a broken producer — ANN math silently
+    // degrades on mixed dims), zero vectors (cosine-undefined), and the
+    // mean L2 norm in exact micro units (the corrected integer sqrt per
+    // row, summed then floored — un-normalized embeddings show up here
+    // as a mean far from 1e6). Map-side per-row math + one labels-sized
+    // rollup.
+    Q("q190_embedding_hygiene",
+      Some(s"""WITH $emCte,
+              |i0 AS (SELECT label, len(em) AS d, nsq,
+              |         CAST(floor(sqrt(CAST(nsq AS DOUBLE))) AS BIGINT) AS s0 FROM n_t),
+              |i1 AS (SELECT label, d, nsq,
+              |         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= nsq THEN 1 ELSE 0 END) AS s1 FROM i0),
+              |i2 AS (SELECT label, d, nsq,
+              |         s1 - (CASE WHEN s1 * s1 > nsq THEN 1 ELSE 0 END) AS nrm FROM i1)
+              |SELECT CAST(label AS BIGINT) AS label,
+              |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+              |       CAST(COUNT(DISTINCT d) AS BIGINT) AS n_dims,
+              |       CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+              |       CAST(SUM(nrm) // COUNT(*) AS BIGINT) AS mean_norm_micro
+              |FROM i2 GROUP BY 1 ORDER BY label""".stripMargin),
+      (s, d) => {
+        def isqrtCorrected(v: Column) = {
+          val s0 = floor(sqrt(v.cast("double"))).cast("long")
+          val s1 = s0 + when((s0 + 1L) * (s0 + 1L) <= v, 1L).otherwise(0L)
+          s1 - when(s1 * s1 > v, 1L).otherwise(0L)
+        }
+        quantized(s, d)
+          .select(col("label").cast("long").as("label"),
+            size(col("em")).cast("long").as("d"), col("nsq"))
+          .withColumn("nrm", isqrtCorrected(col("nsq")))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            countDistinct(col("d")).as("n_dims"),
+            sum(when(col("nsq") === 0L, 1L).otherwise(0L)).as("n_zero"),
+            expr("sum(nrm) div count(1)").as("mean_norm_micro"))
+          .orderBy("label")
       })
   )
 }

@@ -225,7 +225,10 @@ class PlanAuditSpec extends SparkTestBase {
       //    rollup / the calendar-sized days frame / the 3-row greedy
       //    picks.
       "q185_seasonality_strength", "q186_cusum_changepoint",
-      "q188_greedy_set_cover")
+      "q188_greedy_set_cover",
+      //  - q192: the 1-row corpus-count / total-vocab scalars against
+      //    the gram and bucket frames.
+      "q192_novelty_curve")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&

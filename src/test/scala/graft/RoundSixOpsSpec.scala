@@ -571,6 +571,27 @@ class RoundSixOpsSpec extends SparkTestBase {
     assert(eta >= 0L && eta <= 1000000L + 1L)
   }
 
+  test("q191: session profile reconciles with the q43 sessionization") {
+    val sessions = run("q43_sessionize").collect()
+    val byDay = sessions.groupBy(_.getAs[Long]("start_us") / 86400000000L)
+    val got = run("q191_session_profile").collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounce"))).toMap
+    assert(got.keySet == byDay.keySet)
+    byDay.foreach { case (day, ss) =>
+      assert(got(day) == ((ss.length.toLong,
+        ss.count(_.getAs[Long]("n_events") == 1L).toLong)), s"day $day diverged")
+    }
+  }
+
+  test("q189: audit counters are internally consistent") {
+    val r = run("q189_lsh_audit", sf01).collect().head
+    val (t, c, tp) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand"), r.getAs[Long]("tp"))
+    assert(tp <= math.min(t, c) && t > 0L && c > 0L)
+    assert(r.getAs[Long]("recall_ppm") == tp * 1000000L / t)
+    assert(r.getAs[Long]("precision_ppm") == tp * 1000000L / c)
+  }
+
   test("q146: growth-accounting series reconcile (DAU identity)") {
     val rows = run("q146_growth_accounting").collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_new"),
