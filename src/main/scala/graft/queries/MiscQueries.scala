@@ -2768,7 +2768,10 @@ object MiscQueries {
         def pick(frame: org.apache.spark.sql.DataFrame) =
           frame.orderBy(col("gain").desc, col("source")).limit(1)
         val w1 = pick(st.groupBy("source").agg(count(lit(1)).as("gain")))
-        val c1 = st.join(w1.select("source"), "source").select("tok").distinct()
+        // c1 feeds BOTH round 2's anti-join and round 3's covered union —
+        // persist or the winner join + distinct recompute per consumer
+        val c1 = CacheScope.persist("q188",
+          st.join(w1.select("source"), "source").select("tok").distinct())
         val w2 = pick(st
           .join(w1.select("source"), Seq("source"), "left_anti")
           .join(c1, Seq("tok"), "left_anti")
