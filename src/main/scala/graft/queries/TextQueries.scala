@@ -2594,6 +2594,137 @@ object TextQueries {
             expr("sum(n_new) over (order by b rows between unbounded preceding and current row) * 1000000 div t"))
           .select(col("b").as("bucket"), col("n_new"), col("cum_vocab_ppm"))
           .orderBy("bucket")
+      }),
+
+    // ---- q193: budget-constrained curation — greedy knapsack by
+    // quality-per-token: rank docs by (distinct-token / token) density
+    // and keep them in density order until the 20%-of-corpus token
+    // budget is spent — the classic value/cost greedy (optimal up to one
+    // item for knapsack). The rank's cumulative cost runs through
+    // Windows.prefixSum (the corpus-shaped total order, never a
+    // single-partition window); the budget is a 1-row scalar. Output =
+    // the selected set with its running spend, fully deterministic
+    // under the (density DESC, doc_id) total order.
+    Q("q193_budget_curation",
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |v AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+             |             CAST(len(list_distinct(ts)) AS BIGINT) AS n_dis FROM tk),
+             |w AS (SELECT doc_id, n_tok, n_dis,
+             |             CAST(n_dis * 1000000 // greatest(n_tok, 1) AS BIGINT) AS density_ppm
+             |      FROM v),
+             |b AS (SELECT CAST(SUM(n_tok) * 2 // 10 AS BIGINT) AS budget FROM v),
+             |c AS (SELECT doc_id, n_tok, density_ppm,
+             |        CAST(SUM(n_tok) OVER (ORDER BY density_ppm DESC, doc_id) AS BIGINT) AS cum_tok
+             |      FROM w)
+             |SELECT c.doc_id, c.n_tok, c.density_ppm, c.cum_tok
+             |FROM c CROSS JOIN b WHERE c.cum_tok <= b.budget
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import graft.operators.Windows
+        val w = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"),
+            size(array_distinct(col("ts"))).cast("long").as("n_dis"))
+          .withColumn("density_ppm", expr("n_dis * 1000000 div greatest(n_tok, 1)"))
+        val budget = w.agg(expr("sum(n_tok) * 2 div 10").as("budget"))
+        val c = Windows.prefixSum(w,
+          Seq(col("density_ppm").desc, col("doc_id")), col("n_tok"), "cum_tok")
+        c.crossJoin(broadcast(budget))
+          .filter(col("cum_tok") <= col("budget"))
+          .select(col("doc_id"), col("n_tok"), col("density_ppm"), col("cum_tok"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q194: overlapping chunker — the RAG/context-window ingest
+    // shape: every document split into 64-token windows at stride 48
+    // (16-token overlap, so no retrieval-relevant span is cut without a
+    // window that contains it whole). Map-side array slicing (one
+    // `transform` + explode — no shuffle at all until a consumer
+    // aggregates); chunks emit as md5 digests so the verified row stays
+    // narrow while still pinning the exact chunk text byte-for-byte.
+    Q("q194_overlap_chunks",
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |c AS (SELECT doc_id,
+             |        unnest(list_transform(generate_series(0, (len(ts) - 1) // 48),
+             |          i -> struct_pack(cid := i,
+             |                 ch := array_to_string(ts[i * 48 + 1 : i * 48 + 64], ' ')))) AS s
+             |      FROM tk)
+             |SELECT doc_id, CAST(s.cid AS BIGINT) AS chunk_id,
+             |       CAST(len(string_split(s.ch, ' ')) AS BIGINT) AS n_tokens,
+             |       md5(s.ch) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, (size(ts) - 1) div 48),
+              |  i -> struct(cast(i as bigint) as cid,
+              |              array_join(slice(ts, i * 48 + 1, 64), ' ') as ch))""".stripMargin))
+            .as("s"))
+          .select(col("doc_id"), col("s.cid").as("chunk_id"),
+            size(split(col("s.ch"), " ")).cast("long").as("n_tokens"),
+            md5(col("s.ch").cast("binary")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")),
+
+    // ---- q195: exact MRR@10 retrieval eval — the metric machinery of
+    // L117's retrieval (token-overlap ranking) graded against a
+    // relevance oracle (same-source docs), per query, in exact ppb:
+    // RR = 1e9 div rank of the first relevant hit in the top-10, 0 on a
+    // miss. 20 query docs ride ONE (value) equi-join against the corpus
+    // postings (the q36 bounded-query pattern); per-query top-10 via a
+    // query-partitioned window whose fan-in is the candidate count.
+    // Honesty note: on this synthetic corpus source does not correlate
+    // with token overlap, so the measured MRR is the ~random baseline —
+    // the metric is the deliverable, and it is exact.
+    Q("q195_retrieval_mrr",
+      Some("""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+             |post AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(ts) AS tok FROM tk)),
+             |q AS (SELECT doc_id AS qid, tok FROM post WHERE doc_id < 20),
+             |ovl AS (SELECT q.qid, p.doc_id,
+             |          CAST(COUNT(*) AS BIGINT) AS ov
+             |        FROM q JOIN post p ON q.tok = p.tok AND p.doc_id <> q.qid
+             |        GROUP BY 1, 2),
+             |r AS (SELECT qid, doc_id, ov,
+             |        row_number() OVER (PARTITION BY qid ORDER BY ov DESC, doc_id) AS rnk
+             |      FROM ovl),
+             |rel AS (SELECT r.qid, r.rnk
+             |        FROM r JOIN documents dq ON dq.doc_id = r.qid
+             |               JOIN documents dd ON dd.doc_id = r.doc_id
+             |        WHERE r.rnk <= 10 AND dq.source = dd.source),
+             |f AS (SELECT qid, MIN(rnk) AS first_rel FROM rel GROUP BY 1),
+             |qs AS (SELECT DISTINCT doc_id AS qid FROM documents WHERE doc_id < 20)
+             |SELECT qs.qid AS query_id,
+             |       CAST(COALESCE(f.first_rel, 0) AS BIGINT) AS first_rel_rank,
+             |       CAST(CASE WHEN f.first_rel IS NULL THEN 0
+             |            ELSE 1000000000 // f.first_rel END AS BIGINT) AS rr_ppb
+             |FROM qs LEFT JOIN f ON qs.qid = f.qid
+             |ORDER BY query_id""".stripMargin),
+      (s, d) => {
+        val post = docs(s, d)
+          .select(col("doc_id"), explode(toks).as("tok")).distinct()
+        val q = post.filter(col("doc_id") < 20L)
+          .select(col("doc_id").as("qid"), col("tok"))
+        val r = q.join(post.as("p"),
+            q("tok") === col("p.tok") && col("p.doc_id") =!= col("qid"))
+          .groupBy(col("qid"), col("p.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("ov"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("ov").desc, col("doc_id"))).cast("long"))
+          .filter(col("rnk") <= 10L)
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val f = r
+          .join(broadcast(src.select(col("doc_id").as("qid"), col("source").as("qsrc"))), "qid")
+          .join(broadcast(src.select(col("doc_id").as("doc_id"), col("source").as("dsrc"))), "doc_id")
+          .filter(col("qsrc") === col("dsrc"))
+          .groupBy("qid").agg(min(col("rnk")).as("first_rel"))
+        Tables.documents(s, d).filter(col("doc_id") < 20L)
+          .select(col("doc_id").as("query_id"))
+          .join(f.select(col("qid").as("query_id"), col("first_rel")), Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("first_rel"), lit(0L)).as("first_rel_rank"),
+            when(col("first_rel").isNull, 0L)
+              .otherwise(expr("1000000000 div first_rel")).as("rr_ppb"))
+          .orderBy("query_id")
       })
   )
 

@@ -228,7 +228,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q188_greedy_set_cover",
       //  - q192: the 1-row corpus-count / total-vocab scalars against
       //    the gram and bucket frames.
-      "q192_novelty_curve")
+      "q192_novelty_curve",
+      //  - q193: the 1-row token-budget scalar against the ranked
+      //    density frame.
+      "q193_budget_curation")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&
