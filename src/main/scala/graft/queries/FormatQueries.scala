@@ -191,6 +191,46 @@ object FormatQueries {
           .groupBy(col("l_returnflag").as("rf"))
           .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("sum_price_c"))
           .orderBy("rf")
+      }),
+
+    // ---- q196: transactional-table snapshot read — the Delta-style
+    // write path (BASELINE "Parquet/Delta writes") self-built over plain
+    // parquet (sources/TxnTable.scala: staged immutable data dirs + an
+    // atomic put-if-absent commit log). The derived build makes THREE
+    // commits — append(even orders), append(odd orders), overwrite(tiny
+    // F-slice) — and the query time-travels to version 1: the full
+    // orders table, BEHIND a later overwrite that replaced everything.
+    // The oracle aggregates the original parquet, so a hash match proves
+    // (a) the two appends lost/duplicated nothing across the commit
+    // protocol and (b) the overwrite at v2 did not leak into the v1
+    // snapshot — snapshot isolation as a checkable query result.
+    Q("q196_txn_snapshot",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t) // a rebuilt fingerprint must not append onto a stale log
+          val orders = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          TxnTable.append(orders.filter(col("o_orderkey") % 2 === 0), t.getPath,
+            txnId = Some("even"))
+          TxnTable.append(orders.filter(col("o_orderkey") % 2 === 1), t.getPath,
+            txnId = Some("odd"))
+          TxnTable.overwrite(orders.filter(col("o_orderstatus") === "F").limit(10), t.getPath)
+          ()
+        }
+        TxnTable.read(s, s"$dir/t", version = Some(1L))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

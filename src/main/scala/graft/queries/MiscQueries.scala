@@ -1972,7 +1972,12 @@ object MiscQueries {
     // `aggregate` HOF — O(60²) on 60 rows, constant at any corpus
     // size). DuckDB replays the same fold through list_reduce with the
     // (n, d) pair packed into one BIGINT (n·2^20 + d), so the
-    // truncating integer steps match exactly.
+    // truncating integer steps match exactly. PACKING BOUND: the oracle
+    // encoding requires d (deaths on one ship-delay day) < 2^20
+    // ≈ 1.05M; beyond that the packed fold corrupts while the Spark
+    // side (unpacked structs) stays correct. lineitem/60 crosses the
+    // bound around sf≈175 — RoundSixOpsSpec asserts the bound holds on
+    // the test corpus; at larger sf widen the shift in the oracle.
     Q("q170_km_shipping",
       Some("""WITH base AS (SELECT CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS d
              |              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2617,7 +2622,8 @@ object MiscQueries {
              |SELECT n AS n_days,
              |       CAST(ssbn - s * s AS BIGINT) AS num,
              |       CAST(n * svv - s * s AS BIGINT) AS den,
-             |       CAST((ssbn - s * s) // greatest((n * svv - s * s) // 1000000, 1) AS BIGINT) AS eta2_ppm
+             |       CAST(CASE WHEN n * svv - s * s < 1000000 THEN 0
+             |            ELSE (ssbn - s * s) // ((n * svv - s * s) // 1000000) END AS BIGINT) AS eta2_ppm
              |FROM b""".stripMargin),
       (s, d) => {
         val daily = Tables.orders(s, d)
@@ -2635,7 +2641,12 @@ object MiscQueries {
             (col("ssbn") - col("s") * col("s")).as("num"),
             (col("n") * col("svv") - col("s") * col("s")).as("den"))
           .withColumn("eta2_ppm",
-            expr("num div greatest(den div 1000000, 1)"))
+            // degenerate guard: when total variance den < 1e6 the scaled
+            // divisor would clamp to 1 and the "ppm" becomes the raw
+            // numerator — emit 0 instead (a near-constant series has no
+            // meaningful seasonality share at this quantization)
+            expr("case when den < 1000000 then 0L " +
+              "else num div (den div 1000000) end"))
       }),
 
     // ---- q186: CUSUM changepoint scan — WHERE the daily event level

@@ -337,10 +337,14 @@ object TextQueries {
         // null-on-empty banding semantics (see q33)
         val sig = base.select(col("doc_id"), col("sh"),
           NativeText.minhash8(col("sh")).as("mh8"))
-        def mhk(k: Int) = when(size(col("sh")) > 0, element_at(col("mh8"), k + 1))
+        // empty-shingle docs get a NULL bkey (never equi-joins) — matching
+        // the oracle's NULL-propagating '||' concat; concat_ws alone would
+        // skip the null halves and emit a joinable "" key
+        def mhk(k: Int) = element_at(col("mh8"), k + 1)
         val bands = sig.select(col("doc_id"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band"),
-            concat_ws(":", mhk(2 * b), mhk(2 * b + 1)).as("bkey"))): _*)).as("bk"))
+            when(size(col("sh")) > 0,
+              concat_ws(":", mhk(2 * b), mhk(2 * b + 1))).as("bkey"))): _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
         val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -2313,10 +2317,13 @@ object TextQueries {
         val bands = SimHashBands.bandsOf(sim, bits)
         val pairs = SimHashBands.verifiedPairs(bands, bands,
           col("a.doc_id") < col("b.doc_id"))
+        // the (doc_id, source) projection is CORPUS-sized — no broadcast
+        // hint; the attach is a shuffle equi-join on doc_id (AQE may still
+        // choose broadcast at small sf, but the plan must survive 100 TB)
         val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
         pairs
-          .join(broadcast(src.select(col("doc_id").as("i"), col("source").as("src_i"))), "i")
-          .join(broadcast(src.select(col("doc_id").as("j"), col("source").as("src_j"))), "j")
+          .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
+          .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), "j")
           .select(least(col("src_i"), col("src_j")).as("s_a"),
             greatest(col("src_i"), col("src_j")).as("s_b"))
           .groupBy("s_a", "s_b").agg(count(lit(1)).as("n_pairs"))
@@ -2537,10 +2544,14 @@ object TextQueries {
           .select(col("i"), col("j"))
         val sig = base.select(col("doc_id"), col("sh"),
           NativeText.minhash8(col("sh")).as("mh8"))
-        def mhk(k: Int) = when(size(col("sh")) > 0, element_at(col("mh8"), k + 1))
+        // empty-shingle docs get a NULL bkey (never equi-joins) — matching
+        // the oracle's NULL-propagating '||' concat; concat_ws alone would
+        // skip the null halves and emit a joinable "" key
+        def mhk(k: Int) = element_at(col("mh8"), k + 1)
         val bands = sig.select(col("doc_id"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band"),
-            concat_ws(":", mhk(2 * b), mhk(2 * b + 1)).as("bkey"))): _*)).as("bk"))
+            when(size(col("sh")) > 0,
+              concat_ws(":", mhk(2 * b), mhk(2 * b + 1))).as("bkey"))): _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -2711,10 +2722,13 @@ object TextQueries {
           .withColumn("rnk", row_number().over(
             Window.partitionBy("qid").orderBy(col("ov").desc, col("doc_id"))).cast("long"))
           .filter(col("rnk") <= 10L)
+        // (doc_id, source) is corpus-sized — shuffle join on doc_id, no
+        // broadcast hint (the q81 fact-to-fact layout); AQE may still
+        // broadcast at small sf
         val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
         val f = r
-          .join(broadcast(src.select(col("doc_id").as("qid"), col("source").as("qsrc"))), "qid")
-          .join(broadcast(src.select(col("doc_id").as("doc_id"), col("source").as("dsrc"))), "doc_id")
+          .join(src.select(col("doc_id").as("qid"), col("source").as("qsrc")), "qid")
+          .join(src.select(col("doc_id").as("doc_id"), col("source").as("dsrc")), "doc_id")
           .filter(col("qsrc") === col("dsrc"))
           .groupBy("qid").agg(min(col("rnk")).as("first_rel"))
         Tables.documents(s, d).filter(col("doc_id") < 20L)

@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Transactional parquet table — ACID-ish semantics over plain parquet,
+  * no Delta/Iceberg jars (none ship in this environment; see SURVEY
+  * "What's missing"). The ingredients are the ones already proven
+  * separately in this repo, composed: MviewStream's atomic-pointer flip
+  * becomes an append-only COMMIT LOG, and every write stages immutable
+  * data first, publishes a manifest second.
+  *
+  * Layout:
+  * {{{
+  *   tableDir/
+  *     data/txn-<uuid>/          immutable parquet dirs, one per commit;
+  *                               written BEFORE the commit exists, never
+  *                               mutated after
+  *     _log/v<20-digit>.json     one manifest per committed version; the
+  *                               manifest lists the FULL live set, so a
+  *                               snapshot read is one manifest, no log
+  *                               replay
+  * }}}
+  *
+  * Commit protocol (the Delta/Iceberg idea re-derived over local files):
+  *  1. stage: write the parquet data under `data/txn-<uuid>` — invisible
+  *     to every reader because no manifest references it; a crash here
+  *     leaves an orphan dir and a fully intact previous snapshot.
+  *  2. publish: write the manifest to a temp name, then hard-link it to
+  *     `_log/v<n>.json`. link(2) fails with EEXIST ATOMICALLY, so two
+  *     writers racing for the same version get exactly one winner — this
+  *     IS the optimistic-concurrency conflict detector. (On an object
+  *     store the same slot is a put-if-absent / conditional-PUT; on HDFS
+  *     a no-overwrite rename. The protocol is unchanged.) Filesystems
+  *     without hard links fall back to an existence-checked ATOMIC_MOVE.
+  *  3. on conflict: re-read the new latest manifest, rebase (append: new
+  *     live = latest.live + staged; overwrite: live = staged) and retry
+  *     at the next version. The staged data is never rewritten — only
+  *     the manifest is recomputed.
+  *
+  * Reader isolation: a reader resolves ONE manifest and reads exactly the
+  * dirs it lists — concurrent commits create new manifests and new data
+  * dirs, never touching the ones a running query holds. Time travel is
+  * reading an older manifest. Exactly-once ingestion uses `txnId`: a
+  * retried commit whose txnId already appears in the retained log is
+  * skipped (the MviewStream batchId idea, generalized).
+  *
+  * At 100 TB: data dirs live on the object store; manifests are KB-sized
+  * (they list directories, not rows) and the commit hot path is one
+  * conditional put — no scan, no listing, no lock. Readers plan from the
+  * manifest list, so there is no eventually-consistent LIST on the read
+  * path at all.
+  */
+object TxnTable {
+
+  final case class Snapshot(version: Long, action: String,
+                            live: Seq[String], txnId: Option[String])
+
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  private def logDir(tableDir: String) = new File(tableDir, "_log")
+  private def dataDir(tableDir: String) = new File(tableDir, "data")
+  private def manifestFile(tableDir: String, v: Long) =
+    new File(logDir(tableDir), f"v$v%020d.json")
+
+  /** Committed versions, ascending. Pure listing of `_log`. */
+  def versions(tableDir: String): Seq[Long] =
+    Option(logDir(tableDir).listFiles()).getOrElse(Array.empty[File])
+      .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong).sorted.toSeq
+
+  /** Parse one manifest. The writer controls the format (dir names are
+    * UUIDs, actions are from a closed set), so a tiny extractor is safe —
+    * no JSON library exists in the dependency set by design.
+    */
+  def snapshot(tableDir: String, version: Long): Snapshot = {
+    val f = manifestFile(tableDir, version)
+    val s = new String(Files.readAllBytes(f.toPath), "UTF-8")
+    def field(k: String): Option[String] =
+      s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+    val live = """"live"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    Snapshot(version, field("action").getOrElse("append"), live, field("txnId"))
+  }
+
+  def latestVersion(tableDir: String): Option[Long] = versions(tableDir).lastOption
+
+  /** Read a snapshot as a DataFrame — the latest by default, or any
+    * retained `version` (time travel). The read plans EXACTLY the dirs
+    * the manifest lists; concurrent writers cannot perturb it.
+    */
+  def read(spark: SparkSession, tableDir: String,
+           version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(tableDir))
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, v)
+    require(snap.live.nonEmpty, s"version $v has an empty live set")
+    spark.read.parquet(snap.live.map(d => new File(dataDir(tableDir), d).getPath): _*)
+  }
+
+  /** Append `df` as one atomic commit; returns the committed version.
+    * Idempotent per `txnId` (a retried commit is skipped). */
+  def append(df: DataFrame, tableDir: String, txnId: Option[String] = None): Long =
+    commit(df, tableDir, "append", txnId)
+
+  /** Replace the whole table content in one atomic commit. Readers of
+    * older versions are unaffected (their manifests and data remain). */
+  def overwrite(df: DataFrame, tableDir: String, txnId: Option[String] = None): Long =
+    commit(df, tableDir, "overwrite", txnId)
+
+  private def commit(df: DataFrame, tableDir: String, action: String,
+                     txnId: Option[String]): Long = {
+    dataDir(tableDir).mkdirs(); logDir(tableDir).mkdirs()
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed commit — already in the log
+      case None    =>
+    }
+    // 1. stage immutable data (invisible until a manifest references it)
+    val staged = s"txn-${UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(new File(dataDir(tableDir), staged).getPath)
+    // 2./3. publish with optimistic retry
+    var attempt = 0
+    while (attempt < 64) {
+      txnId.flatMap(findTxn(tableDir, _)) match {
+        case Some(v) => return v // lost the race to our own retry twin
+        case None    =>
+      }
+      val base = latestVersion(tableDir)
+      val prevLive =
+        if (action == "overwrite") Nil
+        else base.map(snapshot(tableDir, _).live).getOrElse(Nil)
+      val next = base.map(_ + 1L).getOrElse(0L)
+      if (tryPublish(tableDir, next, action, prevLive :+ staged, txnId)) return next
+      attempt += 1 // conflict: someone else took `next` — rebase and retry
+    }
+    throw new CommitConflict(s"gave up after $attempt conflicts at $tableDir")
+  }
+
+  /** Version whose manifest carries `txnId`, if any retained one does. */
+  private def findTxn(tableDir: String, txnId: String): Option[Long] =
+    versions(tableDir).reverseIterator
+      .find(v => snapshot(tableDir, v).txnId.contains(txnId))
+
+  /** Atomic put-if-absent of the version-`v` manifest. True = committed;
+    * false = the slot was taken (conflict). */
+  private def tryPublish(tableDir: String, v: Long, action: String,
+                         live: Seq[String], txnId: Option[String]): Boolean = {
+    val json = {
+      val liveJson = live.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val txn = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
+      s"""{"version":$v,"action":"$action","live":$liveJson$txn}"""
+    }
+    val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp.toPath, json.getBytes("UTF-8"))
+    val dest = manifestFile(tableDir, v).toPath
+    try {
+      try Files.createLink(dest, tmp.toPath) // link(2): atomic EEXIST
+      catch {
+        case _: UnsupportedOperationException | _: SecurityException =>
+          // no-hard-link filesystem: existence check + atomic rename.
+          // Not race-free across hosts, but such filesystems are local.
+          if (Files.exists(dest)) throw new java.nio.file.FileAlreadyExistsException(dest.toString)
+          Files.move(tmp.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally { Files.deleteIfExists(tmp.toPath); () }
+  }
+
+  /** Rewrite the live set of the latest snapshot into one bin-packed dir
+    * and commit it as a content-identical new version (the OPTIMIZE /
+    * small-file-compaction maintenance action). `targetFiles` bounds the
+    * output file count. Readers of prior versions still see the old dirs
+    * until [[vacuum]].
+    */
+  def compact(spark: SparkSession, tableDir: String, targetFiles: Int): Long = {
+    val df = read(spark, tableDir).coalesce(targetFiles)
+    commit(df, tableDir, "overwrite", None)
+  }
+
+  /** Drop manifests older than the newest `retain` versions, then delete
+    * every data dir no retained manifest references — including orphans
+    * staged by crashed writers. In production an orphan needs a grace
+    * period (an in-flight writer may not have published yet); here the
+    * caller vacuums quiesced tables.
+    */
+  def vacuum(tableDir: String, retain: Int = 1): Unit = {
+    val vs = versions(tableDir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
+    val referenced = keep.flatMap(snapshot(tableDir, _).live).toSet
+    drop.foreach(v => Files.deleteIfExists(manifestFile(tableDir, v).toPath))
+    Option(dataDir(tableDir).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && !referenced.contains(f.getName))
+      .foreach(deleteRec)
+  }
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(deleteRec)
+    f.delete(): Unit
+  }
+}

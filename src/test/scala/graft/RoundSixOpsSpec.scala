@@ -320,6 +320,10 @@ class RoundSixOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).filter(_ >= 1L)
     val cens = delays.count(_ > 60L).toLong
     val deaths = (1L to 60L).map(t => t -> delays.count(_ == t).toLong).toMap
+    // the DuckDB oracle packs (n, d) as n*2^20 + d — valid only while the
+    // max per-day death count stays under 2^20 (see the q170 query comment)
+    assert(deaths.values.max < (1L << 20),
+      "oracle packing bound violated: per-day deaths >= 2^20")
     val got = run("q170_km_shipping").collect()
     assert(got.length == 60)
     var s = 1000000L
