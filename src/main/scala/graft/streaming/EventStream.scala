@@ -68,6 +68,44 @@ object EventStream {
         col("p.ts").as("purchase_ts"), col("v.ts").as("view_ts"))
   }
 
+  /** q143's streaming twin — the last stream-stream primitive: a LEFT
+    * OUTER watermark-bounded interval join of purchases to the same
+    * user's clicks within the trailing attribution window (default the
+    * batch query's 7 days). The output is the full (purchase, candidate
+    * click) pair set; last-touch is the downstream max-by reduction,
+    * exactly as in batch where the window/aggregate sits above the join.
+    *
+    * Outer semantics need the watermark: a purchase with NO click in its
+    * window can only be emitted (with null click columns) once the
+    * click-side watermark has passed the end of its interval — before
+    * that, a matching click could still arrive. So null emission is
+    * delayed by `delay`, and click state retention is bounded by
+    * watermark + `window`: state is one attribution window of traffic
+    * per shard, never stream history (StreamingAttributionSpec asserts
+    * rows are evicted as the watermark advances). Late clicks beyond
+    * `delay` are dropped at the input, the q174 lateness-audit budget —
+    * size `delay` from that query's observed disorder.
+    */
+  def lastTouchPairs(clicks: DataFrame, purchases: DataFrame,
+                     window: String = "7 days",
+                     delay: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    p.join(c, expr(
+        s"click_user = user_id AND " +
+          s"click_ts BETWEEN purchase_ts - INTERVAL $window AND purchase_ts"),
+        "leftOuter")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        round(col("value") * 100).cast("long").as("value_c"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** q43's streaming twin: gap-based sessionization via per-user state.
     * A >30-minute silence closes the session; closed sessions are emitted
     * and the open one stays in state. Sessions close on gap EVIDENCE (the
