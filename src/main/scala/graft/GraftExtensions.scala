@@ -36,8 +36,12 @@ import graft.functions._
   *  - `graft_countmin_longs(v, d, w)` → aggregate, d×w CMS counter matrix
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    // optimizer surface: the CMS heavy-hitter prune (lossless, opt-in via
+    // spark.graft.cmsPrune.enabled — see graft.plans.CmsHeavyHitterPrune)
+    ext.injectOptimizerRule(session => new graft.plans.CmsHeavyHitterPrune(session))
+  }
 }
 
 object GraftExtensions {
