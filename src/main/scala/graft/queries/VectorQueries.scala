@@ -578,6 +578,131 @@ object VectorQueries {
             sum(when(col("nsq") === 0L, 1L).otherwise(0L)).as("n_zero"),
             expr("sum(nrm) div count(1)").as("mean_norm_micro"))
           .orderBy("label")
+      }),
+
+    // ---- q197: product-quantization ANN (Jégou et al. 2011 shape, exact
+    // integer arithmetic throughout) — the compressed-domain scoring path
+    // IVF alone doesn't give: the 64-dim vector splits into M=4 16-dim
+    // sub-vectors, each sub-space trains its own 10-code codebook (label
+    // seeds + one Lloyd refinement round — the q88 machinery per
+    // sub-space), and every corpus vector is ENCODED as 4 small codes.
+    // Query scoring is asymmetric distance computation: the query stays
+    // exact, a (queries × M × codes) distance TABLE is precomputed, and
+    // each candidate's approximate dot is 4 table lookups + a sum instead
+    // of 64 multiplies — the 16× FLOP cut that makes a 100 TB linear scan
+    // affordable, with memory per vector down from 64 longs to 4 codes
+    // (+1 norm for cosine). Everything is equality joins: encode is a
+    // broadcast of the 40-row codebook, ADC is a broadcast of the
+    // 400-row distance table; the corpus is never shuffled on anything
+    // but its own id. Recall vs the exact q36 baseline is measured in
+    // ScaleBench (the q189 audit discipline); at production scale PQ
+    // composes with the q44 IVF cells (probe the cell list, score with
+    // the table).
+    Q("q197_pq_ann",
+      Some(
+        s"""WITH $emCte,
+           |ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+           |sn_t AS (
+           |  SELECT vec_id, label, nsq, m, em[m*16+1 : m*16+16] AS sv,
+           |         CAST(list_sum(list_transform(em[m*16+1 : m*16+16], x -> x * x)) AS BIGINT) AS snsq
+           |  FROM n_t CROSS JOIN ms),
+           |s0 AS (SELECT m, label AS code, i AS dim,
+           |         CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |       FROM sn_t, generate_series(1, 16) t(i) GROUP BY 1, 2, 3),
+           |cb0 AS (SELECT m, code, list(cv ORDER BY dim) AS cvec FROM s0 GROUP BY 1, 2),
+           |cb0n AS (SELECT m, code, cvec,
+           |         CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm FROM cb0),
+           |a1 AS (SELECT vec_id, m, sv, snsq, nsq, code,
+           |         row_number() OVER (PARTITION BY vec_id, m ORDER BY
+           |           snsq + cnorm - 2 * CAST(list_sum(list_transform(generate_series(1, 16),
+           |             i -> sv[i] * cvec[i])) AS BIGINT), code) AS rnk
+           |       FROM sn_t JOIN cb0n USING (m)),
+           |asg1 AS (SELECT vec_id, m, sv, snsq, nsq, code FROM a1 WHERE rnk = 1),
+           |s1 AS (SELECT m, code, i AS dim,
+           |         CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |       FROM asg1, generate_series(1, 16) t(i) GROUP BY 1, 2, 3),
+           |cb1 AS (SELECT m, code, list(cv ORDER BY dim) AS cvec FROM s1 GROUP BY 1, 2),
+           |cb1n AS (SELECT m, code, cvec,
+           |         CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm FROM cb1),
+           |a2 AS (SELECT vec_id, m, snsq, nsq, code,
+           |         row_number() OVER (PARTITION BY vec_id, m ORDER BY
+           |           snsq + cnorm - 2 * CAST(list_sum(list_transform(generate_series(1, 16),
+           |             i -> sv[i] * cvec[i])) AS BIGINT), code) AS rnk
+           |       FROM sn_t JOIN cb1n USING (m)),
+           |enc AS (SELECT vec_id, m, code, nsq FROM a2 WHERE rnk = 1),
+           |dt AS (SELECT q.vec_id AS qid, q.m, c.code,
+           |         CAST(list_sum(list_transform(generate_series(1, 16),
+           |           i -> q.sv[i] * c.cvec[i])) AS BIGINT) AS pdot
+           |       FROM sn_t q JOIN cb1n c ON q.m = c.m WHERE q.vec_id < 10),
+           |adc AS (SELECT dt.qid, e.vec_id, CAST(SUM(dt.pdot) AS BIGINT) AS dot,
+           |               MAX(e.nsq) AS cn
+           |        FROM enc e JOIN dt ON e.m = dt.m AND e.code = dt.code AND e.vec_id <> dt.qid
+           |        GROUP BY 1, 2),
+           |r_t AS (SELECT adc.qid, adc.vec_id, dot, $cosSql AS cos
+           |        FROM adc JOIN (SELECT vec_id AS qid, nsq AS qn FROM n_t WHERE vec_id < 10) qt
+           |               USING (qid)),
+           |k_t AS (SELECT qid, vec_id, dot, cos,
+           |          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+           |        FROM r_t)
+           |SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, dot AS adc_dot, cos
+           |FROM k_t WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        import graft.operators.CacheScope
+        val M = 4; val SubDim = 16
+        CacheScope.release("q197")
+        val n = quantized(s, d)
+        // sub-vector frame: one row per (vec_id, sub-space) — persisted:
+        // codebook seed, both Lloyd passes, and the query side all read it
+        val sub = CacheScope.persist("q197", n
+          .select(col("vec_id"), col("label"), col("nsq"),
+            explode(array((0 until M).map(m => struct(lit(m).as("m"),
+              slice(col("em"), m * SubDim + 1, SubDim).as("sv"))): _*)).as("x"))
+          .select(col("vec_id"), col("label"), col("nsq"),
+            col("x.m").as("m"), col("x.sv").as("sv"))
+          .withColumn("snsq", NativeText.dotLong(col("sv"), col("sv"))))
+        // per-sub-space floored-mean codebook from an assignment key
+        def cbFrom(assigned: DataFrame, key: String): DataFrame = assigned
+          .select(col("m"), col(key).as("code"), posexplode(col("sv")).as(Seq("dim0", "v")))
+          .groupBy(col("m"), col("code"), (col("dim0") + 1).as("dim"))
+          .agg(sum(col("v")).as("svv"), count(lit(1)).as("cnt"))
+          .withColumn("cv", floor(col("svv").cast("double") / col("cnt")).cast("long"))
+          .groupBy(col("m"), col("code"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+          .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
+        // nearest sub-centroid per (vec, sub-space): exact integer L2
+        def assignSub(cb: DataFrame): DataFrame = {
+          val dist = col("snsq") + col("cnorm") -
+            NativeText.dotLong(col("sv"), col("cvec")) * 2L
+          sub.join(broadcast(cb), Seq("m"))
+            .withColumn("rnk_c", row_number().over(
+              Window.partitionBy(col("vec_id"), col("m")).orderBy(dist, col("code"))))
+            .filter(col("rnk_c") === 1)
+            .select(col("vec_id"), col("m"), col("sv"), col("snsq"),
+              col("nsq"), col("code"))
+        }
+        val cb1 = cbFrom(assignSub(cbFrom(sub, "label")), "code")
+        val enc = assignSub(cb1).select(col("vec_id"), col("m"), col("code"), col("nsq"))
+        // ADC distance table: queries stay exact; 10 × 4 × 10 rows
+        val dt = sub.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
+          .join(broadcast(cb1), Seq("m"))
+          .select(col("qid"), col("m"), col("code"),
+            NativeText.dotLong(col("qv"), col("cvec")).as("pdot"))
+        val qn = n.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("nsq").as("qn"))
+        enc.join(broadcast(dt), Seq("m", "code"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("pdot")).as("dot"), max(col("nsq")).as("cn"))
+          .join(broadcast(qn), Seq("qid"))
+          .withColumn("cos", Exact.cosineMicro(col("dot"), col("qn"), col("cn")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id"), col("rnk"), col("dot").as("adc_dot"), col("cos"))
+          .orderBy("qid", "rnk")
       })
   )
 }

@@ -93,6 +93,83 @@ object Sinks {
     }
   }
 
+  /** Per-leaf compaction statistics from [[compactParquet]]. */
+  final case class CompactStats(filesBefore: Int, bytesBefore: Long,
+                                filesAfter: Int, bytesAfter: Long)
+
+  /** Small-file compaction / layout maintenance — the 100 TB lake chore:
+    * a partitioned dataset accumulating drip appends degrades into
+    * thousands of KB-sized files per partition, and scan cost becomes
+    * file-open cost (plus the NameNode/object-store listing tax). This
+    * bin-packs every partition LEAF directory back to `targetFileBytes`
+    * per file, preserving partition values (files are rewritten inside
+    * their own leaf dir — partition columns live in the directory name,
+    * never in the files) and preserving Z-ORDER when asked: a compaction
+    * that merely concatenates z-ordered fragments interleaves their key
+    * ranges and silently destroys min-max pruning, so with `zorder` set
+    * the rewrite re-runs the Morton range-partition + sort at the new
+    * file count (the [[zorderedParquet]] layout, maintained).
+    *
+    * Leaves already at-or-below the target file count are untouched
+    * (idempotent; a nightly run is a no-op on quiet partitions). The
+    * rewrite stages into a hidden sibling dir, then swaps — this is
+    * MAINTENANCE for quiesced tables; concurrent readers of a live table
+    * get atomic compaction through [[graft.sources.TxnTable.compact]],
+    * which publishes the packed files as a new snapshot instead of
+    * touching the old ones. Content equality is the caller-checkable
+    * invariant (the q117 order-independent checksum; asserted in
+    * SinksSpec).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFileBytes: Long,
+                     zorder: Option[(String, String)] = None): CompactStats = {
+    import java.io.File
+    import org.apache.spark.sql.functions.col
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    def leaves(f: File): Seq[File] = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[File])
+      val partDirs = kids.filter(d => d.isDirectory && d.getName.contains("="))
+      if (partDirs.isEmpty) Seq(f) else partDirs.toSeq.flatMap(leaves)
+    }
+    def dataFiles(dir: File): Array[File] =
+      Option(dir.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    def deleteRec(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(deleteRec)
+      f.delete(): Unit
+    }
+    var (fb, bb, fa, ba) = (0, 0L, 0, 0L)
+    leaves(new File(path)).foreach { dir =>
+      val files = dataFiles(dir)
+      if (files.nonEmpty) {
+        val bytes = files.map(_.length).sum
+        fb += files.length; bb += bytes
+        val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        if (files.length > nOut) {
+          val df = spark.read.parquet(dir.getPath)
+          val packed = zorder match {
+            case Some((c1, c2)) =>
+              val z = graft.functions.NativeText.morton2(
+                col(c1).cast("long"), col(c2).cast("long"))
+              df.repartitionByRange(nOut, z).sortWithinPartitions(z)
+            case None => df.coalesce(nOut)
+          }
+          val staged = new File(dir.getParentFile,
+            s".compact-${java.util.UUID.randomUUID()}")
+          packed.write.mode("overwrite").parquet(staged.getPath)
+          files.foreach(f => { f.delete(): Unit })
+          dataFiles(staged).foreach { f =>
+            java.nio.file.Files.move(f.toPath, new File(dir, f.getName).toPath): Unit
+          }
+          deleteRec(staged)
+        }
+        val after = dataFiles(dir)
+        fa += after.length; ba += after.map(_.length).sum
+      }
+    }
+    CompactStats(fb, bb, fa, ba)
+  }
+
   /** Console sink (ref S6: the debugging `df.show()` surface). Formats a
     * bounded number of rows on the DRIVER — deliberately capped because
     * rendering is a collect of `numRows` rows; it is a debugging sink, not

@@ -298,10 +298,76 @@ object ScaleBench {
       dic
     }
 
+    // ---- 4b. product quantization (the q197 shape at scale): M=4
+    // sub-spaces × K=64 codes, codebooks trained on a ≤100k sample with
+    // 2 Lloyd rounds (standard PQ practice — training cost must not scale
+    // with the corpus), the FULL corpus encoded once to 4 codes + its
+    // norm. Query scoring is ADC: a per-query (m·K+code → partial-dot)
+    // map, so each candidate costs 4 map lookups instead of a 16-dim
+    // exact dot. Two paths measured per Q against the same brute truth:
+    // full-corpus ADC scan (isolates codebook accuracy) and IVF-PQ
+    // (nprobe=4 cells scored by ADC — the production composition whose
+    // target is np4 recall at under np2 exact-probe cost).
+    val pqM = 4; val pqSubDim = dims / pqM; val pqK = 64
+    def subOf(df: DataFrame): DataFrame = df
+      .select(col("id"), explode(array((0 until pqM).map(m => struct(lit(m.toLong).as("m"),
+        slice(col("em"), m * pqSubDim + 1, pqSubDim).as("sv"))): _*)).as("x"))
+      .select(col("id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .withColumn("snsq", NativeText.dotLong(col("sv"), col("sv")))
+    def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = sub
+      .join(broadcast(cb), Seq("m"))
+      .select(col("id"), col("m"), col("sv"), col("snsq"),
+        struct((col("snsq") + col("cnorm") -
+          NativeText.dotLong(col("sv"), col("cvec")) * 2L).as("l2"), col("code")).as("dc"))
+      .groupBy(col("id"), col("m"))
+      // sv/snsq are constant across a (id, m) group's candidate rows
+      .agg(min(col("dc")).as("dc"), first(col("sv")).as("sv"))
+      .select(col("id"), col("m"), col("sv"), col("dc.code").as("code"))
+    def pqCbFrom(assigned: DataFrame): DataFrame = assigned
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim0", "v")))
+      .groupBy(col("m"), col("code"), (col("dim0") + 1).as("dim"))
+      .agg(sum(col("v")).as("svv"), count(lit(1)).as("cnt"))
+      .withColumn("cv", floor(col("svv").cast("double") / col("cnt")).cast("long"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+      .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
+    val pqSampleStep = math.max(n / 100000L, 1L)
+    val pqSeed = subOf(emb.where(col("id") < pqK))
+      .select(col("m"), col("id").as("code"), col("sv").as("cvec"))
+      .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
+    val (pqCb, tPqTrain) = timed(s"PQ($pqM x $pqK) codebook train (2 Lloyd rounds, sampled)") {
+      val sample = subOf(emb.where(pmod(col("id"), lit(pqSampleStep)) === 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cb = pqSeed
+      for (_ <- 1 to 2) cb = pqCbFrom(pqAssign(sample, cb)).localCheckpoint()
+      sample.unpersist(blocking = false)
+      cb
+    }
+    val (pqEnc, tPqEncode) = timed("PQ encode corpus (codes + norm per vector)") {
+      val e = pqAssign(subOf(emb), pqCb)
+        .groupBy("id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          x => x.getField("code")).as("codes"))
+        .join(emb.select(col("id"), col("nsq")), "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    }
+    val encWithCell = pqEnc.join(docsInCell.select(col("id"), col("cell")), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    encWithCell.count()
+    // ADC: 4 map lookups + sum (codegen HOFs over the broadcast dtq map)
+    val pqScore = expr(
+      s"aggregate(zip_with(codes, sequence(0L, ${pqM - 1}L), " +
+        s"(c, m) -> element_at(dtq, m * $pqK + c)), 0L, (a, x) -> a + x)")
+
     case class AnnPoint(q: Long, bruteSec: Double,
                         probe1Sec: Double, hits1: Long,
                         probe2Sec: Double, hits2: Long,
-                        probe4Sec: Double, hits4: Long, truthRows: Long)
+                        probe4Sec: Double, hits4: Long,
+                        pqFullSec: Double, pqFullHits: Long,
+                        ivfPqSec: Double, ivfPqHits: Long, truthRows: Long)
     val annPoints = annQs.map { q =>
       val queries = queriesOf(q)
       val (bruteTop, tBrute) = timed(s"brute-force exact kNN (Q=$q)") {
@@ -315,17 +381,19 @@ object ScaleBench {
       }
       val truthRows = bruteTop.count() // actual ground-truth rows: ties or
       // tiny corpora can yield < 10 per query; recall divides by THIS.
-      def probe(nprobe: Int): (Long, Double) = timed(s"IVF probe (Q=$q, nprobe=$nprobe)") {
+      def qCellOf(nprobe: Int): DataFrame = {
         // per-query nprobe nearest cells; cells partition the corpus, so
         // probing 2 cells yields disjoint candidate sets (q65's shape).
         val qDist = col("qnsq") + col("cnorm") -
           NativeText.dotLong(col("qem"), col("cvec")) * 2L
-        val qCell = queries.crossJoin(broadcast(cents))
+        queries.crossJoin(broadcast(cents))
           .withColumn("rnk", row_number().over(
             Window.partitionBy(col("qid")).orderBy(qDist, col("cell"))))
           .where(col("rnk") <= nprobe)
           .select(col("qid"), col("qem"), col("qnsq"), col("cell"))
-        val ivfTop = topkOf(docsInCell.join(broadcast(qCell), "cell")
+      }
+      def probe(nprobe: Int): (Long, Double) = timed(s"IVF probe (Q=$q, nprobe=$nprobe)") {
+        val ivfTop = topkOf(docsInCell.join(broadcast(qCellOf(nprobe)), "cell")
           .select(col("qid"),
             cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
             col("id")))
@@ -334,9 +402,33 @@ object ScaleBench {
       val (hits1, tProbe1) = probe(1)
       val (hits2, tProbe2) = probe(2)
       val (hits4, tProbe4) = probe(4)
+      // per-query ADC table: (m·K+code) -> exact partial dot, as a map so
+      // dropped (empty) codes can never silently misalign a lookup
+      val qdt = subOf(queries.select(col("qid").as("id"), col("qem").as("em")))
+        .join(broadcast(pqCb), Seq("m"))
+        .select(col("id").as("qid"), (col("m") * pqK + col("code")).as("slot"),
+          NativeText.dotLong(col("sv"), col("cvec")).as("pdot"))
+        .groupBy("qid")
+        .agg(map_from_arrays(collect_list(col("slot")), collect_list(col("pdot"))).as("dtq"))
+        .join(queries.select(col("qid"), col("qnsq")), Seq("qid"))
+      val (pqFullHits, tPqFull) = timed(s"PQ full ADC scan (Q=$q)") {
+        val top = topkOf(pqEnc.crossJoin(broadcast(qdt))
+          .select(col("qid"), cosMicro(pqScore, col("nsq"), col("qnsq")).as("s"), col("id")))
+        top.join(bruteTop, Seq("qid", "id")).count()
+      }
+      val (ivfPqHits, tIvfPq) = timed(s"IVF-PQ probe (Q=$q, nprobe=4, ADC-scored)") {
+        val probeSet = qCellOf(4).select(col("qid"), col("cell"))
+          .join(qdt, Seq("qid"))
+        val top = topkOf(encWithCell.join(broadcast(probeSet), Seq("cell"))
+          .select(col("qid"), cosMicro(pqScore, col("nsq"), col("qnsq")).as("s"), col("id")))
+        top.join(bruteTop, Seq("qid", "id")).count()
+      }
       bruteTop.unpersist(blocking = false)
-      AnnPoint(q, tBrute, tProbe1, hits1, tProbe2, hits2, tProbe4, hits4, truthRows)
+      AnnPoint(q, tBrute, tProbe1, hits1, tProbe2, hits2, tProbe4, hits4,
+        tPqFull, pqFullHits, tIvfPq, ivfPqHits, truthRows)
     }
+    encWithCell.unpersist(blocking = false)
+    pqEnc.unpersist(blocking = false)
     docsInCell.unpersist(blocking = false)
     emb.unpersist(blocking = false)
 
@@ -654,6 +746,8 @@ object ScaleBench {
         s""""np1_probe_sec":${p.probe1Sec},"np1_recall_at_10":${rec(p.hits1)},""" +
         s""""np2_probe_sec":${p.probe2Sec},"np2_recall_at_10":${rec(p.hits2)},""" +
         s""""np4_probe_sec":${p.probe4Sec},"np4_recall_at_10":${rec(p.hits4)},""" +
+        s""""pq_full_sec":${p.pqFullSec},"pq_full_recall_at_10":${rec(p.pqFullHits)},""" +
+        s""""ivfpq4_sec":${p.ivfPqSec},"ivfpq4_recall_at_10":${rec(p.ivfPqHits)},""" +
         s""""ivf_total_np1_sec":${tLloyd + tIvfBuild + p.probe1Sec}}"""
     }.mkString("[", ",", "]")
     val incrJson = incrPoints.map { p =>
@@ -671,7 +765,9 @@ object ScaleBench {
       s""""incremental":{"index_build_sec":$tIdxBuild,"full_recompute_sec":$tSim64,"points":$incrJson},""" +
       s""""containment":$containJson,""" +
       s""""kmv_grouped":{"exact_sec":$tKmvExact,"kmv_sec":$tKmv,"groups":$kmvJson},""" +
-      s""""ann":{"lloyd_sec":$tLloyd,"ivf_build_sec":$tIvfBuild,"points":$annJson},""" +
+      s""""ann":{"lloyd_sec":$tLloyd,"ivf_build_sec":$tIvfBuild,""" +
+      s""""pq":{"m":$pqM,"k":$pqK,"train_sec":$tPqTrain,"encode_sec":$tPqEncode},""" +
+      s""""points":$annJson},""" +
       s""""semdedup":{"docs":$semN,"cells":$semCells,"lloyd_sec":$tSemLloyd,""" +
       s""""pair_sec":$tSemPairs,"found_pairs":$semFound,"injected_found":$semInjFound,""" +
       s""""injected":$semInjected,"max_cell":$semMaxCell},""" +
