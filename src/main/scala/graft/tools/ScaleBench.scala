@@ -340,7 +340,20 @@ object ScaleBench {
       val sample = subOf(emb.where(pmod(col("id"), lit(pqSampleStep)) === 0))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var cb = pqSeed
-      for (_ <- 1 to 2) cb = pqCbFrom(pqAssign(sample, cb)).localCheckpoint()
+      for (_ <- 1 to 2) {
+        // a code that loses every member keeps its previous centroid, so
+        // every (m, code) slot 0..K-1 ALWAYS exists — the ADC table can
+        // then be a dense positional array (O(1) lookups; a map's
+        // element_at linear-scans its keys, measured 30x slower)
+        val upd = pqCbFrom(pqAssign(sample, cb))
+        cb = cb.select(col("m"), col("code"),
+            col("cvec").as("cvec0"), col("cnorm").as("cnorm0"))
+          .join(upd, Seq("m", "code"), "left")
+          .select(col("m"), col("code"),
+            coalesce(col("cvec"), col("cvec0")).as("cvec"),
+            coalesce(col("cnorm"), col("cnorm0")).as("cnorm"))
+          .localCheckpoint()
+      }
       sample.unpersist(blocking = false)
       cb
     }
@@ -357,10 +370,12 @@ object ScaleBench {
     val encWithCell = pqEnc.join(docsInCell.select(col("id"), col("cell")), "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     encWithCell.count()
-    // ADC: 4 map lookups + sum (codegen HOFs over the broadcast dtq map)
-    val pqScore = expr(
-      s"aggregate(zip_with(codes, sequence(0L, ${pqM - 1}L), " +
-        s"(c, m) -> element_at(dtq, m * $pqK + c)), 0L, (a, x) -> a + x)")
+    // ADC: M statically-unrolled O(1) positional array lookups + sum —
+    // no per-row lambda allocation, stays inside whole-stage codegen
+    val pqScore = (0 until pqM).map { m =>
+      element_at(col("dtq"),
+        (lit(m * pqK + 1L) + element_at(col("codes"), m + 1)).cast("int"))
+    }.reduce(_ + _)
 
     case class AnnPoint(q: Long, bruteSec: Double,
                         probe1Sec: Double, hits1: Long,
@@ -402,24 +417,40 @@ object ScaleBench {
       val (hits1, tProbe1) = probe(1)
       val (hits2, tProbe2) = probe(2)
       val (hits4, tProbe4) = probe(4)
-      // per-query ADC table: (m·K+code) -> exact partial dot, as a map so
-      // dropped (empty) codes can never silently misalign a lookup
+      // per-query ADC table: dense positional array over slot = m·K+code
+      // (the codebook construction guarantees every slot exists)
       val qdt = subOf(queries.select(col("qid").as("id"), col("qem").as("em")))
         .join(broadcast(pqCb), Seq("m"))
         .select(col("id").as("qid"), (col("m") * pqK + col("code")).as("slot"),
           NativeText.dotLong(col("sv"), col("cvec")).as("pdot"))
         .groupBy("qid")
-        .agg(map_from_arrays(collect_list(col("slot")), collect_list(col("pdot"))).as("dtq"))
+        .agg(transform(array_sort(collect_list(struct(col("slot"), col("pdot")))),
+          x => x.getField("pdot")).as("dtq"))
         .join(queries.select(col("qid"), col("qnsq")), Seq("qid"))
-      val (pqFullHits, tPqFull) = timed(s"PQ full ADC scan (Q=$q)") {
-        val top = topkOf(pqEnc.crossJoin(broadcast(qdt))
+      // ADC ranks are approximate, so the production shape is shortlist +
+      // exact re-rank (IVFADC+R): ADC keeps a top-100 per query at 4
+      // lookups/candidate, then 100 exact dots/query decide the top-10.
+      val rerankR = 100
+      def shortlistRerank(adcScored: DataFrame): DataFrame = {
+        val short = adcScored
+          .groupBy("qid").agg(TopKLongs.topK(col("s"), col("id"), rerankR).as("tk"))
+          .select(col("qid"), explode(col("tk")).as("e"))
+          .select(col("qid"), col("e.id").as("id"))
+        topkOf(emb.join(broadcast(short), Seq("id"))
+          .join(broadcast(queries), Seq("qid"))
+          .select(col("qid"),
+            cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
+            col("id")))
+      }
+      val (pqFullHits, tPqFull) = timed(s"PQ ADC scan + re-rank (Q=$q)") {
+        val top = shortlistRerank(pqEnc.crossJoin(broadcast(qdt))
           .select(col("qid"), cosMicro(pqScore, col("nsq"), col("qnsq")).as("s"), col("id")))
         top.join(bruteTop, Seq("qid", "id")).count()
       }
-      val (ivfPqHits, tIvfPq) = timed(s"IVF-PQ probe (Q=$q, nprobe=4, ADC-scored)") {
+      val (ivfPqHits, tIvfPq) = timed(s"IVF-PQ probe (Q=$q, nprobe=4, ADC + re-rank)") {
         val probeSet = qCellOf(4).select(col("qid"), col("cell"))
           .join(qdt, Seq("qid"))
-        val top = topkOf(encWithCell.join(broadcast(probeSet), Seq("cell"))
+        val top = shortlistRerank(encWithCell.join(broadcast(probeSet), Seq("cell"))
           .select(col("qid"), cosMicro(pqScore, col("nsq"), col("qnsq")).as("s"), col("id")))
         top.join(bruteTop, Seq("qid", "id")).count()
       }
