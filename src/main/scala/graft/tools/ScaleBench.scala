@@ -308,7 +308,7 @@ object ScaleBench {
     // full-corpus ADC scan (isolates codebook accuracy) and IVF-PQ
     // (nprobe=4 cells scored by ADC — the production composition whose
     // target is np4 recall at under np2 exact-probe cost).
-    val pqM = 4; val pqSubDim = dims / pqM; val pqK = 64
+    val pqM = 8; val pqSubDim = dims / pqM; val pqK = 64
     def subOf(df: DataFrame): DataFrame = df
       .select(col("id"), explode(array((0 until pqM).map(m => struct(lit(m.toLong).as("m"),
         slice(col("em"), m * pqSubDim + 1, pqSubDim).as("sv"))): _*)).as("x"))
@@ -430,7 +430,7 @@ object ScaleBench {
       // ADC ranks are approximate, so the production shape is shortlist +
       // exact re-rank (IVFADC+R): ADC keeps a top-100 per query at 4
       // lookups/candidate, then 100 exact dots/query decide the top-10.
-      val rerankR = 100
+      val rerankR = 200
       def shortlistRerank(adcScored: DataFrame): DataFrame = {
         val short = adcScored
           .groupBy("qid").agg(TopKLongs.topK(col("s"), col("id"), rerankR).as("tk"))
