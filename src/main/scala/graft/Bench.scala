@@ -73,7 +73,11 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.subexpressionElimination.cache.maxEntries", "10000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: every unpartitioned window in src/main is an
+    // audited bounded frame (WindowAuditSpec pins the whitelist), so the
+    // per-pass "WindowExec: No Partition Defined" warnings are pure noise
+    // here — ~600 of them buried real regressions in the r6 bench tail.
+    spark.sparkContext.setLogLevel("ERROR")
 
     val osBean = ManagementFactory.getOperatingSystemMXBean
     def loadAvg: Double = osBean.getSystemLoadAverage

@@ -35,17 +35,35 @@ object Windows {
 
   /** Scale-safe dense surrogate keys 1..N: range-partition by the order
     * columns, sort within partitions, then assign ids as
-    * (per-partition offset + local index). Two passes over the data, no
-    * single-partition bottleneck — the 100 TB version of W2. Deterministic
-    * when `order` is a total order (include a unique tie-break key).
+    * (per-partition exclusive offset + local rank). Two passes over the
+    * data, no single-partition bottleneck — the 100 TB version of W2.
+    * Deterministic when `order` is a total order (include a unique
+    * tie-break key).
+    *
+    * Pure DataFrame form (round 7; same two-phase shape as [[prefixSum]]):
+    * the earlier `rdd.zipWithIndex` variant left Catalyst and paid an
+    * InternalRow↔Row round trip on a corpus-sized frame. Here the local
+    * rank is a per-bucket window over the range-sorted data, bucket
+    * offsets are a #partitions-row frame, and the whole plan stays inside
+    * whole-stage codegen. Both consumers of `bucketed` read ONE exchange
+    * (identical subplans dedup to a ReusedExchange), so the
+    * sampling-derived range boundaries are consistent by construction.
     */
   def denseIdsScalable(df: DataFrame, order: Seq[Column], outCol: String): DataFrame = {
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    val schema = StructType(sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    df.sparkSession.createDataFrame(indexed, schema)
+    val bucketed = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__bkt", spark_partition_id())
+    val local = bucketed.withColumn("__local",
+      row_number().over(Window.partitionBy(col("__bkt")).orderBy(order: _*)))
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(outCol, (col("__off") + col("__local")).cast(LongType))
+      .drop("__bkt", "__local", "__off")
   }
 
   /** Scale-safe GLOBAL running sum (inclusive prefix sum) of `value` over
