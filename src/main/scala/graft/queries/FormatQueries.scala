@@ -231,6 +231,48 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q198: transactional MERGE (upsert) — the row-level operation
+    // the plain-parquet sink family explicitly could NOT offer (see
+    // Sinks.overwritePartitions: "row-level MERGE needs a table format").
+    // The derived build seeds a TxnTable with orders in exact cents,
+    // then MERGEs an update set (every 10th order's price doubled) —
+    // copy-on-write, one atomic commit. The query reads the POST-merge
+    // snapshot; the oracle computes the same merged state from the
+    // original parquet with a CASE — a hash match proves the upsert
+    // replaced exactly the keyed rows and lost none.
+    Q("q198_txn_merge",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CASE WHEN o_orderkey % 10 = 0
+             |                     THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+             |                     ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_price_c
+             |FROM orders
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_merge")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          TxnTable.append(base, t.getPath, txnId = Some("seed"))
+          TxnTable.merge(s, t.getPath,
+            base.filter(col("o_orderkey") % 10 === 0)
+              .withColumn("price_c", col("price_c") * 2L),
+            keyCols = Seq("o_orderkey"), txnId = Some("price-fix"))
+          ()
+        }
+        TxnTable.read(s, s"$dir/t")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

@@ -154,6 +154,51 @@ object VectorQueries {
     assign(n, centFrom(assign(n, centFrom(n, "label")), "cell"))
   }
 
+  /** Shared PQ oracle CTEs (q197/q199): sub-vector split, label-seeded +
+    * one-Lloyd-round per-sub-space codebooks, corpus encode, ADC distance
+    * table, approximate scores r_t(qid, vec_id, dot, cos). */
+  private val pqAdcCtes: String =
+    s"""ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+       |sn_t AS (
+       |  SELECT vec_id, label, nsq, m, em[m*16+1 : m*16+16] AS sv,
+       |         CAST(list_sum(list_transform(em[m*16+1 : m*16+16], x -> x * x)) AS BIGINT) AS snsq
+       |  FROM n_t CROSS JOIN ms),
+       |s0 AS (SELECT m, label AS code, i AS dim,
+       |         CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |       FROM sn_t, generate_series(1, 16) t(i) GROUP BY 1, 2, 3),
+       |cb0 AS (SELECT m, code, list(cv ORDER BY dim) AS cvec FROM s0 GROUP BY 1, 2),
+       |cb0n AS (SELECT m, code, cvec,
+       |         CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm FROM cb0),
+       |a1 AS (SELECT vec_id, m, sv, snsq, nsq, code,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY
+       |           snsq + cnorm - 2 * CAST(list_sum(list_transform(generate_series(1, 16),
+       |             i -> sv[i] * cvec[i])) AS BIGINT), code) AS rnk
+       |       FROM sn_t JOIN cb0n USING (m)),
+       |asg1 AS (SELECT vec_id, m, sv, snsq, nsq, code FROM a1 WHERE rnk = 1),
+       |s1 AS (SELECT m, code, i AS dim,
+       |         CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |       FROM asg1, generate_series(1, 16) t(i) GROUP BY 1, 2, 3),
+       |cb1 AS (SELECT m, code, list(cv ORDER BY dim) AS cvec FROM s1 GROUP BY 1, 2),
+       |cb1n AS (SELECT m, code, cvec,
+       |         CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm FROM cb1),
+       |a2 AS (SELECT vec_id, m, snsq, nsq, code,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY
+       |           snsq + cnorm - 2 * CAST(list_sum(list_transform(generate_series(1, 16),
+       |             i -> sv[i] * cvec[i])) AS BIGINT), code) AS rnk
+       |       FROM sn_t JOIN cb1n USING (m)),
+       |enc AS (SELECT vec_id, m, code, nsq FROM a2 WHERE rnk = 1),
+       |dt AS (SELECT q.vec_id AS qid, q.m, c.code,
+       |         CAST(list_sum(list_transform(generate_series(1, 16),
+       |           i -> q.sv[i] * c.cvec[i])) AS BIGINT) AS pdot
+       |       FROM sn_t q JOIN cb1n c ON q.m = c.m WHERE q.vec_id < 10),
+       |adc AS (SELECT dt.qid, e.vec_id, CAST(SUM(dt.pdot) AS BIGINT) AS dot,
+       |               MAX(e.nsq) AS cn
+       |        FROM enc e JOIN dt ON e.m = dt.m AND e.code = dt.code AND e.vec_id <> dt.qid
+       |        GROUP BY 1, 2),
+       |r_t AS (SELECT adc.qid, adc.vec_id, dot, $cosSql AS cos
+       |        FROM adc JOIN (SELECT vec_id AS qid, nsq AS qn FROM n_t WHERE vec_id < 10) qt
+       |               USING (qid))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- q36: brute-force cosine top-k — the exact-ANN baseline. The
@@ -601,60 +646,82 @@ object VectorQueries {
     Q("q197_pq_ann",
       Some(
         s"""WITH $emCte,
-           |ms AS (SELECT unnest(generate_series(0, 3)) AS m),
-           |sn_t AS (
-           |  SELECT vec_id, label, nsq, m, em[m*16+1 : m*16+16] AS sv,
-           |         CAST(list_sum(list_transform(em[m*16+1 : m*16+16], x -> x * x)) AS BIGINT) AS snsq
-           |  FROM n_t CROSS JOIN ms),
-           |s0 AS (SELECT m, label AS code, i AS dim,
-           |         CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-           |       FROM sn_t, generate_series(1, 16) t(i) GROUP BY 1, 2, 3),
-           |cb0 AS (SELECT m, code, list(cv ORDER BY dim) AS cvec FROM s0 GROUP BY 1, 2),
-           |cb0n AS (SELECT m, code, cvec,
-           |         CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm FROM cb0),
-           |a1 AS (SELECT vec_id, m, sv, snsq, nsq, code,
-           |         row_number() OVER (PARTITION BY vec_id, m ORDER BY
-           |           snsq + cnorm - 2 * CAST(list_sum(list_transform(generate_series(1, 16),
-           |             i -> sv[i] * cvec[i])) AS BIGINT), code) AS rnk
-           |       FROM sn_t JOIN cb0n USING (m)),
-           |asg1 AS (SELECT vec_id, m, sv, snsq, nsq, code FROM a1 WHERE rnk = 1),
-           |s1 AS (SELECT m, code, i AS dim,
-           |         CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-           |       FROM asg1, generate_series(1, 16) t(i) GROUP BY 1, 2, 3),
-           |cb1 AS (SELECT m, code, list(cv ORDER BY dim) AS cvec FROM s1 GROUP BY 1, 2),
-           |cb1n AS (SELECT m, code, cvec,
-           |         CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm FROM cb1),
-           |a2 AS (SELECT vec_id, m, snsq, nsq, code,
-           |         row_number() OVER (PARTITION BY vec_id, m ORDER BY
-           |           snsq + cnorm - 2 * CAST(list_sum(list_transform(generate_series(1, 16),
-           |             i -> sv[i] * cvec[i])) AS BIGINT), code) AS rnk
-           |       FROM sn_t JOIN cb1n USING (m)),
-           |enc AS (SELECT vec_id, m, code, nsq FROM a2 WHERE rnk = 1),
-           |dt AS (SELECT q.vec_id AS qid, q.m, c.code,
-           |         CAST(list_sum(list_transform(generate_series(1, 16),
-           |           i -> q.sv[i] * c.cvec[i])) AS BIGINT) AS pdot
-           |       FROM sn_t q JOIN cb1n c ON q.m = c.m WHERE q.vec_id < 10),
-           |adc AS (SELECT dt.qid, e.vec_id, CAST(SUM(dt.pdot) AS BIGINT) AS dot,
-           |               MAX(e.nsq) AS cn
-           |        FROM enc e JOIN dt ON e.m = dt.m AND e.code = dt.code AND e.vec_id <> dt.qid
-           |        GROUP BY 1, 2),
-           |r_t AS (SELECT adc.qid, adc.vec_id, dot, $cosSql AS cos
-           |        FROM adc JOIN (SELECT vec_id AS qid, nsq AS qn FROM n_t WHERE vec_id < 10) qt
-           |               USING (qid)),
+           |$pqAdcCtes,
            |k_t AS (SELECT qid, vec_id, dot, cos,
            |          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
            |        FROM r_t)
            |SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, dot AS adc_dot, cos
            |FROM k_t WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+      (s, d) => pqTop3(s, d, "q197")),
+
+    // ---- q199: PQ shortlist + exact re-rank (the ADC+R composition,
+    // Jégou et al. §IV) — q197's approximate scores decide only a
+    // top-20 SHORTLIST per query; the final top-3 comes from exact
+    // integer dots on those ≤20 candidates. This is the production
+    // answer to "PQ ranks are approximate": the compressed scan prunes
+    // 99.999% of the corpus at 4 lookups/vector, the exact math runs on
+    // a per-query constant. ScaleBench measures the effect at 2M
+    // vectors (re-rank recovers recall 1.0 from raw-ADC ~0.7); this
+    // declares the composition itself as an oracle-checked operator —
+    // the shortlist, the re-rank join shape, and the tie-breaks all
+    // reproduce bit-for-bit in DuckDB.
+    Q("q199_pq_rerank",
+      Some(
+        s"""WITH $emCte,
+           |$pqAdcCtes,
+           |k_t AS (SELECT qid, vec_id, cos,
+           |          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+           |        FROM r_t),
+           |sl AS (SELECT qid, vec_id FROM k_t WHERE rnk <= 20),
+           |ex AS (SELECT sl.qid, sl.vec_id,
+           |         CAST(list_sum(list_transform(generate_series(1, $Dim),
+           |           i -> q.em[i] * cd.em[i])) AS BIGINT) AS dot,
+           |         q.nsq AS qn, cd.nsq AS cn
+           |       FROM sl JOIN n_t q ON q.vec_id = sl.qid
+           |              JOIN n_t cd ON cd.vec_id = sl.vec_id),
+           |rr AS (SELECT qid, vec_id, dot, $cosSql AS cos FROM ex),
+           |f AS (SELECT qid, vec_id, dot, cos,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+           |      FROM rr)
+           |SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, dot, cos
+           |FROM f WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
       (s, d) => {
+        val short = pqAdcScores(s, d, "q199")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rnk") <= 20)
+          .select(col("qid"), col("vec_id"))
+        val n = quantized(s, d)
+        val q = n.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("em").as("qm"), col("nsq").as("qn"))
+        n.select(col("vec_id"), col("em"), col("nsq").as("cn"))
+          .join(broadcast(short), Seq("vec_id"))
+          .join(broadcast(q), Seq("qid"))
+          .select(col("qid"), col("vec_id"),
+            dotCols(col("em"), col("qm")).as("dot"), col("qn"), col("cn"))
+          .withColumn("cos", Exact.cosineMicro(col("dot"), col("qn"), col("cn")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id"), col("rnk"), col("dot"), col("cos"))
+          .orderBy("qid", "rnk")
+      })
+  )
+
+  /** q197's full ADC pipeline: sub-vector split, label-seeded + one-round
+    * Lloyd per-sub-space codebooks, corpus encode, broadcast distance
+    * table, approximate (qid, vec_id, dot, cn, qn, cos) scores.
+    */
+  private def pqAdcScores(s: org.apache.spark.sql.SparkSession, d: String,
+                          scope: String): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.DataFrame
         import graft.operators.CacheScope
         val M = 4; val SubDim = 16
-        CacheScope.release("q197")
+        CacheScope.release(scope)
         val n = quantized(s, d)
         // sub-vector frame: one row per (vec_id, sub-space) — persisted:
         // codebook seed, both Lloyd passes, and the query side all read it
-        val sub = CacheScope.persist("q197", n
+        val sub = CacheScope.persist(scope, n
           .select(col("vec_id"), col("label"), col("nsq"),
             explode(array((0 until M).map(m => struct(lit(m).as("m"),
               slice(col("em"), m * SubDim + 1, SubDim).as("sv"))): _*)).as("x"))
@@ -698,11 +765,15 @@ object VectorQueries {
           .agg(sum(col("pdot")).as("dot"), max(col("nsq")).as("cn"))
           .join(broadcast(qn), Seq("qid"))
           .withColumn("cos", Exact.cosineMicro(col("dot"), col("qn"), col("cn")))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-          .filter(col("rnk") <= 3)
-          .select(col("qid"), col("vec_id"), col("rnk"), col("dot").as("adc_dot"), col("cos"))
-          .orderBy("qid", "rnk")
-      })
-  )
+  }
+
+  /** q197's declared shape: approximate ADC top-3 per query. */
+  private def pqTop3(s: org.apache.spark.sql.SparkSession, d: String,
+                     scope: String): org.apache.spark.sql.DataFrame =
+    pqAdcScores(s, d, scope)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("vec_id"), col("rnk"), col("dot").as("adc_dot"), col("cos"))
+      .orderBy("qid", "rnk")
 }

@@ -173,6 +173,26 @@ object TxnTable {
     } finally { Files.deleteIfExists(tmp.toPath); () }
   }
 
+  /** Row-level MERGE (upsert): rows of `updates` replace current rows
+    * with the same `keyCols` value; unmatched update rows insert. One
+    * atomic overwrite commit of the merged content — copy-on-write, the
+    * Delta/Iceberg MERGE strategy minus file-level pruning (pruning
+    * which files contain affected keys needs per-file key stats in the
+    * manifest; with it, only touched files rewrite — the protocol here
+    * is unchanged, the live set just mixes kept and rewritten dirs).
+    * Readers of prior versions are unaffected; time travel still sees
+    * the pre-merge rows.
+    */
+  def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
+            keyCols: Seq[String], txnId: Option[String] = None): Long = {
+    require(keyCols.nonEmpty, "merge needs key columns")
+    val current = read(spark, tableDir)
+    val merged = current.join(updates.select(keyCols.map(updates.col): _*),
+        keyCols, "left_anti")
+      .unionByName(updates)
+    commit(merged, tableDir, "overwrite", txnId)
+  }
+
   /** Rewrite the live set of the latest snapshot into one bin-packed dir
     * and commit it as a content-identical new version (the OPTIMIZE /
     * small-file-compaction maintenance action). `targetFiles` bounds the

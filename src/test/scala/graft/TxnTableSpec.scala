@@ -101,6 +101,24 @@ class TxnTableSpec extends SparkTestBase {
     assert(rows(dir, Some(cv - 1)) == before)
   }
 
+  test("merge: updates replace matching keys, inserts append, history preserved") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), dir)
+    val v = TxnTable.merge(spark, dir,
+      Seq((2, "B"), (4, "d")).toDF("id", "v"), Seq("id"))
+    assert(rows(dir) == Seq((1, "a"), (2, "B"), (3, "c"), (4, "d")),
+      "merge must update key 2, insert key 4, keep 1 and 3")
+    assert(rows(dir, Some(0L)) == Seq((1, "a"), (2, "b"), (3, "c")),
+      "pre-merge snapshot must still time-travel")
+    assert(TxnTable.snapshot(dir, v).action == "overwrite")
+    // idempotent replay via txnId
+    val v2 = TxnTable.merge(spark, dir,
+      Seq((9, "z")).toDF("id", "v"), Seq("id"), txnId = Some("m1"))
+    assert(TxnTable.merge(spark, dir,
+      Seq((9, "z")).toDF("id", "v"), Seq("id"), txnId = Some("m1")) == v2)
+    assert(rows(dir).count(_._1 == 9) == 1, "replayed merge duplicated a row")
+  }
+
   test("vacuum retains requested history and reaps the rest") {
     val dir = tmpTable()
     TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
