@@ -104,26 +104,58 @@ object TxnTable {
   }
 
   /** Append `df` as one atomic commit; returns the committed version.
-    * Idempotent per `txnId` (a retried commit is skipped). */
-  def append(df: DataFrame, tableDir: String, txnId: Option[String] = None): Long =
-    commit(df, tableDir, "append", txnId)
+    * Idempotent per `txnId` (a retried commit is skipped). With
+    * `statsCol` set (a long-typed column), the staged dir records that
+    * column's min/max in a sidecar — file-level pruning metadata that
+    * [[merge]] uses to rewrite only affected dirs. */
+  def append(df: DataFrame, tableDir: String, txnId: Option[String] = None,
+             statsCol: Option[String] = None): Long =
+    commit(df, tableDir, "append", txnId, statsCol)
 
   /** Replace the whole table content in one atomic commit. Readers of
     * older versions are unaffected (their manifests and data remain). */
-  def overwrite(df: DataFrame, tableDir: String, txnId: Option[String] = None): Long =
-    commit(df, tableDir, "overwrite", txnId)
+  def overwrite(df: DataFrame, tableDir: String, txnId: Option[String] = None,
+                statsCol: Option[String] = None): Long =
+    commit(df, tableDir, "overwrite", txnId, statsCol)
+
+  /** Stage `df` as an immutable data dir (invisible until a manifest
+    * references it), with the optional min/max stats sidecar. */
+  private def stage(df: DataFrame, tableDir: String,
+                    statsCol: Option[String]): String = {
+    val staged = s"txn-${UUID.randomUUID()}"
+    val dir = new File(dataDir(tableDir), staged)
+    df.write.mode("overwrite").parquet(dir.getPath)
+    statsCol.foreach { c =>
+      import org.apache.spark.sql.functions.{col, max, min}
+      val r = df.sparkSession.read.parquet(dir.getPath)
+        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+      if (!r.isNullAt(0))
+        Files.write(new File(dir, ".stats").toPath,
+          s"$c:${r.getLong(0)}:${r.getLong(1)}".getBytes("UTF-8")): Unit
+    }
+    staged
+  }
+
+  /** (col, min, max) from a data dir's stats sidecar, if present. */
+  def statsOf(tableDir: String, dataDirName: String): Option[(String, Long, Long)] = {
+    val f = new File(new File(dataDir(tableDir), dataDirName), ".stats")
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.split(":") match {
+      case Array(c, lo, hi) => Some((c, lo.toLong, hi.toLong))
+      case _ => None
+    }
+  }
 
   private def commit(df: DataFrame, tableDir: String, action: String,
-                     txnId: Option[String]): Long = {
+                     txnId: Option[String],
+                     statsCol: Option[String] = None): Long = {
     dataDir(tableDir).mkdirs(); logDir(tableDir).mkdirs()
     txnId.flatMap(findTxn(tableDir, _)) match {
       case Some(v) => return v // replayed commit — already in the log
       case None    =>
     }
-    // 1. stage immutable data (invisible until a manifest references it)
-    val staged = s"txn-${UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(new File(dataDir(tableDir), staged).getPath)
-    // 2./3. publish with optimistic retry
+    val staged = stage(df, tableDir, statsCol)
+    // publish with optimistic retry
     var attempt = 0
     while (attempt < 64) {
       txnId.flatMap(findTxn(tableDir, _)) match {
@@ -175,22 +207,60 @@ object TxnTable {
 
   /** Row-level MERGE (upsert): rows of `updates` replace current rows
     * with the same `keyCols` value; unmatched update rows insert. One
-    * atomic overwrite commit of the merged content — copy-on-write, the
-    * Delta/Iceberg MERGE strategy minus file-level pruning (pruning
-    * which files contain affected keys needs per-file key stats in the
-    * manifest; with it, only touched files rewrite — the protocol here
-    * is unchanged, the live set just mixes kept and rewritten dirs).
-    * Readers of prior versions are unaffected; time travel still sees
-    * the pre-merge rows.
+    * atomic commit — copy-on-write, the Delta/Iceberg MERGE strategy,
+    * WITH file-level pruning when the live dirs carry `.stats` sidecars
+    * for `keyCols.head` (written by append/overwrite's `statsCol`):
+    * dirs whose [min, max] key range cannot overlap the update keys are
+    * KEPT in the live set untouched; only overlapping dirs rewrite.
+    * At 100 TB that turns a daily upsert from a full-table rewrite into
+    * a rewrite of the handful of files the keys actually live in.
+    *
+    * Conflict semantics: merge is read-modify-write, so a concurrent
+    * commit between the read and the publish would make the rebase
+    * silently drop that writer's rows — the merge therefore publishes
+    * ONLY at base+1 and throws [[CommitConflict]] if the slot is taken
+    * (the caller re-reads and retries the whole merge; Delta's
+    * ConcurrentAppendException semantics). Readers of prior versions
+    * are unaffected; time travel still sees the pre-merge rows.
     */
   def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
             keyCols: Seq[String], txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
     require(keyCols.nonEmpty, "merge needs key columns")
-    val current = read(spark, tableDir)
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed merge — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val key = keyCols.head
+    // file-level pruning: a dir with stats on the merge key whose range
+    // misses every update key keeps its place in the live set
+    val hasStats = snap.live.exists(d => statsOf(tableDir, d).exists(_._1 == key))
+    val (kept, touched) =
+      if (hasStats) {
+        val r = updates.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+        if (r.isNullAt(0)) (Seq.empty[String], snap.live)
+        else {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          snap.live.partition(d => statsOf(tableDir, d) match {
+            case Some((`key`, dLo, dHi)) => dHi < lo || dLo > hi // disjoint → keep
+            case _                       => false
+          })
+        }
+      } else (Seq.empty[String], snap.live)
+    val current =
+      if (touched.isEmpty) updates.limit(0)
+      else spark.read.parquet(touched.map(d => new File(dataDir(tableDir), d).getPath): _*)
     val merged = current.join(updates.select(keyCols.map(updates.col): _*),
         keyCols, "left_anti")
       .unionByName(updates)
-    commit(merged, tableDir, "overwrite", txnId)
+    val staged = stage(merged, tableDir, Some(key).filter(_ => hasStats))
+    if (!tryPublish(tableDir, base + 1L, "merge", kept :+ staged, txnId))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry the merge")
+    base + 1L
   }
 
   /** Rewrite the live set of the latest snapshot into one bin-packed dir

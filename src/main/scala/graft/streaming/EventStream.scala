@@ -106,6 +106,20 @@ object EventStream {
         col("click_id"), col("click_ts"))
   }
 
+  /** Streaming ingest into the transactional table: each micro-batch is
+    * one atomic [[graft.sources.TxnTable]] commit whose txnId is the
+    * batch id — foreachBatch's at-least-once replay becomes exactly-once
+    * (a replayed batch finds its txnId in the log and no-ops), and a
+    * crash mid-batch leaves the previous snapshot fully readable.
+    * Readers see whole batches or nothing; time travel gives the table
+    * a replayable ingest history for free.
+    */
+  def txnTableSink(df: DataFrame, tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.sources.TxnTable.append(batch, tableDir,
+        txnId = Some(s"batch-$batchId")): Unit
+    }
+
   /** q43's streaming twin: gap-based sessionization via per-user state.
     * A >30-minute silence closes the session; closed sessions are emitted
     * and the open one stays in state. Sessions close on gap EVIDENCE (the

@@ -442,11 +442,18 @@ object ScaleBench {
             cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
             col("id")))
       }
-      val (pqFullHits, tPqFull) = timed(s"PQ ADC scan + re-rank (Q=$q)") {
-        val top = shortlistRerank(pqEnc.crossJoin(broadcast(qdt))
-          .select(col("qid"), cosMicro(pqScore, col("nsq"), col("qnsq")).as("s"), col("id")))
-        top.join(bruteTop, Seq("qid", "id")).count()
-      }
+      // Full-corpus ADC capped at Q<=1000: at dims=16 a NATIVE exact dot
+      // is cheap enough that ADC's per-candidate array indirection does
+      // not pay (measured ~3x brute per pair at the 100k smoke) — PQ's
+      // compute win needs >=128-dim vectors; its 4x memory/scan cut and
+      // the shortlist+re-rank recall mechanics are what this measures.
+      // Q=10k full-scan ADC would burn ~30 min to restate the same verdict.
+      val (pqFullHits, tPqFull) =
+        if (q <= 1000) timed(s"PQ ADC scan + re-rank (Q=$q)") {
+          val top = shortlistRerank(pqEnc.crossJoin(broadcast(qdt))
+            .select(col("qid"), cosMicro(pqScore, col("nsq"), col("qnsq")).as("s"), col("id")))
+          top.join(bruteTop, Seq("qid", "id")).count()
+        } else (-1L, -1.0)
       val (ivfPqHits, tIvfPq) = timed(s"IVF-PQ probe (Q=$q, nprobe=4, ADC + re-rank)") {
         val probeSet = qCellOf(4).select(col("qid"), col("cell"))
           .join(qdt, Seq("qid"))
@@ -772,7 +779,9 @@ object ScaleBench {
 
     def rate(t: Double): Long = (nd.toDouble / t).toLong
     val annJson = annPoints.map { p =>
-      def rec(h: Long) = if (p.truthRows == 0) 0.0 else h.toDouble / p.truthRows
+      // -1 = cell skipped (e.g. pq_full at Q=10k), not a zero recall
+      def rec(h: Long) =
+        if (h < 0) -1.0 else if (p.truthRows == 0) 0.0 else h.toDouble / p.truthRows
       s"""{"q":${p.q},"brute_sec":${p.bruteSec},""" +
         s""""np1_probe_sec":${p.probe1Sec},"np1_recall_at_10":${rec(p.hits1)},""" +
         s""""np2_probe_sec":${p.probe2Sec},"np2_recall_at_10":${rec(p.hits2)},""" +

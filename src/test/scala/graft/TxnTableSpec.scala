@@ -110,13 +110,69 @@ class TxnTableSpec extends SparkTestBase {
       "merge must update key 2, insert key 4, keep 1 and 3")
     assert(rows(dir, Some(0L)) == Seq((1, "a"), (2, "b"), (3, "c")),
       "pre-merge snapshot must still time-travel")
-    assert(TxnTable.snapshot(dir, v).action == "overwrite")
+    assert(TxnTable.snapshot(dir, v).action == "merge")
     // idempotent replay via txnId
     val v2 = TxnTable.merge(spark, dir,
       Seq((9, "z")).toDF("id", "v"), Seq("id"), txnId = Some("m1"))
     assert(TxnTable.merge(spark, dir,
       Seq((9, "z")).toDF("id", "v"), Seq("id"), txnId = Some("m1")) == v2)
     assert(rows(dir).count(_._1 == 9) == 1, "replayed merge duplicated a row")
+  }
+
+  test("stats-pruned merge rewrites only the dirs whose key range overlaps") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir, statsCol = Some("id"))
+    TxnTable.append(Seq((10, "x"), (11, "y")).toDF("id", "v"), dir, statsCol = Some("id"))
+    val liveBefore = TxnTable.snapshot(dir, 1L).live
+    assert(liveBefore.size == 2)
+    val v = TxnTable.merge(spark, dir,
+      Seq((10, "X"), (12, "z")).toDF("id", "v"), Seq("id"))
+    val after = TxnTable.snapshot(dir, v)
+    assert(after.action == "merge")
+    assert(after.live.contains(liveBefore.head),
+      "dir with keys 1-2 is disjoint from update keys 10-12 and must survive untouched")
+    assert(!after.live.contains(liveBefore(1)),
+      "dir with keys 10-11 overlaps the updates and must be rewritten")
+    assert(rows(dir) == Seq((1, "a"), (2, "b"), (10, "X"), (11, "y"), (12, "z")))
+    // the rewritten dir carries stats so FUTURE merges can prune it too
+    val newDir = after.live.filterNot(liveBefore.contains).head
+    assert(TxnTable.statsOf(dir, newDir).exists(_._1 == "id"))
+  }
+
+  test("merge throws CommitConflict when a concurrent commit takes its slot") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
+    // a "concurrent writer" lands BETWEEN merge's snapshot read and its
+    // publish: the squat fires as a side effect of evaluating the update
+    // frame, which merge only does after it has fixed its base version.
+    // Merge must NOT rebase (a rebase would silently drop the concurrent
+    // writer's rows) — it must throw.
+    val squat = new File(s"$dir/_log", f"v${1L}%020d.json").getPath
+    val updates = spark.range(1).map { _ =>
+      Files.write(java.nio.file.Paths.get(squat),
+        """{"version":1,"action":"append","live":[]}""".getBytes("UTF-8"))
+      (1, "A")
+    }.toDF("id", "v")
+    intercept[TxnTable.CommitConflict] {
+      TxnTable.merge(spark, dir, updates, Seq("id"))
+    }: Unit
+  }
+
+  test("streaming ingest into a TxnTable is exactly-once under batch replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpTable()
+    val ms = MemoryStream[Int]
+    val q = graft.streaming.EventStream.txnTableSink(ms.toDF(), dir).start()
+    try {
+      ms.addData(1, 2); q.processAllAvailable()
+      ms.addData(3); q.processAllAvailable()
+      assert(TxnTable.read(spark, dir).count() == 3)
+      // at-least-once replay of batch 1 (same txnId) must be a no-op
+      TxnTable.append(Seq(3).toDF("value"), dir, txnId = Some("batch-1"))
+      assert(TxnTable.read(spark, dir).count() == 3,
+        "replayed micro-batch duplicated rows")
+    } finally q.stop()
   }
 
   test("vacuum retains requested history and reaps the rest") {
