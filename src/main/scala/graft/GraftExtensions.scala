@@ -40,7 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.registrations.foreach(ext.injectFunction)
     // optimizer surface: the CMS heavy-hitter prune (lossless, opt-in via
     // spark.graft.cmsPrune.enabled — see graft.plans.CmsHeavyHitterPrune)
+    // and the KMV approximate-distinct rewrite (answer-changing, opt-in
+    // via spark.graft.approxDistinct.enabled)
     ext.injectOptimizerRule(session => new graft.plans.CmsHeavyHitterPrune(session))
+    ext.injectOptimizerRule(session => new graft.plans.ApproxDistinctRewrite(session))
   }
 }
 

@@ -273,6 +273,40 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q200: small-file compaction round trip — the layout
+    // maintenance operator (Sinks.compactParquet) under the oracle gate:
+    // the derived build writes lineitem's money columns deliberately
+    // OVER-FRAGMENTED (8 files per l_returnflag partition — the drip-
+    // append pathology), then bin-packs every leaf back to one file.
+    // The query aggregates the COMPACTED dataset; the oracle aggregates
+    // the original parquet — a hash match proves the rewrite moved
+    // every row and every cent while collapsing 24 files to 3. The
+    // build also asserts the file counts, so a silently non-compacting
+    // regression fails the build, not just a spec.
+    Q("q200_compaction_roundtrip",
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM lineitem
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.Sinks
+        val dir = derivedDir(d, "lineitem_compacted")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("lineitem"))) {
+          val t = s"$dir/t"
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
+            .repartition(8)
+            .write.mode("overwrite").partitionBy("l_returnflag").parquet(t)
+          val stats = Sinks.compactParquet(s, t, targetFileBytes = 512L * 1024 * 1024)
+          require(stats.filesAfter < stats.filesBefore,
+            s"compaction did not reduce files: $stats")
+        }
+        s.read.parquet(s"$dir/t")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("l_returnflag")
       })
   )
 }
