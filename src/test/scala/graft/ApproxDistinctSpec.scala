@@ -14,7 +14,7 @@ import graft.functions.TopKLongs
   */
 class ApproxDistinctSpec extends SparkTestBase {
 
-  private lazy val xs = CmsPruneSpecSessions.extSession(spark)
+  private lazy val xs = ExtensionsSession.get(spark)
 
   private def withApprox[T](on: Boolean)(body: => T): T = {
     xs.conf.set("spark.graft.approxDistinct.enabled", on.toString)
@@ -89,11 +89,13 @@ class ApproxDistinctSpec extends SparkTestBase {
   }
 }
 
-/** Shared builder for the extensions-enabled sibling session (also used
-  * by CmsPruneSpec's pattern): one per JVM, default/active restored. */
-object CmsPruneSpecSessions {
+/** One extensions-enabled sibling session per test JVM (optimizer rules
+  * can only be injected at session build), sharing the SparkContext;
+  * the plain base session is restored as default/active so the other
+  * suites are unaffected. Used by CmsPruneSpec and ApproxDistinctSpec. */
+object ExtensionsSession {
   @volatile private var cached: org.apache.spark.sql.SparkSession = _
-  def extSession(base: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+  def get(base: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     synchronized {
       if (cached != null) cached
       else {

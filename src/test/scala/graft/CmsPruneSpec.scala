@@ -17,24 +17,9 @@ import graft.functions.CountMinLongs
   */
 class CmsPruneSpec extends SparkTestBase {
 
-  /** A session sharing the test SparkContext but built WITH the graft
-    * extensions (optimizer rules can only be injected at session build). */
-  private lazy val xs: SparkSession = {
-    val base = spark // force base session first
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    // other suites in this JVM keep seeing the plain base session
-    SparkSession.setDefaultSession(base)
-    SparkSession.setActiveSession(base)
-    s
-  }
+  /** The shared extensions-enabled sibling session (see
+    * [[ExtensionsSession]] — rules can only be injected at session build). */
+  private lazy val xs: SparkSession = ExtensionsSession.get(spark)
 
   private def withPrune[T](on: Boolean)(body: => T): T = {
     xs.conf.set("spark.graft.cmsPrune.enabled", on.toString)
