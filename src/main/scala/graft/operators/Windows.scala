@@ -35,35 +35,41 @@ object Windows {
 
   /** Scale-safe dense surrogate keys 1..N: range-partition by the order
     * columns, sort within partitions, then assign ids as
-    * (per-partition exclusive offset + local rank). Two passes over the
-    * data, no single-partition bottleneck — the 100 TB version of W2.
-    * Deterministic when `order` is a total order (include a unique
-    * tie-break key).
+    * (per-partition exclusive offset + local index). No single-partition
+    * bottleneck — the 100 TB version of W2. Deterministic when `order`
+    * is a total order (include a unique tie-break key).
     *
-    * Pure DataFrame form (round 7; same two-phase shape as [[prefixSum]]):
-    * the earlier `rdd.zipWithIndex` variant left Catalyst and paid an
-    * InternalRow↔Row round trip on a corpus-sized frame. Here the local
-    * rank is a per-bucket window over the range-sorted data, bucket
-    * offsets are a #partitions-row frame, and the whole plan stays inside
-    * whole-stage codegen. Both consumers of `bucketed` read ONE exchange
-    * (identical subplans dedup to a ReusedExchange), so the
-    * sampling-derived range boundaries are consistent by construction.
+    * Pure DataFrame form, ONE corpus exchange (round 7): the earlier
+    * `rdd.zipWithIndex` variant left Catalyst and paid an
+    * InternalRow↔Row round trip; the first Dataset rewrite used a
+    * per-bucket window for the local rank, but Catalyst cannot know
+    * spark_partition_id rows are already co-located, so WindowExec
+    * inserted a SECOND corpus-wide hash exchange + sort (seen in the
+    * formatted plan). Here the local index comes from
+    * `monotonically_increasing_id` — (partitionId << 33 | rowIndex),
+    * assigned map-side in the post-sort iteration order, so
+    * `mid & (2^33-1)` IS the within-bucket rank with zero extra
+    * exchanges. Bucket counts fold to a #partitions-row frame whose
+    * exclusive prefix is a trivially-small window, broadcast back. The
+    * id expression is order-sensitive but the upstream sort fixes the
+    * order, and range-boundary sampling is seeded deterministically, so
+    * ids are reproducible (oracle-checked by q41 at both scales).
     */
   def denseIdsScalable(df: DataFrame, order: Seq[Column], outCol: String): DataFrame = {
     val bucketed = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__bkt", spark_partition_id())
-    val local = bucketed.withColumn("__local",
-      row_number().over(Window.partitionBy(col("__bkt")).orderBy(order: _*)))
+      .withColumn("__mid", monotonically_increasing_id())
     val offsets = bucketed.groupBy(col("__bkt"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off",
         coalesce(sum(col("__cnt")).over(Window.orderBy(col("__bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__bkt"), col("__off"))
-    local.join(broadcast(offsets), "__bkt")
-      .withColumn(outCol, (col("__off") + col("__local")).cast(LongType))
-      .drop("__bkt", "__local", "__off")
+    bucketed.join(broadcast(offsets), "__bkt")
+      .withColumn(outCol,
+        (col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L).cast(LongType))
+      .drop("__bkt", "__mid", "__off")
   }
 
   /** Scale-safe GLOBAL running sum (inclusive prefix sum) of `value` over
