@@ -86,8 +86,12 @@ object Windows {
     */
   def prefixSum(df: DataFrame, order: Seq[Column], value: Column,
                 outCol: String): DataFrame = {
+    // NO sortWithinPartitions here: the per-bucket window below must
+    // hash-redistribute on __bkt anyway (Catalyst cannot know partition
+    // ids are co-located) and sorts its partitions itself — a range-side
+    // sort would be a second corpus sort thrown away at the next
+    // exchange. The range exchange alone defines the buckets.
     val bucketed = df.repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
       .withColumn("__bkt", spark_partition_id())
     val local = bucketed.withColumn("__local",
       sum(value).over(Window.partitionBy(col("__bkt")).orderBy(order: _*)

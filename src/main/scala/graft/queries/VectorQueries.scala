@@ -718,6 +718,7 @@ object VectorQueries {
         import graft.operators.CacheScope
         val M = 4; val SubDim = 16
         CacheScope.release(scope)
+        CacheScope.release(s"${scope}_cb")
         val n = quantized(s, d)
         // sub-vector frame: one row per (vec_id, sub-space) — persisted:
         // codebook seed, both Lloyd passes, and the query side all read it
@@ -738,18 +739,30 @@ object VectorQueries {
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
             x => x.getField("cv")).as("cvec"))
           .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
-        // nearest sub-centroid per (vec, sub-space): exact integer L2
+        // nearest sub-centroid per (vec, sub-space): exact integer L2.
+        // argmin as min(struct(l2, code)) — a hash aggregate with
+        // MAP-SIDE partial combine over the codes fan-out, where a
+        // row_number window would shuffle and sort every candidate row;
+        // the (l2, code) struct order IS the oracle's tie-break.
+        // sv/snsq/nsq are constant within a (vec, m) group, so first()
+        // is deterministic in value.
         def assignSub(cb: DataFrame): DataFrame = {
           val dist = col("snsq") + col("cnorm") -
             NativeText.dotLong(col("sv"), col("cvec")) * 2L
           sub.join(broadcast(cb), Seq("m"))
-            .withColumn("rnk_c", row_number().over(
-              Window.partitionBy(col("vec_id"), col("m")).orderBy(dist, col("code"))))
-            .filter(col("rnk_c") === 1)
+            .select(col("vec_id"), col("m"), col("sv"), col("snsq"), col("nsq"),
+              struct(dist.as("l2"), col("code")).as("dc"))
+            .groupBy(col("vec_id"), col("m"))
+            .agg(min(col("dc")).as("dc"), first(col("sv")).as("sv"),
+              first(col("snsq")).as("snsq"), first(col("nsq")).as("nsq"))
             .select(col("vec_id"), col("m"), col("sv"), col("snsq"),
-              col("nsq"), col("code"))
+              col("nsq"), col("dc.code").as("code"))
         }
-        val cb1 = cbFrom(assignSub(cbFrom(sub, "label")), "code")
+        // cb1 is 40 rows but costs a full assignment pass to build, and
+        // BOTH the encode and the distance table consume it — persist so
+        // the Lloyd chain runs once (CacheScope ties it to `scope`)
+        val cb1 = CacheScope.persist(s"${scope}_cb",
+          cbFrom(assignSub(cbFrom(sub, "label")), "code"))
         val enc = assignSub(cb1).select(col("vec_id"), col("m"), col("code"), col("nsq"))
         // ADC distance table: queries stay exact; 10 × 4 × 10 rows
         val dt = sub.filter(col("vec_id") < 10)
