@@ -209,7 +209,65 @@ object Fuzz {
     }
   }
 
-  /** The full generated suite: `perTemplate` cases of each of the 5
+  /** T6: set operations — UNION ALL (bag), INTERSECT / EXCEPT (set,
+    * DISTINCT semantics in both engines) over two differently-filtered
+    * projections of lineitem. */
+  final case class T6(name: String, op: Int, cmpA: String, ca: Long,
+                      cmpB: String, cb: Long) extends FCase {
+    private val opSql = op match {
+      case 0 => "UNION ALL"; case 1 => "INTERSECT"; case 2 => "EXCEPT"
+    }
+    def sql: String =
+      s"""WITH l AS ($liSql),
+         |a AS (SELECT l_returnflag AS f, qty FROM l WHERE qty $cmpA $ca),
+         |b AS (SELECT l_returnflag AS f, qty FROM l WHERE price_c $cmpB $cb)
+         |SELECT f, qty FROM a $opSql SELECT f, qty FROM b""".stripMargin
+    def df(s: SparkSession, d: String): DataFrame = {
+      val l = li(s, d)
+      val a = l.filter(cmpCol(col("qty"), cmpA, ca))
+        .select(col("l_returnflag").as("f"), col("qty"))
+      val b = l.filter(cmpCol(col("price_c"), cmpB, cb))
+        .select(col("l_returnflag").as("f"), col("qty"))
+      op match {
+        case 0 => a.union(b)      // UNION ALL (bag)
+        case 1 => a.intersect(b)  // DISTINCT semantics, both engines
+        case 2 => a.except(b)
+      }
+    }
+  }
+
+  /** T7: null-skipping aggregate semantics — a CASE injects NULLs into
+    * the measure; count(*) vs count(col), null-skipping sum/min/max, and
+    * a null-guarded exact integer average must all agree. */
+  final case class T7(name: String, key: String, mod: Long, res: Long) extends FCase {
+    def sql: String =
+      s"""WITH l AS ($liSql),
+         |v AS (SELECT $key AS k,
+         |             CASE WHEN qty % $mod = $res THEN NULL ELSE price_c END AS nv
+         |      FROM l)
+         |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(COUNT(nv) AS BIGINT) AS n_vals,
+         |       CAST(SUM(nv) AS BIGINT) AS sum_nv,
+         |       CAST(MIN(nv) AS BIGINT) AS min_nv,
+         |       CAST(MAX(nv) AS BIGINT) AS max_nv,
+         |       CAST(CASE WHEN COUNT(nv) = 0 THEN NULL
+         |            ELSE SUM(nv) // COUNT(nv) END AS BIGINT) AS avg_nv
+         |FROM v GROUP BY 1""".stripMargin
+    def df(s: SparkSession, d: String): DataFrame =
+      li(s, d)
+        .select(col(key).as("k"),
+          when(col("qty") % mod === res, lit(null)).otherwise(col("price_c")).as("nv"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"), count(col("nv")).as("n_vals"),
+          sum(col("nv")).as("sum_nv"), min(col("nv")).as("min_nv"),
+          max(col("nv")).as("max_nv"))
+        .withColumn("avg_nv",
+          when(col("n_vals") === 0, lit(null))
+            .otherwise(expr("sum_nv div n_vals")).cast("long"))
+        .select("k", "n_rows", "n_vals", "sum_nv", "min_nv", "max_nv", "avg_nv")
+  }
+
+  /** The full generated suite: `perTemplate` cases of each of the 7
     * templates, pure in (seed, index). */
   def cases(seed: Long, perTemplate: Int): Seq[FCase] = {
     val rnd = new scala.util.Random(seed)
@@ -236,7 +294,15 @@ object Fuzz {
       T5(f"fz5_scalar_$i%03d", rnd.nextInt(4), 1 + rnd.nextInt(5),
         1 + rnd.nextInt(8), rnd.nextInt(3), 2L + rnd.nextInt(7), rnd.nextInt(2))
     }
-    t1 ++ t2 ++ t3 ++ t4 ++ t5
+    val t6 = (0 until perTemplate).map { i =>
+      T6(f"fz6_setop_$i%03d", rnd.nextInt(3), Cmps(rnd.nextInt(6)),
+        1L + rnd.nextInt(50), Cmps(rnd.nextInt(6)), 10000L + rnd.nextInt(9000000))
+    }
+    val t7 = (0 until perTemplate).map { i =>
+      val key = Vector("l_returnflag", "l_linestatus", "qty")(rnd.nextInt(3))
+      T7(f"fz7_nullagg_$i%03d", key, 2L + rnd.nextInt(9), rnd.nextInt(2))
+    }
+    t1 ++ t2 ++ t3 ++ t4 ++ t5 ++ t6 ++ t7
   }
 
   /** Verify-style dump: every case's Spark result to parquet + the

@@ -134,6 +134,38 @@ class FuzzSpec extends SparkTestBase {
     }
   }
 
+  test("T6 set operations: 100 cases match the JVM reference") {
+    val t6s = all.collect { case c: T6 => c }
+    assert(t6s.size == 100)
+    t6s.foreach { c =>
+      val a = lis.filter(l => cmp(l.qty, c.cmpA, c.ca)).map(l => (l.rf, l.qty))
+      val b = lis.filter(l => cmp(l.pc, c.cmpB, c.cb)).map(l => (l.rf, l.qty))
+      val exp = (c.op match {
+        case 0 => a ++ b                                   // bag union
+        case 1 => (a.toSet intersect b.toSet).toSeq        // distinct
+        case 2 => (a.toSet diff b.toSet).toSeq
+      }).map { case (f, q) => Seq[Any](f, q) }
+      check(c, exp)
+    }
+  }
+
+  test("T7 null-skipping aggregates: 100 cases match the JVM reference") {
+    val t7s = all.collect { case c: T7 => c }
+    assert(t7s.size == 100)
+    t7s.foreach { c =>
+      def key(l: Li): Any = c.key match {
+        case "l_returnflag" => l.rf; case "l_linestatus" => l.ls; case "qty" => l.qty
+      }
+      val exp = lis.groupBy(key).map { case (k, g) =>
+        val vals = g.collect { case l if l.qty % c.mod != c.res => l.pc }
+        def opt(v: => Long): Any = if (vals.isEmpty) null else Long.box(v)
+        Seq[Any](k, g.size.toLong, vals.size.toLong, opt(vals.sum),
+          opt(vals.min), opt(vals.max), opt(vals.sum / vals.size))
+      }.toSeq
+      check(c, exp)
+    }
+  }
+
   test("T5 scalar string/date: 100 cases match the JVM reference") {
     val t5s = all.collect { case c: T5 => c }
     assert(t5s.size == 100)
