@@ -71,7 +71,7 @@ class ApproxDistinctRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             val kth = GetStructField(
               ElementAt(tk, Size(tk)), 1, Some("id"))
             val est = If(LessThan(nSeen, Literal(K.toLong)), nSeen,
-              IntegralDivide(Literal((K - 1).toLong * (HashSpace / 1L)),
+              IntegralDivide(Literal((K - 1).toLong * HashSpace),
                 Greatest(Seq(kth, Literal(1L)))))
             Alias(est, name)(exprId = a.exprId)
           case other =>

@@ -215,6 +215,10 @@ object TxnTable {
     * At 100 TB that turns a daily upsert from a full-table rewrite into
     * a rewrite of the handful of files the keys actually live in.
     *
+    * Precondition: `updates` must be key-unique on `keyCols` (duplicate
+    * update keys would both insert — the same ambiguity Delta's MERGE
+    * rejects with "multiple source rows matched"); dedup upstream.
+    *
     * Conflict semantics: merge is read-modify-write, so a concurrent
     * commit between the read and the publish would make the rebase
     * silently drop that writer's rows — the merge therefore publishes

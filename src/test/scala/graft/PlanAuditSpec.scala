@@ -381,4 +381,29 @@ class PlanAuditSpec extends SparkTestBase {
       "top-100 planned as a global sort instead of TakeOrdered:\n" +
         p.linesIterator.take(30).mkString("\n"))
   }
+
+  test("q41: dense ids plan exactly ONE window (the tiny offsets frame)") {
+    // the round-7 regression this pins: a per-bucket window for the
+    // local rank made WindowExec hash-redistribute the whole corpus a
+    // second time (2 windows in-plan); the monotonic-index form keeps
+    // the only window on the #partitions-row offsets frame
+    val ops = opTree(plan("q41_dense_ids_scalable"))
+    assert(ops.count(_.startsWith("Window")) == 1,
+      s"dense-id local ranks regressed to a corpus window: $ops")
+    assert(ops.exists(_.startsWith("BroadcastHashJoin")),
+      s"bucket offsets must come back as a broadcast: $ops")
+  }
+
+  test("q197/q199: every PQ join is a broadcast — codebooks and tables never shuffle the corpus") {
+    Seq("q197_pq_ann", "q199_pq_rerank").foreach { q =>
+      val p = plan(q)
+      val ops = opTree(p)
+      assert(!ops.exists(_.startsWith("SortMergeJoin")),
+        s"$q: a PQ-side join fell back to sort-merge (corpus reshuffled): $ops")
+      assert(ops.exists(_.startsWith("BroadcastHashJoin")),
+        s"$q: expected broadcast joins for codebook/distance-table attach: $ops")
+      assert(!ops.exists(o => o.startsWith("CartesianProduct") ||
+        o.startsWith("BroadcastNestedLoopJoin")), s"$q: non-equi join appeared: $ops")
+    }
+  }
 }
