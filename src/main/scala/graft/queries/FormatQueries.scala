@@ -307,6 +307,45 @@ object FormatQueries {
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("l_returnflag")
+      }),
+
+    // ---- q201: transactional change-data feed — the incremental
+    // consumption side of the q196/q198 table: a downstream pipeline
+    // asks "what changed between version 0 and version 1?" instead of
+    // rescanning the table. The derived build commits even orders, then
+    // odd orders; the CDC read of the (0 → 1) window takes the
+    // FILE-LEVEL fast path (the append's dirs, zero comparison work) and
+    // must contain exactly the odd orders — which is what the oracle
+    // computes from the original parquet. Insert-tag grouped in, so the
+    // change-type column itself is under the hash.
+    Q("q201_txn_cdc",
+      Some("""SELECT o_orderstatus, 'insert' AS change, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_cdc")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          TxnTable.append(base.filter(col("o_orderkey") % 2 === 0), t.getPath,
+            txnId = Some("even"))
+          TxnTable.append(base.filter(col("o_orderkey") % 2 === 1), t.getPath,
+            txnId = Some("odd"))
+          ()
+        }
+        TxnTable.changes(s, s"$dir/t", fromVersion = 0L, toVersion = 1L)
+          .groupBy(col("o_orderstatus"), col("_change").as("change"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

@@ -267,6 +267,40 @@ object TxnTable {
     base + 1L
   }
 
+  /** Change-data feed between two snapshots: every row inserted or
+    * deleted going `fromVersion` → `toVersion`, tagged in a `_change`
+    * column ("insert" / "delete"; an update surfaces as delete+insert,
+    * the classic CDF encoding). Two paths:
+    *  - append-only window (every old dir still live): the changes ARE
+    *    the added dirs — read them directly, zero comparison work. This
+    *    is the hot path a downstream incremental pipeline (the q108
+    *    shape) polls every few minutes.
+    *  - otherwise (overwrite/merge/compaction in the window): a
+    *    multiset diff of the two snapshots (`exceptAll` both ways —
+    *    duplicate rows counted, not collapsed). Note compaction is
+    *    content-identical, so its diff is empty — cost without signal;
+    *    poll file-level when you can.
+    */
+  def changes(spark: SparkSession, tableDir: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion, "fromVersion must precede toVersion")
+    val from = snapshot(tableDir, fromVersion)
+    val to = snapshot(tableDir, toVersion)
+    def readDirs(dirs: Seq[String]): DataFrame =
+      spark.read.parquet(dirs.map(d => new File(dataDir(tableDir), d).getPath): _*)
+    if (from.live.forall(to.live.contains)) {
+      val added = to.live.filterNot(from.live.contains)
+      if (added.isEmpty) readDirs(to.live).limit(0).withColumn("_change", lit("insert"))
+      else readDirs(added).withColumn("_change", lit("insert"))
+    } else {
+      val a = readDirs(from.live)
+      val b = readDirs(to.live)
+      b.exceptAll(a).withColumn("_change", lit("insert"))
+        .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
+    }
+  }
+
   /** Rewrite the live set of the latest snapshot into one bin-packed dir
     * and commit it as a content-identical new version (the OPTIMIZE /
     * small-file-compaction maintenance action). `targetFiles` bounds the

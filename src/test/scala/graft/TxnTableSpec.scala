@@ -175,6 +175,22 @@ class TxnTableSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("changes: append windows take the file-level fast path; merges diff content") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir, statsCol = Some("id"))
+    TxnTable.append(Seq((3, "c")).toDF("id", "v"), dir, statsCol = Some("id"))
+    def cdc(f: Long, t: Long): Set[(Int, String, String)] =
+      TxnTable.changes(spark, dir, f, t).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getAs[String]("_change"))).toSet
+    // pure-append window: only the new dir's rows, all inserts
+    assert(cdc(0L, 1L) == Set((3, "c", "insert")))
+    assert(cdc(0L, 0L) == Set.empty, "empty window must yield no changes")
+    // a merge updates id 2 and inserts id 4: CDF shows delete+insert
+    TxnTable.merge(spark, dir, Seq((2, "B"), (4, "d")).toDF("id", "v"), Seq("id"))
+    assert(cdc(1L, 2L) == Set((2, "b", "delete"), (2, "B", "insert"), (4, "d", "insert")),
+      "merge window must surface the update as delete+insert, untouched rows absent")
+  }
+
   test("vacuum retains requested history and reaps the rest") {
     val dir = tmpTable()
     TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
