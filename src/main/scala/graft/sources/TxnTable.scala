@@ -118,6 +118,29 @@ object TxnTable {
                 statsCol: Option[String] = None): Long =
     commit(df, tableDir, "overwrite", txnId, statsCol)
 
+  final class SchemaMismatch(msg: String) extends RuntimeException(msg)
+
+  /** Schema-on-write: the first commit records the table schema
+    * (catalog DDL) at `_schema`; every later commit must match it
+    * exactly or throw — a drifted producer would otherwise corrupt
+    * reads silently (a multi-dir parquet read takes one file's schema
+    * and misparses the rest). Schema evolution is an explicit
+    * `overwrite` after migrating the data, never an accident.
+    */
+  private def enforceSchema(df: DataFrame, tableDir: String): Unit = {
+    val f = new File(tableDir, "_schema")
+    val ddl = df.schema.catalogString
+    if (!f.exists()) {
+      Files.write(f.toPath, ddl.getBytes("UTF-8")): Unit
+    } else {
+      val expected = new String(Files.readAllBytes(f.toPath), "UTF-8")
+      if (expected != ddl)
+        throw new SchemaMismatch(
+          s"commit schema $ddl does not match the table's $expected; " +
+            "migrate and overwrite explicitly to evolve the schema")
+    }
+  }
+
   /** Stage `df` as an immutable data dir (invisible until a manifest
     * references it), with the optional min/max stats sidecar. */
   private def stage(df: DataFrame, tableDir: String,
@@ -154,6 +177,12 @@ object TxnTable {
       case Some(v) => return v // replayed commit — already in the log
       case None    =>
     }
+    // overwrite may evolve the schema (it replaces all content); append
+    // must match it exactly
+    if (action == "overwrite")
+      Files.write(new File(tableDir, "_schema").toPath,
+        df.schema.catalogString.getBytes("UTF-8")): Unit
+    else enforceSchema(df, tableDir)
     val staged = stage(df, tableDir, statsCol)
     // publish with optimistic retry
     var attempt = 0
@@ -235,6 +264,7 @@ object TxnTable {
       case Some(v) => return v // replayed merge — already committed
       case None    =>
     }
+    enforceSchema(updates, tableDir) // upserts cannot drift the schema
     val base = latestVersion(tableDir)
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, base)

@@ -191,6 +191,27 @@ class TxnTableSpec extends SparkTestBase {
       "merge window must surface the update as delete+insert, untouched rows absent")
   }
 
+  test("schema-on-write: drifted appends throw; overwrite evolves explicitly") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
+    // same columns, different type — must be rejected, not silently read
+    intercept[TxnTable.SchemaMismatch] {
+      TxnTable.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    }
+    // renamed column — rejected too
+    intercept[TxnTable.SchemaMismatch] {
+      TxnTable.append(Seq((2, "b")).toDF("id", "w"), dir)
+    }
+    intercept[TxnTable.SchemaMismatch] {
+      TxnTable.merge(spark, dir, Seq((1, "A")).toDF("id", "w"), Seq("id"))
+    }
+    assert(rows(dir) == Seq((1, "a")), "rejected commits must leave no trace")
+    // explicit overwrite evolves the schema; appends then follow the new one
+    TxnTable.overwrite(Seq((9L, "z", true)).toDF("id", "v", "flag"), dir)
+    TxnTable.append(Seq((10L, "y", false)).toDF("id", "v", "flag"), dir)
+    assert(TxnTable.read(spark, dir).count() == 2)
+  }
+
   test("vacuum retains requested history and reaps the rest") {
     val dir = tmpTable()
     TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
