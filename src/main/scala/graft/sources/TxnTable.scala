@@ -141,10 +141,25 @@ object TxnTable {
     }
   }
 
+  /** True iff `df`'s column `c` is an integral type — the only types the
+    * `.stats` sidecar's long min/max bounds soundly. A partially-castable
+    * string/double column would write bounds over the castable subset
+    * only, and a "disjoint" dir could still hold a matching uncastable
+    * key → merge would insert a duplicate instead of replacing. */
+  private def isIntegral(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   /** Stage `df` as an immutable data dir (invisible until a manifest
-    * references it), with the optional min/max stats sidecar. */
+    * references it), with the optional min/max stats sidecar. The stats
+    * column must be integral (see [[isIntegral]]). */
   private def stage(df: DataFrame, tableDir: String,
                     statsCol: Option[String]): String = {
+    statsCol.foreach(c => require(isIntegral(df, c),
+      s"statsCol $c must be an integral type, got ${df.schema(c).dataType.sql}"))
     val staged = s"txn-${UUID.randomUUID()}"
     val dir = new File(dataDir(tableDir), staged)
     df.write.mode("overwrite").parquet(dir.getPath)
@@ -169,9 +184,22 @@ object TxnTable {
     }
   }
 
+  /** Single-writer-per-txnId assumption: the idempotency check is
+    * check-then-act (findTxn, then publish), so two DISTINCT concurrent
+    * writers sharing one txnId can both pass the check before either
+    * publishes and land the batch twice. The intended caller is a
+    * sequential at-least-once retrier (foreachBatch re-running a failed
+    * micro-batch — one writer per txnId at a time), for which the
+    * re-check inside the retry loop suffices. Do not share a txnId
+    * across concurrently-live writers.
+    */
   private def commit(df: DataFrame, tableDir: String, action: String,
                      txnId: Option[String],
                      statsCol: Option[String] = None): Long = {
+    // validate BEFORE any side effect (a rejected commit must leave no
+    // trace — not even a freshly-minted _schema)
+    statsCol.foreach(c => require(isIntegral(df, c),
+      s"statsCol $c must be an integral type, got ${df.schema(c).dataType.sql}"))
     dataDir(tableDir).mkdirs(); logDir(tableDir).mkdirs()
     txnId.flatMap(findTxn(tableDir, _)) match {
       case Some(v) => return v // replayed commit — already in the log
@@ -270,8 +298,11 @@ object TxnTable {
     val snap = snapshot(tableDir, base)
     val key = keyCols.head
     // file-level pruning: a dir with stats on the merge key whose range
-    // misses every update key keeps its place in the live set
-    val hasStats = snap.live.exists(d => statsOf(tableDir, d).exists(_._1 == key))
+    // misses every update key keeps its place in the live set. Gated on
+    // an integral key — a non-integral key's long-cast bounds are not
+    // sound (see [[isIntegral]]), so such merges rewrite everything.
+    val hasStats = isIntegral(updates, key) &&
+      snap.live.exists(d => statsOf(tableDir, d).exists(_._1 == key))
     val (kept, touched) =
       if (hasStats) {
         val r = updates.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
@@ -336,10 +367,38 @@ object TxnTable {
     * small-file-compaction maintenance action). `targetFiles` bounds the
     * output file count. Readers of prior versions still see the old dirs
     * until [[vacuum]].
+    *
+    * Conflict semantics: compaction is read-modify-write — its output is
+    * a copy of ONE specific snapshot, so it must publish at `base + 1`
+    * and throw [[CommitConflict]] if that slot is taken (same contract
+    * as [[merge]]; Delta's OPTIMIZE behaves likewise). Delegating to
+    * `commit(..., "overwrite")` would be a LOST UPDATE: the rebasing
+    * retry publishes the stale packed copy over a concurrent append,
+    * silently dropping that writer's rows. The caller re-reads and
+    * retries the whole compaction on conflict — compaction is
+    * maintenance, losing the race to real writes is the cheap outcome.
+    *
+    * If every live dir carries a stats sidecar on the same column, the
+    * packed dir re-derives that sidecar so merge/read pruning survives
+    * compaction.
     */
   def compact(spark: SparkSession, tableDir: String, targetFiles: Int): Long = {
-    val df = read(spark, tableDir).coalesce(targetFiles)
-    commit(df, tableDir, "overwrite", None)
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    // preserve pruning metadata: only if ALL live dirs agree on a stats
+    // column is the packed dir's recomputed sidecar sound
+    val df = read(spark, tableDir, Some(base)).coalesce(targetFiles)
+    val statsCol = snap.live.flatMap(statsOf(tableDir, _)).map(_._1).distinct match {
+      case Seq(c) if snap.live.forall(d => statsOf(tableDir, d).isDefined) &&
+                     df.columns.contains(c) && isIntegral(df, c) => Some(c)
+      case _ => None
+    }
+    val staged = stage(df, tableDir, statsCol)
+    if (!tryPublish(tableDir, base + 1L, "compact", Seq(staged), None))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry the compaction")
+    base + 1L
   }
 
   /** Drop manifests older than the newest `retain` versions, then delete

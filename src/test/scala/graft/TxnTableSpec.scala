@@ -101,6 +101,73 @@ class TxnTableSpec extends SparkTestBase {
     assert(rows(dir, Some(cv - 1)) == before)
   }
 
+  test("compact publishes at base+1 with action 'compact' and preserves stats sidecars") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir, statsCol = Some("id"))
+    TxnTable.append(Seq((7, "b")).toDF("id", "v"), dir, statsCol = Some("id"))
+    val base = TxnTable.latestVersion(dir).get
+    val cv = TxnTable.compact(spark, dir, targetFiles = 1)
+    assert(cv == base + 1, "compact must pin base+1, not rebase past it")
+    val snap = TxnTable.snapshot(dir, cv)
+    assert(snap.action == "compact")
+    assert(snap.live.size == 1)
+    // the packed dir re-derives the sidecar so merge pruning survives
+    assert(TxnTable.statsOf(dir, snap.live.head) == Some(("id", 1L, 7L)),
+      "compaction dropped the pruning sidecar")
+  }
+
+  test("append racing compact: the appended rows are never lost") {
+    // The round-8 verified bug: compact delegated to commit()'s rebasing
+    // overwrite, so an append landing between compact's read and publish
+    // was silently dropped (its rows absent from the compacted live set).
+    // Fixed contract: compact publishes ONLY at base+1 and throws
+    // CommitConflict when it loses the slot — so every appended row must
+    // survive no matter how the race interleaves. Drive many rounds of a
+    // real race; the invariant (no lost rows) must hold in all of them.
+    val dir = tmpTable()
+    TxnTable.append(Seq((-1, "seed")).toDF("id", "v"), dir)
+    val rounds = 8
+    (0 until rounds).foreach { r =>
+      val t = new Thread(() =>
+        TxnTable.append(Seq((r, s"race$r")).toDF("id", "v"), dir): Unit)
+      t.start()
+      // compact concurrently; on conflict re-read and retry (the caller
+      // contract) — with the old rebasing code this loop never threw and
+      // the racing append's rows vanished instead
+      var done = false
+      while (!done) {
+        try { TxnTable.compact(spark, dir, targetFiles = 1); done = true }
+        catch { case _: TxnTable.CommitConflict => () }
+      }
+      t.join()
+    }
+    val ids = rows(dir).map(_._1)
+    assert((0 until rounds).forall(ids.contains),
+      s"compaction lost a concurrent append's rows: only $ids survived")
+  }
+
+  test("stage rejects a non-integral statsCol; merge on a string key never prunes") {
+    val dir = tmpTable()
+    intercept[IllegalArgumentException] {
+      TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir, statsCol = Some("v"))
+    }: Unit
+    // an (old-layout) sidecar claiming long bounds for a STRING column
+    // must not let merge prune: only SOME values cast to long, so the
+    // bounds cover a subset and a "disjoint" dir can still hold a
+    // matching key → duplicate after merge. The integral gate ignores it.
+    TxnTable.append(Seq(("7", "a"), ("x7", "b")).toDF("k", "v"), dir)
+    val d0 = TxnTable.snapshot(dir, 0L).live.head
+    Files.write(new File(s"$dir/data/$d0", ".stats").toPath,
+      "k:7:7".getBytes("UTF-8"))
+    // update key "x7" is outside the bogus [7,7] long bounds; without the
+    // gate the dir is kept "disjoint" and x7 double-inserts
+    val v = TxnTable.merge(spark, dir, Seq(("x7", "B")).toDF("k", "v"), Seq("k"))
+    val out = TxnTable.read(spark, dir, Some(v)).collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out == Seq(("7", "a"), ("x7", "B")),
+      s"string-key merge mis-pruned via unsound long bounds: $out")
+  }
+
   test("merge: updates replace matching keys, inserts append, history preserved") {
     val dir = tmpTable()
     TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), dir)
