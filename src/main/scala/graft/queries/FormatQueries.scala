@@ -346,6 +346,57 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"), col("_change").as("change"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q202: manifest-stats DATA SKIPPING on the transactional read
+    // path — the gap between "has a table format" and "has a lake
+    // table" (Delta add-file stats / Iceberg manifest entries). The
+    // derived build appends orders as FOUR key-range commits, each
+    // carrying o_orderkey min/max bounds that the commit folds into the
+    // manifest; the query is a range read [1, 300] that PLANS ONLY THE
+    // ONE DIR whose bounds intersect — asserted with a require on every
+    // execution (pruned=1 of live=4), so a regression to scan-everything
+    // fails the build, not just a spec. The oracle applies the same
+    // range over the original parquet: a hash match proves dir-level
+    // skipping dropped no qualifying row. At 100 TB: a point/range query
+    // reads ONE manifest, then the handful of files its keys live in.
+    Q("q202_txn_data_skipping",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders WHERE o_orderkey BETWEEN 1 AND 300
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_skip")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxKey = base.agg(max(col("o_orderkey"))).head().getLong(0)
+          val m = maxKey / 4
+          Seq((Long.MinValue, m), (m, 2 * m), (2 * m, 3 * m), (3 * m, Long.MaxValue))
+            .zipWithIndex.foreach { case ((lo, hi), i) =>
+              TxnTable.append(
+                base.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+                t.getPath, txnId = Some(s"slice-$i"), statsCol = Some("o_orderkey"))
+            }
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        val planned = TxnTable.pruneLive(snap, "o_orderkey", 1L, 300L)
+        require(planned.size == 1 && snap.live.size == 4,
+          s"data skipping regressed: planned ${planned.size} of ${snap.live.size} dirs")
+        TxnTable.readRange(s, t, "o_orderkey", 1L, 300L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

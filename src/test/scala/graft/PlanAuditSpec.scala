@@ -406,4 +406,25 @@ class PlanAuditSpec extends SparkTestBase {
         o.startsWith("BroadcastNestedLoopJoin")), s"$q: non-equi join appeared: $ops")
     }
   }
+
+  test("q202: the txn range read plans 1 of 4 live dirs and pushes the residual filter") {
+    // dir-level skipping comes from the MANIFEST (TxnTable.pruneLive),
+    // so the scan's input files — not just its filters — are the pin:
+    // every planned file must live under the single intersecting dir.
+    val df = SparkEntry.queries("q202_txn_data_skipping")(spark, sf)
+    val t = s"/tmp/graft_derived/sf0.001/orders_txn_skip/t"
+    val snap = graft.sources.TxnTable.snapshot(t,
+      graft.sources.TxnTable.latestVersion(t).get)
+    val planned = graft.sources.TxnTable.pruneLive(snap, "o_orderkey", 1L, 300L)
+    assert(snap.live.size == 4 && planned.size == 1,
+      s"manifest skipping regressed: ${planned.size} of ${snap.live.size} dirs planned")
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains(planned.head)),
+      s"scan planned files outside the pruned dir: $files")
+    // the residual range predicate still pushes into parquet (row-group tier)
+    val p = plan("q202_txn_data_skipping")
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,1)") &&
+      p.contains("LessThanOrEqual(o_orderkey,300)"),
+      "residual range filter not pushed to the parquet scan")
+  }
 }

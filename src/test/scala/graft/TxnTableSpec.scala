@@ -151,14 +151,18 @@ class TxnTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir, statsCol = Some("v"))
     }: Unit
-    // an (old-layout) sidecar claiming long bounds for a STRING column
-    // must not let merge prune: only SOME values cast to long, so the
-    // bounds cover a subset and a "disjoint" dir can still hold a
-    // matching key → duplicate after merge. The integral gate ignores it.
+    // a (legacy / hand-damaged) manifest claiming long bounds for a
+    // STRING column must not let merge prune: only SOME values cast to
+    // long, so the bounds cover a subset and a "disjoint" dir can still
+    // hold a matching key → duplicate after merge. The integral gate on
+    // the update key's TYPE ignores such bounds.
     TxnTable.append(Seq(("7", "a"), ("x7", "b")).toDF("k", "v"), dir)
     val d0 = TxnTable.snapshot(dir, 0L).live.head
-    Files.write(new File(s"$dir/data/$d0", ".stats").toPath,
-      "k:7:7".getBytes("UTF-8"))
+    val mf = new File(s"$dir/_log", f"v${0L}%020d.json")
+    val patched = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+      .stripSuffix("}") + s""","stats":{"$d0":"k:7:7"}}"""
+    Files.write(mf.toPath, patched.getBytes("UTF-8"))
+    assert(TxnTable.snapshot(dir, 0L).stats.contains(d0), "test rig: stats not injected")
     // update key "x7" is outside the bogus [7,7] long bounds; without the
     // gate the dir is kept "disjoint" and x7 double-inserts
     val v = TxnTable.merge(spark, dir, Seq(("x7", "B")).toDF("k", "v"), Seq("k"))
@@ -166,6 +170,32 @@ class TxnTableSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
     assert(out == Seq(("7", "a"), ("x7", "B")),
       s"string-key merge mis-pruned via unsound long bounds: $out")
+  }
+
+  test("readRange: manifest stats prune the planned dir set; no-stats dirs always plan") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (5, "b")).toDF("id", "v"), dir, statsCol = Some("id"))
+    TxnTable.append(Seq((10, "c"), (19, "d")).toDF("id", "v"), dir, statsCol = Some("id"))
+    TxnTable.append(Seq((100, "e")).toDF("id", "v"), dir, statsCol = Some("id"))
+    TxnTable.append(Seq((7, "g")).toDF("id", "v"), dir) // NO stats — unprunable
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.live.size == 4)
+    assert(snap.stats.size == 3, "manifest must embed bounds for the 3 stats'd dirs")
+    // range [10,20]: hits dir 2 by bounds; dir 4 has no bounds → planned too
+    val planned = TxnTable.pruneLive(snap, "id", 10L, 20L)
+    assert(planned.size == 2, s"expected 2 planned dirs, got $planned")
+    val df = TxnTable.readRange(spark, dir, "id", 10L, 20L)
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 19))
+    // the scan must plan ONLY the pruned dirs — every input file under them
+    val plannedPaths = planned.map(d => new File(s"$dir/data/$d").getCanonicalPath)
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(f => plannedPaths.exists(p => f.contains(new File(p).getName))),
+      s"scan planned a dir outside the pruned set: ${df.inputFiles.toSeq}")
+    // a range no bounds cover still returns the no-stats dir's matches
+    assert(TxnTable.readRange(spark, dir, "id", 6L, 8L)
+      .collect().map(_.getInt(0)).toSeq == Seq(7))
+    // disjoint range: only the unprunable dir plans; zero matching rows
+    assert(TxnTable.readRange(spark, dir, "id", 30L, 40L).count() == 0)
   }
 
   test("merge: updates replace matching keys, inserts append, history preserved") {
