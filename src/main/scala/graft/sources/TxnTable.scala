@@ -68,16 +68,64 @@ object TxnTable {
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
+  /** Thrown when a requested version existed but has been vacuumed past —
+    * a typed signal a caller can catch to fall back to a full re-read
+    * (the Delta `VersionNotFoundException` semantics), instead of the
+    * raw filesystem error a missing manifest used to surface as. */
+  final class RetentionError(msg: String) extends RuntimeException(msg)
+
   private def logDir(tableDir: String) = new File(tableDir, "_log")
   private def dataDir(tableDir: String) = new File(tableDir, "data")
   private def manifestFile(tableDir: String, v: Long) =
     new File(logDir(tableDir), f"v$v%020d.json")
 
-  /** Committed versions, ascending. Pure listing of `_log`. */
+  /** Committed versions, ascending. Full listing of `_log` — the
+    * HISTORY api (vacuum, findTxn, audits). The hot read/commit path
+    * never calls this on a checkpointed table: [[latestVersion]] probes
+    * forward from `_last_checkpoint` instead, so resolving "latest" on
+    * a table with a million retained commits costs O(commits since the
+    * last checkpoint) existence checks, not a million-entry LIST. */
   def versions(tableDir: String): Seq[Long] =
     Option(logDir(tableDir).listFiles()).getOrElse(Array.empty[File])
       .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong).sorted.toSeq
+
+  /** Write a checkpoint pointer every this-many commits. Manifests here
+    * are SELF-CONTAINED (each lists the full live set + stats), so the
+    * Delta-style "checkpoint manifest" that compacts a delta log
+    * degenerates to pointer maintenance: `_last_checkpoint` names a
+    * version known committed, and readers probe forward from it. */
+  private val checkpointInterval = 10L
+
+  private def checkpointFile(tableDir: String) = new File(tableDir, "_last_checkpoint")
+
+  /** The checkpointed version, if any. A stale (too-old) pointer is
+    * always SAFE — the forward probe walks past it — as long as it
+    * never points past a vacuumed prefix, which [[vacuum]] maintains. */
+  def lastCheckpoint(tableDir: String): Option[Long] = {
+    val f = checkpointFile(tableDir)
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.toLongOption
+  }
+
+  private def writeCheckpoint(tableDir: String, v: Long): Unit = {
+    // monotone: never move the pointer backwards (a losing racer's lower
+    // version must not shadow the winner's)
+    if (lastCheckpoint(tableDir).forall(_ < v)) {
+      val tmp = new File(tableDir, s".ckpt-${UUID.randomUUID()}")
+      Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
+      try Files.move(tmp.toPath, checkpointFile(tableDir).toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: Exception => () } // pointer is advisory; next commit retries
+      finally { Files.deleteIfExists(tmp.toPath); () }
+    }
+  }
+
+  /** Called after every successful publish: checkpoint every
+    * [[checkpointInterval]] commits so the log stays O(interval) to
+    * resolve no matter how many commits a streaming sink lands. */
+  private def maybeCheckpoint(tableDir: String, v: Long): Unit =
+    if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(tableDir, v)
 
   /** Parse one manifest. The writer controls the format (dir names are
     * UUIDs, actions are from a closed set), so a tiny extractor is safe —
@@ -85,6 +133,18 @@ object TxnTable {
     */
   def snapshot(tableDir: String, version: Long): Snapshot = {
     val f = manifestFile(tableDir, version)
+    if (!f.exists()) {
+      // distinguish "vacuumed past" (typed, catchable → caller falls
+      // back to a full re-read) from "never existed"
+      val vs = versions(tableDir)
+      if (vs.nonEmpty && version < vs.head)
+        throw new RetentionError(
+          s"version $version of $tableDir predates the retention window " +
+            s"(oldest retained: ${vs.head}); vacuum removed it")
+      throw new IllegalArgumentException(
+        s"version $version does not exist at $tableDir" +
+          vs.lastOption.map(l => s" (latest: $l)").getOrElse(" (no commits)"))
+    }
     val s = new String(Files.readAllBytes(f.toPath), "UTF-8")
     def field(k: String): Option[String] =
       s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
@@ -102,7 +162,15 @@ object TxnTable {
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"), stats)
   }
 
-  def latestVersion(tableDir: String): Option[Long] = versions(tableDir).lastOption
+  def latestVersion(tableDir: String): Option[Long] =
+    lastCheckpoint(tableDir) match {
+      case Some(cp) =>
+        // bounded forward probe — no log listing on the hot path
+        var v = cp
+        while (manifestFile(tableDir, v + 1).exists()) v += 1
+        Some(v)
+      case None => versions(tableDir).lastOption // cold / never-checkpointed
+    }
 
   /** Read a snapshot as a DataFrame — the latest by default, or any
     * retained `version` (time travel). The read plans EXACTLY the dirs
@@ -275,7 +343,9 @@ object TxnTable {
         if (action == "overwrite") Nil
         else base.map(snapshot(tableDir, _).live).getOrElse(Nil)
       val next = base.map(_ + 1L).getOrElse(0L)
-      if (tryPublish(tableDir, next, action, prevLive :+ staged, txnId)) return next
+      if (tryPublish(tableDir, next, action, prevLive :+ staged, txnId)) {
+        maybeCheckpoint(tableDir, next); return next
+      }
       attempt += 1 // conflict: someone else took `next` — rebase and retry
     }
     throw new CommitConflict(s"gave up after $attempt conflicts at $tableDir")
@@ -387,6 +457,7 @@ object TxnTable {
     if (!tryPublish(tableDir, base + 1L, "merge", kept :+ staged, txnId))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the merge")
+    maybeCheckpoint(tableDir, base + 1L)
     base + 1L
   }
 
@@ -460,6 +531,7 @@ object TxnTable {
     if (!tryPublish(tableDir, base + 1L, "compact", Seq(staged), None))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the compaction")
+    maybeCheckpoint(tableDir, base + 1L)
     base + 1L
   }
 
@@ -473,6 +545,9 @@ object TxnTable {
     val vs = versions(tableDir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
     val referenced = keep.flatMap(snapshot(tableDir, _).live).toSet
+    // move the checkpoint pointer into the retained window FIRST: a
+    // pointer naming a dropped manifest would break the forward probe
+    keep.headOption.foreach(writeCheckpoint(tableDir, _))
     drop.foreach(v => Files.deleteIfExists(manifestFile(tableDir, v).toPath))
     Option(dataDir(tableDir).listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && !referenced.contains(f.getName))

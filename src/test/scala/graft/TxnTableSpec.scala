@@ -309,6 +309,38 @@ class TxnTableSpec extends SparkTestBase {
     assert(TxnTable.read(spark, dir).count() == 2)
   }
 
+  test("checkpoint: latest resolves by bounded probe from _last_checkpoint, not a log listing") {
+    val dir = tmpTable()
+    (0 to 11).foreach(i => TxnTable.append(Seq((i, s"r$i")).toDF("id", "v"), dir))
+    assert(TxnTable.lastCheckpoint(dir) == Some(10L),
+      "12 commits must have checkpointed at v10")
+    assert(TxnTable.latestVersion(dir) == Some(11L))
+    // pin the BOUNDED path: a stray high-numbered file in _log fools a
+    // full listing (versions() returns it) but not the forward probe,
+    // which only accepts a contiguous chain from the checkpoint
+    Files.write(new File(s"$dir/_log", f"v${99L}%020d.json").toPath,
+      """{"version":99,"action":"append","live":["junk"]}""".getBytes("UTF-8"))
+    assert(TxnTable.versions(dir).contains(99L), "test rig: stray manifest not listed")
+    assert(TxnTable.latestVersion(dir) == Some(11L),
+      "latestVersion listed the log instead of probing from the checkpoint")
+    assert(rows(dir).map(_._1) == (0 to 11), "checkpointed table read wrong content")
+  }
+
+  test("retention: reads and CDC behind the vacuum horizon throw the typed error") {
+    val dir = tmpTable()
+    (0 until 3).foreach(i => TxnTable.append(Seq((i, s"r$i")).toDF("id", "v"), dir))
+    TxnTable.vacuum(dir, retain = 1)
+    val e = intercept[TxnTable.RetentionError] { TxnTable.read(spark, dir, Some(0L)) }
+    assert(e.getMessage.contains("retention"), e.getMessage)
+    intercept[TxnTable.RetentionError] { TxnTable.changes(spark, dir, 0L, 2L) }: Unit
+    // a version that NEVER existed is a different, non-retention error
+    intercept[IllegalArgumentException] { TxnTable.snapshot(dir, 50L) }: Unit
+    // the pointer moved into the retained window: latest still resolves
+    assert(TxnTable.latestVersion(dir) == Some(2L))
+    // the retained append manifest still references all three data dirs
+    assert(rows(dir) == Seq((0, "r0"), (1, "r1"), (2, "r2")))
+  }
+
   test("vacuum retains requested history and reaps the rest") {
     val dir = tmpTable()
     TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
