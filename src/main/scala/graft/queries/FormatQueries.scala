@@ -397,6 +397,56 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q203: PARTITIONED transactional table — dynamic partition
+    // overwrite as one atomic, time-travelable commit plus partition-
+    // pruned snapshot reads. The derived build lands orders partitioned
+    // by o_orderstatus (one manifest-recorded dir per status), then a
+    // SECOND commit replaces ONLY partition O (prices doubled). The
+    // query reads partition F at the LATEST version — behind the later
+    // unrelated-partition commit — planning 1 of 3 live dirs (require'd
+    // every execution; PlanAuditSpec pins the planned files). The oracle
+    // aggregates the ORIGINAL parquet's F rows: a hash match proves both
+    // the pruning (no O/P rows leaked into the plan) and the isolation
+    // (the O rewrite touched nothing in F). At 100 TB: replacing a
+    // day's partition is one staged dir + one conditional PUT, and
+    // readers of any other partition never see a torn state.
+    Q("q203_txn_partitioned",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_part")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          TxnTable.overwritePartitions(s, t.getPath, base, "o_orderstatus",
+            txnId = Some("day0"))
+          TxnTable.overwritePartitions(s, t.getPath,
+            base.filter(col("o_orderstatus") === "O")
+              .withColumn("price_c", col("price_c") * 2L),
+            "o_orderstatus", txnId = Some("day1-O-restate"))
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        val planned = TxnTable.prunePartition(snap, "o_orderstatus", "F")
+        require(planned.size == 1 && snap.live.size == 3,
+          s"partition pruning regressed: planned ${planned.size} of ${snap.live.size} dirs")
+        TxnTable.readPartition(s, t, "o_orderstatus", "F")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

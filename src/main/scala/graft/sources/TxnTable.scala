@@ -64,7 +64,8 @@ object TxnTable {
     * without the field parse to an empty map. */
   final case class Snapshot(version: Long, action: String,
                             live: Seq[String], txnId: Option[String],
-                            stats: Map[String, (String, Long, Long)] = Map.empty)
+                            stats: Map[String, (String, Long, Long)] = Map.empty,
+                            parts: Map[String, (String, String)] = Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -159,7 +160,15 @@ object TxnTable {
         case Array(c, lo, hi) => Some(m.group(1) -> ((c, lo.toLong, hi.toLong)))
         case _                => None
       }).toMap
-    Snapshot(version, field("action").getOrElse("append"), live, field("txnId"), stats)
+    val parts = """"parts"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
+      .flatMap(m => m.group(2).split("=", 2) match {
+        case Array(c, v) => Some(m.group(1) -> ((c, v)))
+        case _           => None
+      }).toMap
+    Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
+      stats, parts)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -220,6 +229,115 @@ object TxnTable {
       else spark.read.parquet(planned.map(d => new File(dataDir(tableDir), d).getPath): _*)
     val t = df.schema(column).dataType
     df.filter(df.col(column) >= lit(lo).cast(t) && df.col(column) <= lit(hi).cast(t))
+  }
+
+  /** Stage one partition's rows with a `.part` sidecar naming its value. */
+  private def stagePartition(df: DataFrame, tableDir: String,
+                             partCol: String, value: String): String = {
+    require(!value.exists(c => c == '"' || c == '\\' || c == '\n'),
+      s"unsupported characters in partition value '$value'")
+    val staged = stage(df, tableDir, None)
+    Files.write(new File(new File(dataDir(tableDir), staged), ".part").toPath,
+      s"$partCol=$value".getBytes("UTF-8"))
+    staged
+  }
+
+  /** PARTITIONED atomic overwrite: replace exactly the partitions whose
+    * `partCol` values appear in `df`, in one commit — partitions absent
+    * from `df` keep their live dirs untouched (and time travel still
+    * sees every pre-commit partition). This is the dynamic-partition-
+    * overwrite of a partitioned lake table, made atomic and versioned:
+    * the plain-parquet `Sinks.overwritePartitions` documented exactly
+    * this gap (non-atomic leaf swaps). One staged dir per value, each
+    * carrying a `.part` sidecar that the manifest folds into its
+    * `parts` map — so a partition read plans dirs from ONE manifest.
+    *
+    * Read-modify-write on the partition list → publishes ONLY at
+    * base+1 and throws [[CommitConflict]] if the slot is taken (merge/
+    * compact semantics). Every pre-existing live dir must carry a
+    * partition value on the SAME column — mixing partitioned commits
+    * with unpartitioned appends would make "which dirs hold value X"
+    * unanswerable, so it throws instead.
+    *
+    * The distinct-value collect is driver-side but bounded by the
+    * PARTITION CARDINALITY of the incoming batch (the same discovery
+    * Spark's own dynamic partitionBy performs), not by row count.
+    */
+  def overwritePartitions(spark: SparkSession, tableDir: String, df: DataFrame,
+                          partCol: String, txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    require(!partCol.contains("=") && !partCol.contains("\""),
+      s"unsupported characters in partition column name '$partCol'")
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed commit
+      case None    =>
+    }
+    dataDir(tableDir).mkdirs(); logDir(tableDir).mkdirs()
+    enforceSchema(df, tableDir)
+    val values = df.select(partCol).distinct().collect().map(_.get(0)).toSeq
+    require(values.nonEmpty, "input has no rows — nothing to overwrite")
+    require(!values.contains(null), s"null $partCol partition values unsupported")
+    val byValue = values.map(_.toString)
+    // one staging job per partition value over a cached batch: the
+    // re-scan cost is cardinality × cached-scan, not cardinality ×
+    // source-scan (callers land one micro-batch / one day per commit,
+    // so the cache is batch-sized, not table-sized)
+    val cached = df.persist()
+    val staged =
+      try byValue.map { v =>
+        stagePartition(cached.filter(col(partCol).cast("string") === v),
+          tableDir, partCol, v)
+      }
+      finally { cached.unpersist(); () }
+    latestVersion(tableDir) match {
+      case None =>
+        if (!tryPublish(tableDir, 0L, "overwritePartitions", staged, txnId))
+          throw new CommitConflict(s"concurrent first commit at $tableDir")
+        0L
+      case Some(base) =>
+        val snap = snapshot(tableDir, base)
+        val kept = snap.live.map { d =>
+          snap.parts.get(d) match {
+            case Some((c, pv)) if c == partCol => (d, pv)
+            case _ => throw new IllegalStateException(
+              s"live dir $d carries no partition value on $partCol — " +
+                s"not a $partCol-partitioned table; overwrite fully instead")
+          }
+        }.collect { case (d, pv) if !byValue.contains(pv) => d }
+        if (!tryPublish(tableDir, base + 1L, "overwritePartitions",
+            kept ++ staged, txnId))
+          throw new CommitConflict(
+            s"concurrent commit at version ${base + 1}; re-read and retry")
+        maybeCheckpoint(tableDir, base + 1L)
+        base + 1L
+    }
+  }
+
+  /** The live dirs that can hold rows with `partCol = value`: dirs
+    * recording a DIFFERENT value on that column are pruned; dirs with
+    * no (or other-column) partition info must be planned. */
+  def prunePartition(snap: Snapshot, partCol: String, value: String): Seq[String] =
+    snap.live.filter(d => snap.parts.get(d) match {
+      case Some((`partCol`, pv)) => pv == value
+      case _                     => true
+    })
+
+  /** One-partition snapshot read: plans only [[prunePartition]]'s dirs
+    * (one manifest fetch — no listing, no sidecar reads), then applies
+    * the residual equality filter, which is a no-op on exact-partition
+    * dirs and prunes rows of any unpartitioned dirs. Composes with time
+    * travel: `version` selects which manifest plans the read. */
+  def readPartition(spark: SparkSession, tableDir: String, partCol: String,
+                    value: String, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val v = version.orElse(latestVersion(tableDir))
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, v)
+    val planned = prunePartition(snap, partCol, value)
+    val df =
+      if (planned.isEmpty) read(spark, tableDir, Some(v)).limit(0)
+      else spark.read.parquet(planned.map(d => new File(dataDir(tableDir), d).getPath): _*)
+    df.filter(df.col(partCol) === lit(value).cast(df.schema(partCol).dataType))
   }
 
   /** Append `df` as one atomic commit; returns the committed version.
@@ -291,6 +409,18 @@ object TxnTable {
           s"$c:${r.getLong(0)}:${r.getLong(1)}".getBytes("UTF-8")): Unit
     }
     staged
+  }
+
+  /** (col, value) from a data dir's partition sidecar, if present. Like
+    * `.stats`, the sidecar is the write-time record; the manifest copy
+    * (`parts`) is what the read path plans from. */
+  def partOf(tableDir: String, dataDirName: String): Option[(String, String)] = {
+    val f = new File(new File(dataDir(tableDir), dataDirName), ".part")
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.split("=", 2) match {
+      case Array(c, v) => Some((c, v))
+      case _           => None
+    }
   }
 
   /** (col, min, max) from a data dir's stats sidecar, if present. */
@@ -373,7 +503,13 @@ object TxnTable {
         })
         if (entries.isEmpty) "" else entries.mkString(""","stats":{""", ",", "}")
       }
-      s"""{"version":$v,"action":"$action","live":$liveJson$txn$statsJson}"""
+      val partsJson = {
+        val entries = live.flatMap(d => partOf(tableDir, d).map {
+          case (c, pv) => s""""$d":"$c=$pv""""
+        })
+        if (entries.isEmpty) "" else entries.mkString(""","parts":{""", ",", "}")
+      }
+      s"""{"version":$v,"action":"$action","live":$liveJson$txn$statsJson$partsJson}"""
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))

@@ -427,4 +427,22 @@ class PlanAuditSpec extends SparkTestBase {
       p.contains("LessThanOrEqual(o_orderkey,300)"),
       "residual range filter not pushed to the parquet scan")
   }
+
+  test("q203: the partition read plans 1 of 3 live dirs from the manifest parts map") {
+    val df = SparkEntry.queries("q203_txn_partitioned")(spark, sf)
+    val t = "/tmp/graft_derived/sf0.001/orders_txn_part/t"
+    val snap = graft.sources.TxnTable.snapshot(t,
+      graft.sources.TxnTable.latestVersion(t).get)
+    val planned = graft.sources.TxnTable.prunePartition(snap, "o_orderstatus", "F")
+    assert(snap.live.size == 3 && planned.size == 1,
+      s"partition pruning regressed: ${planned.size} of ${snap.live.size} dirs planned")
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains(planned.head)),
+      s"scan planned files outside the F partition's dir: $files")
+    // the residual equality also pushes into the scan (harmless on the
+    // exact-partition dir, load-bearing for any future unpartitioned dir)
+    val p = plan("q203_txn_partitioned")
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      "residual partition equality not pushed to the parquet scan")
+  }
 }

@@ -341,6 +341,57 @@ class TxnTableSpec extends SparkTestBase {
     assert(rows(dir) == Seq((0, "r0"), (1, "r1"), (2, "r2")))
   }
 
+  test("partitioned table: overwritePartitions replaces only named partitions, atomically versioned") {
+    val dir = tmpTable()
+    val v0 = Seq((1, "F", 10L), (2, "O", 20L), (3, "P", 30L), (4, "O", 40L))
+      .toDF("id", "st", "c")
+    assert(TxnTable.overwritePartitions(spark, dir, v0, "st") == 0L)
+    val s0 = TxnTable.snapshot(dir, 0L)
+    assert(s0.live.size == 3 && s0.parts.size == 3,
+      s"expected one dir per partition value with manifest parts: $s0")
+    // replace ONLY partition O; F and P dirs must survive untouched
+    val v1 = Seq((2, "O", 200L), (9, "O", 900L)).toDF("id", "st", "c")
+    assert(TxnTable.overwritePartitions(spark, dir, v1, "st") == 1L)
+    val s1 = TxnTable.snapshot(dir, 1L)
+    val fDir = s0.live.find(d => s0.parts(d) == (("st", "F"))).get
+    assert(s1.live.contains(fDir), "unrelated partition F was rewritten")
+    assert(!s1.live.exists(d => s0.parts.get(d) == Some(("st", "O"))),
+      "old O dir must leave the live set")
+    def all(v: Long) = TxnTable.read(spark, dir, Some(v)).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(all(1L) == Seq((1, "F", 10L), (2, "O", 200L), (3, "P", 30L), (9, "O", 900L)))
+    assert(all(0L) == Seq((1, "F", 10L), (2, "O", 20L), (3, "P", 30L), (4, "O", 40L)),
+      "pre-commit snapshot must time-travel the replaced partition")
+  }
+
+  test("partition read prunes the planned dirs; unpartitioned live dirs make the writer throw") {
+    val dir = tmpTable()
+    TxnTable.overwritePartitions(spark, dir,
+      Seq((1, "F", 10L), (2, "O", 20L), (3, "P", 30L)).toDF("id", "st", "c"), "st")
+    TxnTable.overwritePartitions(spark, dir,
+      Seq((9, "O", 900L)).toDF("id", "st", "c"), "st")
+    // read partition F BEHIND the later unrelated-partition commit
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    val planned = TxnTable.prunePartition(snap, "st", "F")
+    assert(planned.size == 1 && snap.live.size == 3,
+      s"partition pruning regressed: ${planned.size} of ${snap.live.size}")
+    val df = TxnTable.readPartition(spark, dir, "st", "F")
+    assert(df.collect().map(r => (r.getInt(0), r.getLong(2))).toSeq == Seq((1, 10L)))
+    assert(df.inputFiles.nonEmpty && df.inputFiles.forall(_.contains(planned.head)),
+      "partition read planned dirs outside the pruned set")
+    // an unpartitioned append poisons partition accounting → next
+    // overwritePartitions must refuse rather than guess
+    TxnTable.append(Seq((7, "F", 70L)).toDF("id", "st", "c"), dir)
+    intercept[IllegalStateException] {
+      TxnTable.overwritePartitions(spark, dir,
+        Seq((8, "P", 80L)).toDF("id", "st", "c"), "st")
+    }
+    // but the partition READ stays correct: the unknown dir is planned
+    // and the residual filter keeps only matching rows
+    assert(TxnTable.readPartition(spark, dir, "st", "F").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 7))
+  }
+
   test("vacuum retains requested history and reaps the rest") {
     val dir = tmpTable()
     TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
