@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.TxnTable
+
+/** Transactional-layer fuzz: seeded random operation sequences —
+  * append / overwrite / merge / compact / vacuum, including RACING
+  * writer steps — driven against an in-JVM model table, with
+  * snapshot-isolation and CDC-consistency invariants asserted as the
+  * sequence unfolds. This is the suite that catches protocol races
+  * mechanically: the round-8 `compact` lost-update (a rebasing
+  * overwrite silently dropping a concurrent append) is exactly the
+  * class of bug a racing step here converts into a multiset mismatch.
+  *
+  * The model is per-VERSION expected row multisets. Deterministic steps
+  * check the latest read against the model every step; racing steps
+  * leave the interleaved INTERMEDIATE version's content unspecified
+  * (marked fuzzy, excluded from time-travel checks) while the final
+  * multiset stays exact — which is precisely the guarantee optimistic
+  * concurrency makes. Sequence count via SPARK_GRAFT_FUZZ_TXN
+  * (default 200, the round-9 gate); every failure reports its seed for
+  * exact replay.
+  */
+class FuzzTxnSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private type Row3 = (Int, String, Long)
+
+  private def df(rows: Seq[Row3]) =
+    rows.toDF("id", "part", "value").coalesce(1)
+
+  private def counts(rows: Seq[Row3]): Map[Row3, Int] =
+    rows.groupMapReduce(identity)(_ => 1)(_ + _)
+
+  private def readAll(dir: String, v: Option[Long] = None): Seq[Row3] =
+    TxnTable.read(spark, dir, v).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("seeded op sequences (append/overwrite/merge/compact/vacuum + races) match the model") {
+    val nSeqs = sys.env.get("SPARK_GRAFT_FUZZ_TXN").map(_.toInt).getOrElse(200)
+    (0 until nSeqs).foreach(runSequence)
+  }
+
+  private def runSequence(seed: Int): Unit = {
+    val rng = new scala.util.Random(seed * 7919 + 13)
+    val dir = Files.createTempDirectory(s"graft-fuzztxn-$seed").toString
+    val ctx = s"[seed=$seed]"
+
+    var model = Vector.empty[Seq[Row3]] // index = version → expected multiset
+    var fuzzy = Set.empty[Int]          // race-interleaved versions: content unspecified
+    var oldest = 0                      // first retained version after vacuums
+
+    def randRows(n: Int): Seq[Row3] =
+      Seq.fill(n)((rng.nextInt(8), Seq("A", "B", "C")(rng.nextInt(3)),
+        rng.nextInt(100).toLong))
+
+    val nOps = 6
+    (0 until nOps).foreach { i =>
+      val op = if (model.isEmpty) 0 else rng.nextInt(12)
+      op match {
+        case 0 | 1 | 2 => // append
+          val b = randRows(1 + rng.nextInt(2))
+          TxnTable.append(df(b), dir)
+          model :+= model.lastOption.getOrElse(Nil) ++ b
+        case 3 | 4 => // overwrite
+          val b = randRows(1 + rng.nextInt(2))
+          TxnTable.overwrite(df(b), dir)
+          model :+= b
+        case 5 | 6 => // merge (key-unique updates on id)
+          val ups = randRows(2).distinctBy(_._1)
+          TxnTable.merge(spark, dir, df(ups), Seq("id"))
+          model :+= model.last.filterNot(r => ups.exists(_._1 == r._1)) ++ ups
+        case 7 => // compact: content-identical version
+          TxnTable.compact(spark, dir, targetFiles = 1)
+          model :+= model.last
+        case 8 => // vacuum: shrink the retention window
+          val retain = 1 + rng.nextInt(model.size - oldest)
+          TxnTable.vacuum(dir, retain = retain)
+          oldest = model.size - retain
+        case 9 | 10 => // RACE: two concurrent appends — both must land
+          val (b1, b2) = (randRows(1), randRows(1))
+          val t = new Thread(() => TxnTable.append(df(b1), dir): Unit)
+          t.start()
+          TxnTable.append(df(b2), dir)
+          t.join()
+          val prev = model.last
+          fuzzy += model.size // intermediate: prev + (b1 XOR b2) — order unspecified
+          model :+= prev      // placeholder content, never checked
+          model :+= prev ++ b1 ++ b2
+        case 11 => // RACE: append vs compact — the round-8 lost-update shape
+          val b = randRows(1)
+          val t = new Thread(() => TxnTable.append(df(b), dir): Unit)
+          t.start()
+          var done = false
+          while (!done)
+            try { TxnTable.compact(spark, dir, targetFiles = 1); done = true }
+            catch { case _: TxnTable.CommitConflict => () }
+          t.join()
+          val prev = model.last
+          fuzzy += model.size
+          model :+= prev      // placeholder: append-first or compact-first
+          model :+= prev ++ b // final multiset exact EITHER way — the invariant
+        case _ => throw new MatchError(op)
+      }
+      // snapshot-isolation invariant, every step: the latest read is the
+      // model's latest multiset, exactly
+      assert(counts(readAll(dir)) == counts(model.last),
+        s"$ctx step $i: latest read diverged from model\n" +
+          s"  got   ${readAll(dir).sorted}\n  want  ${model.last.sorted}")
+      assert(TxnTable.latestVersion(dir).contains(model.size - 1L),
+        s"$ctx step $i: version count diverged")
+    }
+
+    // time travel: every retained, non-fuzzy version reads back exactly
+    (oldest until model.size).filterNot(fuzzy).foreach { v =>
+      assert(counts(readAll(dir, Some(v.toLong))) == counts(model(v)),
+        s"$ctx time travel to v$v diverged from model")
+    }
+    // CDC consistency: for sampled retained spans with exact endpoints,
+    // model[from] + inserts - deletes == model[to] as multisets
+    val exact = (oldest until model.size).filterNot(fuzzy).toVector
+    (0 until 2).foreach { _ =>
+      val from = exact(rng.nextInt(exact.size))
+      val tos = exact.filter(_ >= from)
+      val to = tos(rng.nextInt(tos.size))
+      val ch = TxnTable.changes(spark, dir, from.toLong, to.toLong).collect()
+        .map(r => ((r.getInt(0), r.getString(1), r.getLong(2)), r.getAs[String]("_change")))
+      val applied = ch.foldLeft(counts(model(from))) {
+        case (m, (row, "insert")) => m.updated(row, m.getOrElse(row, 0) + 1)
+        case (m, (row, "delete")) =>
+          val n = m.getOrElse(row, 0) - 1
+          if (n <= 0) m - row else m.updated(row, n)
+        case (m, _) => m
+      }
+      assert(applied == counts(model(to)),
+        s"$ctx CDC $from->$to inconsistent: applying the feed to model($from) " +
+          s"did not reproduce model($to)")
+    }
+    // retention: a vacuumed version throws the TYPED error
+    if (oldest > 0) {
+      intercept[TxnTable.RetentionError] {
+        TxnTable.read(spark, dir, Some((oldest - 1).toLong))
+      }: Unit
+    }
+  }
+}
