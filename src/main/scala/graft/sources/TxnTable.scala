@@ -631,6 +631,56 @@ object TxnTable {
     }
   }
 
+  /** STREAMING CDC source: the table's commit log as a Structured
+    * Streaming DataFrame — one row per manifest, discovered exactly
+    * once. Rather than hand-rolling a DSv2 MicroBatchStream, this
+    * reuses Spark's FileStreamSource (offset tracking, checkpointed
+    * seen-file log, crash recovery all built in) pointed at `_log`:
+    * every commit publishes exactly one immutable `v*.json`, which is
+    * precisely the contract the file source needs. `.tmp-*` staging
+    * names are excluded by the glob.
+    */
+  def manifestStream(spark: SparkSession, tableDir: String): DataFrame =
+    spark.readStream
+      .option("pathGlobFilter", "v*.json")
+      .text(logDir(tableDir).getPath)
+
+  /** End-to-end streaming CDC pump, txn table → txn table, EXACTLY
+    * ONCE: tails the source's commit log ([[manifestStream]]) and, for
+    * each source commit in version order, appends that ONE commit
+    * window's change feed (insert/delete-tagged, via [[changes]] — the
+    * file-level fast path for append windows) to `destDir` with
+    * `txnId = "cdc-<version>"`. The composition makes replays no-ops
+    * at BOTH layers: Spark's checkpoint prevents re-reading manifests,
+    * and a reprocessed window finds its txnId in the destination log
+    * and skips — so even a rebuilt stream checkpoint (full history
+    * replay) leaves the destination byte-identical.
+    *
+    * Version 0 emits the initial snapshot as inserts (the bootstrap
+    * batch); later versions emit their window's feed. The per-batch
+    * collect is of MANIFEST ROWS (KB-sized metadata, one per commit),
+    * never data. Retention caveat: the source must not be vacuumed past
+    * the stream's progress, or the window read throws the typed
+    * [[RetentionError]].
+    */
+  def changesStream(spark: SparkSession, srcDir: String, destDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.lit
+    manifestStream(spark, srcDir).writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val vs = batch.collect()
+          .flatMap(r => """"version"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(r.getString(0)).map(_.group(1).toLong))
+          .sorted
+        vs.foreach { v =>
+          val feed =
+            if (v == 0L) read(spark, srcDir, Some(0L)).withColumn("_change", lit("insert"))
+            else changes(spark, srcDir, v - 1L, v)
+          append(feed, destDir, txnId = Some(s"cdc-$v")): Unit
+        }
+    }
+  }
+
   /** Rewrite the live set of the latest snapshot into one bin-packed dir
     * and commit it as a content-identical new version (the OPTIMIZE /
     * small-file-compaction maintenance action). `targetFiles` bounds the

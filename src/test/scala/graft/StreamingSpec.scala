@@ -284,4 +284,51 @@ class StreamingSpec extends SparkTestBase {
         "streaming limiter state diverged from the batch packed fold")
     } finally query.stop()
   }
+
+  test("txn CDC stream: one commit per window, ≡ batch changes, replay leaves dest unchanged") {
+    import java.nio.file.Files
+    import graft.sources.TxnTable
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-cdc-src").toString
+    val dest = Files.createTempDirectory("graft-cdc-dest").toString
+    def feed(df: org.apache.spark.sql.DataFrame): Map[(Int, String, String), Int] =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getAs[String]("_change")))
+        .groupMapReduce(identity)(_ => 1)(_ + _)
+
+    TxnTable.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), src) // v0: bootstrap
+    val q = TxnTable.changesStream(spark, src, dest)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-ckpt1").toString)
+      .start()
+    try {
+      q.processAllAvailable() // consumes the v0 window
+      TxnTable.append(Seq((3, "c")).toDF("id", "v"), src)         // v1: append window
+      TxnTable.merge(spark, src,
+        Seq((2, "B"), (4, "d")).toDF("id", "v"), Seq("id"))       // v2: diff window
+      q.processAllAvailable()
+    } finally q.stop()
+    // streamed CDC ≡ batch changes, window by window across the 3 commits
+    val expected =
+      feed(TxnTable.read(spark, src, Some(0L)).withColumn("_change", lit("insert")))
+        .toSeq ++ feed(TxnTable.changes(spark, src, 0L, 1L)).toSeq ++
+        feed(TxnTable.changes(spark, src, 1L, 2L)).toSeq
+    val want = expected.groupMapReduce(_._1)(_._2)(_ + _)
+    assert(feed(TxnTable.read(spark, dest)) == want,
+      "streamed change feed diverged from the batch windows")
+    assert(TxnTable.versions(dest).size == 3,
+      "expected exactly one destination commit per source commit")
+    // REPLAY idempotence: a FRESH stream checkpoint reprocesses every
+    // manifest from scratch; every window's txnId is already in the
+    // destination log, so the destination must come out byte-identical
+    val q2 = TxnTable.changesStream(spark, src, dest)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-ckpt2").toString)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(feed(TxnTable.read(spark, dest)) == want,
+      "full-history replay duplicated change rows")
+    assert(TxnTable.versions(dest).size == 3,
+      "full-history replay minted extra destination commits")
+  }
 }
