@@ -267,6 +267,100 @@ object Fuzz {
         .select("k", "n_rows", "n_vals", "sum_nv", "min_nv", "max_nv", "avg_nv")
   }
 
+  private val JoinTypes: Vector[String] = Vector("inner", "left", "right", "full")
+  private def jtSql(jt: String): String = jt match {
+    case "inner" => "JOIN"
+    case "left"  => "LEFT JOIN"
+    case "right" => "RIGHT JOIN"
+    case "full"  => "FULL JOIN"
+  }
+
+  /** T8: THREE-WAY outer-join chain with NULL-injected keys — the
+    * dialect surface the 7 original templates never touched: orders
+    * (o_custkey nulled when o_orderkey ≡ res mod m) {jt1} customer
+    * {jt2} nation, left-associative in both engines. Null keys match
+    * nothing in either dialect; right/full hops surface unmatched dim
+    * rows whose measure sums must come back NULL. Aggregated on the
+    * nation key (−1 for the null flank) so results stay small and
+    * canonical. */
+  final case class T8(name: String, mod: Long, res: Long,
+                      jt1: String, jt2: String) extends FCase {
+    def sql: String =
+      s"""WITH o AS (SELECT o_orderkey,
+         |                  CASE WHEN o_orderkey % $mod = $res THEN NULL
+         |                       ELSE o_custkey END AS ck,
+         |                  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         |           FROM orders)
+         |SELECT COALESCE(c_nationkey, -1) AS k,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+         |       CAST(COUNT(c_custkey) AS BIGINT) AS n_cust,
+         |       CAST(COUNT(n_name) AS BIGINT) AS n_nat,
+         |       CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+         |FROM o ${jtSql(jt1)} customer ON ck = c_custkey
+         |       ${jtSql(jt2)} nation ON c_nationkey = n_nationkey
+         |GROUP BY 1""".stripMargin
+    def df(s: SparkSession, d: String): DataFrame = {
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % mod === res, lit(null))
+            .otherwise(col("o_custkey")).as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val c = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nt = s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      o.join(c, col("ck") === col("c_custkey"), jt1)
+        .join(nt, col("c_nationkey") === col("n_nationkey"), jt2)
+        .groupBy(coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("k"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          count(col("c_custkey")).as("n_cust"),
+          count(col("n_name")).as("n_nat"),
+          sum(col("price_c")).as("sum_price_c"))
+    }
+  }
+
+  /** T9: multi-way USING join with join MULTIPLICITY — lineitem (many
+    * rows per order key) {jt1} JOIN USING(k) a filtered orders slice
+    * {jt2} JOIN USING(k) a differently-filtered slice. USING coalesces
+    * the key across outer hops (the classic dialect divergence point),
+    * fan-out multiplies measure rows, and count(col)-vs-count(*) over
+    * the outer flanks checks null production. Grouped by k mod gm. */
+  final case class T9(name: String, pcMin: Long, mod2: Long, res2: Long,
+                      jt1: String, jt2: String, gm: Long) extends FCase {
+    def sql: String =
+      s"""WITH l AS ($liSql),
+         |a AS (SELECT l_orderkey AS k, qty, price_c FROM l),
+         |b AS (SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+         |      WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= $pcMin),
+         |c AS (SELECT o_orderkey AS k, o_orderpriority AS pri FROM orders
+         |      WHERE o_orderkey % $mod2 = $res2)
+         |SELECT CAST(k % $gm AS BIGINT) AS g,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(COUNT(qty) AS BIGINT) AS n_q,
+         |       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+         |       CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+         |       CAST(COUNT(st) AS BIGINT) AS n_st,
+         |       CAST(COUNT(pri) AS BIGINT) AS n_pri
+         |FROM a ${jtSql(jt1)} b USING (k) ${jtSql(jt2)} c USING (k)
+         |GROUP BY 1""".stripMargin
+    def df(s: SparkSession, d: String): DataFrame = {
+      val a = li(s, d).select(col("l_orderkey").as("k"), col("qty"), col("price_c"))
+      val b = s.read.parquet(s"$d/orders.parquet")
+        .filter(round(col("o_totalprice") * 100).cast("long") >= pcMin)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+      val c = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderkey") % mod2 === res2)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"))
+      a.join(b, Seq("k"), jt1).join(c, Seq("k"), jt2)
+        .groupBy((col("k") % gm).cast("long").as("g"))
+        .agg(count(lit(1)).as("n_rows"), count(col("qty")).as("n_q"),
+          sum(col("qty")).as("sum_qty"), sum(col("price_c")).as("sum_price_c"),
+          count(col("st")).as("n_st"), count(col("pri")).as("n_pri"))
+    }
+  }
+
   /** The full generated suite: `perTemplate` cases of each of the 7
     * templates, pure in (seed, index). */
   def cases(seed: Long, perTemplate: Int): Seq[FCase] = {
@@ -302,7 +396,16 @@ object Fuzz {
       val key = Vector("l_returnflag", "l_linestatus", "qty")(rnd.nextInt(3))
       T7(f"fz7_nullagg_$i%03d", key, 2L + rnd.nextInt(9), rnd.nextInt(2))
     }
-    t1 ++ t2 ++ t3 ++ t4 ++ t5 ++ t6 ++ t7
+    val t8 = (0 until perTemplate).map { i =>
+      T8(f"fz8_join3_$i%03d", 2L + rnd.nextInt(9), rnd.nextInt(2),
+        JoinTypes(rnd.nextInt(4)), JoinTypes(rnd.nextInt(4)))
+    }
+    val t9 = (0 until perTemplate).map { i =>
+      T9(f"fz9_using_$i%03d", 1000000L + rnd.nextInt(30000000),
+        2L + rnd.nextInt(9), rnd.nextInt(2),
+        JoinTypes(rnd.nextInt(4)), JoinTypes(rnd.nextInt(4)), 2L + rnd.nextInt(9))
+    }
+    t1 ++ t2 ++ t3 ++ t4 ++ t5 ++ t6 ++ t7 ++ t8 ++ t9
   }
 
   /** Verify-style dump: every case's Spark result to parquet + the

@@ -298,7 +298,7 @@ object ScaleBench {
       dic
     }
 
-    // ---- 4b. product quantization (the q197 shape at scale): M=4
+    // ---- 4b. product quantization (the q197 shape at scale): M=8
     // sub-spaces × K=64 codes, codebooks trained on a ≤100k sample with
     // 2 Lloyd rounds (standard PQ practice — training cost must not scale
     // with the corpus), the FULL corpus encoded once to 4 codes + its
@@ -469,6 +469,111 @@ object ScaleBench {
     pqEnc.unpersist(blocking = false)
     docsInCell.unpersist(blocking = false)
     emb.unpersist(blocking = false)
+
+    // ---- 4c. PQ FLOP CROSSOVER at dims=128 (round 9): the dims=16
+    // fixture honestly recorded that ADC's per-candidate table
+    // indirection LOSES to a native 16-dim exact dot (~3×) — "PQ pays
+    // at >=128 dims" had been claimed but unmeasured. This fixture
+    // measures it: 128-dim vectors, M=16 sub-spaces of 8 dims, so ADC
+    // scores a candidate with 16 O(1) array lookups instead of a
+    // 128-dim integer dot (8× FLOP cut), and the shortlist + exact
+    // re-rank (same rerankR) restores recall. pqAssign/pqCbFrom/topkOf
+    // above are dimension-generic and reused as-is.
+    val d128 = 128
+    val n128 = math.min(n, sys.env.getOrElse("SPARK_GRAFT_PQ128_N", "500000").toLong)
+    val q128s = sys.env.getOrElse("SPARK_GRAFT_PQ128_QS", "200")
+      .split(",").map(_.trim.toLong).filter(_ > 0).sorted
+    val m128 = 16; val sub128 = d128 / m128; val k128 = 64
+    val emb128 = spark.range(n128).toDF("id")
+      .withColumn("em", NativeText.microQuantize(
+        transform(sequence(lit(1), lit(d128)), i =>
+          ((pmod(xxhash64(col("id") * 29L + i.cast("long")), lit(2001L)) - 1000L)
+            .cast("double") / 1000.0).cast("float"))))
+      .withColumn("nsq", NativeText.dotLong(col("em"), col("em")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb128.count()
+    def sub128Of(df: DataFrame): DataFrame = df
+      .select(col("id"), explode(array((0 until m128).map(m => struct(lit(m.toLong).as("m"),
+        slice(col("em"), m * sub128 + 1, sub128).as("sv"))): _*)).as("x"))
+      .select(col("id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .withColumn("snsq", NativeText.dotLong(col("sv"), col("sv")))
+    val seed128 = sub128Of(emb128.where(col("id") < k128))
+      .select(col("m"), col("id").as("code"), col("sv").as("cvec"))
+      .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
+    val step128 = math.max(n128 / 100000L, 1L)
+    val (cb128, tTrain128) = timed(s"PQ128($m128 x $k128) codebook train") {
+      val sample = sub128Of(emb128.where(pmod(col("id"), lit(step128)) === 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cb = seed128
+      for (_ <- 1 to 2) {
+        val upd = pqCbFrom(pqAssign(sample, cb))
+        cb = cb.select(col("m"), col("code"),
+            col("cvec").as("cvec0"), col("cnorm").as("cnorm0"))
+          .join(upd, Seq("m", "code"), "left")
+          .select(col("m"), col("code"),
+            coalesce(col("cvec"), col("cvec0")).as("cvec"),
+            coalesce(col("cnorm"), col("cnorm0")).as("cnorm"))
+          .localCheckpoint()
+      }
+      sample.unpersist(blocking = false)
+      cb
+    }
+    val (enc128, tEncode128) = timed("PQ128 encode corpus") {
+      val e = pqAssign(sub128Of(emb128), cb128)
+        .groupBy("id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          x => x.getField("code")).as("codes"))
+        .join(emb128.select(col("id"), col("nsq")), "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    }
+    val score128 = (0 until m128).map { m =>
+      element_at(col("dtq"),
+        (lit(m * k128 + 1L) + element_at(col("codes"), m + 1)).cast("int"))
+    }.reduce(_ + _)
+    case class Pq128Point(q: Long, bruteSec: Double, adcSec: Double,
+                          hits: Long, truthRows: Long)
+    val pq128Points = q128s.map { q =>
+      val queries = emb128.where(col("id") < q)
+        .select(col("id").as("qid"), col("em").as("qem"), col("nsq").as("qnsq"))
+      val (bruteTop, tB) = timed(s"PQ128 brute exact kNN (Q=$q)") {
+        val top = topkOf(emb128.crossJoin(broadcast(queries))
+          .select(col("qid"),
+            cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
+            col("id")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        top.count()
+        top
+      }
+      val truthRows = bruteTop.count()
+      val qdt = sub128Of(queries.select(col("qid").as("id"), col("qem").as("em")))
+        .join(broadcast(cb128), Seq("m"))
+        .select(col("id").as("qid"), (col("m") * k128 + col("code")).as("slot"),
+          NativeText.dotLong(col("sv"), col("cvec")).as("pdot"))
+        .groupBy("qid")
+        .agg(transform(array_sort(collect_list(struct(col("slot"), col("pdot")))),
+          x => x.getField("pdot")).as("dtq"))
+        .join(queries.select(col("qid"), col("qnsq")), Seq("qid"))
+      val rerank128 = 200
+      val (hits, tA) = timed(s"PQ128 ADC scan + re-rank (Q=$q)") {
+        val short = enc128.crossJoin(broadcast(qdt))
+          .select(col("qid"), cosMicro(score128, col("nsq"), col("qnsq")).as("s"), col("id"))
+          .groupBy("qid").agg(TopKLongs.topK(col("s"), col("id"), rerank128).as("tk"))
+          .select(col("qid"), explode(col("tk")).as("e"))
+          .select(col("qid"), col("e.id").as("id"))
+        val top = topkOf(emb128.join(broadcast(short), Seq("id"))
+          .join(broadcast(queries), Seq("qid"))
+          .select(col("qid"),
+            cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
+            col("id")))
+        top.join(bruteTop, Seq("qid", "id")).count()
+      }
+      bruteTop.unpersist(blocking = false)
+      Pq128Point(q, tB, tA, hits, truthRows)
+    }
+    enc128.unpersist(blocking = false)
+    emb128.unpersist(blocking = false)
 
     // ---- 5. CONTAINMENT detection (q84 shape) with containment injected
     // BY CONSTRUCTION: a fresh corpus of 60-token docs where ids = 7
@@ -808,6 +913,14 @@ object ScaleBench {
       s""""ann":{"lloyd_sec":$tLloyd,"ivf_build_sec":$tIvfBuild,""" +
       s""""pq":{"m":$pqM,"k":$pqK,"train_sec":$tPqTrain,"encode_sec":$tPqEncode},""" +
       s""""points":$annJson},""" +
+      s""""pq128":{"n":$n128,"dims":$d128,"m":$m128,"k":$k128,""" +
+      s""""train_sec":$tTrain128,"encode_sec":$tEncode128,"points":${
+        pq128Points.map { p =>
+          val rec = if (p.truthRows == 0) 0.0 else p.hits.toDouble / p.truthRows
+          s"""{"q":${p.q},"brute_sec":${p.bruteSec},"adc_rerank_sec":${p.adcSec},""" +
+            s""""adc_recall_at_10":$rec,"speedup_vs_brute":${
+              if (p.adcSec > 0) p.bruteSec / p.adcSec else -1.0}}"""
+        }.mkString("[", ",", "]")}},""" +
       s""""semdedup":{"docs":$semN,"cells":$semCells,"lloyd_sec":$tSemLloyd,""" +
       s""""pair_sec":$tSemPairs,"found_pairs":$semFound,"injected_found":$semInjFound,""" +
       s""""injected":$semInjected,"max_cell":$semMaxCell},""" +

@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.tools.Fuzz
 import graft.tools.Fuzz._
 
-/** Differential fuzzing, JVM side: 5 templates × 100 generated cases
+/** Differential fuzzing, JVM side: 9 templates × 100 generated cases
   * (seed 7), every Spark result compared against an INDEPENDENT plain
   * Scala-collections evaluation of the same case config. The DuckDB side
-  * of the same 500 cases runs through tools/fuzz_replay.sh (DuckDB exists
+  * of the same 900 cases runs through tools/fuzz_replay.sh (DuckDB exists
   * only driver-side). Catches Spark-API misuse, integer-division edges,
-  * window tie semantics, and string/date off-by-ones against a reference
+  * window tie semantics, multi-way outer-join/USING null-key semantics
+  * (T8/T9, round 9), and string/date off-by-ones against a reference
   * that shares no code with the Spark builders.
   */
 class FuzzSpec extends SparkTestBase {
@@ -42,6 +43,35 @@ class FuzzSpec extends SparkTestBase {
     spark.read.parquet(s"$sf/customer.parquet")
       .select(col("c_custkey"), col("c_nationkey").cast("long"), col("c_mktsegment"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+  private lazy val nations: Seq[(Long, String)] =
+    spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  /** Reference equi-join over plain collections: hash-matched pairs plus
+    * the unmatched flanks the join type keeps. Null (None) keys match
+    * nothing — on EITHER side — which is exactly the semantics T8
+    * injects NULL keys to probe. Shares no code with the Spark side. */
+  private def equiJoin[A, B](left: Seq[A], lk: A => Option[Long],
+                             right: Seq[B], rk: B => Option[Long],
+                             jt: String): Seq[(Option[A], Option[B])] = {
+    val rm = right.groupBy(rk)
+    val lKeys = left.flatMap(lk).toSet
+    val matched = left.flatMap(a =>
+      lk(a).map(k => rm.getOrElse(Some(k), Nil).map(b => (Some(a), Some(b))))
+        .getOrElse(Nil))
+    val lUn = left.filter(a => lk(a).forall(k => rm.getOrElse(Some(k), Nil).isEmpty))
+      .map(a => (Some(a), None))
+    val rUn = right.filter(b => rk(b).forall(k => !lKeys.contains(k)))
+      .map(b => (None, Some(b)))
+    jt match {
+      case "inner" => matched
+      case "left"  => matched ++ lUn
+      case "right" => matched ++ rUn
+      case "full"  => matched ++ lUn ++ rUn
+    }
+  }
 
   private def cmp(a: Long, op: String, b: Long): Boolean = op match {
     case "<" => a < b; case "<=" => a <= b; case "=" => a == b
@@ -161,6 +191,59 @@ class FuzzSpec extends SparkTestBase {
         def opt(v: => Long): Any = if (vals.isEmpty) null else Long.box(v)
         Seq[Any](k, g.size.toLong, vals.size.toLong, opt(vals.sum),
           opt(vals.min), opt(vals.max), opt(vals.sum / vals.size))
+      }.toSeq
+      check(c, exp)
+    }
+  }
+
+  test("T8 three-way outer chain with null keys: 100 cases match the JVM reference") {
+    val t8s = all.collect { case c: T8 => c }
+    assert(t8s.size == 100)
+    val custSeq = custs.toSeq.map { case (ck, (nk, _)) => (ck, nk) }
+    t8s.foreach { c =>
+      val oRows = ords.map(o =>
+        (o.ok, if (o.ok % c.mod == c.res) None else Some(o.ck), o.pc))
+      val j1 = equiJoin(oRows, (r: (Long, Option[Long], Long)) => r._2,
+        custSeq, (x: (Long, Long)) => Some(x._1), c.jt1)
+      val j2 = equiJoin(j1,
+        (p: (Option[(Long, Option[Long], Long)], Option[(Long, Long)])) => p._2.map(_._2),
+        nations, (n: (Long, String)) => Some(n._1), c.jt2)
+      val exp = j2.groupBy(p => p._1.flatMap(_._2).map(_._2).getOrElse(-1L)).map {
+        case (k, g) =>
+          val prices = g.flatMap(_._1.flatMap(_._1).map(_._3))
+          Seq[Any](k, g.size.toLong,
+            g.count(_._1.exists(_._1.isDefined)).toLong,
+            g.count(_._1.exists(_._2.isDefined)).toLong,
+            g.count(_._2.isDefined).toLong,
+            if (prices.isEmpty) null else Long.box(prices.sum))
+      }.toSeq
+      check(c, exp)
+    }
+  }
+
+  test("T9 multi-way USING with multiplicity: 100 cases match the JVM reference") {
+    val t9s = all.collect { case c: T9 => c }
+    assert(t9s.size == 100)
+    t9s.foreach { c =>
+      val a = lis.map(l => (l.ok, l.qty, l.pc))
+      val b = ords.filter(_.pc >= c.pcMin).map(o => (o.ok, o.status))
+      val cc = ords.filter(o => o.ok % c.mod2 == c.res2).map(o => (o.ok, o.prio))
+      type AB = (Option[(Long, Long, Long)], Option[(Long, String)])
+      // USING semantics: the join key coalesces across outer hops
+      def k1(p: AB): Option[Long] = p._1.map(_._1).orElse(p._2.map(_._1))
+      val j1 = equiJoin(a, (x: (Long, Long, Long)) => Some(x._1),
+        b, (x: (Long, String)) => Some(x._1), c.jt1)
+      val j2 = equiJoin(j1, k1, cc, (x: (Long, String)) => Some(x._1), c.jt2)
+      val exp = j2.groupBy { p =>
+        p._1.flatMap(k1).orElse(p._2.map(_._1)).get % c.gm
+      }.map { case (g, rows) =>
+        val qs = rows.flatMap(_._1.flatMap(_._1).map(_._2))
+        val ps = rows.flatMap(_._1.flatMap(_._1).map(_._3))
+        Seq[Any](g, rows.size.toLong, qs.size.toLong,
+          if (qs.isEmpty) null else Long.box(qs.sum),
+          if (ps.isEmpty) null else Long.box(ps.sum),
+          rows.count(_._1.exists(_._2.isDefined)).toLong,
+          rows.count(_._2.isDefined).toLong)
       }.toSeq
       check(c, exp)
     }
