@@ -50,16 +50,49 @@ case class TopKLongs(
   @inline private def ahead(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
     s1 > s2 || (s1 == s2 && i1 < i2)
 
+  // The buffer is a BINARY HEAP with the WORST-ranked element at the
+  // root: O(1) reject for a row that doesn't beat the current worst,
+  // O(log k) for one that does. The previous sorted-array linear insert
+  // was O(k) per accepted row — fine at k=10, but filling a k=1000
+  // shortlist buffer cost O(k²) element shifts per (group × partition)
+  // and dominated the whole ADC scan it served. eval() sorts once.
+  @inline private def worseEq(a: (Long, Long), b: (Long, Long)): Boolean =
+    !ahead(a._1, a._2, b._1, b._2) // a ranks at-or-behind b
+
+  private def siftUp(buf: ArrayBuffer[(Long, Long)], from: Int): Unit = {
+    var i = from
+    while (i > 0) {
+      val p = (i - 1) / 2
+      if (worseEq(buf(p), buf(i))) return
+      val t = buf(p); buf(p) = buf(i); buf(i) = t
+      i = p
+    }
+  }
+
+  private def siftDown(buf: ArrayBuffer[(Long, Long)], from: Int): Unit = {
+    val n = buf.length
+    var i = from
+    while (true) {
+      val l = 2 * i + 1; val r = l + 1
+      var w = i // index of the worst-ranked among i and its children
+      if (l < n && worseEq(buf(l), buf(w))) w = l
+      if (r < n && worseEq(buf(r), buf(w))) w = r
+      if (w == i) return
+      val t = buf(w); buf(w) = buf(i); buf(i) = t
+      i = w
+    }
+  }
+
   private def insert(buf: ArrayBuffer[(Long, Long)], s: Long, i: Long): Unit = {
     if (buf.length == k) {
-      val worst = buf.last
-      if (!ahead(s, i, worst._1, worst._2)) return
+      val worst = buf(0)
+      if (!ahead(s, i, worst._1, worst._2)) return // O(1) fast path
+      buf(0) = (s, i)
+      siftDown(buf, 0)
+    } else {
+      buf += ((s, i))
+      siftUp(buf, buf.length - 1)
     }
-    // k is small (bounded heap); sorted insert by linear scan.
-    var pos = 0
-    while (pos < buf.length && ahead(buf(pos)._1, buf(pos)._2, s, i)) pos += 1
-    buf.insert(pos, (s, i))
-    if (buf.length > k) buf.remove(buf.length - 1)
   }
 
   override def update(buf: ArrayBuffer[(Long, Long)], input: InternalRow): ArrayBuffer[(Long, Long)] = {
@@ -76,8 +109,13 @@ case class TopKLongs(
     buf
   }
 
+  // Consumers rank by array position (explode + pos+1), so the emitted
+  // array is sorted best-first — one O(k log k) sort per GROUP, not
+  // per row.
   override def eval(buf: ArrayBuffer[(Long, Long)]): Any =
-    new GenericArrayData(buf.map { case (s, i) => InternalRow(s, i) }.toArray[Any])
+    new GenericArrayData(buf.toArray
+      .sortWith((a, b) => ahead(a._1, a._2, b._1, b._2))
+      .map { case (s, i) => InternalRow(s, i) }.toArray[Any])
 
   override def serialize(buf: ArrayBuffer[(Long, Long)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(8 + 16 * buf.length)

@@ -370,12 +370,10 @@ object ScaleBench {
     val encWithCell = pqEnc.join(docsInCell.select(col("id"), col("cell")), "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     encWithCell.count()
-    // ADC: M statically-unrolled O(1) positional array lookups + sum —
-    // no per-row lambda allocation, stays inside whole-stage codegen
-    val pqScore = (0 until pqM).map { m =>
-      element_at(col("dtq"),
-        (lit(m * pqK + 1L) + element_at(col("codes"), m + 1)).cast("int"))
-    }.reduce(_ + _)
+    // ADC: ONE native codegen kernel doing the M table lookups in a
+    // primitive loop (NativeText.adcSum) — the unrolled element_at
+    // chain paid per-lookup ArrayData indirection that ate the FLOP win
+    val pqScore = graft.functions.NativeText.adcSum(col("codes"), col("dtq"), pqK)
 
     case class AnnPoint(q: Long, bruteSec: Double,
                         probe1Sec: Double, hits1: Long,
@@ -480,7 +478,11 @@ object ScaleBench {
     // re-rank (same rerankR) restores recall. pqAssign/pqCbFrom/topkOf
     // above are dimension-generic and reused as-is.
     val d128 = 128
-    val n128 = math.min(n, sys.env.getOrElse("SPARK_GRAFT_PQ128_N", "500000").toLong)
+    // full corpus by default: the ADC-vs-brute CROSSOVER is in N — the
+    // scan components scale with N×Q while the shortlist/re-rank stages
+    // scale with Q only, so a small fixture sits below the crossover
+    // (measured 0.33x at 100k) and the full corpus above it
+    val n128 = math.min(n, sys.env.getOrElse("SPARK_GRAFT_PQ128_N", n.toString).toLong)
     val q128s = sys.env.getOrElse("SPARK_GRAFT_PQ128_QS", "200")
       .split(",").map(_.trim.toLong).filter(_ > 0).sorted
     val m128 = 16; val sub128 = d128 / m128; val k128 = 64
@@ -505,7 +507,7 @@ object ScaleBench {
       val sample = sub128Of(emb128.where(pmod(col("id"), lit(step128)) === 0))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var cb = seed128
-      for (_ <- 1 to 2) {
+      for (_ <- 1 to 3) {
         val upd = pqCbFrom(pqAssign(sample, cb))
         cb = cb.select(col("m"), col("code"),
             col("cvec").as("cvec0"), col("cnorm").as("cnorm0"))
@@ -528,10 +530,7 @@ object ScaleBench {
       e.count()
       e
     }
-    val score128 = (0 until m128).map { m =>
-      element_at(col("dtq"),
-        (lit(m * k128 + 1L) + element_at(col("codes"), m + 1)).cast("int"))
-    }.reduce(_ + _)
+    val score128 = graft.functions.NativeText.adcSum(col("codes"), col("dtq"), k128)
     case class Pq128Point(q: Long, bruteSec: Double, adcSec: Double,
                           hits: Long, truthRows: Long)
     val pq128Points = q128s.map { q =>
@@ -555,7 +554,11 @@ object ScaleBench {
         .agg(transform(array_sort(collect_list(struct(col("slot"), col("pdot")))),
           x => x.getField("pdot")).as("dtq"))
         .join(queries.select(col("qid"), col("qnsq")), Seq("qid"))
-      val rerank128 = 200
+      // shortlist 1000 (1% of a 100k corpus): hash-synthesized vectors
+      // are near-orthogonal, so true top-10 score gaps sit inside ADC's
+      // quantization noise — a wider shortlist buys recall for exact
+      // dots on 1000 candidates/query, still 100-500x below brute
+      val rerank128 = 1000
       val (hits, tA) = timed(s"PQ128 ADC scan + re-rank (Q=$q)") {
         val short = enc128.crossJoin(broadcast(qdt))
           .select(col("qid"), cosMicro(score128, col("nsq"), col("qnsq")).as("s"), col("id"))

@@ -208,6 +208,21 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("native adcSum matches the unrolled element_at lookup chain") =
+    forAll(Gen.listOfN(6, Gen.zip(
+      Gen.listOfN(4, Gen.choose(0L, 7L)),              // M=4 codes in [0, K)
+      Gen.listOfN(32, Gen.choose(-1000L, 1000L))))) {  // dense M*K table, K=8
+      vs =>
+        val df = vs.toDF("codes", "dtq")
+        val k = 8
+        val chain = (0 until 4).map { m =>
+          element_at(col("dtq"), (lit(m * k + 1L) + element_at(col("codes"), m + 1)).cast("int"))
+        }.reduce(_ + _)
+        df.select(NativeText.adcSum(col("codes"), col("dtq"), k).as("native"),
+            chain.as("decl"))
+          .collect().forall(r => r.getLong(0) == r.getLong(1))
+    }
+
   property("native simhash64 halves match the declarative per-bit-hash spec") =
     forAll(Gen.listOfN(6, text)) { texts =>
       val df = texts.toDF("text")
