@@ -447,6 +447,65 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q205: CLUSTERED compaction (OPTIMIZE ZORDER's 1-D analogue) —
+    // the maintenance action that CREATES data-skipping power. The
+    // derived build lands orders as four interleaved commits keyed
+    // o_orderkey % 4, so every dir's manifest bounds span the FULL key
+    // range and q202's skipping keeps all 4 dirs (asserted in the
+    // build: pruning is powerless before clustering). compactClustered
+    // then rewrites the snapshot into 4 range-clustered dirs — one
+    // range shuffle, per-dir min/max re-derived — after which the same
+    // range read [40, 160] PLANS ONE DIR (require'd every execution,
+    // along with action == "compact": the skip must come from the
+    // clustered rewrite, not the original layout). The oracle applies
+    // the range to the original parquet: a hash match proves the
+    // cluster rewrite moved every row exactly once and the pruned plan
+    // dropped none that qualify. At 100 TB: nightly clustering turns
+    // key-range reads from full-table scans into touching the files
+    // the keys live in — the reason Delta/Iceberg ship OPTIMIZE as a
+    // first-class command.
+    Q("q205_txn_clustered_compact",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders WHERE o_orderkey BETWEEN 40 AND 160
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_cluster")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          (0L until 4L).foreach { i =>
+            TxnTable.append(base.filter(pmod(col("o_orderkey"), lit(4L)) === i),
+              t.getPath, txnId = Some(s"mod-$i"), statsCol = Some("o_orderkey"))
+          }
+          // pre-clustering, every dir spans the full key range: skipping
+          // must be POWERLESS here, or the query below proves nothing
+          val pre = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(TxnTable.pruneLive(pre, "o_orderkey", 40L, 160L).size == 4,
+            "interleaved layout unexpectedly prunable; build invalid")
+          TxnTable.compactClustered(s, t.getPath, "o_orderkey", 4)
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        val planned = TxnTable.pruneLive(snap, "o_orderkey", 40L, 160L)
+        require(snap.action == "compact" && planned.size == 1 && snap.live.size == 4,
+          s"clustered skipping regressed: action=${snap.action}, " +
+            s"planned ${planned.size} of ${snap.live.size} dirs")
+        TxnTable.readRange(s, t, "o_orderkey", 40L, 160L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

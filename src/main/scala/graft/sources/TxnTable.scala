@@ -721,6 +721,66 @@ object TxnTable {
     base + 1L
   }
 
+  /** CLUSTERED compaction: rewrite the latest snapshot into up to
+    * `targetDirs` staged dirs RANGE-CLUSTERED on `clusterCol` (the 1-D
+    * analogue of Delta's OPTIMIZE ZORDER BY), each carrying its own
+    * min/max stats sidecar, published as ONE atomic commit at `base+1`.
+    *
+    * Compaction changes PRUNING POWER, not content: dirs written by
+    * interleaved appends each span the full key range, so manifest-stats
+    * skipping ([[pruneLive]]/[[readRange]]) keeps every dir; after
+    * clustering, a range predicate plans ~(selectivity × targetDirs)
+    * dirs. At 100 TB this is the maintenance action that keeps point
+    * and range reads proportional to the data they touch — Delta and
+    * Iceberg both make it a first-class command for the same reason.
+    *
+    * Mechanics: one range shuffle (`repartitionByRange` — Spark samples
+    * the key distribution, so dirs are balanced even under skew), each
+    * range partition lands as its own dir via a path-only bucket column
+    * (`partitionBy` keeps it out of the data files), dirs are MOVEd into
+    * the data area (rename, not copy), and min/max per dir is one
+    * parquet-footer aggregate. Same conflict contract as [[compact]]:
+    * publish only at base+1, [[CommitConflict]] if the slot is taken;
+    * losers leave orphan dirs for [[vacuum]].
+    */
+  def compactClustered(spark: SparkSession, tableDir: String,
+                       clusterCol: String, targetDirs: Int): Long = {
+    import org.apache.spark.sql.functions.{col, max, min, spark_partition_id}
+    require(targetDirs >= 1, "targetDirs must be >= 1")
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val df = read(spark, tableDir, Some(base))
+    require(df.columns.contains(clusterCol), s"no column $clusterCol")
+    require(isIntegral(df, clusterCol),
+      s"clusterCol $clusterCol must be an integral type")
+    val tmp = new File(dataDir(tableDir), s".cluster-${UUID.randomUUID()}")
+    df.repartitionByRange(targetDirs, col(clusterCol))
+      .withColumn("_bucket", spark_partition_id())
+      .write.partitionBy("_bucket").parquet(tmp.getPath)
+    val staged = Option(tmp.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+      .sortBy(_.getName.stripPrefix("_bucket=").toInt)
+      .map { b =>
+        val name = s"txn-${UUID.randomUUID()}"
+        val dest = new File(dataDir(tableDir), name)
+        Files.move(b.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
+        val r = spark.read.parquet(dest.getPath)
+          .agg(min(col(clusterCol).cast("long")),
+            max(col(clusterCol).cast("long"))).head()
+        if (!r.isNullAt(0))
+          Files.write(new File(dest, ".stats").toPath,
+            s"$clusterCol:${r.getLong(0)}:${r.getLong(1)}".getBytes("UTF-8")): Unit
+        name
+      }.toSeq
+    deleteRec(tmp)
+    require(staged.nonEmpty, s"empty table at $tableDir; nothing to cluster")
+    if (!tryPublish(tableDir, base + 1L, "compact", staged, None))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry the clustering")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
   /** Drop manifests older than the newest `retain` versions, then delete
     * every data dir no retained manifest references — including orphans
     * staged by crashed writers. In production an orphan needs a grace

@@ -5,7 +5,8 @@ import java.nio.file.Files
 import graft.sources.TxnTable
 
 /** Transactional-layer fuzz: seeded random operation sequences —
-  * append / overwrite / merge / compact / vacuum, including RACING
+  * append / overwrite / merge / compact (bin-packed or range-clustered)
+  * / vacuum, including RACING
   * writer steps — driven against an in-JVM model table, with
   * snapshot-isolation and CDC-consistency invariants asserted as the
   * sequence unfolds. This is the suite that catches protocol races
@@ -72,8 +73,9 @@ class FuzzTxnSpec extends SparkTestBase {
           val ups = randRows(2).distinctBy(_._1)
           TxnTable.merge(spark, dir, df(ups), Seq("id"))
           model :+= model.last.filterNot(r => ups.exists(_._1 == r._1)) ++ ups
-        case 7 => // compact: content-identical version
-          TxnTable.compact(spark, dir, targetFiles = 1)
+        case 7 => // compact (bin-packed or range-clustered): content-identical
+          if (rng.nextBoolean()) TxnTable.compact(spark, dir, targetFiles = 1)
+          else TxnTable.compactClustered(spark, dir, "id", 1 + rng.nextInt(3))
           model :+= model.last
         case 8 => // vacuum: shrink the retention window
           val retain = 1 + rng.nextInt(model.size - oldest)
@@ -89,13 +91,18 @@ class FuzzTxnSpec extends SparkTestBase {
           fuzzy += model.size // intermediate: prev + (b1 XOR b2) — order unspecified
           model :+= prev      // placeholder content, never checked
           model :+= prev ++ b1 ++ b2
-        case 11 => // RACE: append vs compact — the round-8 lost-update shape
+        case 11 => // RACE: append vs compact[Clustered] — the round-8 lost-update shape
           val b = randRows(1)
+          val useCluster = rng.nextBoolean()
           val t = new Thread(() => TxnTable.append(df(b), dir): Unit)
           t.start()
           var done = false
           while (!done)
-            try { TxnTable.compact(spark, dir, targetFiles = 1); done = true }
+            try {
+              if (useCluster) TxnTable.compactClustered(spark, dir, "id", 2)
+              else TxnTable.compact(spark, dir, targetFiles = 1)
+              done = true
+            }
             catch { case _: TxnTable.CommitConflict => () }
           t.join()
           val prev = model.last

@@ -116,6 +116,67 @@ class TxnTableSpec extends SparkTestBase {
       "compaction dropped the pruning sidecar")
   }
 
+  test("compactClustered: content identical, per-dir bounds disjoint, pruning created") {
+    val dir = tmpTable()
+    // interleaved layout: every commit spans the full key range, so
+    // manifest skipping keeps every dir — the layout clustering fixes
+    (0 until 4).foreach { i =>
+      TxnTable.append((0 until 40).filter(_ % 4 == i)
+        .map(k => (k, s"r$k")).toDF("id", "v"), dir, statsCol = Some("id"))
+    }
+    val before = rows(dir)
+    val pre = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(TxnTable.pruneLive(pre, "id", 0L, 3L).size == 4,
+      "interleaved layout should be unprunable")
+    val cv = TxnTable.compactClustered(spark, dir, "id", 4)
+    assert(cv == pre.version + 1, "clustering must pin base+1")
+    assert(rows(dir) == before, "clustering changed table content")
+    val snap = TxnTable.snapshot(dir, cv)
+    assert(snap.action == "compact" && snap.live.size == 4)
+    // every dir carries bounds; ranges must be pairwise disjoint (the
+    // definition of clustered) and cover all 40 keys
+    val bounds = snap.live.map(d => snap.stats(d))
+    assert(bounds.forall(_._1 == "id"))
+    val sorted = bounds.map(b => (b._2, b._3)).sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => hi < lo2
+      case _                      => true
+    }, s"clustered dirs overlap: $sorted")
+    assert(sorted.head._1 == 0L && sorted.last._2 == 39L)
+    // a narrow range read now plans a strict subset
+    val planned = TxnTable.pruneLive(snap, "id", 0L, 3L)
+    assert(planned.size == 1, s"expected 1 planned dir, got ${planned.size}")
+    assert(TxnTable.readRange(spark, dir, "id", 0L, 3L)
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
+    // pre-clustering snapshot still time-travels
+    assert(rows(dir, Some(cv - 1)) == before)
+  }
+
+  test("compactClustered throws CommitConflict when a concurrent append takes base+1") {
+    val dir = tmpTable()
+    TxnTable.append((0 until 8).map(k => (k, s"r$k")).toDF("id", "v"), dir,
+      statsCol = Some("id"))
+    // simulate the race deterministically: land a concurrent append at
+    // base+1 after clustering has read its base snapshot — publishing
+    // the stale clustered copy would drop these rows, so it must throw
+    val base = TxnTable.latestVersion(dir).get
+    TxnTable.append(Seq((99, "late")).toDF("id", "v"), dir)
+    assert(TxnTable.latestVersion(dir).get == base + 1)
+    // clustering re-reads latest itself, so race it for the NEXT slot
+    val t = new Thread(() =>
+      TxnTable.append(Seq((100, "later")).toDF("id", "v"), dir): Unit)
+    var clustered = false
+    t.start()
+    while (!clustered) {
+      try { TxnTable.compactClustered(spark, dir, "id", 2); clustered = true }
+      catch { case _: TxnTable.CommitConflict => () }
+    }
+    t.join()
+    val ids = rows(dir).map(_._1)
+    assert(Seq(99, 100).forall(ids.contains),
+      s"clustering lost a concurrent append's rows: $ids")
+  }
+
   test("append racing compact: the appended rows are never lost") {
     // The round-8 verified bug: compact delegated to commit()'s rebasing
     // overwrite, so an append landing between compact's read and publish
