@@ -1,0 +1,366 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Batched multi-query top-k scan: ONE pass over the corpus scoring every
+  * row against ALL queries at once, with a bounded per-query heap.
+  *
+  * The pair-join formulation of k-NN (`corpus.crossJoin(broadcast(queries))`
+  * → score → top-k) materializes N×Q join rows; Spark's per-row machinery
+  * (BNLJ iteration, UnsafeRow projection, aggregate dispatch) costs
+  * ~20-25 ns/pair, which FLOORS the scan no matter how cheap the scoring
+  * kernel is — measured here, a 16-lookup ADC score and a 128-dim exact
+  * dot land within noise of each other because neither is the bottleneck.
+  * This aggregate restores the arithmetic as the cost: the query set rides
+  * in as ONE broadcast row (array of (qid, table, norm²) structs, decoded
+  * once per task and cached), each corpus row is loaded once into a
+  * primitive scratch buffer, and the Q×M inner loop runs as tight JIT'd
+  * code — per-(row,query) cost drops to the few ns of the kernel itself.
+  *
+  * At 100 TB this is the shape that matters: the corpus is scanned once
+  * (never joined), queries are broadcast once (Q×table bytes, megabytes),
+  * candidate generation happens map-side as partial aggregation, and only
+  * per-partition top-k candidates — k×Q rows per partition, independent of
+  * corpus size — cross the wire.
+  *
+  * Modes:
+  *  - `mode="dot"`: `vec` is a micro-quantized BIGINT vector, each query
+  *    table is a query vector of the same length; score is the exact
+  *    integer dot.
+  *  - `mode="adc"`: `vec` is an M-element PQ code array, each query table
+  *    is the query's dense ADC distance table (slot = m·subK + code, the
+  *    q197/q199 layout); score is the M-lookup ADC sum.
+  * Either way the emitted similarity is exact-integer cosine
+  * `dot / sqrt(nsq·qnsq)` — bit-identical to `Exact.cosineMicro` and any
+  * SQL engine evaluating the same IEEE expression — ranked (cos DESC,
+  * id ASC) via an order-preserving long encoding of the double.
+  *
+  * Merge semantics:
+  *  - `exact=true`: merges insert into the capped heap → the EXACT global
+  *    top-k per query, deterministic under any partitioning (an element of
+  *    the global top-k is necessarily in its partition's top-k).
+  *  - `exact=false`: merges CONCATENATE → the union of per-partition
+  *    top-k candidates (⊇ the global top-k, same argument). This is the
+  *    shortlist generator for ADC + exact re-rank: k can stay small per
+  *    partition while the union provides the recall budget, and the final
+  *    merge is O(entries) instead of O(entries·log k).
+  */
+case class MultiQueryTopK(
+    id: Expression,
+    vec: Expression,
+    nsq: Expression,
+    qtabs: Expression,
+    mode: String,
+    k: Int,
+    subK: Int,
+    exact: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MultiQueryTopK.MQBuf] {
+
+  require(k > 0, "k must be positive")
+  require(mode == "dot" || mode == "adc", s"unknown mode: $mode")
+  private val isAdc = mode == "adc"
+
+  override def children: Seq[Expression] = Seq(id, vec, nsq, qtabs)
+  override def nullable: Boolean = false
+  override def dataType: DataType = MultiQueryTopK.outType
+
+  import MultiQueryTopK.{MQBuf, sortableBits}
+
+  // ---- broadcast query tables, decoded once per task ----
+  @transient private var qn: Int = -1
+  @transient private var qidsT: Array[Long] = _
+  @transient private var tabsT: Array[Array[Long]] = _
+  @transient private var qnsqT: Array[Double] = _
+  @transient private var scratch: Array[Long] = _
+
+  private def ensureTables(a: ArrayData): Unit = {
+    if (qn >= 0) return
+    val n = a.numElements()
+    val idx = (0 until n).sortBy(i => a.getStruct(i, 3).getLong(0))
+    qidsT = new Array[Long](n)
+    tabsT = new Array[Array[Long]](n)
+    qnsqT = new Array[Double](n)
+    var o = 0
+    idx.foreach { i =>
+      val s = a.getStruct(i, 3)
+      qidsT(o) = s.getLong(0)
+      tabsT(o) = s.getArray(1).toLongArray()
+      qnsqT(o) = s.getLong(2).toDouble
+      o += 1
+    }
+    qn = n
+  }
+
+  override def createAggregationBuffer(): MQBuf = new MQBuf(null, null, null, null)
+
+  private def initBuf(buf: MQBuf): Unit = {
+    if (buf.qids != null) return
+    buf.qids = qidsT
+    buf.sizes = new Array[Int](qn)
+    buf.heaps = Array.fill(qn)(new Array[Long](2 * k))
+    buf.extras = if (exact) null else Array.fill(qn)(new ArrayBuffer[Long])
+  }
+
+  // (e1,i1) ranks strictly ahead of (e2,i2) under (cos DESC, id ASC).
+  @inline private def ahead(e1: Long, i1: Long, e2: Long, i2: Long): Boolean =
+    e1 > e2 || (e1 == e2 && i1 < i2)
+
+  /** Worst-at-root interleaved [enc,id] heap; returns the new size. */
+  private def insert(h: Array[Long], size: Int, e: Long, i: Long): Int = {
+    if (size == k) {
+      if (!ahead(e, i, h(0), h(1))) return size // O(1) reject
+      h(0) = e; h(1) = i
+      // sift down
+      var p = 0
+      while (true) {
+        val l = 2 * p + 1; val r = l + 1
+        var w = p
+        if (l < size && !ahead(h(2 * l), h(2 * l + 1), h(2 * w), h(2 * w + 1))) w = l
+        if (r < size && !ahead(h(2 * r), h(2 * r + 1), h(2 * w), h(2 * w + 1))) w = r
+        if (w == p) return size
+        val ts = h(2 * p); val ti = h(2 * p + 1)
+        h(2 * p) = h(2 * w); h(2 * p + 1) = h(2 * w + 1)
+        h(2 * w) = ts; h(2 * w + 1) = ti
+        p = w
+      }
+      size
+    } else {
+      h(2 * size) = e; h(2 * size + 1) = i
+      var c = size
+      while (c > 0) {
+        val p = (c - 1) / 2
+        if (!ahead(h(2 * c), h(2 * c + 1), h(2 * p), h(2 * p + 1))) {
+          val ts = h(2 * p); val ti = h(2 * p + 1)
+          h(2 * p) = h(2 * c); h(2 * p + 1) = h(2 * c + 1)
+          h(2 * c) = ts; h(2 * c + 1) = ti
+          c = p
+        } else c = 0
+      }
+      size + 1
+    }
+  }
+
+  override def update(buf: MQBuf, input: InternalRow): MQBuf = {
+    val tv = qtabs.eval(input)
+    if (tv == null) return buf
+    ensureTables(tv.asInstanceOf[ArrayData])
+    initBuf(buf)
+    val vv = vec.eval(input); val nv = nsq.eval(input); val iv = id.eval(input)
+    if (vv == null || nv == null || iv == null) return buf
+    val va = vv.asInstanceOf[ArrayData]
+    val m = va.numElements()
+    if (scratch == null || scratch.length < m) scratch = new Array[Long](m)
+    var j = 0
+    while (j < m) { scratch(j) = va.getLong(j); j += 1 }
+    val nd = nv.asInstanceOf[Long].toDouble
+    val idL = iv.asInstanceOf[Long]
+    var q = 0
+    while (q < qn) {
+      val tab = tabsT(q)
+      var dot = 0L
+      if (isAdc) {
+        var i = 0
+        while (i < m) { dot += tab(i * subK + scratch(i).toInt); i += 1 }
+      } else {
+        var i = 0
+        while (i < m) { dot += tab(i) * scratch(i); i += 1 }
+      }
+      val cos = dot.toDouble / math.sqrt(nd * qnsqT(q))
+      if (!cos.isNaN) {
+        buf.sizes(q) = insert(buf.heaps(q), buf.sizes(q), sortableBits(cos), idL)
+      }
+      q += 1
+    }
+    buf
+  }
+
+  override def merge(buf: MQBuf, other: MQBuf): MQBuf = {
+    if (other.qids == null) return buf
+    if (buf.qids == null) return other
+    var q = 0
+    while (q < buf.qids.length) {
+      val oh = other.heaps(q); val on = other.sizes(q)
+      if (exact) {
+        var i = 0
+        while (i < on) {
+          buf.sizes(q) = insert(buf.heaps(q), buf.sizes(q), oh(2 * i), oh(2 * i + 1))
+          i += 1
+        }
+      } else {
+        val ex = buf.extras(q)
+        var i = 0
+        while (i < on) { ex += oh(2 * i); ex += oh(2 * i + 1); i += 1 }
+        ex ++= other.extras(q)
+      }
+      q += 1
+    }
+    buf
+  }
+
+  override def eval(buf: MQBuf): Any = {
+    if (buf.qids == null) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](buf.qids.length)
+    var q = 0
+    while (q < buf.qids.length) {
+      val n = buf.sizes(q) + (if (buf.extras == null) 0 else buf.extras(q).length / 2)
+      val es = new Array[Long](n); val is = new Array[Long](n)
+      var i = 0
+      while (i < buf.sizes(q)) {
+        es(i) = buf.heaps(q)(2 * i); is(i) = buf.heaps(q)(2 * i + 1); i += 1
+      }
+      if (buf.extras != null) {
+        val ex = buf.extras(q)
+        var j = 0
+        while (j < ex.length / 2) { es(i) = ex(2 * j); is(i) = ex(2 * j + 1); i += 1; j += 1 }
+      }
+      val ord = (0 until n).sortWith((a, b) => ahead(es(a), is(a), es(b), is(b)))
+      out(q) = InternalRow(buf.qids(q), new GenericArrayData(
+        ord.map(x => InternalRow(
+          java.lang.Double.longBitsToDouble(sortableBits(es(x))), is(x))).toArray[Any]))
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: MQBuf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    if (buf.qids == null) out.writeInt(-1)
+    else {
+      out.writeInt(buf.qids.length)
+      var q = 0
+      while (q < buf.qids.length) {
+        out.writeLong(buf.qids(q))
+        out.writeInt(buf.sizes(q))
+        var i = 0
+        while (i < buf.sizes(q)) {
+          out.writeLong(buf.heaps(q)(2 * i)); out.writeLong(buf.heaps(q)(2 * i + 1)); i += 1
+        }
+        val exn = if (buf.extras == null) 0 else buf.extras(q).length / 2
+        out.writeInt(exn)
+        var j = 0
+        while (j < exn) {
+          out.writeLong(buf.extras(q)(2 * j)); out.writeLong(buf.extras(q)(2 * j + 1)); j += 1
+        }
+        q += 1
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MQBuf = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    if (n < 0) return new MQBuf(null, null, null, null)
+    val qids = new Array[Long](n)
+    val sizes = new Array[Int](n)
+    val heaps = new Array[Array[Long]](n)
+    val extras = if (exact) null else new Array[ArrayBuffer[Long]](n)
+    var q = 0
+    while (q < n) {
+      qids(q) = in.readLong()
+      val hs = in.readInt()
+      val h = new Array[Long](math.max(2 * k, 2 * hs))
+      var i = 0
+      while (i < hs) { h(2 * i) = in.readLong(); h(2 * i + 1) = in.readLong(); i += 1 }
+      sizes(q) = hs; heaps(q) = h
+      val exn = in.readInt()
+      val ex = if (exact) null else new ArrayBuffer[Long](2 * exn)
+      var j = 0
+      while (j < exn) {
+        val e = in.readLong(); val iv = in.readLong()
+        if (ex != null) { ex += e; ex += iv }
+        j += 1
+      }
+      if (extras != null) extras(q) = ex
+      q += 1
+    }
+    new MQBuf(qids, heaps, sizes, extras)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MultiQueryTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MultiQueryTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MultiQueryTopK =
+    copy(id = newChildren(0), vec = newChildren(1), nsq = newChildren(2), qtabs = newChildren(3))
+
+  override def prettyName: String = "multi_query_topk"
+}
+
+object MultiQueryTopK {
+
+  /** Per-query candidate buffer: interleaved [enc,id] worst-at-root heaps
+    * plus (union mode only) the concatenated merge overflow. `qids == null`
+    * marks the untouched buffer of an empty partition. */
+  final class MQBuf(
+      var qids: Array[Long],
+      var heaps: Array[Array[Long]],
+      var sizes: Array[Int],
+      var extras: Array[ArrayBuffer[Long]])
+
+  val entryType: StructType = StructType(Seq(
+    StructField("cos", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+
+  val outType: ArrayType = ArrayType(
+    StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("tk", ArrayType(entryType, containsNull = false), nullable = false))),
+    containsNull = false)
+
+  val qtabType: ArrayType = ArrayType(
+    StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("tab", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("qnsq", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Order-preserving involution double-bits <-> signed long: signed
+    * comparison of the encoding matches IEEE total order on the doubles
+    * (NaN excluded; callers filter NaN before insert). */
+  @inline def sortableBits(b: Long): Long = b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  @inline def sortableBits(d: Double): Long =
+    sortableBits(java.lang.Double.doubleToRawLongBits(d))
+
+  /** Exact global top-k per query over micro-quantized vectors: the
+    * batched replacement for crossJoin(broadcast(queries)) + window. */
+  def dotTopK(id: Column, vec: Column, nsq: Column, qtabs: Column, k: Int): Column =
+    build(id, vec, nsq, qtabs, "dot", k, 0, exact = true)
+
+  /** Union-of-per-partition-top-k shortlist via ADC lookup scoring
+    * (PQ codes vs dense distance tables, slot = m·subK + code). */
+  def adcShortlist(id: Column, codes: Column, nsq: Column, qtabs: Column,
+                   k: Int, subK: Int): Column =
+    build(id, codes, nsq, qtabs, "adc", k, subK, exact = false)
+
+  /** Exact-merge ADC top-k (global ADC-score top-k per query). */
+  def adcTopK(id: Column, codes: Column, nsq: Column, qtabs: Column,
+              k: Int, subK: Int): Column =
+    build(id, codes, nsq, qtabs, "adc", k, subK, exact = true)
+
+  /** Union-of-per-partition-top-k shortlist on exact dots. */
+  def dotShortlist(id: Column, vec: Column, nsq: Column, qtabs: Column, k: Int): Column =
+    build(id, vec, nsq, qtabs, "dot", k, 0, exact = false)
+
+  private def build(id: Column, vec: Column, nsq: Column, qtabs: Column,
+                    mode: String, k: Int, subK: Int, exact: Boolean): Column =
+    ColumnBridge.column(
+      MultiQueryTopK(
+        ColumnBridge.expression(id), ColumnBridge.expression(vec),
+        ColumnBridge.expression(nsq), ColumnBridge.expression(qtabs),
+        mode, k, subK, exact).toAggregateExpression())
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.{Exact, NativeText}
+import graft.functions.{Exact, MultiQueryTopK, NativeText}
 
 /** Similarity-search / vector queries over the `embeddings` table
   * (vec_id BIGINT, embedding ARRAY<FLOAT> x64, label INT) — the ANN side of
@@ -704,6 +704,46 @@ object VectorQueries {
             Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
           .filter(col("rnk") <= 3)
           .select(col("qid"), col("vec_id"), col("rnk"), col("dot"), col("cos"))
+          .orderBy("qid", "rnk")
+      }),
+
+    // ---- q204: BATCHED brute kNN — q36's exact semantics re-planned as
+    // ONE corpus pass. The pair-join form (q36) materializes corpus x Q
+    // join rows and pays Spark's per-row machinery (~20-25 ns/pair) per
+    // SCORE; here the whole query set rides in as a single broadcast row
+    // of (qid, vector, norm) structs, MultiQueryTopK loads each corpus
+    // vector once into a primitive scratch buffer and scores all queries
+    // in a tight JIT'd loop, and partial aggregation ships only k rows
+    // per query per partition. Same bit-exact cosine, same (cos DESC, id)
+    // order, self-inclusive (rank 1 is the query itself at cos 1.0) —
+    // the oracle is the plain window formulation.
+    Q("q204_knn_batch_scan",
+      Some(
+        s"""WITH $emCte,
+           |p_t AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+           |         CAST(list_sum(list_transform(generate_series(1, $Dim), i -> q.em[i] * c.em[i])) AS BIGINT) AS dot,
+           |         q.nsq AS qn, c.nsq AS cn
+           |  FROM n_t q JOIN n_t c ON q.vec_id < 8),
+           |r_t AS (SELECT qid, vid, $cosSql AS cos FROM p_t),
+           |k_t AS (SELECT qid, vid, cos,
+           |               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+           |        FROM r_t)
+           |SELECT qid, vid AS vec_id, CAST(rnk AS BIGINT) AS rnk, cos
+           |FROM k_t WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin),
+      (s, d) => {
+        val n = quantized(s, d)
+        val qt = n.filter(col("vec_id") < 8)
+          .agg(collect_list(struct(col("vec_id").as("qid"), col("em").as("tab"),
+            col("nsq").as("qnsq"))).as("qtabs"))
+        n.crossJoin(broadcast(qt))
+          .groupBy()
+          .agg(MultiQueryTopK.dotTopK(col("vec_id"), col("em"), col("nsq"),
+            col("qtabs"), 10).as("res"))
+          .select(explode(col("res")).as("r"))
+          .select(col("r.qid").as("qid"), posexplode(col("r.tk")).as(Seq("pos", "e")))
+          .select(col("qid"), col("e.id").as("vec_id"),
+            (col("pos") + 1).cast("long").as("rnk"), col("e.cos").as("cos"))
           .orderBy("qid", "rnk")
       })
   )

@@ -231,7 +231,13 @@ class PlanAuditSpec extends SparkTestBase {
       "q192_novelty_curve",
       //  - q193: the 1-row token-budget scalar against the ranked
       //    density frame.
-      "q193_budget_curation")
+      "q193_budget_curation",
+      //  - q204: the 1-row broadcast of the ENTIRE query set (array of
+      //    (qid, vector, norm) structs) riding onto the corpus scan —
+      //    the batched-kNN design replaces the corpus×Q pair join with
+      //    one scalar-attach cross; candidate generation happens inside
+      //    the MultiQueryTopK partial aggregate.
+      "q204_knn_batch_scan")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&
@@ -444,5 +450,36 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q203_txn_partitioned")
     assert(p.contains("EqualTo(o_orderstatus,F)"),
       "residual partition equality not pushed to the parquet scan")
+  }
+
+  test("q205: after clustering, the range read plans 1 of 4 dirs; residual pushed") {
+    val df = SparkEntry.queries("q205_txn_clustered_compact")(spark, sf)
+    val t = "/tmp/graft_derived/sf0.001/orders_txn_cluster/t"
+    val snap = graft.sources.TxnTable.snapshot(t,
+      graft.sources.TxnTable.latestVersion(t).get)
+    assert(snap.action == "compact", "latest version must be the clustered rewrite")
+    val planned = graft.sources.TxnTable.pruneLive(snap, "o_orderkey", 40L, 160L)
+    assert(snap.live.size == 4 && planned.size == 1,
+      s"clustered skipping regressed: ${planned.size} of ${snap.live.size} dirs planned")
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains(planned.head)),
+      s"scan planned files outside the clustered dir: $files")
+    val p = plan("q205_txn_clustered_compact")
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,40)") &&
+      p.contains("LessThanOrEqual(o_orderkey,160)"),
+      "residual range filter not pushed to the parquet scan")
+  }
+
+  test("q204: batched kNN plans ONE single-row broadcast cross, no window, no corpus shuffle") {
+    val p = plan("q204_knn_batch_scan")
+    // the ONLY join is the 1-row qtabs broadcast riding onto the corpus
+    assert(opTree(p).count(_.startsWith("BroadcastNestedLoopJoin")) == 1,
+      "expected exactly the single-row query-set broadcast")
+    assert(!p.contains("Window"),
+      "batched kNN must not fall back to the window top-k")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no per-pair join may appear in the batched plan")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "MultiQueryTopK aggregate missing from the plan")
   }
 }
