@@ -506,6 +506,132 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q206: Z-ORDER clustering — data skipping on a SECOND column.
+    // q205's 1-D clustering gives the cluster key tight per-dir bounds
+    // but leaves every OTHER column full-range (a custkey predicate
+    // still scans everything). The 2-key compactClustered interleaves
+    // uniform 10-bit buckets of (o_orderkey, o_custkey) into a 20-bit
+    // Z-value and range-clusters on the curve, so BOTH columns get
+    // locality: the build proves the pre-state is unprunable, then
+    // every execution requires a custkey range read to plan at most
+    // HALF the 16 dirs (and an orderkey range likewise — measured 4-7
+    // of 16 across scales). The oracle applies the same custkey range
+    // to the original parquet. At 100 TB this is Delta's OPTIMIZE
+    // ZORDER BY: multi-dimensional point/range access over one sorted
+    // rewrite, no second copy of the data.
+    Q("q206_txn_zorder",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders WHERE o_custkey BETWEEN 1 AND 30
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_zorder")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          (0L until 4L).foreach { i =>
+            TxnTable.append(base.filter(pmod(col("o_orderkey"), lit(4L)) === i),
+              t.getPath, txnId = Some(s"mod-$i"), statsCol = Some("o_orderkey"))
+          }
+          val pre = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(TxnTable.pruneLive(pre, "o_orderkey", 1L, 300L).size == 4,
+            "interleaved layout unexpectedly prunable; build invalid")
+          TxnTable.compactClustered(s, t.getPath,
+            Seq("o_orderkey", "o_custkey"), 16)
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        val pc = TxnTable.pruneLive(snap, "o_custkey", 1L, 30L)
+        val po = TxnTable.pruneLive(snap, "o_orderkey", 1L, 300L)
+        require(snap.action == "compact" && snap.live.size == 16 &&
+            pc.size <= 8 && po.size <= 8,
+          s"Z-order skipping regressed: custkey planned ${pc.size}, " +
+            s"orderkey planned ${po.size}, of ${snap.live.size} dirs")
+        TxnTable.readRange(s, t, "o_custkey", 1L, 30L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // ---- q207: row-level DELETE with manifest-stats file pruning.
+    // The table is built as four orderkey-quartile dirs (each with
+    // min/max bounds); deleteRange purges [q1, mid-100) — covering
+    // most of the SECOND quartile and nothing else — and the build
+    // REQUIRES the pre-state pruned the rewrite set to that ONE dir:
+    // three of four dirs are never read or written (the 100 TB GDPR/
+    // retention-sweep shape: a clustered delete rewrites the files the
+    // keys live in, not the table). Post-state: the deleted range is
+    // unplannable (pruneLive returns zero dirs), the rewrite carries
+    // fresh bounds, time travel still reads the pre-delete rows. The
+    // oracle derives the same quartile cuts with integer division in a
+    // CTE and applies NOT(range) to the original parquet — a hash
+    // match proves the copy-on-write rewrite kept exactly the
+    // complement rows.
+    Q("q207_txn_delete",
+      Some("""WITH m AS (SELECT (max(o_orderkey)+1)//4 AS q1,
+             |                  (max(o_orderkey)+1)//2 - 100 AS q2h FROM orders)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders, m
+             |WHERE NOT (o_orderkey >= m.q1 AND o_orderkey < m.q2h)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        def cuts(): (Long, Long, Long, Long) = {
+          val maxK = Tables.orders(s, d)
+            .agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          (maxK / 4, maxK / 2, maxK * 3 / 4, maxK)
+        }
+        val dir = derivedDir(d, "orders_txn_delete")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val (q1, q2, q3, maxK) = cuts()
+          Seq((0L, q1 - 1), (q1, q2 - 1), (q2, q3 - 1), (q3, maxK))
+            .foreach { case (lo, hi) =>
+              TxnTable.append(base.filter(col("o_orderkey").between(lo, hi)),
+                t.getPath, statsCol = Some("o_orderkey"))
+            }
+          val pre = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(pre.live.size == 4 &&
+              TxnTable.pruneLive(pre, "o_orderkey", q1, q2 - 101).size == 1,
+            "pre-state must prune the delete's rewrite set to ONE of 4 dirs")
+          TxnTable.deleteRange(s, t.getPath, "o_orderkey", q1, q2 - 101)
+          val post = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(pre.live.count(post.live.contains) == 3,
+            "delete must keep the three disjoint dirs byte-untouched")
+          ()
+        }
+        val t = s"$dir/t"
+        val (q1, q2, _, _) = cuts()
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.action == "delete" && snap.live.size == 4 &&
+            TxnTable.pruneLive(snap, "o_orderkey", q1, q2 - 101).isEmpty,
+          s"delete skipping regressed: purged range still plans " +
+            s"${TxnTable.pruneLive(snap, "o_orderkey", q1, q2 - 101).size} " +
+            s"of ${snap.live.size} dirs")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

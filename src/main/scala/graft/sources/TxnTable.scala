@@ -57,14 +57,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TxnTable {
 
   /** One committed version. `stats` maps a live dir to its min/max
-    * bounds on one integral column — folded INTO the manifest so a
-    * filtered read prunes its dir list from ONE manifest fetch, with
-    * zero per-dir metadata reads on the planning path (the Delta
-    * add-file-stats / Iceberg manifest-entry idea). Old manifests
-    * without the field parse to an empty map. */
+    * bounds on one OR MORE integral columns (";"-joined in the manifest;
+    * Z-order clustering records bounds for every cluster key) — folded
+    * INTO the manifest so a filtered read prunes its dir list from ONE
+    * manifest fetch, with zero per-dir metadata reads on the planning
+    * path (the Delta add-file-stats / Iceberg manifest-entry idea). Old
+    * manifests without the field parse to an empty map. */
   final case class Snapshot(version: Long, action: String,
                             live: Seq[String], txnId: Option[String],
-                            stats: Map[String, (String, Long, Long)] = Map.empty,
+                            stats: Map[String, Seq[(String, Long, Long)]] = Map.empty,
                             parts: Map[String, (String, String)] = Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
@@ -156,10 +157,13 @@ object TxnTable {
     val stats = """"stats"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
       .map(_.group(1)).toSeq
       .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
-      .flatMap(m => m.group(2).split(":") match {
-        case Array(c, lo, hi) => Some(m.group(1) -> ((c, lo.toLong, hi.toLong)))
-        case _                => None
-      }).toMap
+      .map { m =>
+        // one or more ';'-joined per-column bounds: "c1:lo:hi;c2:lo:hi"
+        m.group(1) -> m.group(2).split(";").toSeq.flatMap(_.split(":") match {
+          case Array(c, lo, hi) => Some((c, lo.toLong, hi.toLong))
+          case _                => None
+        })
+      }.filter(_._2.nonEmpty).toMap
     val parts = """"parts"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
       .map(_.group(1)).toSeq
       .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
@@ -183,15 +187,24 @@ object TxnTable {
 
   /** Read a snapshot as a DataFrame — the latest by default, or any
     * retained `version` (time travel). The read plans EXACTLY the dirs
-    * the manifest lists; concurrent writers cannot perturb it.
+    * the manifest lists; concurrent writers cannot perturb it. An empty
+    * live set (a delete removed every row) reads as zero rows with the
+    * table's recorded `_schema` — a legitimate state, not an error.
     */
   def read(spark: SparkSession, tableDir: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(tableDir))
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, v)
-    require(snap.live.nonEmpty, s"version $v has an empty live set")
-    spark.read.parquet(snap.live.map(d => new File(dataDir(tableDir), d).getPath): _*)
+    if (snap.live.isEmpty) {
+      val f = new File(tableDir, "_schema")
+      require(f.exists(), s"version $v has an empty live set and no _schema")
+      val ddl = new String(Files.readAllBytes(f.toPath), "UTF-8")
+      val schema = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      spark.read.parquet(snap.live.map(d => new File(dataDir(tableDir), d).getPath): _*)
   }
 
   /** The live dirs of `snap` a range predicate `column ∈ [lo, hi]` can
@@ -202,10 +215,11 @@ object TxnTable {
     * planning a filtered read is one manifest fetch even when the table
     * has thousands of dirs. */
   def pruneLive(snap: Snapshot, column: String, lo: Long, hi: Long): Seq[String] =
-    snap.live.filter(d => snap.stats.get(d) match {
-      case Some((`column`, dLo, dHi)) => !(dHi < lo || dLo > hi)
-      case _                          => true
-    })
+    snap.live.filter(d =>
+      snap.stats.get(d).flatMap(_.find(_._1 == column)) match {
+        case Some((_, dLo, dHi)) => !(dHi < lo || dLo > hi)
+        case _                   => true
+      })
 
   /** Filtered snapshot read with MANIFEST-STATS DATA SKIPPING: plans
     * only the dirs [[pruneLive]] keeps, then applies the residual
@@ -423,15 +437,22 @@ object TxnTable {
     }
   }
 
-  /** (col, min, max) from a data dir's stats sidecar, if present. */
-  def statsOf(tableDir: String, dataDirName: String): Option[(String, Long, Long)] = {
+  /** Every (col, min, max) bound in a data dir's stats sidecar — one
+    * `c:lo:hi` line per column (Z-order clustering writes one per
+    * cluster key; append/overwrite write at most one). */
+  def statsAllOf(tableDir: String, dataDirName: String): Seq[(String, Long, Long)] = {
     val f = new File(new File(dataDir(tableDir), dataDirName), ".stats")
-    if (!f.exists()) None
-    else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.split(":") match {
-      case Array(c, lo, hi) => Some((c, lo.toLong, hi.toLong))
-      case _ => None
-    }
+    if (!f.exists()) Nil
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").linesIterator
+      .map(_.trim).filter(_.nonEmpty).flatMap(_.split(":") match {
+        case Array(c, lo, hi) => Some((c, lo.toLong, hi.toLong))
+        case _                => None
+      }).toSeq
   }
+
+  /** First (col, min, max) of the sidecar, if present. */
+  def statsOf(tableDir: String, dataDirName: String): Option[(String, Long, Long)] =
+    statsAllOf(tableDir, dataDirName).headOption
 
   /** Single-writer-per-txnId assumption: the idempotency check is
     * check-then-act (findTxn, then publish), so two DISTINCT concurrent
@@ -498,9 +519,11 @@ object TxnTable {
       // writer just staged or inherited), the manifest copy is what the
       // READ path plans from — one fetch, no per-dir GETs
       val statsJson = {
-        val entries = live.flatMap(d => statsOf(tableDir, d).map {
-          case (c, lo, hi) => s""""$d":"$c:$lo:$hi""""
-        })
+        val entries = live.flatMap { d =>
+          val all = statsAllOf(tableDir, d)
+          if (all.isEmpty) None
+          else Some(s""""$d":"${all.map { case (c, lo, hi) => s"$c:$lo:$hi" }.mkString(";")}"""")
+        }
         if (entries.isEmpty) "" else entries.mkString(""","stats":{""", ",", "}")
       }
       val partsJson = {
@@ -570,17 +593,18 @@ object TxnTable {
     // an integral key — a non-integral key's long-cast bounds are not
     // sound (see [[isIntegral]]), so such merges rewrite everything.
     val hasStats = isIntegral(updates, key) &&
-      snap.live.exists(d => snap.stats.get(d).exists(_._1 == key))
+      snap.live.exists(d => snap.stats.get(d).exists(_.exists(_._1 == key)))
     val (kept, touched) =
       if (hasStats) {
         val r = updates.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
         if (r.isNullAt(0)) (Seq.empty[String], snap.live)
         else {
           val (lo, hi) = (r.getLong(0), r.getLong(1))
-          snap.live.partition(d => snap.stats.get(d) match {
-            case Some((`key`, dLo, dHi)) => dHi < lo || dLo > hi // disjoint → keep
-            case _                       => false
-          })
+          snap.live.partition(d =>
+            snap.stats.get(d).flatMap(_.find(_._1 == key)) match {
+              case Some((_, dLo, dHi)) => dHi < lo || dLo > hi // disjoint → keep
+              case _                   => false
+            })
         }
       } else (Seq.empty[String], snap.live)
     val current =
@@ -593,6 +617,103 @@ object TxnTable {
     if (!tryPublish(tableDir, base + 1L, "merge", kept :+ staged, txnId))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the merge")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Row-level DELETE of a key range (copy-on-write): removes every row
+    * whose `column` value lies in [lo, hi], as ONE atomic commit, WITH
+    * manifest-stats file pruning — a dir whose recorded [min, max] on
+    * `column` is disjoint from the range is KEPT in the live set
+    * untouched (zero reads, zero writes); only possibly-overlapping
+    * dirs are read back, filtered, and rewritten. A touched dir whose
+    * every row matches simply drops out of the live set (the rewrite is
+    * empty — nothing is staged). At 100 TB this is Delta's DELETE WHERE
+    * on a clustered table: a GDPR purge or retention sweep rewrites the
+    * handful of files the keys live in, not the table. `column` must be
+    * integral (long bounds are only sound there, see [[isIntegral]]);
+    * for arbitrary predicates use [[deleteWhere]].
+    *
+    * NULL semantics match SQL DELETE: a NULL `column` never matches the
+    * range, so such rows are kept. Conflict semantics match [[merge]]:
+    * read-modify-write publishes ONLY at base+1 and throws
+    * [[CommitConflict]] if the slot is taken. Readers of prior versions
+    * are unaffected; [[changes]] surfaces the removed rows as "delete".
+    */
+  def deleteRange(spark: SparkSession, tableDir: String, column: String,
+                  lo: Long, hi: Long, txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed delete — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    // kept: dirs PROVABLY disjoint from [lo, hi] by their manifest
+    // bounds — pruneLive keeps possibly-overlapping dirs, so the
+    // complement is exactly the untouched set
+    val touched = pruneLive(snap, column, lo, hi)
+    val kept = snap.live.filterNot(touched.contains)
+    if (touched.isEmpty) { // nothing can match: a no-op delete commit
+      if (!tryPublish(tableDir, base + 1L, "delete", kept, txnId))
+        throw new CommitConflict(
+          s"concurrent commit at version ${base + 1}; re-read and retry")
+      maybeCheckpoint(tableDir, base + 1L)
+      return base + 1L
+    }
+    val df = spark.read.parquet(
+      touched.map(d => new File(dataDir(tableDir), d).getPath): _*)
+    require(df.columns.contains(column), s"no column $column")
+    require(isIntegral(df, column),
+      s"deleteRange column $column must be an integral type; use deleteWhere")
+    val remaining = df.filter(
+      col(column).isNull || col(column) < lo || col(column) > hi)
+    commitRewrite(tableDir, base, "delete", kept, remaining, Some(column), txnId)
+  }
+
+  /** Row-level DELETE by arbitrary predicate (copy-on-write): removes
+    * every row where `predicate` is TRUE (NULL keeps the row — SQL
+    * DELETE semantics). No bounds can be derived from an opaque
+    * [[org.apache.spark.sql.Column]], so every live dir is rewritten;
+    * range-shaped deletes should use [[deleteRange]] and prune. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    if (snap.live.isEmpty) { // empty table: a no-op delete commit
+      if (!tryPublish(tableDir, base + 1L, "delete", Nil, txnId))
+        throw new CommitConflict(
+          s"concurrent commit at version ${base + 1}; re-read and retry")
+      maybeCheckpoint(tableDir, base + 1L)
+      return base + 1L
+    }
+    val df = spark.read.parquet(
+      snap.live.map(d => new File(dataDir(tableDir), d).getPath): _*)
+    val remaining = df.filter(not(coalesce(predicate, lit(false))))
+    commitRewrite(tableDir, base, "delete", Nil, remaining, None, txnId)
+  }
+
+  /** Shared tail of the copy-on-write writers: stage `remaining` (skip
+    * the dir entirely when the rewrite is empty — a fully-deleted file
+    * just leaves the live set), publish at base+1 or throw. */
+  private def commitRewrite(tableDir: String, base: Long, action: String,
+                            kept: Seq[String], remaining: DataFrame,
+                            statsCol: Option[String],
+                            txnId: Option[String]): Long = {
+    val live =
+      if (remaining.isEmpty) kept
+      else kept :+ stage(remaining, tableDir, statsCol)
+    if (!tryPublish(tableDir, base + 1L, action, live, txnId))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
     maybeCheckpoint(tableDir, base + 1L)
     base + 1L
   }
@@ -618,7 +739,8 @@ object TxnTable {
     val from = snapshot(tableDir, fromVersion)
     val to = snapshot(tableDir, toVersion)
     def readDirs(dirs: Seq[String]): DataFrame =
-      spark.read.parquet(dirs.map(d => new File(dataDir(tableDir), d).getPath): _*)
+      if (dirs.isEmpty) read(spark, tableDir, Some(toVersion)).limit(0)
+      else spark.read.parquet(dirs.map(d => new File(dataDir(tableDir), d).getPath): _*)
     if (from.live.forall(to.live.contains)) {
       val added = to.live.filterNot(from.live.contains)
       if (added.isEmpty) readDirs(to.live).limit(0).withColumn("_change", lit("insert"))
@@ -744,17 +866,58 @@ object TxnTable {
     * losers leave orphan dirs for [[vacuum]].
     */
   def compactClustered(spark: SparkSession, tableDir: String,
-                       clusterCol: String, targetDirs: Int): Long = {
-    import org.apache.spark.sql.functions.{col, max, min, spark_partition_id}
+                       clusterCol: String, targetDirs: Int): Long =
+    compactClustered(spark, tableDir, Seq(clusterCol), targetDirs)
+
+  /** Multi-key variant: 2 keys cluster on their Z-ORDER value — each key
+    * is uniform-bucketed to 10 bits over its own [min, max] (one agg),
+    * the bit patterns interleave into a 20-bit curve position, and the
+    * range shuffle runs on that. Locality on the space-filling curve
+    * gives BOTH keys tight per-dir bounds, so a range predicate on
+    * EITHER column prunes — the property 1-D clustering cannot provide
+    * for the second key (its per-dir bounds stay full-range). Bounds
+    * for every cluster key land in the sidecar (one `c:lo:hi` line
+    * each) and the manifest (";"-joined), and [[pruneLive]] consults
+    * whichever column the predicate names. This is Delta's OPTIMIZE
+    * ZORDER BY mechanism: bucketing by sampled quantiles there, uniform
+    * min/max here (the testdata keys are dense; production would sample).
+    */
+  def compactClustered(spark: SparkSession, tableDir: String,
+                       clusterCols: Seq[String], targetDirs: Int): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright, spark_partition_id}
     require(targetDirs >= 1, "targetDirs must be >= 1")
+    require(clusterCols.nonEmpty && clusterCols.size <= 2,
+      s"1 or 2 cluster keys supported, got ${clusterCols.size}")
     val base = latestVersion(tableDir)
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val df = read(spark, tableDir, Some(base))
-    require(df.columns.contains(clusterCol), s"no column $clusterCol")
-    require(isIntegral(df, clusterCol),
-      s"clusterCol $clusterCol must be an integral type")
+    clusterCols.foreach { c =>
+      require(df.columns.contains(c), s"no column $c")
+      require(isIntegral(df, c), s"cluster key $c must be an integral type")
+    }
+    val clustered = clusterCols match {
+      case Seq(c) => df.repartitionByRange(targetDirs, col(c))
+      case Seq(c1, c2) =>
+        val b = df.agg(
+          min(col(c1).cast("long")), max(col(c1).cast("long")),
+          min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
+        // no non-null values on a key (e.g. a delete emptied the
+        // table): no curve to build — degrade to 1-D range clustering
+        if (b.isNullAt(0) || b.isNullAt(2))
+          return compactClustered(spark, tableDir, c1, targetDirs)
+        def bucket(c: String, lo: Long, hi: Long) =
+          ((col(c).cast("long") - lit(lo)) * 1024L / lit(hi - lo + 1L)).cast("long")
+        val (b1, b2) = (bucket(c1, b.getLong(0), b.getLong(1)),
+                        bucket(c2, b.getLong(2), b.getLong(3)))
+        // 20-bit Z-value: interleave the two 10-bit bucket ids
+        val z = (0 until 10).foldLeft(lit(0L)) { (acc, i) =>
+          acc + shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+            shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i)
+        }
+        df.withColumn("_z", z).repartitionByRange(targetDirs, col("_z")).drop("_z")
+    }
     val tmp = new File(dataDir(tableDir), s".cluster-${UUID.randomUUID()}")
-    df.repartitionByRange(targetDirs, col(clusterCol))
+    clustered
       .withColumn("_bucket", spark_partition_id())
       .write.partitionBy("_bucket").parquet(tmp.getPath)
     val staged = Option(tmp.listFiles()).getOrElse(Array.empty[File])
@@ -764,16 +927,22 @@ object TxnTable {
         val name = s"txn-${UUID.randomUUID()}"
         val dest = new File(dataDir(tableDir), name)
         Files.move(b.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
-        val r = spark.read.parquet(dest.getPath)
-          .agg(min(col(clusterCol).cast("long")),
-            max(col(clusterCol).cast("long"))).head()
-        if (!r.isNullAt(0))
+        val packed = spark.read.parquet(dest.getPath)
+        val aggs = clusterCols.flatMap(c =>
+          Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+        val r = packed.agg(aggs.head, aggs.tail: _*).head()
+        val lines = clusterCols.zipWithIndex.collect {
+          case (c, i) if !r.isNullAt(2 * i) =>
+            s"$c:${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}"
+        }
+        if (lines.nonEmpty)
           Files.write(new File(dest, ".stats").toPath,
-            s"$clusterCol:${r.getLong(0)}:${r.getLong(1)}".getBytes("UTF-8")): Unit
+            lines.mkString("\n").getBytes("UTF-8")): Unit
         name
       }.toSeq
     deleteRec(tmp)
-    require(staged.nonEmpty, s"empty table at $tableDir; nothing to cluster")
+    // an empty table (a delete removed every row) clusters to an empty
+    // live set — content-identical, like any compaction
     if (!tryPublish(tableDir, base + 1L, "compact", staged, None))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the clustering")

@@ -5,8 +5,8 @@ import java.nio.file.Files
 import graft.sources.TxnTable
 
 /** Transactional-layer fuzz: seeded random operation sequences —
-  * append / overwrite / merge / compact (bin-packed or range-clustered)
-  * / vacuum, including RACING
+  * append / overwrite / merge / delete (range or predicate) / compact
+  * (bin-packed, range- or Z-clustered) / vacuum, including RACING
   * writer steps — driven against an in-JVM model table, with
   * snapshot-isolation and CDC-consistency invariants asserted as the
   * sequence unfolds. This is the suite that catches protocol races
@@ -59,7 +59,7 @@ class FuzzTxnSpec extends SparkTestBase {
 
     val nOps = 6
     (0 until nOps).foreach { i =>
-      val op = if (model.isEmpty) 0 else rng.nextInt(12)
+      val op = if (model.isEmpty) 0 else rng.nextInt(13)
       op match {
         case 0 | 1 | 2 => // append
           val b = randRows(1 + rng.nextInt(2))
@@ -73,9 +73,13 @@ class FuzzTxnSpec extends SparkTestBase {
           val ups = randRows(2).distinctBy(_._1)
           TxnTable.merge(spark, dir, df(ups), Seq("id"))
           model :+= model.last.filterNot(r => ups.exists(_._1 == r._1)) ++ ups
-        case 7 => // compact (bin-packed or range-clustered): content-identical
-          if (rng.nextBoolean()) TxnTable.compact(spark, dir, targetFiles = 1)
-          else TxnTable.compactClustered(spark, dir, "id", 1 + rng.nextInt(3))
+        case 7 => // compact (bin-packed, range- or Z-clustered): content-identical
+          rng.nextInt(3) match {
+            case 0 => TxnTable.compact(spark, dir, targetFiles = 1)
+            case 1 => TxnTable.compactClustered(spark, dir, "id", 1 + rng.nextInt(3))
+            case _ => TxnTable.compactClustered(spark, dir,
+              Seq("id", "value"), 1 + rng.nextInt(3))
+          }
           model :+= model.last
         case 8 => // vacuum: shrink the retention window
           val retain = 1 + rng.nextInt(model.size - oldest)
@@ -109,6 +113,17 @@ class FuzzTxnSpec extends SparkTestBase {
           fuzzy += model.size
           model :+= prev      // placeholder: append-first or compact-first
           model :+= prev ++ b // final multiset exact EITHER way — the invariant
+        case 12 => // row-level delete: stats-pruned range or predicate form
+          if (rng.nextBoolean()) {
+            val lo = rng.nextInt(8); val hi = lo + rng.nextInt(4)
+            TxnTable.deleteRange(spark, dir, "id", lo.toLong, hi.toLong)
+            model :+= model.last.filterNot(r => r._1 >= lo && r._1 <= hi)
+          } else {
+            val p = Seq("A", "B", "C")(rng.nextInt(3))
+            TxnTable.deleteWhere(spark, dir,
+              org.apache.spark.sql.functions.col("part") === p)
+            model :+= model.last.filterNot(_._2 == p)
+          }
         case _ => throw new MatchError(op)
       }
       // snapshot-isolation invariant, every step: the latest read is the

@@ -470,6 +470,24 @@ class PlanAuditSpec extends SparkTestBase {
       "residual range filter not pushed to the parquet scan")
   }
 
+  test("q206: Z-order gives the SECOND column a pruned plan (at most half the dirs)") {
+    val df = SparkEntry.queries("q206_txn_zorder")(spark, sf)
+    val t = "/tmp/graft_derived/sf0.001/orders_txn_zorder/t"
+    val snap = graft.sources.TxnTable.snapshot(t,
+      graft.sources.TxnTable.latestVersion(t).get)
+    val planned = graft.sources.TxnTable.pruneLive(snap, "o_custkey", 1L, 30L)
+    assert(snap.live.size == 16 && planned.size <= 8,
+      s"Z-order custkey skipping regressed: ${planned.size} of ${snap.live.size}")
+    val allowed = planned.toSet
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(f => allowed.exists(f.contains)),
+      s"scan planned files outside the pruned dirs")
+    val p = plan("q206_txn_zorder")
+    assert(p.contains("GreaterThanOrEqual(o_custkey,1)") &&
+      p.contains("LessThanOrEqual(o_custkey,30)"),
+      "residual custkey range not pushed to the parquet scan")
+  }
+
   test("q204: batched kNN plans ONE single-row broadcast cross, no window, no corpus shuffle") {
     val p = plan("q204_knn_batch_scan")
     // the ONLY join is the 1-row qtabs broadcast riding onto the corpus

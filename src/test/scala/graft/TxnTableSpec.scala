@@ -135,7 +135,7 @@ class TxnTableSpec extends SparkTestBase {
     assert(snap.action == "compact" && snap.live.size == 4)
     // every dir carries bounds; ranges must be pairwise disjoint (the
     // definition of clustered) and cover all 40 keys
-    val bounds = snap.live.map(d => snap.stats(d))
+    val bounds = snap.live.map(d => snap.stats(d).head)
     assert(bounds.forall(_._1 == "id"))
     val sorted = bounds.map(b => (b._2, b._3)).sortBy(_._1)
     assert(sorted.sliding(2).forall {
@@ -150,6 +150,105 @@ class TxnTableSpec extends SparkTestBase {
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
     // pre-clustering snapshot still time-travels
     assert(rows(dir, Some(cv - 1)) == before)
+  }
+
+  test("compactClustered on TWO keys (Z-order): bounds tight on both, either column prunes") {
+    val dir = tmpTable()
+    // 32x32 grid: both keys span the full range in every interleaved dir
+    val all = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y, s"r$x-$y")
+    (0 until 4).foreach { i =>
+      TxnTable.append(all.filter(t => (t._1 + t._2) % 4 == i).toDF("x", "y", "v"), dir)
+    }
+    val before = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val cv = TxnTable.compactClustered(spark, dir, Seq("x", "y"), 16)
+    val snap = TxnTable.snapshot(dir, cv)
+    assert(snap.action == "compact" && snap.live.size == 16)
+    // every dir records bounds for BOTH cluster keys
+    assert(snap.live.forall(d =>
+      snap.stats.get(d).exists(_.map(_._1).toSet == Set("x", "y"))),
+      "Z-order dirs must carry per-dir bounds for every cluster key")
+    // a one-quarter range on EITHER key prunes at least half the dirs —
+    // the property 1-D clustering cannot give the second key
+    val px = TxnTable.pruneLive(snap, "x", 0L, 7L)
+    val py = TxnTable.pruneLive(snap, "y", 0L, 7L)
+    assert(px.size <= 8 && px.size < snap.live.size, s"x-range planned ${px.size} of 16")
+    assert(py.size <= 8 && py.size < snap.live.size, s"y-range planned ${py.size} of 16")
+    // content identical; a pruned read returns exactly the qualifying rows
+    val after = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after == before, "Z-order clustering changed table content")
+    assert(TxnTable.readRange(spark, dir, "y", 0L, 1L).count() == 64L)
+  }
+
+  test("deleteRange: stats-pruned copy-on-write; emptied dirs drop; time travel intact") {
+    val dir = tmpTable()
+    Seq(0 until 10, 10 until 20, 20 until 30).foreach(r =>
+      TxnTable.append(r.map(k => (k, s"r$k")).toDF("id", "v"), dir,
+        statsCol = Some("id")))
+    val pre = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    // prefix delete [10, 14]: touches ONLY the middle dir
+    val v = TxnTable.deleteRange(spark, dir, "id", 10L, 14L)
+    val snap = TxnTable.snapshot(dir, v)
+    assert(snap.action == "delete" && snap.live.size == 3)
+    assert(pre.live.count(snap.live.contains) == 2,
+      "disjoint dirs must stay in the live set untouched")
+    assert(rows(dir).map(_._1) == ((0 until 10) ++ (15 until 30)))
+    // the rewrite re-derived bounds ([15,19]) — the purged range is
+    // now unplannable from the manifest alone
+    assert(TxnTable.pruneLive(snap, "id", 10L, 14L).isEmpty,
+      "purged range still plans a dir")
+    assert(rows(dir, Some(v - 1)).map(_._1) == (0 until 30), "time travel broken")
+    // CDC surfaces the purge as delete rows, no inserts
+    import org.apache.spark.sql.functions.col
+    val ch = TxnTable.changes(spark, dir, v - 1, v)
+    assert(ch.filter(col("_change") === "delete")
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 11, 12, 13, 14))
+    assert(ch.filter(col("_change") === "insert").count() == 0L)
+    // full-dir delete: the emptied dir DROPS from the live set
+    val v2 = TxnTable.deleteRange(spark, dir, "id", 20L, 29L)
+    val snap2 = TxnTable.snapshot(dir, v2)
+    assert(snap2.live.size == 2 && snap2.live.forall(snap.live.contains),
+      "a fully-deleted dir must drop, not stage an empty rewrite")
+    assert(rows(dir).map(_._1) == ((0 until 10) ++ (15 until 20)))
+    // provably-no-match delete: a no-op commit, every dir untouched
+    val v3 = TxnTable.deleteRange(spark, dir, "id", 500L, 600L)
+    assert(TxnTable.snapshot(dir, v3).live == snap2.live)
+    assert(rows(dir).map(_._1) == ((0 until 10) ++ (15 until 20)))
+  }
+
+  test("deleteWhere: SQL NULL semantics (NULL predicate keeps the row); idempotent txnId") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "kill"), (2, null), (3, "keep"))
+      .toDF("id", "v"), dir)
+    val v = TxnTable.deleteWhere(spark, dir, col("v") === "kill",
+      txnId = Some("purge-1"))
+    // id=2's NULL makes the predicate NULL, not TRUE — the row stays
+    assert(rows(dir).map(_._1) == Seq(2, 3),
+      "DELETE must keep rows where the predicate is NULL")
+    // replayed delete: same version back, no new commit
+    assert(TxnTable.deleteWhere(spark, dir, col("v") === "kill",
+      txnId = Some("purge-1")) == v)
+    assert(TxnTable.latestVersion(dir).get == v)
+  }
+
+  test("deleteRange throws CommitConflict when a concurrent append takes base+1") {
+    val dir = tmpTable()
+    TxnTable.append((0 until 8).map(k => (k, s"r$k")).toDF("id", "v"), dir,
+      statsCol = Some("id"))
+    val t = new Thread(() =>
+      TxnTable.append(Seq((100, "later")).toDF("id", "v"), dir): Unit)
+    var deleted = false
+    t.start()
+    while (!deleted) {
+      try { TxnTable.deleteRange(spark, dir, "id", 0L, 3L); deleted = true }
+      catch { case _: TxnTable.CommitConflict => () }
+    }
+    t.join()
+    val ids = rows(dir).map(_._1)
+    assert(ids == Seq(4, 5, 6, 7, 100),
+      s"delete raced an append and lost rows: $ids")
   }
 
   test("compactClustered throws CommitConflict when a concurrent append takes base+1") {
