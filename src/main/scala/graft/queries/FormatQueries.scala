@@ -632,6 +632,56 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q208: commit HISTORY as a metadata-only DataFrame (the
+    // DESCRIBE HISTORY surface). Each commit folds its staged dirs'
+    // `.nrows` counts and a timestamp into the manifest, so "what
+    // changed when, by how much" is answered from manifests alone —
+    // zero data files read (at 100 TB: milliseconds, not a scan). The
+    // build appends the three order-status slices as three commits; the
+    // history's per-version cumulative row counts must then equal the
+    // status counts DuckDB computes from the raw parquet — the oracle
+    // proves the manifest-carried metadata agrees with the data. The
+    // execution phase also requires commit timestamps be present and
+    // nondecreasing (the TIMESTAMP AS OF ordering contract).
+    Q("q208_txn_history",
+      Some("""WITH c AS (SELECT
+             |  CAST(count(*) FILTER (o_orderstatus='F') AS BIGINT) AS f,
+             |  CAST(count(*) FILTER (o_orderstatus='O') AS BIGINT) AS o,
+             |  CAST(count(*) FILTER (o_orderstatus='P') AS BIGINT) AS p FROM orders)
+             |SELECT version, action, num_files, num_rows FROM (
+             |  SELECT CAST(0 AS BIGINT) AS version, 'append' AS action,
+             |         CAST(1 AS INT) AS num_files, f AS num_rows FROM c
+             |  UNION ALL SELECT CAST(1 AS BIGINT), 'append', CAST(2 AS INT), f+o FROM c
+             |  UNION ALL SELECT CAST(2 AS BIGINT), 'append', CAST(3 AS INT), f+o+p FROM c)
+             |ORDER BY version""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_history")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          Seq("F", "O", "P").foreach(st =>
+            TxnTable.append(base.filter(col("o_orderstatus") === st), t.getPath))
+          ()
+        }
+        val t = s"$dir/t"
+        val h = TxnTable.history(s, t)
+        val tss = h.orderBy("version").select("ts").collect()
+          .map(_.getTimestamp(0).getTime).toSeq
+        require(tss.size == 3 && tss.forall(_ > 0L) &&
+            tss.sliding(2).forall(p => p(0) <= p(1)),
+          s"history timestamps missing or non-monotonic: $tss")
+        h.select(col("version"), col("action"), col("num_files"), col("num_rows"))
+          .orderBy("version")
       })
   )
 }

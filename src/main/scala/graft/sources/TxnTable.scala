@@ -66,7 +66,9 @@ object TxnTable {
   final case class Snapshot(version: Long, action: String,
                             live: Seq[String], txnId: Option[String],
                             stats: Map[String, Seq[(String, Long, Long)]] = Map.empty,
-                            parts: Map[String, (String, String)] = Map.empty)
+                            parts: Map[String, (String, String)] = Map.empty,
+                            ts: Long = 0L,
+                            nrows: Map[String, Long] = Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -171,8 +173,16 @@ object TxnTable {
         case Array(c, v) => Some(m.group(1) -> ((c, v)))
         case _           => None
       }).toMap
+    // commit timestamp + per-dir row counts: absent in old manifests
+    // (parse to 0 / empty — every consumer treats those as "unknown")
+    val ts = """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val nrows = """"nrows"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
-      stats, parts)
+      stats, parts, ts, nrows)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -205,6 +215,60 @@ object TxnTable {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else
       spark.read.parquet(snap.live.map(d => new File(dataDir(tableDir), d).getPath): _*)
+  }
+
+  /** The table's commit HISTORY as a DataFrame — one row per retained
+    * version: (version, ts, action, txn_id, num_files, num_rows), the
+    * DESCRIBE HISTORY surface. METADATA-ONLY: built from manifests
+    * alone (row counts are the per-dir `.nrows` folded into each
+    * manifest at commit time), zero data files touched — at 100 TB an
+    * audit of "what changed when, by how much" costs milliseconds, not
+    * a scan. `num_rows` is null for versions whose dirs predate the
+    * `.nrows` sidecar (unknown ≠ 0); `ts` is 0 for pre-timestamp
+    * manifests. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    versions(tableDir).map { v =>
+      val sn = snapshot(tableDir, v)
+      (sn.version, new java.sql.Timestamp(sn.ts), sn.action, sn.txnId,
+        sn.live.size,
+        if (sn.live.forall(sn.nrows.contains)) Some(sn.live.map(sn.nrows).sum)
+        else None)
+    }.toDF("version", "ts", "action", "txn_id", "num_files", "num_rows")
+  }
+
+  /** The live FILES of a snapshot as a DataFrame — one row per data
+    * dir: (file, num_rows, part, bounds), the Iceberg `.files`
+    * metadata-table surface. Metadata-only, like [[history]]. */
+  def filesMeta(spark: SparkSession, tableDir: String,
+                version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.orElse(latestVersion(tableDir))
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val sn = snapshot(tableDir, v)
+    sn.live.map { d =>
+      (d, sn.nrows.get(d),
+        sn.parts.get(d).map { case (c, pv) => s"$c=$pv" },
+        sn.stats.get(d).filter(_.nonEmpty)
+          .map(_.map { case (c, lo, hi) => s"$c:$lo:$hi" }.mkString(";")))
+    }.toDF("file", "num_rows", "part", "bounds")
+  }
+
+  /** TIMESTAMP AS OF: read the newest retained version whose commit
+    * timestamp is <= `tsMillis` (Delta's timestamp time travel — a
+    * reader pins "the table as of last midnight" without knowing
+    * version numbers). Throws [[RetentionError]] when every retained
+    * commit is newer (the version that WAS current then is vacuumed —
+    * or never existed). */
+  def readAsOf(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no commits at $tableDir")
+    val v = vs.map(v => (v, snapshot(tableDir, v).ts))
+      .filter(_._2 <= tsMillis).lastOption.map(_._1)
+      .getOrElse(throw new RetentionError(
+        s"no retained commit at or before ts=$tsMillis at $tableDir " +
+          s"(oldest retained: v${vs.head} ts=${snapshot(tableDir, vs.head).ts})"))
+    read(spark, tableDir, Some(v))
   }
 
   /** The live dirs of `snap` a range predicate `column ∈ [lo, hi]` can
@@ -405,8 +469,11 @@ object TxnTable {
     }
 
   /** Stage `df` as an immutable data dir (invisible until a manifest
-    * references it), with the optional min/max stats sidecar. The stats
-    * column must be integral (see [[isIntegral]]). */
+    * references it), with a `.nrows` row-count sidecar (folded into the
+    * manifest — the Delta operationMetrics/numRecords analogue, what
+    * makes [[history]] metadata-only) and the optional min/max stats
+    * sidecar. One read-back aggregate covers both (parquet footers, no
+    * row scan). The stats column must be integral (see [[isIntegral]]). */
   private def stage(df: DataFrame, tableDir: String,
                     statsCol: Option[String]): String = {
     statsCol.foreach(c => require(isIntegral(df, c),
@@ -414,15 +481,27 @@ object TxnTable {
     val staged = s"txn-${UUID.randomUUID()}"
     val dir = new File(dataDir(tableDir), staged)
     df.write.mode("overwrite").parquet(dir.getPath)
-    statsCol.foreach { c =>
-      import org.apache.spark.sql.functions.{col, max, min}
-      val r = df.sparkSession.read.parquet(dir.getPath)
-        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
-      if (!r.isNullAt(0))
-        Files.write(new File(dir, ".stats").toPath,
-          s"$c:${r.getLong(0)}:${r.getLong(1)}".getBytes("UTF-8")): Unit
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val back = df.sparkSession.read.parquet(dir.getPath)
+    val n = statsCol match {
+      case Some(c) =>
+        val r = back.agg(count(lit(1)),
+          min(col(c).cast("long")), max(col(c).cast("long"))).head()
+        if (!r.isNullAt(1))
+          Files.write(new File(dir, ".stats").toPath,
+            s"$c:${r.getLong(1)}:${r.getLong(2)}".getBytes("UTF-8")): Unit
+        r.getLong(0)
+      case None => back.count()
     }
+    Files.write(new File(dir, ".nrows").toPath, n.toString.getBytes("UTF-8"))
     staged
+  }
+
+  /** Row count from a data dir's `.nrows` sidecar, if present. */
+  def nrowsOf(tableDir: String, dataDirName: String): Option[Long] = {
+    val f = new File(new File(dataDir(tableDir), dataDirName), ".nrows")
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.toLongOption
   }
 
   /** (col, value) from a data dir's partition sidecar, if present. Like
@@ -532,7 +611,12 @@ object TxnTable {
         })
         if (entries.isEmpty) "" else entries.mkString(""","parts":{""", ",", "}")
       }
-      s"""{"version":$v,"action":"$action","live":$liveJson$txn$statsJson$partsJson}"""
+      val nrowsJson = {
+        val entries = live.flatMap(d => nrowsOf(tableDir, d).map(n => s""""$d":$n"""))
+        if (entries.isEmpty) "" else entries.mkString(""","nrows":{""", ",", "}")
+      }
+      s"""{"version":$v,"action":"$action","ts":${System.currentTimeMillis},""" +
+        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson}"""
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))
@@ -928,16 +1012,19 @@ object TxnTable {
         val dest = new File(dataDir(tableDir), name)
         Files.move(b.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
         val packed = spark.read.parquet(dest.getPath)
-        val aggs = clusterCols.flatMap(c =>
+        import org.apache.spark.sql.functions.{count, lit}
+        val aggs = count(lit(1)) +: clusterCols.flatMap(c =>
           Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
         val r = packed.agg(aggs.head, aggs.tail: _*).head()
         val lines = clusterCols.zipWithIndex.collect {
-          case (c, i) if !r.isNullAt(2 * i) =>
-            s"$c:${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}"
+          case (c, i) if !r.isNullAt(2 * i + 1) =>
+            s"$c:${r.getLong(2 * i + 1)}:${r.getLong(2 * i + 2)}"
         }
         if (lines.nonEmpty)
           Files.write(new File(dest, ".stats").toPath,
             lines.mkString("\n").getBytes("UTF-8")): Unit
+        Files.write(new File(dest, ".nrows").toPath,
+          r.getLong(0).toString.getBytes("UTF-8"))
         name
       }.toSeq
     deleteRec(tmp)

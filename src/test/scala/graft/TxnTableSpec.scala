@@ -233,6 +233,54 @@ class TxnTableSpec extends SparkTestBase {
     assert(TxnTable.latestVersion(dir).get == v)
   }
 
+  test("history/filesMeta are metadata-accurate; readAsOf resolves timestamp time travel") {
+    val dir = tmpTable()
+    TxnTable.append((0 until 5).map(k => (k, s"r$k")).toDF("id", "v"), dir,
+      statsCol = Some("id"))
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(5) // millis-resolution ts: guarantee v1.ts > afterV0
+    TxnTable.append((5 until 8).map(k => (k, s"r$k")).toDF("id", "v"), dir,
+      statsCol = Some("id"))
+    TxnTable.deleteRange(spark, dir, "id", 0L, 1L)
+    val h = TxnTable.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(_.getString(2)).toSeq == Seq("append", "append", "delete"))
+    assert(h.map(_.getInt(4)).toSeq == Seq(1, 2, 2), "num_files wrong")
+    // per-version LIVE row totals, from manifests alone — no data reads
+    assert(h.map(_.getLong(5)).toSeq == Seq(5L, 8L, 6L), "num_rows wrong")
+    val tss = h.map(_.getTimestamp(1).getTime).toSeq
+    assert(tss.forall(_ > 0) && tss.sliding(2).forall(p => p(0) <= p(1)),
+      s"commit timestamps missing or non-monotonic: $tss")
+    // files metadata: two live dirs, both with counts and bounds
+    val fm = TxnTable.filesMeta(spark, dir).collect()
+    assert(fm.length == 2 && fm.forall(r => !r.isNullAt(1) && !r.isNullAt(3)))
+    assert(fm.map(_.getLong(1)).sorted.toSeq == Seq(3L, 3L))
+    // TIMESTAMP AS OF: a ts between v0 and v1 reads v0; "now" reads latest
+    assert(TxnTable.readAsOf(spark, dir, afterV0).count() == 5L)
+    assert(TxnTable.readAsOf(spark, dir, System.currentTimeMillis()).count() == 6L)
+    // a ts predating the oldest retained commit is a typed retention error
+    intercept[TxnTable.RetentionError] {
+      TxnTable.readAsOf(spark, dir, TxnTable.snapshot(dir, 0L).ts - 1L)
+    }: Unit
+  }
+
+  test("pre-ts/nrows manifests parse: history shows unknown (null) counts, zero ts") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
+    // rewrite v0's manifest in the OLD format (no ts, no nrows) — the
+    // upgrade story: history must degrade to "unknown", not throw or lie
+    val m = new File(s"$dir/_log").listFiles().filter(_.getName.endsWith(".json")).head
+    val legacy = """{"version":0,"action":"append","live":[""" +
+      TxnTable.snapshot(dir, 0L).live.map("\"" + _ + "\"").mkString(",") + "]}"
+    Files.write(m.toPath, legacy.getBytes("UTF-8"))
+    // the staged dir still has a .nrows sidecar; history reads MANIFESTS
+    val h = TxnTable.history(spark, dir).collect()
+    assert(h.length == 1 && h(0).isNullAt(5),
+      "legacy manifest must surface num_rows as null (unknown)")
+    assert(h(0).getTimestamp(1).getTime == 0L)
+    assert(rows(dir) == Seq((1, "a")), "legacy manifest must still read")
+  }
+
   test("deleteRange throws CommitConflict when a concurrent append takes base+1") {
     val dir = tmpTable()
     TxnTable.append((0 until 8).map(k => (k, s"r$k")).toDF("id", "v"), dir,
