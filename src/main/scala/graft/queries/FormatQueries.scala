@@ -682,6 +682,58 @@ object FormatQueries {
           s"history timestamps missing or non-monotonic: $tss")
         h.select(col("version"), col("action"), col("num_files"), col("num_rows"))
           .orderBy("version")
+      }),
+
+    // ---- q209: RESTORE TABLE TO VERSION — metadata-only undo. The
+    // build appends the F slice (v0) and O slice (v1), then a delete
+    // damages the table (v2: every order with a low orderkey gone),
+    // then RESTORE to v1 (v3) undoes it by committing
+    // v1's live set again — zero data copied (the build REQUIRES v3's
+    // dir list equals v1's, and that the restore re-folded per-dir
+    // stats so pruning still works). The oracle is simply F+O on the
+    // original parquet: a hash match proves the restore returned the
+    // table to exactly the pre-delete content. At 100 TB this is the
+    // operational "bad job ran at 3am" recovery: one manifest write,
+    // not a petabyte rewrite, with the bad versions still auditable
+    // until vacuumed.
+    Q("q209_txn_restore",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders WHERE o_orderstatus IN ('F','O')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_restore")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          Seq("F", "O").foreach(st =>
+            TxnTable.append(base.filter(col("o_orderstatus") === st),
+              t.getPath, statsCol = Some("o_orderkey")))
+          val v1 = TxnTable.latestVersion(t.getPath).get
+          val good = TxnTable.snapshot(t.getPath, v1)
+          TxnTable.deleteRange(s, t.getPath, "o_orderkey", 0L, 1000L) // the 3am damage
+          val v3 = TxnTable.restore(s, t.getPath, v1)
+          val restored = TxnTable.snapshot(t.getPath, v3)
+          require(restored.action == "restore" &&
+              restored.live.toSet == good.live.toSet &&
+              restored.stats == good.stats,
+            "restore must reference the target version's dirs and stats verbatim")
+          ()
+        }
+        val t = s"$dir/t"
+        require(TxnTable.snapshot(t, TxnTable.latestVersion(t).get).action == "restore")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

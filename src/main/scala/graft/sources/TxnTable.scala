@@ -1037,6 +1037,56 @@ object TxnTable {
     base + 1L
   }
 
+  /** RESTORE TABLE TO VERSION: make `toVersion`'s content the latest,
+    * as a NEW commit — history is append-only, so the restore is itself
+    * audited in [[history]] (action "restore") and the undone versions
+    * stay time-travelable until vacuumed (Delta's RESTORE semantics).
+    * METADATA-ONLY: the new manifest references the old version's dirs
+    * — zero data copied, zero rows moved, O(manifest) at any scale —
+    * and re-folds their stats/parts/nrows sidecars, so pruning works on
+    * the restored snapshot unchanged. [[vacuum]] then protects those
+    * dirs: they are referenced by a retained manifest again. Restoring
+    * across an explicit schema evolution also reverts `_schema` (read
+    * from the restored dirs' parquet footers — the data is the truth).
+    * The target must still be retained ([[RetentionError]] otherwise);
+    * publishes only at base+1 ([[CommitConflict]] if taken). */
+  def restore(spark: SparkSession, tableDir: String, toVersion: Long,
+              txnId: Option[String] = None): Long = {
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed restore
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val target = snapshot(tableDir, toVersion) // RetentionError if vacuumed
+    if (target.live.nonEmpty) {
+      val ddl = spark.read.parquet(
+        target.live.map(d => new File(dataDir(tableDir), d).getPath): _*)
+        .schema.catalogString
+      Files.write(new File(tableDir, "_schema").toPath, ddl.getBytes("UTF-8")): Unit
+    }
+    if (!tryPublish(tableDir, base + 1L, "restore", target.live, txnId))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry the restore")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Age-based retention: drop every version whose commit timestamp
+    * predates `cutoffMs` (always keeping at least the latest), then
+    * reap unreferenced dirs — the production policy ("7 days of time
+    * travel") on top of the count-based [[vacuum]]. Pre-timestamp
+    * manifests (ts=0) count as infinitely old. */
+  def vacuumOlderThan(tableDir: String, cutoffMs: Long): Unit = {
+    val vs = versions(tableDir)
+    if (vs.isEmpty) return
+    val keepFrom = vs.indexWhere(v => snapshot(tableDir, v).ts >= cutoffMs) match {
+      case -1 => vs.length - 1 // everything is older: keep just the latest
+      case i  => i
+    }
+    vacuum(tableDir, retain = vs.length - keepFrom)
+  }
+
   /** Drop manifests older than the newest `retain` versions, then delete
     * every data dir no retained manifest references — including orphans
     * staged by crashed writers. In production an orphan needs a grace

@@ -6,7 +6,7 @@ import graft.sources.TxnTable
 
 /** Transactional-layer fuzz: seeded random operation sequences —
   * append / overwrite / merge / delete (range or predicate) / compact
-  * (bin-packed, range- or Z-clustered) / vacuum, including RACING
+  * (bin-packed, range- or Z-clustered) / restore / vacuum, including RACING
   * writer steps — driven against an in-JVM model table, with
   * snapshot-isolation and CDC-consistency invariants asserted as the
   * sequence unfolds. This is the suite that catches protocol races
@@ -59,7 +59,7 @@ class FuzzTxnSpec extends SparkTestBase {
 
     val nOps = 6
     (0 until nOps).foreach { i =>
-      val op = if (model.isEmpty) 0 else rng.nextInt(13)
+      val op = if (model.isEmpty) 0 else rng.nextInt(14)
       op match {
         case 0 | 1 | 2 => // append
           val b = randRows(1 + rng.nextInt(2))
@@ -124,6 +124,11 @@ class FuzzTxnSpec extends SparkTestBase {
               org.apache.spark.sql.functions.col("part") === p)
             model :+= model.last.filterNot(_._2 == p)
           }
+        case 13 => // restore to a random retained, non-fuzzy version
+          val candidates = (oldest until model.size).filterNot(fuzzy)
+          val target = candidates(rng.nextInt(candidates.size))
+          TxnTable.restore(spark, dir, target.toLong)
+          model :+= model(target)
         case _ => throw new MatchError(op)
       }
       // snapshot-isolation invariant, every step: the latest read is the

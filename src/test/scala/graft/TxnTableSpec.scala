@@ -264,6 +264,58 @@ class TxnTableSpec extends SparkTestBase {
     }: Unit
   }
 
+  test("restore: metadata-only undo; restored dirs survive vacuum; schema reverts") {
+    val dir = tmpTable()
+    TxnTable.append((0 until 6).map(k => (k, s"r$k")).toDF("id", "v"), dir,
+      statsCol = Some("id"))                                   // v0
+    TxnTable.deleteRange(spark, dir, "id", 0L, 2L)             // v1: damage
+    val v2 = TxnTable.restore(spark, dir, 0L)                  // v2: undo
+    assert(v2 == 2L && rows(dir).map(_._1) == (0 until 6))
+    val restored = TxnTable.snapshot(dir, v2)
+    assert(restored.action == "restore" &&
+      restored.live == TxnTable.snapshot(dir, 0L).live,
+      "restore must reference the target's dirs — no data copied")
+    // the undone version stays time-travelable until vacuumed
+    assert(rows(dir, Some(1L)).map(_._1) == (3 until 6))
+    // re-folded stats: pruning works on the restored snapshot
+    assert(TxnTable.pruneLive(restored, "id", 100L, 200L).isEmpty)
+    // vacuum to just the restore: v0's dirs are referenced again → kept
+    TxnTable.vacuum(dir, retain = 1)
+    assert(rows(dir).map(_._1) == (0 until 6), "vacuum reaped restored dirs")
+    // schema evolution reverts: overwrite with a wider schema, restore back
+    val dir2 = tmpTable()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir2)
+    TxnTable.overwrite(Seq((1, "a", 9L)).toDF("id", "v", "extra"), dir2)
+    TxnTable.restore(spark, dir2, 0L)
+    // appends in the ORIGINAL schema must be accepted again
+    TxnTable.append(Seq((2, "b")).toDF("id", "v"), dir2)
+    assert(rows(dir2) == Seq((1, "a"), (2, "b")))
+    // restoring a vacuumed version is the typed retention error
+    intercept[TxnTable.RetentionError] {
+      TxnTable.restore(spark, dir, 0L)
+    }: Unit
+  }
+
+  test("vacuumOlderThan: age-based retention keeps ts>=cutoff (and always the latest)") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)   // v0
+    Thread.sleep(5)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(5)
+    TxnTable.append(Seq((2, "b")).toDF("id", "v"), dir)   // v1
+    TxnTable.append(Seq((3, "c")).toDF("id", "v"), dir)   // v2
+    TxnTable.vacuumOlderThan(dir, cutoff)
+    assert(TxnTable.versions(dir) == Seq(1L, 2L), "v0 predates the cutoff")
+    intercept[TxnTable.RetentionError] {
+      TxnTable.read(spark, dir, Some(0L))
+    }: Unit
+    assert(rows(dir).map(_._1) == Seq(1, 2, 3))
+    // cutoff in the future: everything is older — keep just the latest
+    TxnTable.vacuumOlderThan(dir, System.currentTimeMillis() + 60000L)
+    assert(TxnTable.versions(dir) == Seq(2L))
+    assert(rows(dir).map(_._1) == Seq(1, 2, 3))
+  }
+
   test("pre-ts/nrows manifests parse: history shows unknown (null) counts, zero ts") {
     val dir = tmpTable()
     TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
