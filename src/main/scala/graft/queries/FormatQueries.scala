@@ -734,6 +734,52 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q210: BLOOM point-lookup pruning. The table is built as 8
+    // INTERLEAVED commits (orderkey mod 8), the write pattern min/max
+    // bounds are helpless against: every dir spans the whole key range,
+    // so a point probe's stats prune keeps all 8 (the build REQUIRES
+    // it). Each staged dir also carries a `.bloom` sidecar over the
+    // stats column (1% fpp — the Delta bloom-index / Iceberg puffin
+    // shape); the probe consults the blooms of the bounds-surviving
+    // dirs and every execution REQUIRES the probe plans ≤ 2 of 8 (the
+    // one true dir + rare false positives; no false negatives — the
+    // oracle hash-match proves the row is found). At 100 TB: id
+    // lookups on a high-cardinality key touch ~1 file with a
+    // kilobytes-per-file index, no clustering rewrite needed.
+    Q("q210_txn_bloom_point",
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |FROM orders WHERE o_orderkey = 777""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_bloom")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          (0L until 8L).foreach(i =>
+            TxnTable.append(base.filter(pmod(col("o_orderkey"), lit(8L)) === i),
+              t.getPath, statsCol = Some("o_orderkey")))
+          val snap = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(TxnTable.pruneLive(snap, "o_orderkey", 777L, 777L).size == 8,
+            "interleaved build must defeat min/max bounds; build invalid")
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        val planned = TxnTable.pruneLivePoint(t, snap, "o_orderkey", 777L)
+        require(planned.size <= 2,
+          s"bloom point pruning regressed: planned ${planned.size} of ${snap.live.size} dirs")
+        TxnTable.readPoint(s, t, "o_orderkey", 777L)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("price_c"))
       })
   )
 }

@@ -490,11 +490,71 @@ object TxnTable {
         if (!r.isNullAt(1))
           Files.write(new File(dir, ".stats").toPath,
             s"$c:${r.getLong(1)}:${r.getLong(2)}".getBytes("UTF-8")): Unit
+        // point-lookup index: a per-dir BLOOM sidecar over the stats
+        // column (Delta bloom-index / Iceberg puffin shape). Min/max
+        // bounds cannot prune a point probe on an interleaved write
+        // pattern (every dir spans the key range); the bloom can.
+        if (r.getLong(0) > 0L) {
+          val bf = back.stat.bloomFilter(col(c).cast("long"),
+            math.max(r.getLong(0), 1L), 0.01)
+          val os = new java.io.FileOutputStream(new File(dir, ".bloom"))
+          try bf.writeTo(os) finally os.close()
+        }
         r.getLong(0)
       case None => back.count()
     }
     Files.write(new File(dir, ".nrows").toPath, n.toString.getBytes("UTF-8"))
     staged
+  }
+
+  /** The stats column's bloom filter from a data dir's `.bloom`
+    * sidecar, if present (written alongside `.stats`). */
+  def bloomOf(tableDir: String, dataDirName: String):
+      Option[(String, org.apache.spark.util.sketch.BloomFilter)] = {
+    val f = new File(new File(dataDir(tableDir), dataDirName), ".bloom")
+    statsOf(tableDir, dataDirName) match {
+      case Some((c, _, _)) if f.exists() =>
+        val is = new java.io.FileInputStream(f)
+        try Some((c, org.apache.spark.util.sketch.BloomFilter.readFrom(is)))
+        finally is.close()
+      case _ => None
+    }
+  }
+
+  /** The live dirs a POINT probe `column = value` can possibly touch:
+    * first the manifest min/max bounds ([[pruneLive]] — free, one
+    * manifest fetch), then each survivor's `.bloom` sidecar
+    * (`mightContain`, no false negatives — a "no" is proof). Unlike
+    * stats, blooms are NOT manifest-folded (kilobytes per dir): the
+    * probe pays one small sidecar read per bounds-surviving dir, the
+    * Iceberg puffin-file trade. On an interleaved write pattern where
+    * every dir spans the whole key range, bounds keep everything and
+    * the bloom does all the work. */
+  def pruneLivePoint(tableDir: String, snap: Snapshot, column: String,
+                     value: Long): Seq[String] =
+    pruneLive(snap, column, value, value).filter { d =>
+      bloomOf(tableDir, d) match {
+        case Some((`column`, bf)) => bf.mightContain(value)
+        case _                    => true // no bloom on this column: must plan
+      }
+    }
+
+  /** Point-lookup read: plans only [[pruneLivePoint]]'s dirs, then
+    * applies the residual equality (which also pushes into parquet for
+    * row-group pruning). The 100 TB shape: an id probe on an
+    * append-ordered table touches ~1 file, not the table. */
+  def readPoint(spark: SparkSession, tableDir: String, column: String,
+                value: Long, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val v = version.orElse(latestVersion(tableDir))
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, v)
+    val planned = pruneLivePoint(tableDir, snap, column, value)
+    val df =
+      if (planned.isEmpty) read(spark, tableDir, Some(v)).limit(0)
+      else spark.read.parquet(planned.map(d => new File(dataDir(tableDir), d).getPath): _*)
+    val t = df.schema(column).dataType
+    df.filter(df(column) === lit(value).cast(t))
   }
 
   /** Row count from a data dir's `.nrows` sidecar, if present. */

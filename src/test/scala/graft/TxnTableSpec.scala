@@ -264,6 +264,29 @@ class TxnTableSpec extends SparkTestBase {
     }: Unit
   }
 
+  test("bloom point-lookup: prunes interleaved dirs min/max cannot; no false negatives") {
+    val dir = tmpTable()
+    (0 until 4).foreach(i =>
+      TxnTable.append((0 until 64).filter(_ % 4 == i).map(k => (k, s"r$k"))
+        .toDF("id", "v"), dir, statsCol = Some("id")))
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    // interleaved: every dir spans nearly the whole range — bounds keep all 4
+    assert(TxnTable.pruneLive(snap, "id", 13L, 13L).size == 4,
+      "build must defeat min/max bounds for the bloom to matter")
+    val planned = TxnTable.pruneLivePoint(dir, snap, "id", 13L)
+    assert(planned.nonEmpty && planned.size <= 2,
+      s"bloom should prune to ~1 of 4 dirs, planned ${planned.size}")
+    assert(TxnTable.readPoint(spark, dir, "id", 13L).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((13, "r13")),
+      "point probe must find the row (no false negatives)")
+    // absent key: zero rows, regardless of bloom false positives
+    assert(TxnTable.readPoint(spark, dir, "id", 999L).count() == 0L)
+    // a copy-on-write delete recomputes the rewrite's bloom
+    TxnTable.deleteRange(spark, dir, "id", 13L, 13L)
+    assert(TxnTable.readPoint(spark, dir, "id", 13L).count() == 0L)
+    assert(TxnTable.readPoint(spark, dir, "id", 14L).count() == 1L)
+  }
+
   test("restore: metadata-only undo; restored dirs survive vacuum; schema reverts") {
     val dir = tmpTable()
     TxnTable.append((0 until 6).map(k => (k, s"r$k")).toDF("id", "v"), dir,
