@@ -780,6 +780,71 @@ object FormatQueries {
           s"bloom point pruning regressed: planned ${planned.size} of ${snap.live.size} dirs")
         TxnTable.readPoint(s, t, "o_orderkey", 777L)
           .select(col("o_orderkey"), col("o_orderstatus"), col("price_c"))
+      }),
+
+    // ---- q211: row-level DELETE as a MERGE-ON-READ deletion vector
+    // (Delta DVs / Iceberg positional deletes). Same purge as q207, but
+    // the write path records doomed ROW POSITIONS in a per-dir dv
+    // sidecar instead of rewriting the file: the build proves the live
+    // set is BYTE-IDENTICAL across the delete (zero data rewritten —
+    // at 100 TB a small purge stops being a terabyte rewrite) and that
+    // manifest stats pruned dv staging to the ONE overlapping dir; the
+    // read anti-joins the broadcast positions away at scan time, and the
+    // oracle hash-match proves merge-on-read content equals what a
+    // copy-on-write delete (q207) would have produced.
+    Q("q211_txn_dv_delete",
+      Some("""WITH m AS (SELECT (max(o_orderkey)+1)//4 AS q1,
+             |                  (max(o_orderkey)+1)//2 - 100 AS q2h FROM orders)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders, m
+             |WHERE NOT (o_orderkey >= m.q1 AND o_orderkey < m.q2h)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        def cuts(): (Long, Long, Long, Long) = {
+          val maxK = Tables.orders(s, d)
+            .agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          (maxK / 4, maxK / 2, maxK * 3 / 4, maxK)
+        }
+        val dir = derivedDir(d, "orders_txn_dv_delete")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val (q1, q2, q3, maxK) = cuts()
+          Seq((0L, q1 - 1), (q1, q2 - 1), (q2, q3 - 1), (q3, maxK))
+            .foreach { case (lo, hi) =>
+              TxnTable.append(base.filter(col("o_orderkey").between(lo, hi)),
+                t.getPath, statsCol = Some("o_orderkey"))
+            }
+          val pre = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          TxnTable.deleteRangeDV(s, t.getPath, "o_orderkey", q1, q2 - 101)
+          val post = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(post.live == pre.live,
+            "merge-on-read delete must leave the live set byte-identical")
+          require(post.dvs.size == 1,
+            s"stats must prune dv staging to ONE of 4 dirs, got ${post.dvs.size}")
+          ()
+        }
+        val t = s"$dir/t"
+        val (q1, q2, _, _) = cuts()
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        val dvd = TxnTable.pruneLive(snap, "o_orderkey", q1, q2 - 101)
+        require(snap.action == "delete" && snap.live.size == 4 &&
+            snap.dvs.keySet == dvd.toSet && dvd.size == 1,
+          s"dv delete regressed: ${snap.dvs.size} dvs, " +
+            s"${dvd.size} dirs planned for the purged range")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

@@ -68,7 +68,8 @@ object TxnTable {
                             stats: Map[String, Seq[(String, Long, Long)]] = Map.empty,
                             parts: Map[String, (String, String)] = Map.empty,
                             ts: Long = 0L,
-                            nrows: Map[String, Long] = Map.empty)
+                            nrows: Map[String, Long] = Map.empty,
+                            dvs: Map[String, String] = Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -181,8 +182,13 @@ object TxnTable {
       .map(_.group(1)).toSeq
       .flatMap(""""([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
+    // deletion-vector map: live dir -> its dv dir (absent pre-DV)
+    val dvs = """"dvs"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
+      .map(m => m.group(1) -> m.group(2)).toMap
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
-      stats, parts, ts, nrows)
+      stats, parts, ts, nrows, dvs)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -213,8 +219,34 @@ object TxnTable {
       val schema = org.apache.spark.sql.types.DataType.fromDDL(ddl)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else
-      spark.read.parquet(snap.live.map(d => new File(dataDir(tableDir), d).getPath): _*)
+    } else readDirsDV(spark, tableDir, snap, snap.live)
+  }
+
+  /** Read `dirs` of a snapshot THROUGH its deletion vectors: dirs with
+    * a manifest `dvs` entry anti-join their dv's (rel-path, row-index)
+    * positions away (the Delta merge-on-read scan). The dv side is
+    * KB-sized and broadcast, so the overhead on a 100 TB scan is one
+    * hidden-metadata projection + a broadcast anti-join — no shuffle of
+    * the data side; dv-free snapshots take the plain multi-dir path
+    * with zero overhead. Positions are (path relative to `data/`,
+    * parquet row index), so the table can be relocated wholesale. */
+  private def readDirsDV(spark: SparkSession, tableDir: String,
+                         snap: Snapshot, dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
+    val paths = dirs.map(d => new File(dataDir(tableDir), d).getPath)
+    val dvDirs = dirs.flatMap(snap.dvs.get).distinct
+    if (dvDirs.isEmpty) spark.read.parquet(paths: _*)
+    else {
+      val dv = spark.read.parquet(
+        dvDirs.map(d => new File(dataDir(tableDir), d).getPath): _*)
+      val df = spark.read.parquet(paths: _*)
+        .withColumn("_dv_rel",
+          regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1))
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+      df.join(broadcast(dv),
+          df("_dv_rel") === dv("rel") && df("_dv_pos") === dv("pos"), "left_anti")
+        .drop("_dv_rel", "_dv_pos")
+    }
   }
 
   /** The table's commit HISTORY as a DataFrame — one row per retained
@@ -230,9 +262,13 @@ object TxnTable {
     import spark.implicits._
     versions(tableDir).map { v =>
       val sn = snapshot(tableDir, v)
+      // effective rows = physical live rows - dv-deleted positions
+      // (dv dirs' counts are manifest-folded too, so still metadata-only)
+      val dvDirs = sn.live.flatMap(sn.dvs.get).distinct
       (sn.version, new java.sql.Timestamp(sn.ts), sn.action, sn.txnId,
         sn.live.size,
-        if (sn.live.forall(sn.nrows.contains)) Some(sn.live.map(sn.nrows).sum)
+        if (sn.live.forall(sn.nrows.contains) && dvDirs.forall(sn.nrows.contains))
+          Some(sn.live.map(sn.nrows).sum - dvDirs.map(sn.nrows).sum)
         else None)
     }.toDF("version", "ts", "action", "txn_id", "num_files", "num_rows")
   }
@@ -304,7 +340,7 @@ object TxnTable {
     val planned = pruneLive(snap, column, lo, hi)
     val df =
       if (planned.isEmpty) read(spark, tableDir, Some(v)).limit(0)
-      else spark.read.parquet(planned.map(d => new File(dataDir(tableDir), d).getPath): _*)
+      else readDirsDV(spark, tableDir, snap, planned)
     val t = df.schema(column).dataType
     df.filter(df.col(column) >= lit(lo).cast(t) && df.col(column) <= lit(hi).cast(t))
   }
@@ -383,7 +419,7 @@ object TxnTable {
           }
         }.collect { case (d, pv) if !byValue.contains(pv) => d }
         if (!tryPublish(tableDir, base + 1L, "overwritePartitions",
-            kept ++ staged, txnId))
+            kept ++ staged, txnId, dvs = snap.dvs))
           throw new CommitConflict(
             s"concurrent commit at version ${base + 1}; re-read and retry")
         maybeCheckpoint(tableDir, base + 1L)
@@ -414,7 +450,7 @@ object TxnTable {
     val planned = prunePartition(snap, partCol, value)
     val df =
       if (planned.isEmpty) read(spark, tableDir, Some(v)).limit(0)
-      else spark.read.parquet(planned.map(d => new File(dataDir(tableDir), d).getPath): _*)
+      else readDirsDV(spark, tableDir, snap, planned)
     df.filter(df.col(partCol) === lit(value).cast(df.schema(partCol).dataType))
   }
 
@@ -552,7 +588,7 @@ object TxnTable {
     val planned = pruneLivePoint(tableDir, snap, column, value)
     val df =
       if (planned.isEmpty) read(spark, tableDir, Some(v)).limit(0)
-      else spark.read.parquet(planned.map(d => new File(dataDir(tableDir), d).getPath): _*)
+      else readDirsDV(spark, tableDir, snap, planned)
     val t = df.schema(column).dataType
     df.filter(df(column) === lit(value).cast(t))
   }
@@ -629,11 +665,12 @@ object TxnTable {
         case None    =>
       }
       val base = latestVersion(tableDir)
-      val prevLive =
-        if (action == "overwrite") Nil
-        else base.map(snapshot(tableDir, _).live).getOrElse(Nil)
+      val prevSnap =
+        if (action == "overwrite") None else base.map(snapshot(tableDir, _))
+      val prevLive = prevSnap.map(_.live).getOrElse(Nil)
       val next = base.map(_ + 1L).getOrElse(0L)
-      if (tryPublish(tableDir, next, action, prevLive :+ staged, txnId)) {
+      if (tryPublish(tableDir, next, action, prevLive :+ staged, txnId,
+          dvs = prevSnap.map(_.dvs).getOrElse(Map.empty))) {
         maybeCheckpoint(tableDir, next); return next
       }
       attempt += 1 // conflict: someone else took `next` — rebase and retry
@@ -649,7 +686,11 @@ object TxnTable {
   /** Atomic put-if-absent of the version-`v` manifest. True = committed;
     * false = the slot was taken (conflict). */
   private def tryPublish(tableDir: String, v: Long, action: String,
-                         live: Seq[String], txnId: Option[String]): Boolean = {
+                         live: Seq[String], txnId: Option[String],
+                         dvs: Map[String, String] = Map.empty): Boolean = {
+    // only dv entries for dirs actually in this manifest's live set —
+    // a rewritten dir's dv dies with it (the rewrite materialized it)
+    val dvKept = dvs.filter { case (d, _) => live.contains(d) }
     val json = {
       val liveJson = live.map("\"" + _ + "\"").mkString("[", ",", "]")
       val txn = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
@@ -672,11 +713,19 @@ object TxnTable {
         if (entries.isEmpty) "" else entries.mkString(""","parts":{""", ",", "}")
       }
       val nrowsJson = {
-        val entries = live.flatMap(d => nrowsOf(tableDir, d).map(n => s""""$d":$n"""))
+        // dv dirs' counts ride along (names are disjoint from live):
+        // history's effective row count = live rows - dv-deleted rows,
+        // still metadata-only
+        val entries = (live ++ dvKept.values.toSeq.distinct)
+          .flatMap(d => nrowsOf(tableDir, d).map(n => s""""$d":$n"""))
         if (entries.isEmpty) "" else entries.mkString(""","nrows":{""", ",", "}")
       }
+      val dvsJson = {
+        val entries = dvKept.map { case (d, dv) => s""""$d":"$dv"""" }
+        if (entries.isEmpty) "" else entries.mkString(""","dvs":{""", ",", "}")
+      }
       s"""{"version":$v,"action":"$action","ts":${System.currentTimeMillis},""" +
-        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson}"""
+        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson}"""
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))
@@ -753,12 +802,13 @@ object TxnTable {
       } else (Seq.empty[String], snap.live)
     val current =
       if (touched.isEmpty) updates.limit(0)
-      else spark.read.parquet(touched.map(d => new File(dataDir(tableDir), d).getPath): _*)
+      else readDirsDV(spark, tableDir, snap, touched) // rewrite THROUGH dvs
     val merged = current.join(updates.select(keyCols.map(updates.col): _*),
         keyCols, "left_anti")
       .unionByName(updates)
     val staged = stage(merged, tableDir, Some(key).filter(_ => hasStats))
-    if (!tryPublish(tableDir, base + 1L, "merge", kept :+ staged, txnId))
+    if (!tryPublish(tableDir, base + 1L, "merge", kept :+ staged, txnId,
+        dvs = snap.dvs))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the merge")
     maybeCheckpoint(tableDir, base + 1L)
@@ -800,20 +850,20 @@ object TxnTable {
     val touched = pruneLive(snap, column, lo, hi)
     val kept = snap.live.filterNot(touched.contains)
     if (touched.isEmpty) { // nothing can match: a no-op delete commit
-      if (!tryPublish(tableDir, base + 1L, "delete", kept, txnId))
+      if (!tryPublish(tableDir, base + 1L, "delete", kept, txnId, dvs = snap.dvs))
         throw new CommitConflict(
           s"concurrent commit at version ${base + 1}; re-read and retry")
       maybeCheckpoint(tableDir, base + 1L)
       return base + 1L
     }
-    val df = spark.read.parquet(
-      touched.map(d => new File(dataDir(tableDir), d).getPath): _*)
+    val df = readDirsDV(spark, tableDir, snap, touched)
     require(df.columns.contains(column), s"no column $column")
     require(isIntegral(df, column),
       s"deleteRange column $column must be an integral type; use deleteWhere")
     val remaining = df.filter(
       col(column).isNull || col(column) < lo || col(column) > hi)
-    commitRewrite(tableDir, base, "delete", kept, remaining, Some(column), txnId)
+    commitRewrite(tableDir, base, "delete", kept, remaining, Some(column), txnId,
+      dvs = snap.dvs)
   }
 
   /** Row-level DELETE by arbitrary predicate (copy-on-write): removes
@@ -839,23 +889,129 @@ object TxnTable {
       maybeCheckpoint(tableDir, base + 1L)
       return base + 1L
     }
-    val df = spark.read.parquet(
-      snap.live.map(d => new File(dataDir(tableDir), d).getPath): _*)
+    val df = readDirsDV(spark, tableDir, snap, snap.live)
     val remaining = df.filter(not(coalesce(predicate, lit(false))))
     commitRewrite(tableDir, base, "delete", Nil, remaining, None, txnId)
   }
 
   /** Shared tail of the copy-on-write writers: stage `remaining` (skip
     * the dir entirely when the rewrite is empty — a fully-deleted file
-    * just leaves the live set), publish at base+1 or throw. */
+    * just leaves the live set), publish at base+1 or throw. `dvs`
+    * carries surviving kept-dir deletion vectors forward (tryPublish
+    * drops entries for rewritten dirs automatically). */
   private def commitRewrite(tableDir: String, base: Long, action: String,
                             kept: Seq[String], remaining: DataFrame,
                             statsCol: Option[String],
-                            txnId: Option[String]): Long = {
+                            txnId: Option[String],
+                            dvs: Map[String, String] = Map.empty): Long = {
     val live =
       if (remaining.isEmpty) kept
       else kept :+ stage(remaining, tableDir, statsCol)
-    if (!tryPublish(tableDir, base + 1L, action, live, txnId))
+    if (!tryPublish(tableDir, base + 1L, action, live, txnId, dvs = dvs))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Stage a CUMULATIVE deletion vector for one live dir: the positions
+    * of `pred`-matching rows, unioned with the dir's existing dv (a
+    * manifest carries ONE dv per dir, so each dv supersedes the last).
+    * Returns None when nothing is deleted, the prior dv's name when the
+    * predicate matched nothing new (no redundant dv dir), or a fresh
+    * `dv-*` dir name. Positions are (data/-relative path, parquet row
+    * index) from the hidden `_metadata` columns — stable for immutable
+    * files, independent of read parallelism. */
+  private def stageDV(spark: SparkSession, tableDir: String, snap: Snapshot,
+                      dir: String,
+                      pred: DataFrame => org.apache.spark.sql.Column): Option[String] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_extract}
+    val df = spark.read.parquet(new File(dataDir(tableDir), dir).getPath)
+    val matched = df.filter(coalesce(pred(df), lit(false)))
+      .select(
+        regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1).as("rel"),
+        col("_metadata.row_index").as("pos"))
+    val all = snap.dvs.get(dir) match {
+      case Some(old) => matched.unionByName(spark.read.parquet(
+        new File(dataDir(tableDir), old).getPath)).distinct()
+      case None => matched
+    }
+    val name = s"dv-${UUID.randomUUID()}"
+    val dest = new File(dataDir(tableDir), name)
+    all.coalesce(1).write.parquet(dest.getPath)
+    val n = spark.read.parquet(dest.getPath).count()
+    val oldN = snap.dvs.get(dir).flatMap(nrowsOf(tableDir, _)).getOrElse(0L)
+    if (n == 0L) { deleteRec(dest); None }
+    else if (n == oldN) { deleteRec(dest); snap.dvs.get(dir) } // nothing new
+    else {
+      Files.write(new File(dest, ".nrows").toPath, n.toString.getBytes("UTF-8"))
+      Some(name)
+    }
+  }
+
+  /** Row-level DELETE as a MERGE-ON-READ deletion vector (Delta DVs /
+    * Iceberg positional deletes): instead of rewriting every file the
+    * range touches ([[deleteRange]]'s copy-on-write), record the doomed
+    * ROW POSITIONS in per-dir `dv-*` sidecars and publish a manifest
+    * whose LIVE SET IS UNCHANGED — readers anti-join the positions away
+    * at scan time ([[readDirsDV]]). Write cost is one scan of the
+    * bounds-overlapping dirs plus a KB-sized dv write; at 100 TB a
+    * 100-row GDPR purge stops being a terabyte rewrite. The read-side
+    * rent (hidden-metadata projection + broadcast anti-join on dv'd
+    * dirs) accrues until a [[compact]]/[[compactClustered]] rewrite
+    * MATERIALIZES the dvs (they read through [[read]], so packed dirs
+    * are dv-free). Manifest-stats pruning stays sound: dv'd bounds are
+    * a superset of effective content. NULL keys keep their rows (SQL
+    * DELETE); same base+1 / [[CommitConflict]] contract as the CoW
+    * form; [[changes]] surfaces dv'd rows as "delete" via the multiset
+    * path; time travel still reads pre-delete snapshots. */
+  def deleteRangeDV(spark: SparkSession, tableDir: String, column: String,
+                    lo: Long, hi: Long, txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed delete — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val touched = pruneLive(snap, column, lo, hi) // only these can match
+    touched.headOption.foreach { d =>
+      val df = spark.read.parquet(new File(dataDir(tableDir), d).getPath)
+      require(df.columns.contains(column), s"no column $column")
+      require(isIntegral(df, column),
+        s"deleteRangeDV column $column must be an integral type; use deleteWhereDV")
+    }
+    val updated = touched.flatMap { d =>
+      stageDV(spark, tableDir, snap, d,
+        df => df.col(column) >= lit(lo) && df.col(column) <= lit(hi)).map(d -> _)
+    }.toMap
+    if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
+        dvs = snap.dvs ++ updated))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Predicate form of [[deleteRangeDV]]: every live dir is scanned for
+    * matching positions (no bounds from an opaque Column), but NO data
+    * is rewritten — dirs with matches gain a dv, the rest are untouched
+    * (and keep any existing dv). NULL predicate keeps the row. */
+  def deleteWhereDV(spark: SparkSession, tableDir: String,
+                    predicate: org.apache.spark.sql.Column,
+                    txnId: Option[String] = None): Long = {
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val updated = snap.live.flatMap(d =>
+      stageDV(spark, tableDir, snap, d, _ => predicate).map(d -> _)).toMap
+    if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
+        dvs = snap.dvs ++ updated))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry")
     maybeCheckpoint(tableDir, base + 1L)
@@ -882,16 +1038,20 @@ object TxnTable {
     require(fromVersion <= toVersion, "fromVersion must precede toVersion")
     val from = snapshot(tableDir, fromVersion)
     val to = snapshot(tableDir, toVersion)
-    def readDirs(dirs: Seq[String]): DataFrame =
+    def readDirs(sn: Snapshot, dirs: Seq[String]): DataFrame =
       if (dirs.isEmpty) read(spark, tableDir, Some(toVersion)).limit(0)
-      else spark.read.parquet(dirs.map(d => new File(dataDir(tableDir), d).getPath): _*)
-    if (from.live.forall(to.live.contains)) {
+      else readDirsDV(spark, tableDir, sn, dirs)
+    // fast path needs dir-set containment AND per-dir dv identity — a
+    // merge-on-read delete keeps the live set byte-identical but changes
+    // effective content, so a dv delta forces the multiset diff
+    if (from.live.forall(to.live.contains) &&
+        from.live.forall(d => from.dvs.get(d) == to.dvs.get(d))) {
       val added = to.live.filterNot(from.live.contains)
-      if (added.isEmpty) readDirs(to.live).limit(0).withColumn("_change", lit("insert"))
-      else readDirs(added).withColumn("_change", lit("insert"))
+      if (added.isEmpty) readDirs(to, to.live).limit(0).withColumn("_change", lit("insert"))
+      else readDirs(to, added).withColumn("_change", lit("insert"))
     } else {
-      val a = readDirs(from.live)
-      val b = readDirs(to.live)
+      val a = readDirs(from, from.live)
+      val b = readDirs(to, to.live)
       b.exceptAll(a).withColumn("_change", lit("insert"))
         .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
     }
@@ -1125,7 +1285,8 @@ object TxnTable {
         .schema.catalogString
       Files.write(new File(tableDir, "_schema").toPath, ddl.getBytes("UTF-8")): Unit
     }
-    if (!tryPublish(tableDir, base + 1L, "restore", target.live, txnId))
+    if (!tryPublish(tableDir, base + 1L, "restore", target.live, txnId,
+        dvs = target.dvs))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the restore")
     maybeCheckpoint(tableDir, base + 1L)
@@ -1156,7 +1317,10 @@ object TxnTable {
   def vacuum(tableDir: String, retain: Int = 1): Unit = {
     val vs = versions(tableDir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
-    val referenced = keep.flatMap(snapshot(tableDir, _).live).toSet
+    val referenced = keep.flatMap { v =>
+      val sn = snapshot(tableDir, v)
+      sn.live ++ sn.dvs.values // dv dirs are data too — a retained
+    }.toSet                    // manifest's reads depend on them
     // move the checkpoint pointer into the retained window FIRST: a
     // pointer naming a dropped manifest would break the forward probe
     keep.headOption.foreach(writeCheckpoint(tableDir, _))

@@ -1,0 +1,136 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxnTable
+
+/** Scale measurement for the transactional-table read path: does the
+  * metadata actually buy what SURVEY claims at data volume?
+  *
+  * Layout: N rows (long key 0..N-1, ~24-byte payload) written as 16
+  * INTERLEAVED commits (key mod 16) — the worst case for min/max
+  * bounds (every dir spans the whole keyspace) and the motivating case
+  * for clustering and blooms. Measures, with planned-dir/file counts
+  * as the scale evidence and wall seconds as the local sanity signal:
+  *
+  *  1. full-scan aggregate (the baseline every read must beat);
+  *  2. range read (1/16 of the keyspace) on the interleaved layout —
+  *     stats prune NOTHING (16/16 dirs planned), cost ≈ full scan;
+  *  3. compactClustered on the key, then the same range read — planned
+  *     dirs collapse to ~1/16, the read touches ~1/16 of the bytes;
+  *  4. point probe via bloom sidecars on the INTERLEAVED layout
+  *     (pre-clustering, where bounds are helpless): ~1 dir planned;
+  *  5. write-side index cost: append WITH stats+bloom vs bare append
+  *     (the price of 1-4, paid once per commit).
+  *
+  * Local-FS caveat (same as ScaleBench): at gigabyte scale Spark's
+  * per-job overhead floors small reads, so the dir/file counts carry
+  * the 100 TB argument; the seconds just need to move the right way.
+  * Emits one JSON file (SPARK_GRAFT_LAKEBENCH_OUT, default
+  * ./lakebench_r9.json).
+  */
+object LakeBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_LAKE_N", "10000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Files.createTempDirectory("graft-lakebench").toString
+    def timed[A](label: String)(body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[lake] $label: $s%.1fs")
+      (r, s)
+    }
+
+    val base = spark.range(n).toDF("id")
+      .withColumn("v", concat(lit("payload-"), pmod(xxhash64(col("id")), lit(99999L))))
+
+    // ---- build: 16 interleaved commits, stats+bloom on the key
+    val (_, tBuild) = timed("16 interleaved appends (stats+bloom)") {
+      (0L until 16L).foreach(i =>
+        TxnTable.append(base.filter(pmod(col("id"), lit(16L)) === i), dir,
+          statsCol = Some("id")))
+    }
+    // write-side index cost: one more slice, bare vs indexed
+    val slice = base.filter(pmod(col("id"), lit(16L)) === 3L)
+    val bare = Files.createTempDirectory("graft-lakebench-bare").toString
+    val (_, tBare) = timed("append 1/16 bare")(TxnTable.append(slice, bare))
+    val idx = Files.createTempDirectory("graft-lakebench-idx").toString
+    val (_, tIdx) = timed("append 1/16 stats+bloom")(
+      TxnTable.append(slice, idx, statsCol = Some("id")))
+
+    val (lo, hi) = (0L, n / 16L - 1L) // one-sixteenth of the keyspace
+    def agg(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // ---- 1. full scan
+    val ((fullCnt, _), tFull) = timed("full scan agg")(agg(TxnTable.read(spark, dir)))
+    require(fullCnt == n, s"full scan lost rows: $fullCnt of $n")
+
+    // ---- 2. range read, interleaved layout: stats prune nothing
+    val preSnap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    val prePlanned = TxnTable.pruneLive(preSnap, "id", lo, hi).size
+    val ((preCnt, _), tPreRange) = timed("range read (interleaved)")(
+      agg(TxnTable.readRange(spark, dir, "id", lo, hi)))
+    require(preCnt == n / 16L, s"range read wrong count: $preCnt")
+
+    // ---- 4. bloom point probe on the interleaved layout
+    val probes = Seq(7L, n / 3L, n - 11L)
+    val probePlanned = probes.map(k =>
+      TxnTable.pruneLivePoint(dir, preSnap, "id", k).size)
+    val (_, tPoint) = timed("3 bloom point probes (interleaved)") {
+      probes.foreach(k =>
+        require(TxnTable.readPoint(spark, dir, "id", k).count() == 1L))
+    }
+
+    // ---- 3. cluster, then the same range read
+    val (_, tCluster) = timed("compactClustered(id, 16)")(
+      TxnTable.compactClustered(spark, dir, "id", 16))
+    val postSnap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    val postPlanned = TxnTable.pruneLive(postSnap, "id", lo, hi).size
+    val ((postCnt, _), tPostRange) = timed("range read (clustered)")(
+      agg(TxnTable.readRange(spark, dir, "id", lo, hi)))
+    require(postCnt == n / 16L, s"clustered range read wrong count: $postCnt")
+
+    // ---- merge + delete on the clustered layout: rewrite-set sizes
+    val ups = spark.range(lo, lo + 10000L).toDF("id")
+      .withColumn("v", lit("updated"))
+    val (_, tMerge) = timed("merge 10k updates (clustered)")(
+      TxnTable.merge(spark, dir, ups, Seq("id")))
+    val mergeSnap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    val mergeKept = postSnap.live.count(mergeSnap.live.contains)
+    val (_, tDelete) = timed("deleteRange 1/16 (clustered)")(
+      TxnTable.deleteRange(spark, dir, "id", lo, hi))
+    val delSnap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    val delKept = mergeSnap.live.count(delSnap.live.contains)
+
+    val json =
+      s"""{"n":$n,"build_sec":$tBuild,""" +
+        s""""append_slice_bare_sec":$tBare,"append_slice_indexed_sec":$tIdx,""" +
+        s""""full_scan_sec":$tFull,""" +
+        s""""range_interleaved":{"planned_dirs":$prePlanned,"of":16,"sec":$tPreRange},""" +
+        s""""point_bloom":{"planned_dirs":[${probePlanned.mkString(",")}],"of":16,"sec_3_probes":$tPoint},""" +
+        s""""cluster_sec":$tCluster,""" +
+        s""""range_clustered":{"planned_dirs":$postPlanned,"of":16,"sec":$tPostRange},""" +
+        s""""merge_clustered":{"kept_dirs":$mergeKept,"of":16,"sec":$tMerge},""" +
+        s""""delete_clustered":{"kept_dirs":$delKept,"of":${mergeSnap.live.size},"sec":$tDelete}}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_LAKEBENCH_OUT", "lakebench_r9.json")
+    Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -113,15 +113,22 @@ class FuzzTxnSpec extends SparkTestBase {
           fuzzy += model.size
           model :+= prev      // placeholder: append-first or compact-first
           model :+= prev ++ b // final multiset exact EITHER way — the invariant
-        case 12 => // row-level delete: stats-pruned range or predicate form
+        case 12 => // row-level delete: copy-on-write or merge-on-read
+          // (deletion-vector) form — model semantics are identical, so
+          // the same multiset invariants hammer dv interaction with
+          // merge/compact/restore/vacuum/CDC/time travel
           if (rng.nextBoolean()) {
             val lo = rng.nextInt(8); val hi = lo + rng.nextInt(4)
-            TxnTable.deleteRange(spark, dir, "id", lo.toLong, hi.toLong)
+            if (rng.nextBoolean())
+              TxnTable.deleteRange(spark, dir, "id", lo.toLong, hi.toLong)
+            else
+              TxnTable.deleteRangeDV(spark, dir, "id", lo.toLong, hi.toLong)
             model :+= model.last.filterNot(r => r._1 >= lo && r._1 <= hi)
           } else {
             val p = Seq("A", "B", "C")(rng.nextInt(3))
-            TxnTable.deleteWhere(spark, dir,
-              org.apache.spark.sql.functions.col("part") === p)
+            val pred = org.apache.spark.sql.functions.col("part") === p
+            if (rng.nextBoolean()) TxnTable.deleteWhere(spark, dir, pred)
+            else TxnTable.deleteWhereDV(spark, dir, pred)
             model :+= model.last.filterNot(_._2 == p)
           }
         case 13 => // restore to a random retained, non-fuzzy version

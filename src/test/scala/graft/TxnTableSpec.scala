@@ -688,4 +688,73 @@ class TxnTableSpec extends SparkTestBase {
     assert(dataDirs.length == 1, "unreferenced data dirs survived vacuum")
     intercept[Exception] { TxnTable.read(spark, dir, Some(0L)) }: Unit
   }
+
+  test("deleteRangeDV: merge-on-read — live set unchanged, dvs pruned+cumulative, CDC sees deletes") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k"), (12, "l"), (13, "m")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    val pre = TxnTable.snapshot(dir, 1L)
+    val v = TxnTable.deleteRangeDV(spark, dir, "id", 2L, 3L)
+    assert(v == 2L)
+    val post = TxnTable.snapshot(dir, v)
+    // the whole point: NOTHING rewritten — the live set is byte-identical
+    assert(post.live == pre.live, "dv delete rewrote data dirs")
+    // stats pruned the dv staging: only the [1,4] dir gained a dv
+    assert(post.dvs.size == 1 && post.dvs.contains(pre.live.head),
+      s"expected one dv on the overlapping dir, got ${post.dvs}")
+    assert(rows(dir) == Seq((1, "a"), (4, "d"), (11, "k"), (12, "l"), (13, "m")))
+    // time travel still sees the deleted rows
+    assert(rows(dir, Some(1L)).map(_._1) == Seq(1, 2, 3, 4, 11, 12, 13))
+    // history reports EFFECTIVE rows (physical - dv) from metadata alone
+    val h = TxnTable.history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toMap
+    assert(h(2L) == 5L && h(1L) == 7L, s"effective row counts wrong: $h")
+    // CDC across the dv commit surfaces exactly the purged rows as deletes
+    val ch = TxnTable.changes(spark, dir, 1L, 2L).collect()
+      .map(r => (r.getInt(0), r.getAs[String]("_change"))).sorted.toSeq
+    assert(ch == Seq((2, "delete"), (3, "delete")), s"CDC feed wrong: $ch")
+    // cumulative: a second dv on the same dir supersedes (still one entry)
+    TxnTable.deleteRangeDV(spark, dir, "id", 4L, 4L)
+    val post2 = TxnTable.snapshot(dir, 3L)
+    assert(post2.dvs.size == 1 && post2.dvs(pre.live.head) != post.dvs(pre.live.head),
+      "second dv delete must supersede the dir's dv")
+    assert(rows(dir).map(_._1) == Seq(1, 11, 12, 13))
+    // point read through the dv: bloom says maybe, the dv says gone
+    assert(TxnTable.readPoint(spark, dir, "id", 3L).count() == 0L)
+    assert(TxnTable.readRange(spark, dir, "id", 1L, 4L).collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    // vacuum keeps referenced dv dirs; compaction materializes them away
+    TxnTable.vacuum(dir, retain = 1)
+    assert(rows(dir).map(_._1) == Seq(1, 11, 12, 13), "vacuum reaped a live dv")
+    TxnTable.compact(spark, dir, targetFiles = 1)
+    val packed = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(packed.dvs.isEmpty, "compaction must materialize deletion vectors")
+    assert(rows(dir).map(_._1) == Seq(1, 11, 12, 13))
+  }
+
+  test("deleteWhereDV: predicate dvs; merge reads through them; restore re-references them") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "x"), (2, "y"), (3, "x")).toDF("id", "v"), dir)
+    val v1 = TxnTable.deleteWhereDV(spark, dir,
+      org.apache.spark.sql.functions.col("v") === "x")
+    assert(rows(dir) == Seq((2, "y")))
+    // a no-match dv delete keeps the existing dv entry (no redundant dir)
+    val dvBefore = TxnTable.snapshot(dir, v1).dvs
+    TxnTable.deleteWhereDV(spark, dir,
+      org.apache.spark.sql.functions.col("v") === "zzz")
+    assert(TxnTable.snapshot(dir, v1 + 1L).dvs == dvBefore,
+      "no-match dv delete should not mint a new dv dir")
+    // merge reads THROUGH the dv: deleted id=1 must not resurrect, and
+    // the upsert's own id=1 row inserts fresh
+    TxnTable.merge(spark, dir, Seq((1, "new"), (2, "upd")).toDF("id", "v"), Seq("id"))
+    assert(rows(dir) == Seq((1, "new"), (2, "upd")))
+    // restore to the dv'd version re-references the dv (metadata-only)
+    TxnTable.restore(spark, dir, v1)
+    assert(rows(dir) == Seq((2, "y")), "restore lost the deletion vector")
+    // append after dv: prior dvs carry forward
+    TxnTable.append(Seq((9, "z")).toDF("id", "v"), dir)
+    assert(rows(dir) == Seq((2, "y"), (9, "z")))
+  }
 }
