@@ -845,6 +845,142 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q212: row-level UPDATE ... SET with manifest-stats file
+    // pruning (the Delta/Iceberg UPDATE). The build appends orders as
+    // four key-range commits, then reprices ONE key range — a
+    // multi-column SET (status relabeled, price bumped) that the stats
+    // must prune to a single dir's rewrite, the other three dirs
+    // byte-untouched (asserted on the live set). Non-matching rows in
+    // the rewritten dir must be byte-preserved, matching rows must
+    // take BOTH set expressions atomically — the oracle recomputes the
+    // same repricing with CASE WHEN on the raw parquet and
+    // hash-matches the post-update table. At 100 TB this is "fix a
+    // mispriced SKU range": the write cost is the files the keys live
+    // in, not the table.
+    Q("q212_txn_update",
+      Some("""WITH m AS (SELECT (max(o_orderkey)+1)//4 AS q1,
+             |                  (max(o_orderkey)+1)//2 - 100 AS q2h FROM orders),
+             |u AS (SELECT CASE WHEN o_orderkey >= m.q1 AND o_orderkey < m.q2h
+             |                  THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             |             CAST(round(o_totalprice * 100) AS BIGINT)
+             |               + CASE WHEN o_orderkey >= m.q1 AND o_orderkey < m.q2h
+             |                      THEN 7 ELSE 0 END AS price_c
+             |      FROM orders, m)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        def cuts(): (Long, Long, Long, Long) = {
+          val maxK = Tables.orders(s, d)
+            .agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          (maxK / 4, maxK / 2, maxK * 3 / 4, maxK)
+        }
+        val dir = derivedDir(d, "orders_txn_update")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val (q1, q2, q3, maxK) = cuts()
+          Seq((0L, q1 - 1), (q1, q2 - 1), (q2, q3 - 1), (q3, maxK))
+            .foreach { case (lo, hi) =>
+              TxnTable.append(base.filter(col("o_orderkey").between(lo, hi)),
+                t.getPath, statsCol = Some("o_orderkey"))
+            }
+          val pre = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(pre.live.size == 4 &&
+              TxnTable.pruneLive(pre, "o_orderkey", q1, q2 - 101).size == 1,
+            "pre-state must prune the update's rewrite set to ONE of 4 dirs")
+          TxnTable.updateRange(s, t.getPath, "o_orderkey", q1, q2 - 101,
+            Map("o_orderstatus" -> lit("U"), "price_c" -> (col("price_c") + 7L)))
+          val post = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(pre.live.count(post.live.contains) == 3,
+            "update must keep the three disjoint dirs byte-untouched")
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.action == "update" && snap.live.size == 4,
+          s"update commit regressed: action=${snap.action} live=${snap.live.size}")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // ---- q213: metadata-only ADD COLUMN schema evolution (Delta ALTER
+    // TABLE ADD COLUMNS / Iceberg schema evolution). The build commits
+    // the first half of orders in the ORIGINAL shape, evolves the
+    // table with a nullable `disc_c` as ONE manifest write — the live
+    // set is asserted byte-identical, zero data rewritten — then
+    // appends the second half in the evolved shape. One snapshot scan
+    // must then serve BOTH file generations: the parquet reader takes
+    // the manifest-carried DDL and null-backfills `disc_c` on the
+    // pre-evolution files, and the oracle recomputes the same
+    // half-and-half table with CASE WHEN on the raw parquet (SUM over
+    // the evolved column ignoring backfilled NULLs, per SQL). At
+    // 100 TB: adding a feature column to a petabyte table costs one
+    // manifest write, not a rewrite.
+    Q("q213_txn_add_column",
+      Some("""WITH m AS (SELECT (max(o_orderkey)+1)//2 AS h FROM orders),
+             |u AS (SELECT o_orderstatus,
+             |             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             |             CASE WHEN o_orderkey >= m.h
+             |                  THEN CAST(round(o_totalprice * 100) AS BIGINT) // 10
+             |                  ELSE NULL END AS disc_c
+             |      FROM orders, m)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(COUNT(disc_c) AS BIGINT) AS n_disc,
+             |       CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+             |       CAST(SUM(disc_c) AS BIGINT) AS sum_disc_c
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        def half(): Long = Tables.orders(s, d)
+          .agg(max(col("o_orderkey").cast("long"))).head().getLong(0) / 2 + 1L
+        val dir = derivedDir(d, "orders_txn_add_column")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val h = half()
+          TxnTable.append(base.filter(col("o_orderkey") < h),
+            t.getPath, statsCol = Some("o_orderkey"))
+          val pre = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          TxnTable.addColumn(s, t.getPath, "disc_c", "bigint")
+          val evo = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(evo.live == pre.live && evo.action == "addColumn",
+            "ADD COLUMN must be metadata-only: live set byte-identical")
+          TxnTable.append(
+            base.filter(col("o_orderkey") >= h)
+              .withColumn("disc_c", (col("price_c") / 10).cast("long")),
+            t.getPath, statsCol = Some("o_orderkey"))
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.schema.exists(_.contains("disc_c")) && snap.live.size == 2,
+          s"evolved manifest regressed: schema=${snap.schema} live=${snap.live.size}")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), count(col("disc_c")).as("n_disc"),
+            sum(col("price_c")).as("sum_price_c"),
+            sum(col("disc_c")).as("sum_disc_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

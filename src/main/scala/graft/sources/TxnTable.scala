@@ -69,7 +69,8 @@ object TxnTable {
                             parts: Map[String, (String, String)] = Map.empty,
                             ts: Long = 0L,
                             nrows: Map[String, Long] = Map.empty,
-                            dvs: Map[String, String] = Map.empty)
+                            dvs: Map[String, String] = Map.empty,
+                            schema: Option[String] = None)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -188,7 +189,7 @@ object TxnTable {
       .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
       .map(m => m.group(1) -> m.group(2)).toMap
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
-      stats, parts, ts, nrows, dvs)
+      stats, parts, ts, nrows, dvs, field("schema"))
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -213,12 +214,13 @@ object TxnTable {
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, v)
     if (snap.live.isEmpty) {
-      val f = new File(tableDir, "_schema")
-      require(f.exists(), s"version $v has an empty live set and no _schema")
-      val ddl = new String(Files.readAllBytes(f.toPath), "UTF-8")
-      val schema = org.apache.spark.sql.types.DataType.fromDDL(ddl)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val ddl = snap.schema.getOrElse {
+        val f = new File(tableDir, "_schema")
+        require(f.exists(), s"version $v has an empty live set and no _schema")
+        new String(Files.readAllBytes(f.toPath), "UTF-8")
+      }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], structOf(ddl))
     } else readDirsDV(spark, tableDir, snap, snap.live)
   }
 
@@ -233,21 +235,38 @@ object TxnTable {
   private def readDirsDV(spark: SparkSession, tableDir: String,
                          snap: Snapshot, dirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
-    val paths = dirs.map(d => new File(dataDir(tableDir), d).getPath)
-    val dvDirs = dirs.flatMap(snap.dvs.get).distinct
-    if (dvDirs.isEmpty) spark.read.parquet(paths: _*)
+    def paths(ds: Seq[String]) = ds.map(d => new File(dataDir(tableDir), d).getPath)
+    // a manifest-carried evolved schema is passed to the parquet reader
+    // explicitly: files staged BEFORE an addColumn simply lack the new
+    // field and the reader null-backfills it — the Delta/Iceberg
+    // metadata-only evolution read, zero data rewritten
+    def rd(ds: Seq[String]): DataFrame = {
+      val r = spark.read
+      snap.schema.map(d => r.schema(structOf(d))).getOrElse(r).parquet(paths(ds): _*)
+    }
+    // split the scan: dv-free dirs take the plain parquet path with
+    // ZERO overhead; only dv'd dirs pay the hidden-metadata projection
+    // + broadcast anti-join (at 100 TB a handful of purged files, not
+    // the table)
+    val (dvd, clean) = dirs.partition(snap.dvs.contains)
+    if (dvd.isEmpty) rd(dirs)
     else {
-      val dv = spark.read.parquet(
-        dvDirs.map(d => new File(dataDir(tableDir), d).getPath): _*)
-      val df = spark.read.parquet(paths: _*)
+      val dv = spark.read.parquet(paths(dvd.map(snap.dvs).distinct): _*)
+      val df = rd(dvd)
         .withColumn("_dv_rel",
           regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1))
         .withColumn("_dv_pos", col("_metadata.row_index"))
-      df.join(broadcast(dv),
+      val filtered = df.join(broadcast(dv),
           df("_dv_rel") === dv("rel") && df("_dv_pos") === dv("pos"), "left_anti")
         .drop("_dv_rel", "_dv_pos")
+      if (clean.isEmpty) filtered
+      else rd(clean).unionByName(filtered)
     }
   }
+
+  private def structOf(ddl: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromDDL(ddl)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** The table's commit HISTORY as a DataFrame — one row per retained
     * version: (version, ts, action, txn_id, num_files, num_rows), the
@@ -419,7 +438,7 @@ object TxnTable {
           }
         }.collect { case (d, pv) if !byValue.contains(pv) => d }
         if (!tryPublish(tableDir, base + 1L, "overwritePartitions",
-            kept ++ staged, txnId, dvs = snap.dvs))
+            kept ++ staged, txnId, dvs = snap.dvs, schema = snap.schema))
           throw new CommitConflict(
             s"concurrent commit at version ${base + 1}; re-read and retry")
         maybeCheckpoint(tableDir, base + 1L)
@@ -481,14 +500,20 @@ object TxnTable {
   private def enforceSchema(df: DataFrame, tableDir: String): Unit = {
     val f = new File(tableDir, "_schema")
     val ddl = df.schema.catalogString
-    if (!f.exists()) {
-      Files.write(f.toPath, ddl.getBytes("UTF-8")): Unit
-    } else {
-      val expected = new String(Files.readAllBytes(f.toPath), "UTF-8")
-      if (expected != ddl)
+    // post-evolution the latest manifest's carried DDL is the table
+    // schema (atomic with the addColumn commit); `_schema` is the
+    // pre-evolution fallback and the first-commit record
+    val expected = latestVersion(tableDir)
+      .flatMap(v => snapshot(tableDir, v).schema)
+      .orElse(if (f.exists())
+        Some(new String(Files.readAllBytes(f.toPath), "UTF-8")) else None)
+    expected match {
+      case None => Files.write(f.toPath, ddl.getBytes("UTF-8")): Unit
+      case Some(exp) if exp != ddl =>
         throw new SchemaMismatch(
-          s"commit schema $ddl does not match the table's $expected; " +
-            "migrate and overwrite explicitly to evolve the schema")
+          s"commit schema $ddl does not match the table's $exp; " +
+            "add columns via addColumn or migrate and overwrite explicitly")
+      case _ => ()
     }
   }
 
@@ -670,7 +695,8 @@ object TxnTable {
       val prevLive = prevSnap.map(_.live).getOrElse(Nil)
       val next = base.map(_ + 1L).getOrElse(0L)
       if (tryPublish(tableDir, next, action, prevLive :+ staged, txnId,
-          dvs = prevSnap.map(_.dvs).getOrElse(Map.empty))) {
+          dvs = prevSnap.map(_.dvs).getOrElse(Map.empty),
+          schema = prevSnap.flatMap(_.schema))) {
         maybeCheckpoint(tableDir, next); return next
       }
       attempt += 1 // conflict: someone else took `next` — rebase and retry
@@ -687,7 +713,8 @@ object TxnTable {
     * false = the slot was taken (conflict). */
   private def tryPublish(tableDir: String, v: Long, action: String,
                          live: Seq[String], txnId: Option[String],
-                         dvs: Map[String, String] = Map.empty): Boolean = {
+                         dvs: Map[String, String] = Map.empty,
+                         schema: Option[String] = None): Boolean = {
     // only dv entries for dirs actually in this manifest's live set —
     // a rewritten dir's dv dies with it (the rewrite materialized it)
     val dvKept = dvs.filter { case (d, _) => live.contains(d) }
@@ -724,8 +751,12 @@ object TxnTable {
         val entries = dvKept.map { case (d, dv) => s""""$d":"$dv"""" }
         if (entries.isEmpty) "" else entries.mkString(""","dvs":{""", ",", "}")
       }
+      // evolved-schema DDL rides in the manifest itself (atomic with
+      // the commit) and is carried forward by every later commit —
+      // catalogString never contains '"', so the flat field is safe
+      val schemaJson = schema.map(s => s""","schema":"$s"""").getOrElse("")
       s"""{"version":$v,"action":"$action","ts":${System.currentTimeMillis},""" +
-        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson}"""
+        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson}"""
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))
@@ -808,6 +839,7 @@ object TxnTable {
       .unionByName(updates)
     val staged = stage(merged, tableDir, Some(key).filter(_ => hasStats))
     if (!tryPublish(tableDir, base + 1L, "merge", kept :+ staged, txnId,
+        schema = snap.schema,
         dvs = snap.dvs))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the merge")
@@ -850,7 +882,8 @@ object TxnTable {
     val touched = pruneLive(snap, column, lo, hi)
     val kept = snap.live.filterNot(touched.contains)
     if (touched.isEmpty) { // nothing can match: a no-op delete commit
-      if (!tryPublish(tableDir, base + 1L, "delete", kept, txnId, dvs = snap.dvs))
+      if (!tryPublish(tableDir, base + 1L, "delete", kept, txnId,
+          dvs = snap.dvs, schema = snap.schema))
         throw new CommitConflict(
           s"concurrent commit at version ${base + 1}; re-read and retry")
       maybeCheckpoint(tableDir, base + 1L)
@@ -863,7 +896,7 @@ object TxnTable {
     val remaining = df.filter(
       col(column).isNull || col(column) < lo || col(column) > hi)
     commitRewrite(tableDir, base, "delete", kept, remaining, Some(column), txnId,
-      dvs = snap.dvs)
+      dvs = snap.dvs, schema = snap.schema)
   }
 
   /** Row-level DELETE by arbitrary predicate (copy-on-write): removes
@@ -883,7 +916,8 @@ object TxnTable {
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, base)
     if (snap.live.isEmpty) { // empty table: a no-op delete commit
-      if (!tryPublish(tableDir, base + 1L, "delete", Nil, txnId))
+      if (!tryPublish(tableDir, base + 1L, "delete", Nil, txnId,
+          schema = snap.schema))
         throw new CommitConflict(
           s"concurrent commit at version ${base + 1}; re-read and retry")
       maybeCheckpoint(tableDir, base + 1L)
@@ -891,7 +925,142 @@ object TxnTable {
     }
     val df = readDirsDV(spark, tableDir, snap, snap.live)
     val remaining = df.filter(not(coalesce(predicate, lit(false))))
-    commitRewrite(tableDir, base, "delete", Nil, remaining, None, txnId)
+    commitRewrite(tableDir, base, "delete", Nil, remaining, None, txnId,
+      schema = snap.schema)
+  }
+
+  /** Row-level UPDATE ... SET as one atomic copy-on-write commit (the
+    * Delta/Iceberg UPDATE): dirs provably disjoint from [lo, hi] by
+    * their manifest bounds are never read or written; overlapping dirs
+    * are rewritten with each `set` expression applied ONLY to matching
+    * rows — cast to the column's existing type, so an UPDATE cannot
+    * drift the schema — and every other row byte-preserved. NULL keys
+    * keep their rows unmodified (SQL UPDATE WHERE semantics). Shares
+    * the base+1 / [[CommitConflict]] contract with merge/delete/
+    * compact; [[changes]] surfaces an update as delete+insert via the
+    * multiset path; time travel still reads pre-update values; staged
+    * stats/bloom re-derive from the written data, so skipping stays
+    * sound even when `set` rewrites the stats key itself. The 100 TB
+    * shape: "repricing a SKU range" rewrites the files the keys live
+    * in, not the table. */
+  /** Apply UPDATE ... SET against the PRE-image: the match condition
+    * and every RHS evaluate on the ORIGINAL row values in one
+    * simultaneous projection (SQL UPDATE semantics) — a SET column may
+    * drive the predicate or another RHS without order sensitivity.
+    * (A sequential withColumn fold gets this wrong: SET part='U',
+    * v=v+1 WHERE part='B' relabels part first and the bump never
+    * fires — caught by FuzzTxnSpec seed 6.) Each RHS casts to the
+    * column's existing type, so an UPDATE cannot drift the schema. */
+  private def applySet(df: DataFrame, cond: org.apache.spark.sql.Column,
+                       set: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    set.keys.foreach(c =>
+      require(df.columns.contains(c), s"UPDATE SET names unknown column $c"))
+    val flag = "__graft_upd"
+    df.withColumn(flag, cond).select(df.columns.toSeq.map { c =>
+      set.get(c).map(e =>
+        when(col(flag), e.cast(df.schema(c).dataType)).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+  }
+
+  def updateRange(spark: SparkSession, tableDir: String, column: String,
+                  lo: Long, hi: Long,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed update — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val touched = pruneLive(snap, column, lo, hi)
+    val kept = snap.live.filterNot(touched.contains)
+    if (touched.isEmpty) { // provably no row can match: metadata-only commit
+      if (!tryPublish(tableDir, base + 1L, "update", kept, txnId,
+          dvs = snap.dvs, schema = snap.schema))
+        throw new CommitConflict(
+          s"concurrent commit at version ${base + 1}; re-read and retry")
+      maybeCheckpoint(tableDir, base + 1L)
+      return base + 1L
+    }
+    val df = readDirsDV(spark, tableDir, snap, touched)
+    require(df.columns.contains(column), s"no column $column")
+    require(isIntegral(df, column),
+      s"updateRange column $column must be an integral type; use updateWhere")
+    val cond = col(column).isNotNull && col(column) >= lo && col(column) <= hi
+    val rewritten = applySet(df, cond, set)
+    commitRewrite(tableDir, base, "update", kept, rewritten, Some(column), txnId,
+      dvs = snap.dvs, schema = snap.schema)
+  }
+
+  /** Predicate form of [[updateRange]]: no bounds can be proven from an
+    * opaque Column, so every live dir is rewritten (into one packed
+    * dir, like [[deleteWhere]]); a NULL predicate leaves the row
+    * unmodified. */
+  def updateWhere(spark: SparkSession, tableDir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    if (snap.live.isEmpty) { // empty table: a no-op update commit
+      if (!tryPublish(tableDir, base + 1L, "update", Nil, txnId,
+          schema = snap.schema))
+        throw new CommitConflict(
+          s"concurrent commit at version ${base + 1}; re-read and retry")
+      maybeCheckpoint(tableDir, base + 1L)
+      return base + 1L
+    }
+    val df = readDirsDV(spark, tableDir, snap, snap.live)
+    val rewritten = applySet(df, coalesce(predicate, lit(false)), set)
+    commitRewrite(tableDir, base, "update", Nil, rewritten, None, txnId,
+      schema = snap.schema)
+  }
+
+  /** Metadata-only ADD COLUMN (Delta/Iceberg schema evolution): the new
+    * nullable column lands as ONE manifest write — ZERO data rewritten.
+    * The evolved DDL rides IN the manifest (atomic with the commit) and
+    * every later commit carries it forward; read paths pass it to the
+    * parquet reader explicitly, so pre-evolution files null-backfill
+    * the column at scan time. Time travel to pre-evolution versions
+    * reads the old shape (their manifests carry no schema); restore
+    * across an evolution reverts it the same way. Appends after the
+    * evolution must carry the full new schema ([[SchemaMismatch]]
+    * otherwise — no silent drift). Nullable-only by construction: the
+    * one default a metadata-only backfill can honor at 100 TB. */
+  def addColumn(spark: SparkSession, tableDir: String, name: String,
+                ddlType: String, txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed evolution — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val cur = structOf(snap.schema.getOrElse {
+      val f = new File(tableDir, "_schema")
+      require(f.exists(), s"no recorded schema at $tableDir")
+      new String(Files.readAllBytes(f.toPath), "UTF-8")
+    })
+    require(!cur.fieldNames.contains(name), s"column $name already exists")
+    val evolved = StructType(
+      cur.fields :+ StructField(name, DataType.fromDDL(ddlType), nullable = true))
+    if (!tryPublish(tableDir, base + 1L, "addColumn", snap.live, txnId,
+        dvs = snap.dvs, schema = Some(evolved.catalogString)))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
   }
 
   /** Shared tail of the copy-on-write writers: stage `remaining` (skip
@@ -903,11 +1072,13 @@ object TxnTable {
                             kept: Seq[String], remaining: DataFrame,
                             statsCol: Option[String],
                             txnId: Option[String],
-                            dvs: Map[String, String] = Map.empty): Long = {
+                            dvs: Map[String, String] = Map.empty,
+                            schema: Option[String] = None): Long = {
     val live =
       if (remaining.isEmpty) kept
       else kept :+ stage(remaining, tableDir, statsCol)
-    if (!tryPublish(tableDir, base + 1L, action, live, txnId, dvs = dvs))
+    if (!tryPublish(tableDir, base + 1L, action, live, txnId, dvs = dvs,
+        schema = schema))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry")
     maybeCheckpoint(tableDir, base + 1L)
@@ -926,7 +1097,9 @@ object TxnTable {
                       dir: String,
                       pred: DataFrame => org.apache.spark.sql.Column): Option[String] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_extract}
-    val df = spark.read.parquet(new File(dataDir(tableDir), dir).getPath)
+    val rdr = spark.read
+    val df = snap.schema.map(d => rdr.schema(structOf(d))).getOrElse(rdr)
+      .parquet(new File(dataDir(tableDir), dir).getPath)
     val matched = df.filter(coalesce(pred(df), lit(false)))
       .select(
         regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1).as("rel"),
@@ -987,7 +1160,7 @@ object TxnTable {
         df => df.col(column) >= lit(lo) && df.col(column) <= lit(hi)).map(d -> _)
     }.toMap
     if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
-        dvs = snap.dvs ++ updated))
+        dvs = snap.dvs ++ updated, schema = snap.schema))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry")
     maybeCheckpoint(tableDir, base + 1L)
@@ -1011,7 +1184,7 @@ object TxnTable {
     val updated = snap.live.flatMap(d =>
       stageDV(spark, tableDir, snap, d, _ => predicate).map(d -> _)).toMap
     if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
-        dvs = snap.dvs ++ updated))
+        dvs = snap.dvs ++ updated, schema = snap.schema))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry")
     maybeCheckpoint(tableDir, base + 1L)
@@ -1050,8 +1223,17 @@ object TxnTable {
       if (added.isEmpty) readDirs(to, to.live).limit(0).withColumn("_change", lit("insert"))
       else readDirs(to, added).withColumn("_change", lit("insert"))
     } else {
-      val a = readDirs(from, from.live)
+      val a0 = readDirs(from, from.live)
       val b = readDirs(to, to.live)
+      // schema evolution between the endpoints: align the FROM side to
+      // the feed's (to's) shape — missing columns null-backfill, extra
+      // columns drop — so value-identical rows cancel in the multiset
+      // diff instead of tripping a union mismatch
+      val a =
+        if (a0.columns.sameElements(b.columns)) a0
+        else a0.select(b.columns.map(c =>
+          if (a0.columns.contains(c)) a0.col(c)
+          else lit(null).cast(b.schema(c).dataType).as(c)).toSeq: _*)
       b.exceptAll(a).withColumn("_change", lit("insert"))
         .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
     }
@@ -1140,7 +1322,8 @@ object TxnTable {
       case _ => None
     }
     val staged = stage(df, tableDir, statsCol)
-    if (!tryPublish(tableDir, base + 1L, "compact", Seq(staged), None))
+    if (!tryPublish(tableDir, base + 1L, "compact", Seq(staged), None,
+        schema = snap.schema))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the compaction")
     maybeCheckpoint(tableDir, base + 1L)
@@ -1250,7 +1433,8 @@ object TxnTable {
     deleteRec(tmp)
     // an empty table (a delete removed every row) clusters to an empty
     // live set — content-identical, like any compaction
-    if (!tryPublish(tableDir, base + 1L, "compact", staged, None))
+    if (!tryPublish(tableDir, base + 1L, "compact", staged, None,
+        schema = snapshot(tableDir, base).schema))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the clustering")
     maybeCheckpoint(tableDir, base + 1L)
@@ -1286,7 +1470,7 @@ object TxnTable {
       Files.write(new File(tableDir, "_schema").toPath, ddl.getBytes("UTF-8")): Unit
     }
     if (!tryPublish(tableDir, base + 1L, "restore", target.live, txnId,
-        dvs = target.dvs))
+        dvs = target.dvs, schema = target.schema))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the restore")
     maybeCheckpoint(tableDir, base + 1L)

@@ -118,6 +118,30 @@ object LakeBench {
     val delSnap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
     val delKept = mergeSnap.live.count(delSnap.live.contains)
 
+    // ---- small purge, copy-on-write vs merge-on-read: the GDPR shape.
+    // 100 keys out of ~9.4M live rows — CoW rewrites the whole ~600k-row
+    // dir the keys live in; the dv form writes a KB-sized position
+    // sidecar and leaves the live set byte-identical. Then the rent:
+    // a full-scan aggregate pays the broadcast anti-join only while the
+    // dv exists; compaction materializes it away.
+    val liveBefore = delSnap.live.size
+    val (_, tCowPurge) = timed("CoW purge 100 keys")(
+      TxnTable.deleteRange(spark, dir, "id", n / 8L, n / 8L + 99L))
+    val cowSnap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    val cowRewrote = liveBefore - delSnap.live.count(cowSnap.live.contains)
+    val (_, tDvPurge) = timed("DV purge 100 keys")(
+      TxnTable.deleteRangeDV(spark, dir, "id", n / 4L, n / 4L + 99L))
+    val dvSnap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    require(dvSnap.live == cowSnap.live, "dv purge must not rewrite data")
+    val liveRows = fullCnt - n / 16L - 200L
+    val ((dvCnt, _), tScanDV) = timed("full scan agg (through 1 dv)")(
+      agg(TxnTable.read(spark, dir)))
+    require(dvCnt == liveRows, s"dv scan wrong count: $dvCnt != $liveRows")
+    val (_, tMaterialize) = timed("compact materializes the dv")(
+      TxnTable.compact(spark, dir, targetFiles = 14))
+    require(TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get).dvs.isEmpty,
+      "compaction left a dv behind")
+
     val json =
       s"""{"n":$n,"build_sec":$tBuild,""" +
         s""""append_slice_bare_sec":$tBare,"append_slice_indexed_sec":$tIdx,""" +
@@ -127,7 +151,11 @@ object LakeBench {
         s""""cluster_sec":$tCluster,""" +
         s""""range_clustered":{"planned_dirs":$postPlanned,"of":16,"sec":$tPostRange},""" +
         s""""merge_clustered":{"kept_dirs":$mergeKept,"of":16,"sec":$tMerge},""" +
-        s""""delete_clustered":{"kept_dirs":$delKept,"of":${mergeSnap.live.size},"sec":$tDelete}}"""
+        s""""delete_clustered":{"kept_dirs":$delKept,"of":${mergeSnap.live.size},"sec":$tDelete},""" +
+        s""""purge_100_cow":{"sec":$tCowPurge,"rewrote_dirs":$cowRewrote},""" +
+        s""""purge_100_dv":{"sec":$tDvPurge,"rewrote_dirs":0,"dv_dirs":${dvSnap.dvs.size}},""" +
+        s""""scan_through_dv_sec":$tScanDV,"full_scan_sec_ref":$tFull,""" +
+        s""""dv_materialize_compact_sec":$tMaterialize}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_LAKEBENCH_OUT", "lakebench_r9.json")
     Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     println(json)

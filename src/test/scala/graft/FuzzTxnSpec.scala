@@ -5,7 +5,8 @@ import java.nio.file.Files
 import graft.sources.TxnTable
 
 /** Transactional-layer fuzz: seeded random operation sequences —
-  * append / overwrite / merge / delete (range or predicate) / compact
+  * append / overwrite / merge / delete (CoW or deletion-vector, range
+  * or predicate) / update (range or predicate SET) / compact
   * (bin-packed, range- or Z-clustered) / restore / vacuum, including RACING
   * writer steps — driven against an in-JVM model table, with
   * snapshot-isolation and CDC-consistency invariants asserted as the
@@ -59,7 +60,7 @@ class FuzzTxnSpec extends SparkTestBase {
 
     val nOps = 6
     (0 until nOps).foreach { i =>
-      val op = if (model.isEmpty) 0 else rng.nextInt(14)
+      val op = if (model.isEmpty) 0 else rng.nextInt(15)
       op match {
         case 0 | 1 | 2 => // append
           val b = randRows(1 + rng.nextInt(2))
@@ -130,6 +131,22 @@ class FuzzTxnSpec extends SparkTestBase {
             if (rng.nextBoolean()) TxnTable.deleteWhere(spark, dir, pred)
             else TxnTable.deleteWhereDV(spark, dir, pred)
             model :+= model.last.filterNot(_._2 == p)
+          }
+        case 14 => // row-level UPDATE ... SET (copy-on-write)
+          import org.apache.spark.sql.functions.{col, lit}
+          val bump = rng.nextInt(5).toLong
+          if (rng.nextBoolean()) {
+            val lo = rng.nextInt(8); val hi = lo + rng.nextInt(4)
+            TxnTable.updateRange(spark, dir, "id", lo.toLong, hi.toLong,
+              Map("value" -> (col("value") + bump)))
+            model :+= model.last.map(r =>
+              if (r._1 >= lo && r._1 <= hi) r.copy(_3 = r._3 + bump) else r)
+          } else {
+            val p = Seq("A", "B", "C")(rng.nextInt(3))
+            TxnTable.updateWhere(spark, dir, col("part") === p,
+              Map("part" -> lit("U"), "value" -> (col("value") + bump)))
+            model :+= model.last.map(r =>
+              if (r._2 == p) r.copy(_2 = "U", _3 = r._3 + bump) else r)
           }
         case 13 => // restore to a random retained, non-fuzzy version
           val candidates = (oldest until model.size).filterNot(fuzzy)

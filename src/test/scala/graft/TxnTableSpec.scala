@@ -757,4 +757,134 @@ class TxnTableSpec extends SparkTestBase {
     TxnTable.append(Seq((9, "z")).toDF("id", "v"), dir)
     assert(rows(dir) == Seq((2, "y"), (9, "z")))
   }
+
+  test("updateRange: stats-pruned CoW SET; disjoint dirs untouched; no-op is metadata-only; CDC + travel") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k"), (12, "l")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    val pre = TxnTable.snapshot(dir, 1L)
+    val v = TxnTable.updateRange(spark, dir, "id", 2L, 3L,
+      Map("v" -> org.apache.spark.sql.functions.lit("Z")))
+    assert(v == 2L)
+    val post = TxnTable.snapshot(dir, v)
+    // the [11,12] dir is provably disjoint: byte-untouched in the live set
+    assert(post.live.contains(pre.live(1)) && !post.live.contains(pre.live.head),
+      "update must rewrite only the overlapping dir")
+    assert(post.action == "update")
+    assert(rows(dir) == Seq((1, "a"), (2, "Z"), (3, "Z"), (4, "d"), (11, "k"), (12, "l")))
+    // time travel still reads pre-update values
+    assert(rows(dir, Some(1L)) == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (11, "k"), (12, "l")))
+    // CDC surfaces the update as delete+insert of exactly the touched rows
+    val ch = TxnTable.changes(spark, dir, 1L, 2L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[String]("_change"))).sorted.toSeq
+    assert(ch == Seq((2, "Z", "insert"), (2, "b", "delete"),
+      (3, "Z", "insert"), (3, "c", "delete")), s"CDC feed wrong: $ch")
+    // provably-no-match update: commits metadata-only, live set identical
+    TxnTable.updateRange(spark, dir, "id", 100L, 200L,
+      Map("v" -> org.apache.spark.sql.functions.lit("!")))
+    val noop = TxnTable.snapshot(dir, 3L)
+    assert(noop.live == post.live && noop.action == "update",
+      "no-match update must not stage any data")
+    // type discipline: SET casts to the column's existing type
+    val bad = intercept[IllegalArgumentException] {
+      TxnTable.updateRange(spark, dir, "id", 1L, 1L,
+        Map("nope" -> org.apache.spark.sql.functions.lit(1)))
+    }
+    assert(bad.getMessage.contains("unknown column"))
+  }
+
+  test("updateWhere: predicate SET; NULL predicate keeps the row unmodified; reads through dvs") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "x", 10L), (2, null, 20L), (3, "x", 30L), (4, "y", 40L))
+      .toDF("id", "tag", "p"), dir)
+    // dv-delete id=4 first: the update must read THROUGH the dv (no resurrection)
+    TxnTable.deleteWhereDV(spark, dir, org.apache.spark.sql.functions.col("id") === 4)
+    TxnTable.updateWhere(spark, dir,
+      org.apache.spark.sql.functions.col("tag") === "x",
+      Map("p" -> (org.apache.spark.sql.functions.col("p") * 2)))
+    val got = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)).getOrElse("-"), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // NULL tag (id=2) is untouched — SQL UPDATE WHERE semantics
+    assert(got == Seq((1, "x", 20L), (2, "-", 20L), (3, "x", 60L)), s"got $got")
+    // the full rewrite materialized the dv away
+    assert(TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get).dvs.isEmpty)
+  }
+
+  test("update SET evaluates predicate and every RHS against the PRE-image (fuzz seed 6 regression)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "B", 10L), (2, "A", 20L)).toDF("id", "part", "value"), dir)
+    // SET relabels the predicate column AND bumps value: both must fire
+    TxnTable.updateWhere(spark, dir, col("part") === "B",
+      Map("part" -> lit("U"), "value" -> (col("value") + 3L)))
+    val got = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1, "U", 13L), (2, "A", 20L)), s"got $got")
+    // SET columns referencing EACH OTHER: a swap must be exact
+    val d2 = tmpTable()
+    TxnTable.append(Seq((1, "x", 7L)).toDF("id", "part", "value"), d2)
+    TxnTable.updateRange(spark, d2, "id", 1L, 1L,
+      Map("part" -> org.apache.spark.sql.functions.concat(col("part"), lit(":"),
+          col("value").cast("string")),
+        "value" -> (col("value") * 2)))
+    val r2 = TxnTable.read(spark, d2).collect()
+      .map(r => (r.getString(1), r.getLong(2))).head
+    assert(r2 == ("x:7", 14L), s"got $r2")
+  }
+
+  test("addColumn: metadata-only evolution — null backfill, write enforcement, travel and restore") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir, statsCol = Some("id"))
+    val v = TxnTable.addColumn(spark, dir, "score", "bigint")
+    assert(v == 1L)
+    // the whole point: live set untouched — zero data rewritten
+    assert(TxnTable.snapshot(dir, 1L).live == TxnTable.snapshot(dir, 0L).live)
+    assert(TxnTable.snapshot(dir, 1L).action == "addColumn")
+    // reads null-backfill the new column on pre-evolution files
+    val df = TxnTable.read(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "v", "score"))
+    assert(df.collect().forall(_.isNullAt(2)))
+    // time travel to the pre-evolution version reads the old shape
+    assert(TxnTable.read(spark, dir, Some(0L)).columns.toSeq == Seq("id", "v"))
+    // CDC across the evolution commit: zero row changes
+    assert(TxnTable.changes(spark, dir, 0L, 1L).count() == 0L)
+    // appends must carry the evolved schema — the old shape throws
+    intercept[TxnTable.SchemaMismatch] {
+      TxnTable.append(Seq((3, "c")).toDF("id", "v"), dir)
+    }
+    TxnTable.append(Seq((3, "c", 9L)).toDF("id", "v", "score"), dir,
+      statsCol = Some("id"))
+    // mixed pre/post-evolution files in ONE scan: nulls and values coexist
+    def scores() = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(scores() == Seq((1, -1L), (2, -1L), (3, 9L)))
+    // CDC across the evolved append reports the new row in the new shape
+    val ch = TxnTable.changes(spark, dir, 1L, 2L).collect()
+    assert(ch.length == 1 && ch.head.getInt(0) == 3 && ch.head.getLong(2) == 9L)
+    // UPDATE can SET the evolved column on pre-evolution rows
+    TxnTable.updateWhere(spark, dir, col("id") === 1, Map("score" -> lit(5L)))
+    assert(scores() == Seq((1, 5L), (2, -1L), (3, 9L)))
+    // a dv delete predicated ON the evolved column reads old files as null
+    TxnTable.deleteWhereDV(spark, dir, col("score") === 9L)
+    assert(scores() == Seq((1, 5L), (2, -1L)))
+    // the multiset CDC diff across evolution+update+delete stays aligned
+    val span = TxnTable.changes(spark, dir, 0L, TxnTable.latestVersion(dir).get)
+    assert(span.columns.toSeq == Seq("id", "v", "score", "_change"))
+    // duplicate column rejected before any side effect
+    intercept[IllegalArgumentException] {
+      TxnTable.addColumn(spark, dir, "v", "string")
+    }
+    // restore to the pre-evolution version reverts the schema
+    TxnTable.restore(spark, dir, 0L)
+    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("id", "v"))
+    assert(rows(dir) == Seq((1, "a"), (2, "b")))
+    // and appends in the restored (old) shape are accepted again
+    TxnTable.append(Seq((4, "d")).toDF("id", "v"), dir)
+    assert(rows(dir) == Seq((1, "a"), (2, "b"), (4, "d")))
+  }
 }
