@@ -981,6 +981,151 @@ object FormatQueries {
             sum(col("price_c")).as("sum_price_c"),
             sum(col("disc_c")).as("sum_disc_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q214: row-level UPDATE as MERGE-ON-READ (the Delta
+    // deletion-vector-update shape). Same repricing as q212 — but
+    // instead of rewriting the quartile file the keys live in, the
+    // matched ROW POSITIONS land in a KB-sized deletion vector and the
+    // rewritten rows re-enter as ONE appended dir: the build asserts
+    // every pre-update dir is BYTE-IDENTICAL in the live set (stats
+    // pruning confined the dv to 1 of 4 quartile dirs), so at 100 TB
+    // repricing a key range costs KB of dv + the changed rows, not a
+    // terabyte rewrite. The scan-time anti-join restores exactly the
+    // CoW result — the oracle is the SAME SQL as q212, so the
+    // hash-match proves MoR ≡ CoW ≡ CASE WHEN on the raw parquet.
+    Q("q214_txn_update_mor",
+      Some("""WITH m AS (SELECT (max(o_orderkey)+1)//4 AS q1,
+             |                  (max(o_orderkey)+1)//2 - 100 AS q2h FROM orders),
+             |u AS (SELECT CASE WHEN o_orderkey >= m.q1 AND o_orderkey < m.q2h
+             |                  THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             |             CAST(round(o_totalprice * 100) AS BIGINT)
+             |               + CASE WHEN o_orderkey >= m.q1 AND o_orderkey < m.q2h
+             |                      THEN 7 ELSE 0 END AS price_c
+             |      FROM orders, m)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        def cuts(): (Long, Long, Long, Long) = {
+          val maxK = Tables.orders(s, d)
+            .agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          (maxK / 4, maxK / 2, maxK * 3 / 4, maxK)
+        }
+        val dir = derivedDir(d, "orders_txn_update_mor")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val (q1, q2, q3, maxK) = cuts()
+          Seq((0L, q1 - 1), (q1, q2 - 1), (q2, q3 - 1), (q3, maxK))
+            .foreach { case (lo, hi) =>
+              TxnTable.append(base.filter(col("o_orderkey").between(lo, hi)),
+                t.getPath, statsCol = Some("o_orderkey"))
+            }
+          val pre = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(pre.live.size == 4 &&
+              TxnTable.pruneLive(pre, "o_orderkey", q1, q2 - 101).size == 1,
+            "pre-state must prune the update's dv set to ONE of 4 dirs")
+          TxnTable.updateRangeDV(s, t.getPath, "o_orderkey", q1, q2 - 101,
+            Map("o_orderstatus" -> lit("U"), "price_c" -> (col("price_c") + 7L)))
+          val post = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(post.live.startsWith(pre.live) && post.live.size == 5,
+            "MoR update must keep every pre-update dir byte-identical + append one")
+          require(post.dvs.size == 1,
+            s"stats pruning must confine the dv to one dir, got ${post.dvs.size}")
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.action == "update" && snap.live.size == 5 && snap.dvs.size == 1,
+          s"MoR update commit regressed: action=${snap.action} " +
+            s"live=${snap.live.size} dvs=${snap.dvs.size}")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // ---- q215: manifest-carried CHECK constraints (Delta ALTER TABLE
+    // ADD CONSTRAINT). The build declares two checks on the txn table
+    // — non-negative prices, known status codes — then proves the
+    // governance: a poisoned batch (negated prices) is REJECTED with
+    // the typed ConstraintViolation and leaves NO trace (version and
+    // live set unchanged, the staged dir reaped), a constraint the
+    // existing data violates cannot be added, and the checks ride the
+    // manifest forward through later commits. Enforcement costs one
+    // extra aggregate fused over data the writer already scans — at
+    // 100 TB the check is free relative to the write it guards. The
+    // oracle aggregates the raw parquet: the hash-match proves the
+    // guarded table holds exactly the valid rows, nothing dropped,
+    // nothing poisoned.
+    Q("q215_txn_constraints",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_price_c
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_constraints")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxK = base.agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          val h = maxK / 2
+          TxnTable.append(base.filter(col("o_orderkey") < h),
+            t.getPath, statsCol = Some("o_orderkey"))
+          TxnTable.addConstraint(s, t.getPath, "price_nonneg", "price_c >= 0")
+          TxnTable.addConstraint(s, t.getPath, "status_known",
+            "o_orderstatus IN ('F', 'O', 'P')")
+          // a constraint the existing data violates must NOT land
+          val beforeBad = TxnTable.latestVersion(t.getPath).get
+          val rejectedAdd =
+            try { TxnTable.addConstraint(s, t.getPath, "tiny", "price_c < 100"); false }
+            catch { case _: TxnTable.ConstraintViolation => true }
+          require(rejectedAdd && TxnTable.latestVersion(t.getPath).contains(beforeBad),
+            "violated addConstraint must throw and leave no commit")
+          // the second half lands under the checks
+          TxnTable.append(base.filter(col("o_orderkey") >= h),
+            t.getPath, statsCol = Some("o_orderkey"))
+          // a poisoned batch is rejected with NO trace
+          val before = TxnTable.latestVersion(t.getPath).get
+          val liveBefore = TxnTable.snapshot(t.getPath, before).live
+          val rejected =
+            try {
+              TxnTable.append(base.limit(50)
+                .withColumn("price_c", -col("price_c") - 1L), t.getPath,
+                statsCol = Some("o_orderkey"))
+              false
+            } catch { case _: TxnTable.ConstraintViolation => true }
+          require(rejected, "poisoned batch must throw ConstraintViolation")
+          require(TxnTable.latestVersion(t.getPath).contains(before) &&
+              TxnTable.snapshot(t.getPath, before).live == liveBefore,
+            "rejected write left a trace")
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.constraints.keySet == Set("price_nonneg", "status_known"),
+          s"constraints regressed: ${snap.constraints.keySet}")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

@@ -70,9 +70,15 @@ object TxnTable {
                             ts: Long = 0L,
                             nrows: Map[String, Long] = Map.empty,
                             dvs: Map[String, String] = Map.empty,
-                            schema: Option[String] = None)
+                            schema: Option[String] = None,
+                            constraints: Map[String, String] = Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** Thrown when incoming data violates a manifest-carried CHECK
+    * constraint (write rejected, no trace left), or when
+    * [[addConstraint]] finds existing rows violating the new check. */
+  final class ConstraintViolation(msg: String) extends RuntimeException(msg)
 
   /** Thrown when a requested version existed but has been vacuumed past —
     * a typed signal a caller can catch to fall back to a full re-read
@@ -188,8 +194,14 @@ object TxnTable {
       .map(_.group(1)).toSeq
       .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
       .map(m => m.group(1) -> m.group(2)).toMap
+    // CHECK constraints: name -> SQL expression (exprs exclude '"' and
+    // '}' by construction — addConstraint enforces it)
+    val constraints = """"constraints"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
+      .map(m => m.group(1) -> m.group(2)).toMap
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
-      stats, parts, ts, nrows, dvs, field("schema"))
+      stats, parts, ts, nrows, dvs, field("schema"), constraints)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -564,6 +576,35 @@ object TxnTable {
         r.getLong(0)
       case None => back.count()
     }
+    // write-time CHECK enforcement: EVERY row entering the table passes
+    // through stage, so this one gate covers append/overwrite/merge/
+    // update/delete-rewrite/compact alike. SQL semantics: a row violates
+    // only when the expression IS FALSE (NULL passes, as in standard
+    // CHECK). One pass scores all constraints; a violation deletes the
+    // staged dir — a rejected write leaves no trace.
+    val cons = latestVersion(tableDir)
+      .map(v => snapshot(tableDir, v).constraints).getOrElse(Map.empty)
+    if (cons.nonEmpty) try {
+      import org.apache.spark.sql.functions.{expr, sum, when}
+      val scores = cons.toSeq.map { case (nm, e) =>
+        sum(when(expr(s"NOT coalesce(($e), true)"), 1L).otherwise(0L)).as(nm)
+      }
+      val r = back.agg(scores.head, scores.tail: _*).head()
+      cons.toSeq.zipWithIndex.foreach { case ((nm, e), i) =>
+        if (!r.isNullAt(i) && r.getLong(i) > 0L) {
+          deleteRec(dir)
+          throw new ConstraintViolation(
+            s"CHECK constraint $nm ($e) violated by ${r.getLong(i)} incoming row(s)")
+        }
+      }
+    } catch {
+      case cv: ConstraintViolation => throw cv
+      case t: Throwable => // unresolvable expr (e.g. post-overwrite schema
+        deleteRec(dir)     // drift): reject rather than skip the check
+        throw new ConstraintViolation(
+          s"CHECK constraint could not be evaluated against the incoming " +
+            s"schema: ${t.getMessage}")
+    }
     Files.write(new File(dir, ".nrows").toPath, n.toString.getBytes("UTF-8"))
     staged
   }
@@ -676,12 +717,14 @@ object TxnTable {
       case None    =>
     }
     // overwrite may evolve the schema (it replaces all content); append
-    // must match it exactly
+    // must match it exactly. The overwrite's _schema write is DEFERRED
+    // until staging passes — a constraint-rejected overwrite must not
+    // leave a mutated _schema behind.
+    if (action != "overwrite") enforceSchema(df, tableDir)
+    val staged = stage(df, tableDir, statsCol)
     if (action == "overwrite")
       Files.write(new File(tableDir, "_schema").toPath,
         df.schema.catalogString.getBytes("UTF-8")): Unit
-    else enforceSchema(df, tableDir)
-    val staged = stage(df, tableDir, statsCol)
     // publish with optimistic retry
     var attempt = 0
     while (attempt < 64) {
@@ -714,7 +757,15 @@ object TxnTable {
   private def tryPublish(tableDir: String, v: Long, action: String,
                          live: Seq[String], txnId: Option[String],
                          dvs: Map[String, String] = Map.empty,
-                         schema: Option[String] = None): Boolean = {
+                         schema: Option[String] = None,
+                         constraintsOverride: Option[Map[String, String]] = None): Boolean = {
+    // CHECK constraints carry forward AUTOMATICALLY from the previous
+    // manifest (the publisher at v just read v-1 as its base, so v-1 is
+    // retained) — no call site can accidentally drop table-level
+    // governance. Only add/dropConstraint override the inherited set.
+    val cons = constraintsOverride.getOrElse(
+      if (v == 0) Map.empty[String, String]
+      else snapshot(tableDir, v - 1).constraints)
     // only dv entries for dirs actually in this manifest's live set —
     // a rewritten dir's dv dies with it (the rewrite materialized it)
     val dvKept = dvs.filter { case (d, _) => live.contains(d) }
@@ -755,8 +806,12 @@ object TxnTable {
       // the commit) and is carried forward by every later commit —
       // catalogString never contains '"', so the flat field is safe
       val schemaJson = schema.map(s => s""","schema":"$s"""").getOrElse("")
+      val consJson =
+        if (cons.isEmpty) ""
+        else cons.map { case (n, e) => s""""$n":"$e"""" }
+          .mkString(""","constraints":{""", ",", "}")
       s"""{"version":$v,"action":"$action","ts":${System.currentTimeMillis},""" +
-        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson}"""
+        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson}"""
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))
@@ -1063,6 +1118,77 @@ object TxnTable {
     base + 1L
   }
 
+  /** Table-level CHECK constraint (Delta ALTER TABLE ADD CONSTRAINT):
+    * the named SQL expression rides IN the manifest — atomic with the
+    * commit, carried forward automatically by every later commit (like
+    * `dvs`/`schema`) — and every subsequent write is REJECTED with a
+    * typed [[ConstraintViolation]] if any incoming row evaluates the
+    * expression to FALSE (NULL passes — standard SQL CHECK; the gate
+    * sits in [[stage]], so append/overwrite/merge/update/partition
+    * writes are all covered, at the cost of one extra aggregate over
+    * data the writer is already scanning). Adding the constraint first
+    * VALIDATES the current snapshot (read through dvs) — one scan, the
+    * same price Delta pays — then publishes a metadata-only commit.
+    * Constraints survive restore deliberately: a rollback must not
+    * silently drop governance. Write-time-only enforcement thereafter
+    * (restore/time travel do not re-validate — document-matched with
+    * Delta). Names and exprs are manifest-safe by construction: names
+    * are identifier-shaped and non-reserved, exprs exclude `"`, `}`
+    * and newlines. */
+  def addConstraint(spark: SparkSession, tableDir: String, name: String,
+                    exprSql: String, txnId: Option[String] = None): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be identifier-shaped")
+    require(!Set("version", "action", "ts", "live", "txnId", "stats", "parts",
+      "nrows", "dvs", "schema", "constraints").contains(name),
+      s"constraint name '$name' is reserved")
+    require(!exprSql.exists(c => c == '"' || c == '}' || c == '\n'),
+      "constraint expression must not contain '\"', '}' or newlines")
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    require(!snap.constraints.contains(name), s"constraint $name already exists")
+    if (snap.live.nonEmpty) {
+      import org.apache.spark.sql.functions.expr
+      val bad = readDirsDV(spark, tableDir, snap, snap.live)
+        .filter(expr(s"NOT coalesce(($exprSql), true)")).count()
+      if (bad > 0) throw new ConstraintViolation(
+        s"cannot add CHECK constraint $name ($exprSql): " +
+          s"$bad existing row(s) violate it")
+    }
+    if (!tryPublish(tableDir, base + 1L, "addConstraint", snap.live, txnId,
+        dvs = snap.dvs, schema = snap.schema,
+        constraintsOverride = Some(snap.constraints + (name -> exprSql))))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Drop a named CHECK constraint — metadata-only commit. */
+  def dropConstraint(tableDir: String, name: String,
+                     txnId: Option[String] = None): Long = {
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    require(snap.constraints.contains(name), s"no constraint $name")
+    if (!tryPublish(tableDir, base + 1L, "dropConstraint", snap.live, txnId,
+        dvs = snap.dvs, schema = snap.schema,
+        constraintsOverride = Some(snap.constraints - name)))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
   /** Shared tail of the copy-on-write writers: stage `remaining` (skip
     * the dir entirely when the rewrite is empty — a fully-deleted file
     * just leaves the live set), publish at base+1 or throw. `dvs`
@@ -1184,6 +1310,96 @@ object TxnTable {
     val updated = snap.live.flatMap(d =>
       stageDV(spark, tableDir, snap, d, _ => predicate).map(d -> _)).toMap
     if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
+        dvs = snap.dvs ++ updated, schema = snap.schema))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Row-level UPDATE as MERGE-ON-READ (the Delta DV-update shape):
+    * instead of rewriting every bounds-overlapping file
+    * ([[updateRange]]'s copy-on-write), mark the matched ROW POSITIONS
+    * dead in per-dir deletion vectors and APPEND one new dir holding
+    * the rewritten matched rows — so the write cost is proportional to
+    * the rows changed (KB of dv + the matched rows re-staged), not to
+    * the files they happen to live in. At 100 TB, repricing 100 rows
+    * scattered across terabyte files stops being a terabyte rewrite.
+    * Semantics are identical to the CoW form and SQL UPDATE: SET
+    * expressions evaluate against the PRE-IMAGE ([[applySet]] — a SET
+    * that reassigns the predicate column cannot perturb a later SET's
+    * input), results cast to the column's existing type (no schema
+    * drift), NULL keys keep their rows, and matched rows are read
+    * THROUGH existing dvs so an already-deleted row cannot resurrect
+    * into the rewrite. The untouched live set plus one appended dir
+    * publishes as ONE atomic base+1 commit (same [[CommitConflict]]
+    * contract as merge/delete/compact); CDC surfaces the update as
+    * delete+insert via the multiset path; compaction later MATERIALIZES
+    * the dvs away. The rewrite/dv set is pruned by manifest stats —
+    * dirs provably disjoint from the range are never even scanned. */
+  def updateRangeDV(spark: SparkSession, tableDir: String, column: String,
+                    lo: Long, hi: Long,
+                    set: Map[String, org.apache.spark.sql.Column],
+                    txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed update — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val touched = pruneLive(snap, column, lo, hi) // only these can match
+    val staged = if (touched.isEmpty) None else {
+      val dfT = readDirsDV(spark, tableDir, snap, touched)
+      require(dfT.columns.contains(column), s"no column $column")
+      require(isIntegral(dfT, column),
+        s"updateRangeDV column $column must be an integral type; use updateWhereDV")
+      val matched = dfT.filter(
+        col(column).isNotNull && col(column) >= lo && col(column) <= hi)
+      val rewritten = applySet(matched, lit(true), set)
+      if (rewritten.isEmpty) None else Some(stage(rewritten, tableDir, Some(column)))
+    }
+    // dv the raw positions (already-dv'd rows re-match harmlessly — the
+    // cumulative union dedups; the APPENDED rows above came through dvs)
+    val updated = touched.flatMap { d =>
+      stageDV(spark, tableDir, snap, d,
+        df => df.col(column) >= lit(lo) && df.col(column) <= lit(hi)).map(d -> _)
+    }.toMap
+    if (!tryPublish(tableDir, base + 1L, "update", snap.live ++ staged, txnId,
+        dvs = snap.dvs ++ updated, schema = snap.schema))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Predicate form of [[updateRangeDV]]: no bounds can be proven from
+    * an opaque Column, so every live dir is SCANNED for matching
+    * positions — but no data is rewritten except the matched rows
+    * themselves, which land as one appended dir. NULL predicate keeps
+    * the row unmodified (SQL UPDATE WHERE). */
+  def updateWhereDV(spark: SparkSession, tableDir: String,
+                    predicate: org.apache.spark.sql.Column,
+                    set: Map[String, org.apache.spark.sql.Column],
+                    txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val staged = if (snap.live.isEmpty) None else {
+      val matched = readDirsDV(spark, tableDir, snap, snap.live)
+        .filter(coalesce(predicate, lit(false)))
+      val rewritten = applySet(matched, lit(true), set)
+      if (rewritten.isEmpty) None else Some(stage(rewritten, tableDir, None))
+    }
+    val updated = snap.live.flatMap(d =>
+      stageDV(spark, tableDir, snap, d, _ => predicate).map(d -> _)).toMap
+    if (!tryPublish(tableDir, base + 1L, "update", snap.live ++ staged, txnId,
         dvs = snap.dvs ++ updated, schema = snap.schema))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry")

@@ -132,18 +132,25 @@ class FuzzTxnSpec extends SparkTestBase {
             else TxnTable.deleteWhereDV(spark, dir, pred)
             model :+= model.last.filterNot(_._2 == p)
           }
-        case 14 => // row-level UPDATE ... SET (copy-on-write)
+        case 14 => // row-level UPDATE ... SET: copy-on-write or merge-on-
+          // read (dv + re-append) form — model semantics identical, so the
+          // same invariants hammer MoR updates against every other op
           import org.apache.spark.sql.functions.{col, lit}
           val bump = rng.nextInt(5).toLong
+          val mor = rng.nextBoolean()
           if (rng.nextBoolean()) {
             val lo = rng.nextInt(8); val hi = lo + rng.nextInt(4)
-            TxnTable.updateRange(spark, dir, "id", lo.toLong, hi.toLong,
+            if (mor) TxnTable.updateRangeDV(spark, dir, "id", lo.toLong, hi.toLong,
+              Map("value" -> (col("value") + bump)))
+            else TxnTable.updateRange(spark, dir, "id", lo.toLong, hi.toLong,
               Map("value" -> (col("value") + bump)))
             model :+= model.last.map(r =>
               if (r._1 >= lo && r._1 <= hi) r.copy(_3 = r._3 + bump) else r)
           } else {
             val p = Seq("A", "B", "C")(rng.nextInt(3))
-            TxnTable.updateWhere(spark, dir, col("part") === p,
+            if (mor) TxnTable.updateWhereDV(spark, dir, col("part") === p,
+              Map("part" -> lit("U"), "value" -> (col("value") + bump)))
+            else TxnTable.updateWhere(spark, dir, col("part") === p,
               Map("part" -> lit("U"), "value" -> (col("value") + bump)))
             model :+= model.last.map(r =>
               if (r._2 == p) r.copy(_2 = "U", _3 = r._3 + bump) else r)

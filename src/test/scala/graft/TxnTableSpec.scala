@@ -835,6 +835,147 @@ class TxnTableSpec extends SparkTestBase {
     assert(r2 == ("x:7", 14L), s"got $r2")
   }
 
+  test("updateRangeDV: merge-on-read SET — untouched dirs byte-identical, matched rows dv'd + re-appended") {
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k"), (12, "l")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    val pre = TxnTable.snapshot(dir, 1L)
+    val v = TxnTable.updateRangeDV(spark, dir, "id", 2L, 3L, Map("v" -> lit("Z")))
+    assert(v == 2L)
+    val post = TxnTable.snapshot(dir, v)
+    // the whole point: every pre-update dir is byte-identical in the live
+    // set; exactly one appended dir carries the rewritten rows
+    assert(post.live.startsWith(pre.live) && post.live.size == pre.live.size + 1,
+      s"MoR update must append one dir, got ${post.live.size} vs ${pre.live.size}")
+    // stats pruned the dv staging: only the [1,4] dir gained a dv
+    assert(post.dvs.size == 1 && post.dvs.contains(pre.live.head),
+      s"expected one dv on the overlapping dir, got ${post.dvs}")
+    assert(rows(dir) == Seq((1, "a"), (2, "Z"), (3, "Z"), (4, "d"), (11, "k"), (12, "l")))
+    // MoR content ≡ what the CoW form produces
+    val cow = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"),
+      cow, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k"), (12, "l")).toDF("id", "v"),
+      cow, statsCol = Some("id"))
+    TxnTable.updateRange(spark, cow, "id", 2L, 3L, Map("v" -> lit("Z")))
+    assert(rows(dir).sorted == rows(cow).sorted, "MoR and CoW update diverge")
+    // time travel still reads pre-update values
+    assert(rows(dir, Some(1L)) == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (11, "k"), (12, "l")))
+    // CDC surfaces the MoR update as delete+insert (dv delta forces the
+    // multiset path — the grown live set must NOT take the append fast path)
+    val ch = TxnTable.changes(spark, dir, 1L, 2L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[String]("_change"))).sorted.toSeq
+    assert(ch == Seq((2, "Z", "insert"), (2, "b", "delete"),
+      (3, "Z", "insert"), (3, "c", "delete")), s"CDC feed wrong: $ch")
+    // history's effective counts: physical grew by 2, dv'd 2 → net 6
+    val h = TxnTable.history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toMap
+    assert(h(2L) == 6L && h(1L) == 6L, s"effective row counts wrong: $h")
+    // provably-no-match MoR update: metadata-only, nothing staged
+    TxnTable.updateRangeDV(spark, dir, "id", 100L, 200L, Map("v" -> lit("!")))
+    val noop = TxnTable.snapshot(dir, 3L)
+    assert(noop.live == post.live && noop.dvs == post.dvs,
+      "no-match MoR update must not stage data or dvs")
+    // an already-dv'd row must NOT resurrect into the rewrite
+    TxnTable.deleteRangeDV(spark, dir, "id", 4L, 4L)
+    TxnTable.updateRangeDV(spark, dir, "id", 1L, 4L, Map("v" -> lit("W")))
+    assert(rows(dir).sorted == Seq((1, "W"), (2, "W"), (3, "W"), (11, "k"), (12, "l")),
+      "dv'd id=4 resurrected through the MoR update")
+    // compaction materializes both the dvs and the appended fragments
+    TxnTable.compact(spark, dir, targetFiles = 1)
+    val packed = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(packed.dvs.isEmpty && packed.live.size == 1)
+    assert(rows(dir).sorted == Seq((1, "W"), (2, "W"), (3, "W"), (11, "k"), (12, "l")))
+  }
+
+  test("updateWhereDV: predicate MoR SET — pre-image semantics, NULL keeps the row, idempotent txnId") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "B", 10L), (2, null, 20L), (3, "B", 30L), (4, "A", 40L))
+      .toDF("id", "part", "value"), dir)
+    val pre = TxnTable.snapshot(dir, 0L)
+    // SET relabels the predicate column AND bumps value — pre-image rules
+    val v = TxnTable.updateWhereDV(spark, dir, col("part") === "B",
+      Map("part" -> lit("U"), "value" -> (col("value") + 3L)))
+    val post = TxnTable.snapshot(dir, v)
+    assert(post.live.startsWith(pre.live) && post.live.size == 2 && post.dvs.size == 1)
+    val got = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)).getOrElse("-"), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // NULL part (id=2) untouched — SQL UPDATE WHERE semantics
+    assert(got == Seq((1, "U", 13L), (2, "-", 20L), (3, "U", 33L), (4, "A", 40L)),
+      s"got $got")
+    // replayed txnId is a no-op returning the original version
+    val v2 = TxnTable.updateWhereDV(spark, dir, col("part") === "A",
+      Map("value" -> lit(0L)), txnId = Some("upd-1"))
+    assert(TxnTable.updateWhereDV(spark, dir, col("part") === "A",
+      Map("value" -> lit(0L)), txnId = Some("upd-1")) == v2)
+    assert(TxnTable.latestVersion(dir).contains(v2))
+  }
+
+  test("CHECK constraints: write-rejecting, validated on add, NULL passes, survive restore") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    val vAdd = TxnTable.addConstraint(spark, dir, "id_pos", "id > 0")
+    assert(TxnTable.snapshot(dir, vAdd).action == "addConstraint")
+    // a valid append lands and CARRIES the constraint forward
+    TxnTable.append(Seq((3, "c")).toDF("id", "v"), dir)
+    assert(TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+      .constraints == Map("id_pos" -> "id > 0"))
+    // a violating append throws the TYPED error and leaves NO trace
+    val before = TxnTable.latestVersion(dir).get
+    val liveBefore = TxnTable.snapshot(dir, before).live
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.append(Seq((0, "zero"), (9, "ok")).toDF("id", "v"), dir)
+    }
+    assert(TxnTable.latestVersion(dir).contains(before) &&
+      TxnTable.snapshot(dir, before).live == liveBefore,
+      "rejected write left a trace")
+    // NULL evaluates as pass — standard SQL CHECK semantics
+    TxnTable.addConstraint(spark, dir, "v_short", "length(v) <= 3")
+    TxnTable.append(Seq((7, null: String)).toDF("id", "v"), dir)
+    assert(rows(dir).map(_._1).contains(7))
+    // adding a constraint the EXISTING data violates throws; not committed
+    val beforeBad = TxnTable.latestVersion(dir).get
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.addConstraint(spark, dir, "id_small", "id < 2")
+    }
+    assert(TxnTable.latestVersion(dir).contains(beforeBad))
+    // UPDATE paths are covered by the same gate (stage): a SET that
+    // drives a row out of bounds is rejected, table unchanged
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.updateWhere(spark, dir, col("id") === 1,
+        Map("id" -> (col("id") - 5)))
+    }
+    assert(rows(dir).map(_._1).sorted == Seq(1, 2, 3, 7))
+    // compaction of valid data passes through the constraint gate
+    TxnTable.compact(spark, dir, targetFiles = 1)
+    assert(rows(dir).map(_._1).sorted == Seq(1, 2, 3, 7))
+    // constraints survive restore (governance does not roll back)
+    TxnTable.restore(spark, dir, vAdd)
+    assert(TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+      .constraints.keySet == Set("id_pos", "v_short"))
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.append(Seq((-1, "x")).toDF("id", "v"), dir)
+    }
+    // drop: the constraint stops binding; the other still holds
+    TxnTable.dropConstraint(dir, "id_pos")
+    TxnTable.append(Seq((-1, "x")).toDF("id", "v"), dir)
+    assert(rows(dir).map(_._1).contains(-1))
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.append(Seq((5, "toolong")).toDF("id", "v"), dir)
+    }
+    // replayed addConstraint txnId is a no-op
+    val vc = TxnTable.addConstraint(spark, dir, "again", "id > -10",
+      txnId = Some("c-1"))
+    assert(TxnTable.addConstraint(spark, dir, "again2", "id > -10",
+      txnId = Some("c-1")) == vc)
+  }
+
   test("addColumn: metadata-only evolution — null backfill, write enforcement, travel and restore") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = tmpTable()
