@@ -1126,6 +1126,220 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q216: MERGE as MERGE-ON-READ (Delta's low-shuffle merge +
+    // deletion vectors). Same upsert semantics as q198's copy-on-write
+    // merge, but the build proves the MoR structure: every pre-merge
+    // dir is BYTE-IDENTICAL in the live set, the old versions of
+    // matched keys die in ONE dv (manifest key stats pruned the probe
+    // to the quartile dir the keys live in), and the whole batch —
+    // repriced updates AND brand-new inserted orders — lands as one
+    // appended dir. At 100 TB, a CDC upsert batch costs KB of dv plus
+    // the batch, not a rewrite of every file a matched key lives in.
+    // The oracle recomputes the merged state from the raw parquet
+    // (CASE for the updates, UNION ALL for the inserts) — the hash
+    // match proves MoR merge ≡ (current ∖ keys) ∪ batch exactly.
+    Q("q216_txn_merge_mor",
+      Some("""WITH m AS (SELECT (max(o_orderkey)+1)//4 AS q1,
+             |                  (max(o_orderkey)+1)//2 - 100 AS q2h,
+             |                  max(o_orderkey)+1 AS mk FROM orders),
+             |merged AS (
+             |  SELECT CASE WHEN o_orderkey >= m.q1 AND o_orderkey < m.q2h
+             |                   AND o_orderkey % 10 = 0
+             |              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             |         CAST(round(o_totalprice * 100) AS BIGINT)
+             |           * CASE WHEN o_orderkey >= m.q1 AND o_orderkey < m.q2h
+             |                       AND o_orderkey % 10 = 0
+             |                  THEN 2 ELSE 1 END AS price_c
+             |  FROM orders, m
+             |  UNION ALL
+             |  SELECT 'N' AS o_orderstatus,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders WHERE o_orderkey % 20 = 0)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_merge_mor")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxK = base.agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          val (q1, q2, q3) = (maxK / 4, maxK / 2, maxK * 3 / 4)
+          Seq((0L, q1 - 1), (q1, q2 - 1), (q2, q3 - 1), (q3, maxK))
+            .foreach { case (lo, hi) =>
+              TxnTable.append(base.filter(col("o_orderkey").between(lo, hi)),
+                t.getPath, statsCol = Some("o_orderkey"))
+            }
+          val pre = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(pre.live.size == 4, "seed must land as 4 quartile dirs")
+          // batch: every 10th order in the dv-prunable Q2 range repriced
+          // to 'U' at double, PLUS fresh inserts (keys shifted past maxK)
+          val upd = base.filter(col("o_orderkey") >= q1 &&
+              col("o_orderkey") <= q2 - 101 && col("o_orderkey") % 10 === 0)
+            .withColumn("o_orderstatus", lit("U"))
+            .withColumn("price_c", col("price_c") * 2L)
+          val ins = base.filter(col("o_orderkey") % 20 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(maxK))
+            .withColumn("o_orderstatus", lit("N"))
+          TxnTable.mergeDV(s, t.getPath, upd.unionByName(ins),
+            keyCols = Seq("o_orderkey"), txnId = Some("cdc-batch"))
+          val post = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(post.live.startsWith(pre.live) && post.live.size == 5,
+            "MoR merge must keep every pre-merge dir byte-identical + append one")
+          // Q1 is bounds-pruned from the probe entirely; Q3/Q4 fall in
+          // the batch's [q1, 2·maxK] span so they ARE probed, but no key
+          // matches and writeDV elides an empty dv — either way only the
+          // Q2 dir pays a dv
+          require(post.dvs.size == 1,
+            s"only the matched Q2 dir may gain a dv, got ${post.dvs.size}")
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.action == "merge" && snap.live.size == 5 && snap.dvs.size == 1,
+          s"MoR merge commit regressed: action=${snap.action} " +
+            s"live=${snap.live.size} dvs=${snap.dvs.size}")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // ---- q217: SHALLOW CLONE (Delta CREATE TABLE ... SHALLOW CLONE) —
+    // fork a table by METADATA ONLY, then diverge. The build clones the
+    // seeded orders table (asserting the clone copied ZERO data files —
+    // its data dir is empty, every live entry a relative reference into
+    // the source) and reprices Q1 orders IN THE CLONE via a MoR update;
+    // the source's version chain is asserted untouched. At 100 TB this
+    // is the dev/test-fork story: a writable copy of a production table
+    // for the cost of one manifest write, CHECK constraints and schema
+    // enforcement inherited. The query reads the diverged CLONE; the
+    // oracle recomputes the repriced state from the raw parquet — the
+    // hash match proves the fork reads the source's bytes exactly and
+    // layers its own edits on top.
+    Q("q217_txn_clone",
+      Some("""WITH m AS (SELECT (max(o_orderkey)+1)//4 AS q1 FROM orders)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+             |           + CASE WHEN o_orderkey < m.q1 THEN 5 ELSE 0 END) AS BIGINT)
+             |         AS sum_price_c
+             |FROM orders, m GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_clone")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val src = new java.io.File(dir, "src")
+          val fork = new java.io.File(dir, "fork")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(src); wipe(fork)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxK = base.agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          val q1 = maxK / 4
+          TxnTable.append(base.filter(col("o_orderkey") < q1), src.getPath,
+            statsCol = Some("o_orderkey"))
+          TxnTable.append(base.filter(col("o_orderkey") >= q1), src.getPath,
+            statsCol = Some("o_orderkey"))
+          TxnTable.addConstraint(s, src.getPath, "price_nonneg", "price_c >= 0")
+          val srcV = TxnTable.latestVersion(src.getPath).get
+          TxnTable.cloneTable(s, src.getPath, fork.getPath)
+          require(Option(new java.io.File(fork, "data").listFiles())
+              .getOrElse(Array.empty[java.io.File]).isEmpty,
+            "shallow clone must copy zero data files")
+          // diverge: reprice Q1 in the FORK only (MoR — the source's
+          // referenced dirs stay byte-identical even inside the fork)
+          TxnTable.updateRangeDV(s, fork.getPath, "o_orderkey", 0L, q1 - 1,
+            Map("price_c" -> (col("price_c") + 5L)))
+          require(TxnTable.latestVersion(src.getPath).contains(srcV),
+            "the fork's update must not touch the source's version chain")
+          ()
+        }
+        val fork = s"$dir/fork"
+        val v0 = TxnTable.snapshot(fork, 0L)
+        val latest = TxnTable.snapshot(fork, TxnTable.latestVersion(fork).get)
+        require(v0.action == "clone" &&
+            v0.constraints.keySet == Set("price_nonneg") &&
+            latest.action == "update",
+          s"clone lineage regressed: v0=${v0.action} latest=${latest.action}")
+        TxnTable.read(s, fork)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // ---- q218: CONCURRENT disjoint-partition loads — Delta's
+    // WriteSerializable conflict resolution. Two racing writers each
+    // atomically restate a DIFFERENT partition of the same table; the
+    // base+1 loser inspects the winner's manifest, proves partition
+    // disjointness, and REBASES instead of failing — the 1000-executor
+    // load pattern (one loader per partition, all landing at once)
+    // must not serialize through caller-level retries. The build races
+    // real threads and requires BOTH commits landed (version advanced
+    // by exactly 2, no CommitConflict); overlap still conflicts
+    // (spec-pinned). The oracle recomputes both restatements on the
+    // raw parquet — the hash match proves neither concurrent write was
+    // lost and untouched partitions kept their bytes.
+    Q("q218_txn_concurrent_loads",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+             |           + CASE o_orderstatus WHEN 'F' THEN 1
+             |                                WHEN 'O' THEN 2 ELSE 0 END) AS BIGINT)
+             |         AS sum_price_c
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_concurrent")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          TxnTable.overwritePartitions(s, t.getPath, base, "o_orderstatus")
+          val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+          val th = new Thread(() =>
+            try TxnTable.overwritePartitions(s, t.getPath,
+              base.filter(col("o_orderstatus") === "F")
+                .withColumn("price_c", col("price_c") + 1L),
+              "o_orderstatus"): Unit
+            catch { case e: Throwable => err.set(e) })
+          th.start()
+          TxnTable.overwritePartitions(s, t.getPath,
+            base.filter(col("o_orderstatus") === "O")
+              .withColumn("price_c", col("price_c") + 2L),
+            "o_orderstatus")
+          th.join()
+          require(err.get() == null,
+            s"disjoint concurrent load must rebase and land, threw: ${err.get()}")
+          require(TxnTable.latestVersion(t.getPath).contains(2L),
+            "both concurrent restatements must commit (v1 and v2)")
+          ()
+        }
+        val t = s"$dir/t"
+        require(TxnTable.latestVersion(t).contains(2L),
+          "concurrent-load lineage regressed")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

@@ -440,21 +440,50 @@ object TxnTable {
           throw new CommitConflict(s"concurrent first commit at $tableDir")
         0L
       case Some(base) =>
-        val snap = snapshot(tableDir, base)
-        val kept = snap.live.map { d =>
-          snap.parts.get(d) match {
-            case Some((c, pv)) if c == partCol => (d, pv)
-            case _ => throw new IllegalStateException(
-              s"live dir $d carries no partition value on $partCol — " +
-                s"not a $partCol-partitioned table; overwrite fully instead")
+        // publish with LOGICAL conflict resolution (Delta's
+        // ConflictChecker / WriteSerializable): losing the base+1 race
+        // is only a real conflict if the winner touched one of OUR
+        // partitions. Disjoint-partition writers — the 1000-executor
+        // load pattern, one loader per partition — rebase and land
+        // instead of serializing through caller-level retries. Each
+        // rebase re-reads the new base, re-checks overlap, and re-plans
+        // `kept`; the staged dirs never change.
+        var attempt = base
+        while (true) {
+          val snap = snapshot(tableDir, attempt)
+          val kept = snap.live.map { d =>
+            snap.parts.get(d) match {
+              case Some((c, pv)) if c == partCol => (d, pv)
+              case _ => throw new IllegalStateException(
+                s"live dir $d carries no partition value on $partCol — " +
+                  s"not a $partCol-partitioned table; overwrite fully instead")
+            }
+          }.collect { case (d, pv) if !byValue.contains(pv) => d }
+          if (tryPublish(tableDir, attempt + 1L, "overwritePartitions",
+              kept ++ staged, txnId, dvs = snap.dvs, schema = snap.schema)) {
+            maybeCheckpoint(tableDir, attempt + 1L)
+            return attempt + 1L
           }
-        }.collect { case (d, pv) if !byValue.contains(pv) => d }
-        if (!tryPublish(tableDir, base + 1L, "overwritePartitions",
-            kept ++ staged, txnId, dvs = snap.dvs, schema = snap.schema))
-          throw new CommitConflict(
-            s"concurrent commit at version ${base + 1}; re-read and retry")
-        maybeCheckpoint(tableDir, base + 1L)
-        base + 1L
+          // slot taken — inspect the winner: which partitions did it
+          // touch? (added dirs ∪ removed dirs, values from the parts
+          // maps). Overlap with ours → genuine conflict (Delta's
+          // ConcurrentAppendException); disjoint → rebase past it.
+          val winner = snapshot(tableDir, attempt + 1L)
+          val safeAction = winner.action == "append" ||
+            winner.action == "overwritePartitions"
+          val touched = (winner.live.diff(snap.live).map(d => winner.parts.get(d)) ++
+            snap.live.diff(winner.live).map(d => snap.parts.get(d)))
+          val overlap = touched.exists {
+            case Some((c, pv)) => c == partCol && byValue.contains(pv)
+            case None          => true // unpartitioned dir: can't prove disjoint
+          }
+          if (!safeAction || overlap)
+            throw new CommitConflict(
+              s"concurrent ${winner.action} at version ${attempt + 1} touched " +
+                s"overlapping partitions; re-read and retry")
+          attempt += 1
+        }
+        throw new IllegalStateException("unreachable")
     }
   }
 
@@ -902,6 +931,73 @@ object TxnTable {
     base + 1L
   }
 
+  /** MERGE / upsert as MERGE-ON-READ (the Delta low-shuffle-merge +
+    * DV shape): instead of rewriting every key-range-overlapping file
+    * ([[merge]]'s copy-on-write anti-join + union), mark the OLD
+    * versions of matched keys dead in per-dir deletion vectors (one
+    * broadcast semi-join per candidate dir, candidates pruned by
+    * manifest key stats) and land the ENTIRE update batch — matched
+    * updates and fresh inserts alike — as ONE appended dir. Write cost
+    * is proportional to the batch (KB of dv + the batch itself), not
+    * to the files the matched keys live in: at 100 TB, upserting 1 000
+    * CDC rows scattered across terabyte files stops being a terabyte
+    * rewrite, which is why Delta ships this as the default merge path.
+    * Result set is IDENTICAL to the CoW form — (current ∖ keys) ∪
+    * updates — with the same contracts: schema-on-write enforced, NULL
+    * keys in the table never match (SQL join semantics), duplicate
+    * keys in the batch all land, one atomic base+1 publish with
+    * [[CommitConflict]] on a taken slot, idempotent under txnId
+    * replay, CDC surfaces matched keys as delete+insert via the
+    * multiset path, compaction MATERIALIZES the dvs away, and the
+    * constraint gate in [[stage]] vets the incoming batch. Positions
+    * are matched on the RAW dir (an already-dv'd row re-matching is
+    * harmless — [[writeDV]]'s union dedups), so a deleted row cannot
+    * resurrect. */
+  def mergeDV(spark: SparkSession, tableDir: String, updates: DataFrame,
+              keyCols: Seq[String], txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(keyCols.nonEmpty, "merge needs key columns")
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed merge — already committed
+      case None    =>
+    }
+    enforceSchema(updates, tableDir) // upserts cannot drift the schema
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val key = keyCols.head
+    // manifest-stats pruning of the dv CANDIDATE set — same soundness
+    // gate as the CoW merge: integral key only, dirs whose recorded
+    // bounds miss every update key cannot hold a matched row
+    val hasStats = isIntegral(updates, key) &&
+      snap.live.exists(d => snap.stats.get(d).exists(_.exists(_._1 == key)))
+    val touched =
+      if (hasStats) {
+        val r = updates.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+        if (r.isNullAt(0)) Seq.empty[String] // no non-null keys → no matches
+        else {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          snap.live.filterNot(d =>
+            snap.stats.get(d).flatMap(_.find(_._1 == key)) match {
+              case Some((_, dLo, dHi)) => dHi < lo || dLo > hi // disjoint
+              case _                   => false
+            })
+        }
+      } else snap.live
+    val keys = updates.select(keyCols.map(updates.col): _*).distinct()
+    val updated = touched.flatMap(d =>
+      stageDVMatch(spark, tableDir, snap, d, keys, keyCols).map(d -> _)).toMap
+    val staged =
+      if (updates.isEmpty) None
+      else Some(stage(updates, tableDir, Some(key).filter(_ => hasStats)))
+    if (!tryPublish(tableDir, base + 1L, "merge", snap.live ++ staged, txnId,
+        dvs = snap.dvs ++ updated, schema = snap.schema))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry the merge")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
   /** Row-level DELETE of a key range (copy-on-write): removes every row
     * whose `column` value lies in [lo, hi], as ONE atomic commit, WITH
     * manifest-stats file pruning — a dir whose recorded [min, max] on
@@ -1230,6 +1326,37 @@ object TxnTable {
       .select(
         regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1).as("rel"),
         col("_metadata.row_index").as("pos"))
+    writeDV(spark, tableDir, snap, dir, matched)
+  }
+
+  /** [[stageDV]] for key-MEMBERSHIP predicates ([[mergeDV]]): the
+    * matched positions are the dir's rows whose key tuple appears in
+    * `keys` — a BROADCAST left-semi join (the MoR premise is a small
+    * update batch against big files; NULL keys never match, SQL join
+    * semantics), with the hidden `_metadata` columns projected BEFORE
+    * the join so positions survive it. */
+  private def stageDVMatch(spark: SparkSession, tableDir: String, snap: Snapshot,
+                           dir: String, keys: DataFrame,
+                           keyCols: Seq[String]): Option[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
+    val rdr = spark.read
+    val df = snap.schema.map(d => rdr.schema(structOf(d))).getOrElse(rdr)
+      .parquet(new File(dataDir(tableDir), dir).getPath)
+    val matched = df
+      .select(col("*"),
+        regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1).as("rel"),
+        col("_metadata.row_index").as("pos"))
+      .join(broadcast(keys), keyCols, "left_semi")
+      .select(col("rel"), col("pos"))
+    writeDV(spark, tableDir, snap, dir, matched)
+  }
+
+  /** Shared dv-sidecar writer: union `matched` (rel, pos) with the
+    * dir's existing dv, dedup, and persist — `None` when nothing is
+    * doomed, the OLD dv name when nothing new matched (no pointless
+    * sidecar churn), a fresh `dv-*` dir otherwise. */
+  private def writeDV(spark: SparkSession, tableDir: String, snap: Snapshot,
+                      dir: String, matched: DataFrame): Option[String] = {
     val all = snap.dvs.get(dir) match {
       case Some(old) => matched.unionByName(spark.read.parquet(
         new File(dataDir(tableDir), old).getPath)).distinct()
@@ -1655,6 +1782,56 @@ object TxnTable {
         s"concurrent commit at version ${base + 1}; re-read and retry the clustering")
     maybeCheckpoint(tableDir, base + 1L)
     base + 1L
+  }
+
+  /** SHALLOW CLONE (Delta CREATE TABLE ... SHALLOW CLONE): spin up a
+    * NEW independent table whose v0 manifest REFERENCES the source
+    * snapshot's data dirs — zero data copied, O(manifest) at any
+    * scale; at 100 TB a dev/test fork of a production table is one
+    * metadata write. References are stored as dir entries RELATIVE to
+    * the clone's own `data/` root (`../../src/data/txn-…`), so every
+    * existing read/maintenance path resolves them with no special
+    * casing: stats/parts/nrows sidecars re-fold into the clone's
+    * manifest (pruning works unchanged), dvs carry over as references,
+    * and the source's CHECK constraints and evolved DDL ride into the
+    * clone's v0 (forks inherit governance; [[dropConstraint]] opts
+    * out explicitly). The tables then diverge freely: clone writes
+    * stage LOCAL dirs; a copy-on-write rewrite or [[compact]] of the
+    * clone MATERIALIZES referenced data locally (un-shallowing it,
+    * exactly Delta's behavior); the clone's [[vacuum]] only ever
+    * deletes its own `data/` children, so it can never reap source
+    * files. The one real caveat is Delta's own: the SOURCE's vacuum
+    * does not know about clones — vacuuming the source past the cloned
+    * snapshot breaks the clone's un-materialized references (document,
+    * don't vacuum a cloned-from snapshot away, or compact the clone
+    * first). Cloning a historical `version` forks the past without
+    * disturbing the source's latest. */
+  def cloneTable(spark: SparkSession, srcDir: String, destDir: String,
+                 version: Option[Long] = None): Long = {
+    require(latestVersion(destDir).isEmpty,
+      s"clone target $destDir already has commits")
+    val srcV = version.getOrElse(latestVersion(srcDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $srcDir")))
+    val snap = snapshot(srcDir, srcV) // typed RetentionError if vacuumed
+    dataDir(destDir).mkdirs(); logDir(destDir).mkdirs()
+    val from = dataDir(destDir).toPath.toAbsolutePath.normalize
+    val to = dataDir(srcDir).toPath.toAbsolutePath.normalize
+    val rel = from.relativize(to).toString
+    def ref(d: String) = s"$rel/$d"
+    // the clone's write-enforcement schema = the source's EFFECTIVE
+    // schema (manifest-carried post-evolution DDL wins over _schema)
+    snap.schema.orElse {
+      val f = new File(srcDir, "_schema")
+      if (f.exists()) Some(new String(Files.readAllBytes(f.toPath), "UTF-8"))
+      else None
+    }.foreach(ddl => Files.write(new File(destDir, "_schema").toPath,
+      ddl.getBytes("UTF-8")): Unit)
+    if (!tryPublish(destDir, 0L, "clone", snap.live.map(ref), txnId = None,
+        dvs = snap.dvs.map { case (d, dv) => ref(d) -> ref(dv) },
+        schema = snap.schema,
+        constraintsOverride = Some(snap.constraints)))
+      throw new CommitConflict(s"concurrent commit at version 0 of $destDir")
+    0L
   }
 
   /** RESTORE TABLE TO VERSION: make `toVersion`'s content the latest,

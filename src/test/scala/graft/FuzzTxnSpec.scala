@@ -70,9 +70,12 @@ class FuzzTxnSpec extends SparkTestBase {
           val b = randRows(1 + rng.nextInt(2))
           TxnTable.overwrite(df(b), dir)
           model :+= b
-        case 5 | 6 => // merge (key-unique updates on id)
+        case 5 | 6 => // merge (key-unique updates on id): copy-on-write or
+          // merge-on-read (dv old key versions + append the batch) — model
+          // semantics identical, so both forms hammer every other op
           val ups = randRows(2).distinctBy(_._1)
-          TxnTable.merge(spark, dir, df(ups), Seq("id"))
+          if (rng.nextBoolean()) TxnTable.merge(spark, dir, df(ups), Seq("id"))
+          else TxnTable.mergeDV(spark, dir, df(ups), Seq("id"))
           model :+= model.last.filterNot(r => ups.exists(_._1 == r._1)) ++ ups
         case 7 => // compact (bin-packed, range- or Z-clustered): content-identical
           rng.nextInt(3) match {

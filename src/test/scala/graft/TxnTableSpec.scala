@@ -891,6 +891,73 @@ class TxnTableSpec extends SparkTestBase {
     assert(rows(dir).sorted == Seq((1, "W"), (2, "W"), (3, "W"), (11, "k"), (12, "l")))
   }
 
+  test("mergeDV: merge-on-read upsert — untouched dirs byte-identical, old key versions dv'd, batch appended") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k"), (12, "l")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    val pre = TxnTable.snapshot(dir, 1L)
+    // batch = one matched key (2), one insert (99) — bounds [2, 99] span
+    // both dirs, so pruning keeps both as dv candidates; only the first
+    // actually matches and gains a dv
+    val v = TxnTable.mergeDV(spark, dir,
+      Seq((2, "B2"), (99, "new")).toDF("id", "v"), Seq("id"))
+    assert(v == 2L)
+    val post = TxnTable.snapshot(dir, v)
+    assert(post.action == "merge" &&
+      post.live.startsWith(pre.live) && post.live.size == pre.live.size + 1,
+      s"MoR merge must append one dir: ${post.live}")
+    assert(post.dvs.size == 1 && post.dvs.contains(pre.live.head),
+      s"only the matched dir gains a dv, got ${post.dvs}")
+    assert(rows(dir).sorted ==
+      Seq((1, "a"), (2, "B2"), (3, "c"), (4, "d"), (11, "k"), (12, "l"), (99, "new")))
+    // MoR content ≡ CoW merge content
+    val cow = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"),
+      cow, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k"), (12, "l")).toDF("id", "v"),
+      cow, statsCol = Some("id"))
+    TxnTable.merge(spark, cow, Seq((2, "B2"), (99, "new")).toDF("id", "v"), Seq("id"))
+    assert(rows(dir).sorted == rows(cow).sorted, "MoR and CoW merge diverge")
+    // time travel reads the pre-merge state
+    assert(rows(dir, Some(1L)).sorted ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (11, "k"), (12, "l")))
+    // CDC: matched key surfaces as delete+insert, insert as insert
+    val ch = TxnTable.changes(spark, dir, 1L, 2L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[String]("_change"))).sorted.toSeq
+    assert(ch == Seq((2, "B2", "insert"), (2, "b", "delete"), (99, "new", "insert")),
+      s"CDC feed wrong: $ch")
+    // stats pruning: a merge whose key bounds miss a dir leaves it out of
+    // the dv probe — batch [11, 12] cannot touch the [1, 4] dir
+    TxnTable.mergeDV(spark, dir, Seq((11, "K2"), (12, "L2")).toDF("id", "v"), Seq("id"))
+    val post2 = TxnTable.snapshot(dir, 3L)
+    assert(post2.dvs.keySet == Set(pre.live.head, pre.live(1)),
+      s"expected dvs only on the seed dirs, got ${post2.dvs.keySet}")
+    assert(rows(dir).sorted ==
+      Seq((1, "a"), (2, "B2"), (3, "c"), (4, "d"), (11, "K2"), (12, "L2"), (99, "new")))
+    // an already-dv'd row must not resurrect: dv id=1, then merge id=1
+    TxnTable.deleteRangeDV(spark, dir, "id", 1L, 1L)
+    TxnTable.mergeDV(spark, dir, Seq((1, "A2")).toDF("id", "v"), Seq("id"))
+    assert(rows(dir).sorted ==
+      Seq((1, "A2"), (2, "B2"), (3, "c"), (4, "d"), (11, "K2"), (12, "L2"), (99, "new")))
+    // duplicate keys in the batch all land (same as CoW)
+    TxnTable.mergeDV(spark, dir, Seq((50, "x"), (50, "y")).toDF("id", "v"), Seq("id"))
+    assert(rows(dir).count(_._1 == 50) == 2)
+    // idempotent under txnId replay
+    val vm = TxnTable.mergeDV(spark, dir, Seq((60, "z")).toDF("id", "v"),
+      Seq("id"), txnId = Some("m-1"))
+    assert(TxnTable.mergeDV(spark, dir, Seq((60, "z")).toDF("id", "v"),
+      Seq("id"), txnId = Some("m-1")) == vm)
+    assert(TxnTable.latestVersion(dir).contains(vm))
+    // compaction materializes the dvs and fragments away
+    TxnTable.compact(spark, dir, targetFiles = 1)
+    val packed = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(packed.dvs.isEmpty && packed.live.size == 1)
+    assert(rows(dir).sorted == Seq((1, "A2"), (2, "B2"), (3, "c"), (4, "d"),
+      (11, "K2"), (12, "L2"), (50, "x"), (50, "y"), (60, "z"), (99, "new")))
+  }
+
   test("updateWhereDV: predicate MoR SET — pre-image semantics, NULL keeps the row, idempotent txnId") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = tmpTable()
@@ -974,6 +1041,136 @@ class TxnTableSpec extends SparkTestBase {
       txnId = Some("c-1"))
     assert(TxnTable.addConstraint(spark, dir, "again2", "id > -10",
       txnId = Some("c-1")) == vc)
+  }
+
+  test("cloneTable: shallow clone — zero data copied, divergence, dv/constraint/schema inheritance, safe vacuum") {
+    import org.apache.spark.sql.functions.lit
+    val src = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"),
+      src, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k"), (12, "l")).toDF("id", "v"),
+      src, statsCol = Some("id"))
+    TxnTable.deleteRangeDV(spark, src, "id", 4L, 4L) // a dv rides into the clone
+    TxnTable.addConstraint(spark, src, "id_pos", "id > 0")
+    val dest = tmpTable()
+    assert(TxnTable.cloneTable(spark, src, dest) == 0L)
+    // ZERO data copied: the clone's data dir is empty, content identical
+    assert(Option(new java.io.File(dest, "data").listFiles())
+      .getOrElse(Array.empty).isEmpty, "shallow clone must copy no data")
+    assert(rows(dest).sorted == Seq((1, "a"), (2, "b"), (3, "c"), (11, "k"), (12, "l")))
+    val v0 = TxnTable.snapshot(dest, 0L)
+    assert(v0.action == "clone" && v0.constraints == Map("id_pos" -> "id > 0"))
+    // stats refolded → range reads on the clone still prune
+    assert(TxnTable.pruneLive(v0, "id", 1L, 2L).size == 1,
+      s"clone manifest must carry refolded stats: ${v0.stats}")
+    // governance inherited: a violating append on the CLONE is rejected
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.append(Seq((-1, "x")).toDF("id", "v"), dest)
+    }
+    // schema inherited: a drifted append on the clone is rejected
+    intercept[TxnTable.SchemaMismatch] {
+      TxnTable.append(Seq((9, 9L)).toDF("id", "v"), dest)
+    }
+    // divergence: writes to the clone never touch the source
+    TxnTable.append(Seq((21, "z")).toDF("id", "v"), dest)
+    TxnTable.updateRangeDV(spark, dest, "id", 1L, 1L, Map("v" -> lit("A")))
+    assert(rows(dest).sorted ==
+      Seq((1, "A"), (2, "b"), (3, "c"), (11, "k"), (12, "l"), (21, "z")))
+    assert(rows(src).sorted == Seq((1, "a"), (2, "b"), (3, "c"), (11, "k"), (12, "l")),
+      "clone writes leaked into the source")
+    // ...and source writes never show in the clone
+    TxnTable.append(Seq((31, "s")).toDF("id", "v"), src)
+    assert(!rows(dest).exists(_._1 == 31))
+    // the clone's vacuum reaps only LOCAL dirs: source data survives
+    TxnTable.vacuum(dest, retain = 1)
+    assert(rows(src).sorted.nonEmpty &&
+      rows(dest).sorted == Seq((1, "A"), (2, "b"), (3, "c"), (11, "k"), (12, "l"), (21, "z")))
+    // compaction MATERIALIZES the references (un-shallowing): after it,
+    // the clone survives even a source wipe
+    TxnTable.compact(spark, dest, targetFiles = 1)
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(src))
+    assert(rows(dest).sorted ==
+      Seq((1, "A"), (2, "b"), (3, "c"), (11, "k"), (12, "l"), (21, "z")))
+    // cloning a HISTORICAL version forks the past
+    val src2 = tmpTable()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), src2)
+    TxnTable.append(Seq((2, "b")).toDF("id", "v"), src2)
+    val dest2 = tmpTable()
+    TxnTable.cloneTable(spark, src2, dest2, version = Some(0L))
+    assert(rows(dest2) == Seq((1, "a")))
+    // a clone target with commits is refused
+    intercept[IllegalArgumentException] {
+      TxnTable.cloneTable(spark, src2, dest2)
+    }
+  }
+
+  test("overwritePartitions: disjoint-partition racers BOTH land via rebase; overlap still conflicts") {
+    // the 1000-executor load pattern: one loader per partition. Losing
+    // the base+1 race on a DISJOINT partition must rebase and land, not
+    // fail the loader; an OVERLAPPING racer must never silently lose an
+    // update. Repeat to raise the odds of a real interleave.
+    (0 until 5).foreach { i =>
+      val dir = tmpTable()
+      TxnTable.overwritePartitions(spark,
+        dir, Seq((1, "A"), (2, "B"), (3, "C")).toDF("id", "part"), "part")
+      val errA = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() =>
+        try TxnTable.overwritePartitions(spark,
+          dir, Seq((10 + i, "A")).toDF("id", "part"), "part"): Unit
+        catch { case e: Throwable => errA.set(e) })
+      t.start()
+      TxnTable.overwritePartitions(spark,
+        dir, Seq((20 + i, "B")).toDF("id", "part"), "part")
+      t.join()
+      assert(errA.get() == null, s"disjoint racer must rebase, threw: ${errA.get()}")
+      assert(TxnTable.latestVersion(dir).contains(2L))
+      val got = TxnTable.read(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      assert(got == Seq((3, "C"), (10 + i, "A"), (20 + i, "B")),
+        s"[round $i] a disjoint overwrite was lost: $got")
+    }
+    // OVERLAPPING racers: either the loser sees the winner and throws
+    // CommitConflict, or they serialized and last-writer-wins — never a
+    // mixed/duplicated partition A
+    (0 until 5).foreach { i =>
+      val dir = tmpTable()
+      TxnTable.overwritePartitions(spark,
+        dir, Seq((1, "A"), (2, "B")).toDF("id", "part"), "part")
+      val errA = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() =>
+        try TxnTable.overwritePartitions(spark,
+          dir, Seq((100, "A")).toDF("id", "part"), "part"): Unit
+        catch { case e: Throwable => errA.set(e) })
+      t.start()
+      try TxnTable.overwritePartitions(spark,
+        dir, Seq((200, "A")).toDF("id", "part"), "part"): Unit
+      catch { case _: TxnTable.CommitConflict => () }
+      t.join()
+      assert(errA.get() == null || errA.get().isInstanceOf[TxnTable.CommitConflict],
+        s"unexpected racer failure: ${errA.get()}")
+      val as = TxnTable.read(spark, dir).collect()
+        .filter(_.getString(1) == "A").map(_.getInt(0)).sorted.toSeq
+      assert(as == Seq(100) || as == Seq(200),
+        s"[round $i] overlapping overwrite corrupted partition A: $as")
+    }
+    // a concurrent addConstraint is NOT rebased past — our staged batch
+    // was vetted against the old constraint set (conservative conflict)
+    val dir = tmpTable()
+    TxnTable.overwritePartitions(spark,
+      dir, Seq((1, "A"), (2, "B")).toDF("id", "part"), "part")
+    TxnTable.addConstraint(spark, dir, "id_pos", "id > 0")
+    // rebase path exercised deterministically: overwrite B with base
+    // still at 0 is impossible from the public API, so just confirm the
+    // post-constraint overwrite re-validates and lands at base+1
+    TxnTable.overwritePartitions(spark, dir, Seq((3, "B")).toDF("id", "part"), "part")
+    assert(TxnTable.latestVersion(dir).contains(2L))
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.overwritePartitions(spark, dir, Seq((-3, "B")).toDF("id", "part"), "part")
+    }
   }
 
   test("addColumn: metadata-only evolution — null backfill, write enforcement, travel and restore") {
