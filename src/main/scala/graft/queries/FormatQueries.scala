@@ -1340,6 +1340,128 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q219: INCREMENTAL dv-debt compaction (Delta REORG ... APPLY
+    // (PURGE)). q200/q205 compact the WHOLE table — fine at GB scale,
+    // non-viable at 100 TB, where maintenance must pay proportional to
+    // the DEBT: the scan-time anti-join rent that deletion-vector'd
+    // files accrue. The build dv-deletes a range confined to one
+    // quartile dir, then compactDirty rewrites ONLY that dir — the
+    // build requires the other three stay BYTE-IDENTICAL in the live
+    // set, the dv map empties, and the rewritten dir re-derives its
+    // bounds (the purged range stays unplannable). The oracle computes
+    // NOT(range) on the raw parquet — the hash match proves the purge
+    // moved exactly the surviving rows and nothing else.
+    Q("q219_txn_compact_dirty",
+      Some("""WITH m AS (SELECT (max(o_orderkey)+1)//4 AS q1,
+             |                  (max(o_orderkey)+1)//2 - 100 AS q2h FROM orders)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_price_c
+             |FROM orders, m
+             |WHERE o_orderkey < m.q1 OR o_orderkey >= m.q2h
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_compact_dirty")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxK = base.agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          val (q1, q2, q3) = (maxK / 4, maxK / 2, maxK * 3 / 4)
+          Seq((0L, q1 - 1), (q1, q2 - 1), (q2, q3 - 1), (q3, maxK))
+            .foreach { case (lo, hi) =>
+              TxnTable.append(base.filter(col("o_orderkey").between(lo, hi)),
+                t.getPath, statsCol = Some("o_orderkey"))
+            }
+          TxnTable.deleteRangeDV(s, t.getPath, "o_orderkey", q1, q2 - 101)
+          val pre = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          require(pre.dvs.size == 1, s"debt must sit in one dir, got ${pre.dvs}")
+          TxnTable.compactDirty(s, t.getPath)
+          val post = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          val clean = pre.live.filterNot(pre.dvs.keySet)
+          require(post.live.take(3) == clean && post.live.size == 4,
+            s"purge must rewrite ONLY the dv'd dir: ${post.live} vs $clean")
+          require(post.dvs.isEmpty, "purge must materialize the dv away")
+          require(TxnTable.pruneLive(post, "o_orderkey", q1, q2 - 101).isEmpty,
+            "the purged range must be unplannable from the refreshed bounds")
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.action == "compact" && snap.live.size == 4 && snap.dvs.isEmpty,
+          s"dirty-compaction lineage regressed: ${snap.action} ${snap.live.size}")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // ---- q220: HIDDEN partitioning (Iceberg partition transforms).
+    // The build lays orders out by a DERIVED year bucket —
+    // substring(cast(o_orderdate as string), 1, 4) — that exists only
+    // in .part sidecars and the manifest-carried spec (pta/pte), never
+    // in the data files (the build asserts the stored schema has no
+    // such column, and that a divergent transform is rejected: the
+    // layout cannot silently fork, the exact failure Iceberg built
+    // this to prevent). The query reads ONE year back residual-free —
+    // every planned dir is partition-exact, so the scan touches only
+    // that year's bytes; at 100 TB the query never needs to know the
+    // scheme, and re-partitioning by month later changes no query
+    // text. Oracle recomputes the same year slice with the same
+    // transform on the raw parquet.
+    Q("q220_txn_hidden_partition",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_price_c
+             |FROM orders
+             |WHERE substr(CAST(o_orderdate AS VARCHAR), 1, 4) = '1995'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_hidden")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+              cents(col("o_totalprice")).as("price_c"))
+          TxnTable.overwritePartitionsHidden(s, t.getPath, base,
+            "oy", "substring(cast(o_orderdate as string), 1, 4)")
+          require(!TxnTable.read(s, t.getPath).columns.contains("oy"),
+            "hidden partition column leaked into the data")
+          val rejected =
+            try {
+              TxnTable.overwritePartitionsHidden(s, t.getPath, base.limit(1),
+                "oy", "substring(cast(o_orderdate as string), 1, 7)")
+              false
+            } catch { case _: IllegalArgumentException => true }
+          require(rejected, "a divergent transform must be rejected")
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.ptrans.exists(_._1 == "oy") && snap.parts.nonEmpty,
+          "hidden-partition spec regressed")
+        val planned = TxnTable.prunePartition(snap, "oy", "1995")
+        require(planned.nonEmpty && planned.size < snap.live.size,
+          s"year probe must plan a strict subset: ${planned.size} of ${snap.live.size}")
+        TxnTable.readPartition(s, t, "oy", "1995")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

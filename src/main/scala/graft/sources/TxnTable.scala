@@ -71,7 +71,8 @@ object TxnTable {
                             nrows: Map[String, Long] = Map.empty,
                             dvs: Map[String, String] = Map.empty,
                             schema: Option[String] = None,
-                            constraints: Map[String, String] = Map.empty)
+                            constraints: Map[String, String] = Map.empty,
+                            ptrans: Option[(String, String)] = None)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -200,8 +201,14 @@ object TxnTable {
       .map(_.group(1)).toSeq
       .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
       .map(m => m.group(1) -> m.group(2)).toMap
+    // hidden-partition spec: transform alias + SQL expression, carried
+    // like schema/constraints (exprs exclude '"'/'}' by construction)
+    val ptrans = (field("pta"), field("pte")) match {
+      case (Some(a), Some(e)) => Some((a, e))
+      case _                  => None
+    }
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
-      stats, parts, ts, nrows, dvs, field("schema"), constraints)
+      stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -434,20 +441,30 @@ object TxnTable {
           tableDir, partCol, v)
       }
       finally { cached.unpersist(); () }
+    publishPartitionSwap(tableDir, staged, byValue, partCol, txnId, None)
+  }
+
+  /** Shared publish tail of the partition-overwrite family, with
+    * LOGICAL conflict resolution (Delta's ConflictChecker /
+    * WriteSerializable): losing the base+1 race is only a real
+    * conflict if the winner touched one of OUR partitions. Disjoint-
+    * partition writers — the 1000-executor load pattern, one loader
+    * per partition — rebase and land instead of serializing through
+    * caller-level retries. Each rebase re-reads the new base,
+    * re-checks overlap, and re-plans `kept`; the staged dirs never
+    * change. `ptrans` is the hidden-partition spec to publish (None =
+    * inherit the previous manifest's). */
+  private def publishPartitionSwap(tableDir: String, staged: Seq[String],
+                                   byValue: Seq[String], partCol: String,
+                                   txnId: Option[String],
+                                   ptrans: Option[Option[(String, String)]]): Long = {
     latestVersion(tableDir) match {
       case None =>
-        if (!tryPublish(tableDir, 0L, "overwritePartitions", staged, txnId))
+        if (!tryPublish(tableDir, 0L, "overwritePartitions", staged, txnId,
+            ptransOverride = ptrans))
           throw new CommitConflict(s"concurrent first commit at $tableDir")
         0L
       case Some(base) =>
-        // publish with LOGICAL conflict resolution (Delta's
-        // ConflictChecker / WriteSerializable): losing the base+1 race
-        // is only a real conflict if the winner touched one of OUR
-        // partitions. Disjoint-partition writers — the 1000-executor
-        // load pattern, one loader per partition — rebase and land
-        // instead of serializing through caller-level retries. Each
-        // rebase re-reads the new base, re-checks overlap, and re-plans
-        // `kept`; the staged dirs never change.
         var attempt = base
         while (true) {
           val snap = snapshot(tableDir, attempt)
@@ -460,7 +477,8 @@ object TxnTable {
             }
           }.collect { case (d, pv) if !byValue.contains(pv) => d }
           if (tryPublish(tableDir, attempt + 1L, "overwritePartitions",
-              kept ++ staged, txnId, dvs = snap.dvs, schema = snap.schema)) {
+              kept ++ staged, txnId, dvs = snap.dvs, schema = snap.schema,
+              ptransOverride = ptrans)) {
             maybeCheckpoint(tableDir, attempt + 1L)
             return attempt + 1L
           }
@@ -511,7 +529,114 @@ object TxnTable {
     val df =
       if (planned.isEmpty) read(spark, tableDir, Some(v)).limit(0)
       else readDirsDV(spark, tableDir, snap, planned)
-    df.filter(df.col(partCol) === lit(value).cast(df.schema(partCol).dataType))
+    if (df.columns.contains(partCol))
+      df.filter(df.col(partCol) === lit(value).cast(df.schema(partCol).dataType))
+    else {
+      // HIDDEN partition column (the [[overwritePartitionsHidden]]
+      // family stores the transform value only in `.part` sidecars,
+      // never in the data) — no residual is possible, so every planned
+      // dir must be partition-EXACT for the read to be sound
+      require(planned.forall(d => snap.parts.get(d)
+          .exists { case (c, pv) => c == partCol && pv == value }),
+        s"column $partCol is not in the data and a planned dir carries no " +
+          s"exact $partCol=$value partition value — unsound hidden read")
+      df
+    }
+  }
+
+  /** HIDDEN partitioning (Iceberg partition transforms): partition by
+    * a DERIVED value — `alias` = `transformSql(df)`, e.g. a month
+    * bucket `substring(cast(ts as string), 1, 7)` or a hash bucket
+    * `pmod(id, 64)` — that is computed at write time, recorded ONLY in
+    * `.part` sidecars + the manifest (never materialized into the data
+    * files), and whose spec rides in the manifest itself (`pta`/`pte`,
+    * carried forward like schema/constraints), so writers cannot
+    * silently diverge the layout: a later call with a different
+    * transform is rejected, queries never need to know the scheme, and
+    * changing it is an explicit future spec-evolution commit — exactly
+    * the failure Iceberg's hidden partitioning exists to prevent
+    * (Hive-style user-maintained partition columns going stale/wrong).
+    * Readers probe by SOURCE-column values ([[readPartitionHidden]]) —
+    * the engine re-evaluates the transform to find the partition — or
+    * by transform value ([[readPartition]] on `alias`, residual-free
+    * since every planned dir is partition-exact). Same atomic swap,
+    * conflict-rebase, and time-travel semantics as
+    * [[overwritePartitions]]. */
+  def overwritePartitionsHidden(spark: SparkSession, tableDir: String,
+                                df: DataFrame, alias: String, transformSql: String,
+                                txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(alias.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"partition alias '$alias' must be identifier-shaped")
+    require(!transformSql.exists(c => c == '"' || c == '}' || c == '\n'),
+      "partition transform must not contain '\"', '}' or newlines")
+    require(!df.columns.contains(alias),
+      s"alias $alias collides with a data column — hidden means NOT in the data")
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed commit
+      case None    =>
+    }
+    dataDir(tableDir).mkdirs(); logDir(tableDir).mkdirs()
+    enforceSchema(df, tableDir)
+    // the manifest-carried spec is the ONLY allowed layout
+    latestVersion(tableDir).foreach { v =>
+      snapshot(tableDir, v).ptrans match {
+        case Some((a, e)) =>
+          require(a == alias && e == transformSql,
+            s"table is hidden-partitioned by $a = $e (manifest-carried " +
+              s"spec); a write with $alias = $transformSql would diverge the layout")
+        case None => throw new IllegalStateException(
+          s"$tableDir is not hidden-partitioned; use overwritePartitions " +
+            "or overwrite instead")
+      }
+    }
+    val withA = df.withColumn(alias, expr(transformSql).cast("string"))
+    val values = withA.select(alias).distinct().collect().map(_.get(0)).toSeq
+    require(values.nonEmpty, "input has no rows — nothing to overwrite")
+    require(!values.contains(null),
+      s"transform $transformSql evaluates to null for some rows")
+    val byValue = values.map(_.toString)
+    val cached = withA.persist()
+    val staged =
+      try byValue.map { v =>
+        stagePartition(cached.filter(col(alias) === v).drop(alias),
+          tableDir, alias, v)
+      }
+      finally { cached.unpersist(); () }
+    publishPartitionSwap(tableDir, staged, byValue, alias, txnId,
+      Some(Some((alias, transformSql))))
+  }
+
+  /** Query a hidden-partitioned table by SOURCE-column equality — the
+    * Iceberg read path: the engine evaluates the manifest-carried
+    * transform on the probe row (driver-side, one row, zero data
+    * read), plans exactly the matching partition's dirs from the
+    * manifest, and applies the probe equalities as the residual (the
+    * probe columns ARE in the data; the transform value is not). The
+    * caller never knows the partitioning exists — repartitioning by a
+    * different transform changes no query. */
+  def readPartitionHidden(spark: SparkSession, tableDir: String,
+                          probe: Map[String, Any],
+                          version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    require(probe.nonEmpty, "probe needs at least one column = value pair")
+    val v = version.orElse(latestVersion(tableDir))
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, v)
+    val (alias, transformSql) = snap.ptrans.getOrElse(
+      throw new IllegalStateException(s"$tableDir carries no hidden-partition spec"))
+    val one = probe.foldLeft(spark.range(1).toDF()) {
+      case (acc, (c, x)) => acc.withColumn(c, lit(x))
+    }
+    val pv = one.select(expr(transformSql).cast("string")).head().getString(0)
+    require(pv != null, s"transform $transformSql is null for probe $probe")
+    val planned = prunePartition(snap, alias, pv)
+    val df =
+      if (planned.isEmpty) read(spark, tableDir, Some(v)).limit(0)
+      else readDirsDV(spark, tableDir, snap, planned)
+    probe.foldLeft(df) { case (acc, (c, x)) =>
+      acc.filter(acc.col(c) === lit(x).cast(acc.schema(c).dataType))
+    }
   }
 
   /** Append `df` as one atomic commit; returns the committed version.
@@ -787,14 +912,18 @@ object TxnTable {
                          live: Seq[String], txnId: Option[String],
                          dvs: Map[String, String] = Map.empty,
                          schema: Option[String] = None,
-                         constraintsOverride: Option[Map[String, String]] = None): Boolean = {
+                         constraintsOverride: Option[Map[String, String]] = None,
+                         ptransOverride: Option[Option[(String, String)]] = None): Boolean = {
     // CHECK constraints carry forward AUTOMATICALLY from the previous
     // manifest (the publisher at v just read v-1 as its base, so v-1 is
     // retained) — no call site can accidentally drop table-level
     // governance. Only add/dropConstraint override the inherited set.
+    // The hidden-partition spec inherits the same way.
+    lazy val prev = snapshot(tableDir, v - 1)
     val cons = constraintsOverride.getOrElse(
-      if (v == 0) Map.empty[String, String]
-      else snapshot(tableDir, v - 1).constraints)
+      if (v == 0) Map.empty[String, String] else prev.constraints)
+    val ptrans = ptransOverride.getOrElse(
+      if (v == 0) None else prev.ptrans)
     // only dv entries for dirs actually in this manifest's live set —
     // a rewritten dir's dv dies with it (the rewrite materialized it)
     val dvKept = dvs.filter { case (d, _) => live.contains(d) }
@@ -839,8 +968,10 @@ object TxnTable {
         if (cons.isEmpty) ""
         else cons.map { case (n, e) => s""""$n":"$e"""" }
           .mkString(""","constraints":{""", ",", "}")
+      val ptransJson = ptrans
+        .map { case (a, e) => s""","pta":"$a","pte":"$e"""" }.getOrElse("")
       s"""{"version":$v,"action":"$action","ts":${System.currentTimeMillis},""" +
-        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson}"""
+        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson$ptransJson}"""
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))
@@ -1667,6 +1798,81 @@ object TxnTable {
     val staged = stage(df, tableDir, statsCol)
     if (!tryPublish(tableDir, base + 1L, "compact", Seq(staged), None,
         schema = snap.schema))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry the compaction")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** INCREMENTAL compaction targeting deletion-vector debt (the Delta
+    * REORG TABLE ... APPLY (PURGE) shape): rewrite ONLY the dirs whose
+    * dv'd-row share meets `minDvRatio`, materializing their deletion
+    * vectors away; every clean dir keeps its place in the live set
+    * BYTE-UNTOUCHED. [[compact]] rewrites the whole table — fine
+    * nightly at GB scale, non-viable at 100 TB, where maintenance must
+    * pay proportional to the DEBT (the scan-time anti-join rent dv'd
+    * files accrue), not to table size. Each dirty dir rewrites to its
+    * own staged dir READ THROUGH its dv, preserving the layout
+    * contracts: multi-column stats sidecars re-derive (clustered
+    * tables keep their pruning power), partition values carry over
+    * (partitioned tables stay partitioned), a fully-doomed dir simply
+    * drops from the live set, blooms rebuild via [[stage]]. The
+    * constraint gate re-vets nothing new (the rows were already in the
+    * table and `stage` re-checks anyway — rewrites of valid data
+    * pass). Returns `base` UNCHANGED (no commit) when no dir meets the
+    * bar — a no-debt table costs one manifest read. Same base+1 /
+    * [[CommitConflict]] contract as [[compact]]. */
+  def compactDirty(spark: SparkSession, tableDir: String,
+                   minDvRatio: Double = 0.0): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(minDvRatio >= 0.0 && minDvRatio <= 1.0,
+      s"minDvRatio must be in [0, 1], got $minDvRatio")
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val dirty = snap.live.filter(d => snap.dvs.get(d).exists { dv =>
+      (snap.nrows.get(d), snap.nrows.get(dv)) match {
+        case (Some(t), Some(x)) if t > 0L => x.toDouble / t >= minDvRatio
+        case _                            => true // unknown counts: rewrite
+      }
+    })
+    if (dirty.isEmpty) return base // no debt — nothing to commit
+    val staged = dirty.flatMap { d =>
+      val df = readDirsDV(spark, tableDir, snap, Seq(d))
+      if (df.isEmpty) None // fully-doomed dir: drops from the live set
+      else {
+        val statCols = statsAllOf(tableDir, d).map(_._1)
+          .filter(c => df.columns.contains(c) && isIntegral(df, c))
+        val s = stage(df, tableDir, statCols.headOption)
+        // re-derive the REMAINING stats columns (Z-ordered dirs carry
+        // two) so clustering's pruning power survives the purge
+        if (statCols.size > 1) {
+          val back = spark.read.parquet(new File(dataDir(tableDir), s).getPath)
+          val aggs = statCols.tail.flatMap(c =>
+            Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+          val r = back.agg(aggs.head, aggs.tail: _*).head()
+          val extra = statCols.tail.zipWithIndex.collect {
+            case (c, i) if !r.isNullAt(2 * i) =>
+              s"$c:${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}"
+          }
+          if (extra.nonEmpty) {
+            val f = new File(new File(dataDir(tableDir), s), ".stats")
+            val head = if (f.exists())
+              new String(Files.readAllBytes(f.toPath), "UTF-8") + "\n" else ""
+            Files.write(f.toPath, (head + extra.mkString("\n")).getBytes("UTF-8")): Unit
+          }
+        }
+        // a partitioned dir's rewrite keeps its partition value
+        partOf(tableDir, d).foreach { case (c, v) =>
+          Files.write(new File(new File(dataDir(tableDir), s), ".part").toPath,
+            s"$c=$v".getBytes("UTF-8")): Unit
+        }
+        Some(s)
+      }
+    }
+    val live2 = snap.live.filterNot(dirty.contains) ++ staged
+    if (!tryPublish(tableDir, base + 1L, "compact", live2, None,
+        dvs = snap.dvs -- dirty, schema = snap.schema))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the compaction")
     maybeCheckpoint(tableDir, base + 1L)

@@ -77,14 +77,20 @@ class FuzzTxnSpec extends SparkTestBase {
           if (rng.nextBoolean()) TxnTable.merge(spark, dir, df(ups), Seq("id"))
           else TxnTable.mergeDV(spark, dir, df(ups), Seq("id"))
           model :+= model.last.filterNot(r => ups.exists(_._1 == r._1)) ++ ups
-        case 7 => // compact (bin-packed, range- or Z-clustered): content-identical
-          rng.nextInt(3) match {
+        case 7 => // compact (bin-packed, range-/Z-clustered, or dv-debt-
+          // targeted): content-identical; compactDirty may be a NO-OP
+          // (no commit) on a dv-free table — only grow the model when a
+          // version actually landed
+          val before = TxnTable.latestVersion(dir).get
+          rng.nextInt(4) match {
             case 0 => TxnTable.compact(spark, dir, targetFiles = 1)
             case 1 => TxnTable.compactClustered(spark, dir, "id", 1 + rng.nextInt(3))
-            case _ => TxnTable.compactClustered(spark, dir,
+            case 2 => TxnTable.compactClustered(spark, dir,
               Seq("id", "value"), 1 + rng.nextInt(3))
+            case _ => TxnTable.compactDirty(spark, dir,
+              minDvRatio = rng.nextDouble() * 0.6)
           }
-          model :+= model.last
+          if (TxnTable.latestVersion(dir).get != before) model :+= model.last
         case 8 => // vacuum: shrink the retention window
           val retain = 1 + rng.nextInt(model.size - oldest)
           TxnTable.vacuum(dir, retain = retain)

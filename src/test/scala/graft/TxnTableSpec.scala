@@ -1043,6 +1043,130 @@ class TxnTableSpec extends SparkTestBase {
       txnId = Some("c-1")) == vc)
   }
 
+  test("hidden partitioning: manifest-carried transform spec, probe reads plan one partition, divergence rejected") {
+    val dir = tmpTable()
+    val batch = Seq((1, "2024-01-05"), (2, "2024-01-20"), (3, "2024-02-11"),
+      (4, "2024-02-28"), (5, "2024-03-01")).toDF("id", "day")
+    TxnTable.overwritePartitionsHidden(spark, dir, batch,
+      "m", "substring(day, 1, 7)")
+    // hidden means NOT in the data: the stored schema has no alias column
+    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("id", "day"))
+    val snap = TxnTable.snapshot(dir, 0L)
+    assert(snap.ptrans.contains(("m", "substring(day, 1, 7)")))
+    assert(snap.parts.values.map(_._2).toSet == Set("2024-01", "2024-02", "2024-03"))
+    // transform-value read: plans exactly one partition, residual-free
+    val jan = TxnTable.readPartition(spark, dir, "m", "2024-01")
+    assert(jan.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // SOURCE-column probe: the engine evaluates the transform itself
+    val got = TxnTable.readPartitionHidden(spark, dir, Map("day" -> "2024-02-11"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3))
+    // restating ONE month swaps only that partition
+    TxnTable.overwritePartitionsHidden(spark, dir,
+      Seq((30, "2024-02-14")).toDF("id", "day"), "m", "substring(day, 1, 7)")
+    assert(TxnTable.read(spark, dir).collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 5, 30))
+    // time travel still sees the pre-swap February
+    assert(TxnTable.readPartition(spark, dir, "m", "2024-02", version = Some(0L))
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+    // a DIVERGENT transform is rejected — the spec lives in the manifest
+    intercept[IllegalArgumentException] {
+      TxnTable.overwritePartitionsHidden(spark, dir,
+        Seq((9, "2024-04-01")).toDF("id", "day"), "m", "substring(day, 1, 4)")
+    }
+    // an alias colliding with a data column is rejected
+    intercept[IllegalArgumentException] {
+      TxnTable.overwritePartitionsHidden(spark, dir,
+        Seq((9, "2024-04-01")).toDF("id", "day"), "day", "substring(day, 1, 7)")
+    }
+    // a plain append poisons the layout: the next hidden swap refuses
+    // (a parts-less dir makes "which dirs hold month X" unanswerable)
+    TxnTable.append(Seq((99, "2024-09-09")).toDF("id", "day"), dir)
+    intercept[IllegalStateException] {
+      TxnTable.overwritePartitionsHidden(spark, dir,
+        Seq((7, "2024-03-07")).toDF("id", "day"), "m", "substring(day, 1, 7)")
+    }
+    // ...and a hidden read that would need an impossible residual throws
+    // rather than return unsound rows
+    intercept[IllegalArgumentException] {
+      TxnTable.readPartition(spark, dir, "m", "2024-09").collect()
+    }
+    // dv deletes compose: hidden-partitioned rows die positionally
+    val dir2 = tmpTable()
+    TxnTable.overwritePartitionsHidden(spark, dir2, batch,
+      "m", "substring(day, 1, 7)")
+    TxnTable.deleteWhereDV(spark, dir2, org.apache.spark.sql.functions.col("id") === 1)
+    assert(TxnTable.readPartition(spark, dir2, "m", "2024-01")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("compactDirty: rewrites only dv-debt dirs; clean dirs byte-identical; threshold + no-op + stats/part carry") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k"), (12, "l")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    TxnTable.append(Seq((21, "x"), (22, "y")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    // debt: 1/4 of dir0 dv'd (25%), 1/2 of dir1 dv'd (50%), dir2 clean
+    TxnTable.deleteRangeDV(spark, dir, "id", 4L, 4L)
+    TxnTable.deleteRangeDV(spark, dir, "id", 11L, 11L)
+    val pre = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(pre.dvs.size == 2)
+    // threshold 0.4: only the 50%-doomed dir rewrites; the 25% one keeps
+    // its dv; the clean dir is byte-identical
+    val v1 = TxnTable.compactDirty(spark, dir, minDvRatio = 0.4)
+    val s1 = TxnTable.snapshot(dir, v1)
+    assert(s1.action == "compact")
+    assert(s1.live.take(2) == Seq(pre.live.head, pre.live(2)),
+      s"clean + low-debt dirs must keep their dirs: ${s1.live} vs ${pre.live}")
+    assert(s1.live.size == 3 && s1.dvs.keySet == Set(pre.live.head))
+    assert(rows(dir).sorted == Seq((1, "a"), (2, "b"), (3, "c"), (12, "l"), (21, "x"), (22, "y")))
+    // the rewritten dir re-derived its stats: a range read still prunes
+    assert(TxnTable.pruneLive(s1, "id", 12L, 12L).size == 1,
+      s"purged dir must carry refreshed bounds: ${s1.stats}")
+    // ratio 0 purges the remaining debt
+    val v2 = TxnTable.compactDirty(spark, dir)
+    val s2 = TxnTable.snapshot(dir, v2)
+    assert(s2.dvs.isEmpty && s2.live.size == 3)
+    assert(rows(dir).sorted == Seq((1, "a"), (2, "b"), (3, "c"), (12, "l"), (21, "x"), (22, "y")))
+    // no debt left: no commit, version unchanged
+    assert(TxnTable.compactDirty(spark, dir) == v2)
+    assert(TxnTable.latestVersion(dir).contains(v2))
+    // a fully-doomed dir drops from the live set
+    TxnTable.append(Seq((31, "q")).toDF("id", "v"), dir, statsCol = Some("id"))
+    TxnTable.deleteRangeDV(spark, dir, "id", 31L, 31L)
+    val v3 = TxnTable.compactDirty(spark, dir)
+    assert(TxnTable.snapshot(dir, v3).live.size == 3 &&
+      !rows(dir).exists(_._1 == 31))
+    // Z-ordered debt keeps BOTH stats columns through the purge
+    val zd = tmpTable()
+    (0 until 4).foreach { i =>
+      TxnTable.append(Seq((i, i * 10, s"z$i")).toDF("id", "k2", "v"),
+        zd, statsCol = Some("id"))
+    }
+    TxnTable.compactClustered(spark, zd, Seq("id", "k2"), 2)
+    TxnTable.deleteWhereDV(spark, zd, col("id") === 0)
+    val zv = TxnTable.compactDirty(spark, zd)
+    val zs = TxnTable.snapshot(zd, zv)
+    assert(zs.dvs.isEmpty)
+    assert(zs.live.forall(d =>
+        TxnTable.statsAllOf(zd, d).map(_._1).toSet == Set("id", "k2")),
+      s"purged clustered dir lost a stats column: ${zs.stats}")
+    // partitioned debt keeps its partition value (readPartition still prunes)
+    val pd = tmpTable()
+    TxnTable.overwritePartitions(spark, pd,
+      Seq((1, "A"), (2, "A"), (3, "B")).toDF("id", "part"), "part")
+    TxnTable.deleteWhereDV(spark, pd, col("id") === 1)
+    val pv = TxnTable.compactDirty(spark, pd)
+    val ps = TxnTable.snapshot(pd, pv)
+    assert(ps.parts.size == ps.live.size, s"rewrite dropped a .part: ${ps.parts}")
+    val aRows = TxnTable.readPartition(spark, pd, "part", "A").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(aRows == Seq(2))
+  }
+
   test("cloneTable: shallow clone — zero data copied, divergence, dv/constraint/schema inheritance, safe vacuum") {
     import org.apache.spark.sql.functions.lit
     val src = tmpTable()
