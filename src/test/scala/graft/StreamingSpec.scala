@@ -306,17 +306,26 @@ class StreamingSpec extends SparkTestBase {
       TxnTable.append(Seq((3, "c")).toDF("id", "v"), src)         // v1: append window
       TxnTable.merge(spark, src,
         Seq((2, "B"), (4, "d")).toDF("id", "v"), Seq("id"))       // v2: diff window
+      // merge-on-read windows: the live set stays byte-identical but a
+      // dv delta changes effective content — the stream must surface
+      // the dv'd rows as deletes (and the MoR update as delete+insert)
+      TxnTable.deleteRangeDV(spark, src, "id", 3L, 3L)            // v3: dv window
+      TxnTable.updateWhereDV(spark, src,
+        org.apache.spark.sql.functions.col("id") === 4,
+        Map("v" -> lit("D")))                                     // v4: MoR update
       q.processAllAvailable()
     } finally q.stop()
-    // streamed CDC ≡ batch changes, window by window across the 3 commits
+    // streamed CDC ≡ batch changes, window by window across the 5 commits
     val expected =
       feed(TxnTable.read(spark, src, Some(0L)).withColumn("_change", lit("insert")))
-        .toSeq ++ feed(TxnTable.changes(spark, src, 0L, 1L)).toSeq ++
-        feed(TxnTable.changes(spark, src, 1L, 2L)).toSeq
+        .toSeq ++ (0L until 4L).flatMap(v =>
+        feed(TxnTable.changes(spark, src, v, v + 1L)).toSeq)
     val want = expected.groupMapReduce(_._1)(_._2)(_ + _)
     assert(feed(TxnTable.read(spark, dest)) == want,
       "streamed change feed diverged from the batch windows")
-    assert(TxnTable.versions(dest).size == 3,
+    assert(want.exists { case ((i, _, c), _) => i == 3 && c == "delete" },
+      "the dv-delete window must stream a delete row")
+    assert(TxnTable.versions(dest).size == 5,
       "expected exactly one destination commit per source commit")
     // REPLAY idempotence: a FRESH stream checkpoint reprocesses every
     // manifest from scratch; every window's txnId is already in the
@@ -328,7 +337,7 @@ class StreamingSpec extends SparkTestBase {
     try q2.processAllAvailable() finally q2.stop()
     assert(feed(TxnTable.read(spark, dest)) == want,
       "full-history replay duplicated change rows")
-    assert(TxnTable.versions(dest).size == 3,
+    assert(TxnTable.versions(dest).size == 5,
       "full-history replay minted extra destination commits")
   }
 }
