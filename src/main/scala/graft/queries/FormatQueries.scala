@@ -1462,6 +1462,77 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q221: full MERGE INTO with ordered WHEN MATCHED clauses
+    // (SQL:2003 / Delta MERGE) — the CDC-apply workhorse q198's plain
+    // upsert cannot express. One atomic commit applies: WHEN MATCHED
+    // AND o_orderkey % 20 = 10 THEN DELETE (tombstones), WHEN MATCHED
+    // THEN UPDATE from the source row (first true clause wins — the
+    // %20=10 rows fire BOTH conditions and must die, not update), WHEN
+    // NOT MATCHED THEN INSERT (the keys shifted past maxK). The oracle
+    // recomputes the post-merge state from the raw parquet with
+    // CASE/WHERE/UNION ALL — the hash match proves clause ordering,
+    // conditional deletes, source-valued updates, and inserts all
+    // landed exactly, through the same stats-pruned copy-on-write and
+    // constraint-gated staging as every other writer.
+    Q("q221_txn_merge_into",
+      Some("""WITH m AS (SELECT max(o_orderkey)+1 AS mk FROM orders),
+             |kept AS (
+             |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+             |              ELSE o_orderstatus END AS o_orderstatus,
+             |         CAST(round(o_totalprice * 100) AS BIGINT)
+             |           * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS price_c
+             |  FROM orders WHERE o_orderkey % 20 <> 10),
+             |ins AS (
+             |  SELECT 'N' AS o_orderstatus,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders WHERE o_orderkey % 20 = 5),
+             |u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_merge_into")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxK = base.agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          TxnTable.append(base, t.getPath, statsCol = Some("o_orderkey"))
+          // source: every 10th key (update/tombstone intent, status 'U',
+          // price doubled) + every (20k+5)th key shifted past maxK
+          // (insert intent, status 'N')
+          val upd = base.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_orderstatus", lit("U"))
+            .withColumn("price_c", col("price_c") * 2L)
+          val ins = base.filter(col("o_orderkey") % 20 === 5)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(maxK))
+            .withColumn("o_orderstatus", lit("N"))
+          TxnTable.mergeInto(s, t.getPath, upd.unionByName(ins),
+            keyCols = Seq("o_orderkey"),
+            whenMatched = Seq(
+              TxnTable.MatchedDelete(col("o_orderkey") % 20 === 10),
+              TxnTable.MatchedUpdate(lit(true),
+                Map("o_orderstatus" -> col("_src_o_orderstatus"),
+                  "price_c" -> col("_src_price_c")))),
+            txnId = Some("cdc-apply"))
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.action == "merge", s"merge lineage regressed: ${snap.action}")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

@@ -1129,6 +1129,129 @@ object TxnTable {
     base + 1L
   }
 
+  /** One WHEN MATCHED clause of [[mergeInto]] — evaluated in the given
+    * order, FIRST true condition wins (SQL:2003 / Delta MERGE).
+    * Conditions and SET expressions see the TARGET row's columns under
+    * their own names and the source row's non-key columns as
+    * `_src_<name>`. */
+  sealed trait MatchedClause {
+    def cond: org.apache.spark.sql.Column
+  }
+  final case class MatchedUpdate(cond: org.apache.spark.sql.Column,
+                                 set: Map[String, org.apache.spark.sql.Column])
+    extends MatchedClause
+  final case class MatchedDelete(cond: org.apache.spark.sql.Column)
+    extends MatchedClause
+
+  /** Full MERGE INTO (SQL:2003 / Delta MERGE): WHEN MATCHED [AND cond]
+    * THEN UPDATE SET ... | DELETE (any number, evaluated in order,
+    * first true condition wins; a matched row firing no clause keeps
+    * unchanged), WHEN NOT MATCHED [AND cond] THEN INSERT the source
+    * row. [[merge]] is the unconditional-upsert special case; this is
+    * the general DML workhorse — CDC apply with tombstones, SCD
+    * updates, conditional backfills — as ONE atomic copy-on-write
+    * commit with the same manifest-stats rewrite pruning: dirs whose
+    * key bounds are disjoint from the source keys keep their place
+    * untouched (they can hold no matched row, and not-matched
+    * semantics only need the touched dirs for the same reason).
+    *
+    * Conditions/SETs may reference BOTH sides: target columns by name,
+    * source non-key columns as `_src_<name>` (the Delta
+    * `source.x`/`target.x` qualifiers, flattened). SET results cast to
+    * the column's existing type (no schema drift); all SETs of a
+    * clause evaluate against the PRE-IMAGE. NULL keys never match
+    * (SQL join semantics): a NULL-key target row keeps, a NULL-key
+    * source row inserts. Source must be key-unique (Delta's "multiple
+    * source rows matched" rejection — dedup upstream) and match the
+    * table schema exactly. Same base+1 / [[CommitConflict]] /
+    * txnId-idempotency contract as [[merge]]; reads THROUGH dvs, so a
+    * dv'd row cannot resurrect; CDC surfaces the effects as
+    * delete+insert pairs. */
+  def mergeInto(spark: SparkSession, tableDir: String, source: DataFrame,
+                keyCols: Seq[String],
+                whenMatched: Seq[MatchedClause],
+                insertNotMatched: Boolean = true,
+                insertCond: org.apache.spark.sql.Column =
+                  org.apache.spark.sql.functions.lit(true),
+                txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, when}
+    require(keyCols.nonEmpty, "mergeInto needs key columns")
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed merge — already committed
+      case None    =>
+    }
+    enforceSchema(source, tableDir)
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val key = keyCols.head
+    // same rewrite pruning as merge: kept dirs are provably key-disjoint
+    // from the source, so they hold no matched row and stay untouched
+    val hasStats = isIntegral(source, key) &&
+      snap.live.exists(d => snap.stats.get(d).exists(_.exists(_._1 == key)))
+    val (kept, touched) =
+      if (hasStats) {
+        val r = source.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+        if (r.isNullAt(0)) (Seq.empty[String], snap.live)
+        else {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          snap.live.partition(d =>
+            snap.stats.get(d).flatMap(_.find(_._1 == key)) match {
+              case Some((_, dLo, dHi)) => dHi < lo || dLo > hi // disjoint → keep
+              case _                   => false
+            })
+        }
+      } else (Seq.empty[String], snap.live)
+    val current =
+      if (touched.isEmpty) source.limit(0)
+      else readDirsDV(spark, tableDir, snap, touched) // rewrite THROUGH dvs
+    val tgtCols = current.columns.toSeq
+    val srcRenamed = source.select(
+      keyCols.map(source.col) ++
+        tgtCols.filterNot(keyCols.contains).map(c => source.col(c).as(s"_src_$c")): _*)
+    val joined = current.withColumn("_tgt", lit(true))
+      .join(srcRenamed.withColumn("_src", lit(true)), keyCols.toSeq, "full_outer")
+    val isTgt = col("_tgt").isNotNull
+    val isSrc = col("_src").isNotNull
+    whenMatched.foreach {
+      case MatchedUpdate(_, set) => require(!keyCols.exists(set.contains),
+        "SET on a merge key is not supported — delete + insert instead")
+      case _ => ()
+    }
+    // first-true-condition-wins fold: NULL condition = not fired (SQL)
+    def fires(c: org.apache.spark.sql.Column) = coalesce(c, lit(false))
+    val deleted = whenMatched.foldRight(lit(false)) { (cl, rest) =>
+      when(fires(cl.cond), lit(cl.isInstanceOf[MatchedDelete])).otherwise(rest)
+    }
+    def valueOf(c: String) =
+      if (keyCols.contains(c)) col(c) // the coalesced USING-join key
+      else whenMatched.foldRight(current.col(c)) { (cl, rest) =>
+        cl match {
+          case MatchedUpdate(cond, set) if set.contains(c) =>
+            when(fires(cond), set(c).cast(current.schema(c).dataType)).otherwise(rest)
+          case other => when(fires(other.cond), current.col(c)).otherwise(rest)
+        }
+      }
+    val matchedKept = joined.filter(isTgt && isSrc && !deleted)
+      .select(tgtCols.map(c => valueOf(c).as(c)): _*)
+    val unmatchedTgt = joined.filter(isTgt && !isSrc)
+      .select(tgtCols.map(c => col(c)): _*)
+    val inserts =
+      if (!insertNotMatched) current.limit(0)
+      else joined.filter(!isTgt && isSrc && fires(insertCond))
+        .select(tgtCols.map(c =>
+          (if (keyCols.contains(c)) col(c)
+           else col(s"_src_$c").cast(current.schema(c).dataType)).as(c)): _*)
+    val rewritten = matchedKept.unionByName(unmatchedTgt).unionByName(inserts)
+    val staged = stage(rewritten, tableDir, Some(key).filter(_ => hasStats))
+    if (!tryPublish(tableDir, base + 1L, "merge", kept :+ staged, txnId,
+        schema = snap.schema, dvs = snap.dvs))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry the merge")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
   /** Row-level DELETE of a key range (copy-on-write): removes every row
     * whose `column` value lies in [lo, hi], as ONE atomic commit, WITH
     * manifest-stats file pruning — a dir whose recorded [min, max] on

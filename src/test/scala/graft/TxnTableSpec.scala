@@ -958,6 +958,79 @@ class TxnTableSpec extends SparkTestBase {
       (11, "K2"), (12, "L2"), (50, "x"), (50, "y"), (60, "z"), (99, "new")))
   }
 
+  test("mergeInto: ordered WHEN MATCHED clauses, cross-side refs, conditional insert, pruning, NULL keys") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import TxnTable.{MatchedDelete, MatchedUpdate}
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a", 10L), (2, "b", 10L), (3, "c", 10L), (4, "d", 1L))
+      .toDF("id", "v", "amt"), dir, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k", 100L), (12, "l", 10L)).toDF("id", "v", "amt"),
+      dir, statsCol = Some("id"))
+    val source = Seq((2, "S2", 99L), (3, "S3", 1L), (4, "S4", 2L),
+      (11, "S11", 50L), (77, "new", 7L)).toDF("id", "v", "amt")
+    // clause order is FIRST-true-wins: id=4's source amt (2) fires the
+    // delete AND the update condition — the delete, listed first, wins
+    val v = TxnTable.mergeInto(spark, dir, source, Seq("id"), Seq(
+      MatchedDelete(col("_src_amt") < 5L),
+      MatchedUpdate(col("_src_amt") > col("amt"),
+        Map("v" -> col("_src_v"), "amt" -> col("_src_amt")))))
+    assert(v == 2L)
+    val got = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "a", 10L),    // unmatched target: unchanged
+      (2, "S2", 99L),   // update clause fired (99 > 10)
+      // 3 deleted (src amt 1 < 5); 4 deleted FIRST even though update also fired
+      (11, "k", 100L),  // matched, no clause fired (50 < 100): unchanged
+      (12, "l", 10L),   // unmatched target: unchanged
+      (77, "new", 7L)), // not matched: inserted
+      s"got $got")
+    // rewrite pruning: a source confined to one dir's key range keeps
+    // the other dir byte-identical in the live set (fresh two-dir table)
+    val pd2 = tmpTable()
+    TxnTable.append(Seq((1, "a", 10L), (2, "b", 10L)).toDF("id", "v", "amt"),
+      pd2, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k", 10L), (12, "l", 10L)).toDF("id", "v", "amt"),
+      pd2, statsCol = Some("id"))
+    val pre = TxnTable.snapshot(pd2, 1L)
+    TxnTable.mergeInto(spark, pd2, Seq((1, "A!", 11L)).toDF("id", "v", "amt"),
+      Seq("id"), Seq(MatchedUpdate(lit(true),
+        Map("v" -> col("_src_v"), "amt" -> col("_src_amt")))))
+    val post = TxnTable.snapshot(pd2, 2L)
+    assert(post.live.size == 2 && post.live.contains(pre.live(1)),
+      s"key-disjoint dir must be kept: ${post.live} vs ${pre.live}")
+    assert(TxnTable.read(spark, pd2).collect().exists(r =>
+      r.getInt(0) == 1 && r.getString(1) == "A!"))
+    // conditional insert: a false condition drops not-matched rows
+    TxnTable.mergeInto(spark, dir, Seq((200, "no", 1L)).toDF("id", "v", "amt"),
+      Seq("id"), Seq.empty, insertNotMatched = true, insertCond = lit(false))
+    assert(!TxnTable.read(spark, dir).collect().exists(_.getInt(0) == 200))
+    // NULL keys never match: a null-key target row keeps, a null-key
+    // source row inserts (SQL MERGE)
+    val nd = tmpTable()
+    TxnTable.append(Seq((Some(1), "x", 1L), (None, "t-null", 2L))
+      .toDF("id", "v", "amt"), nd)
+    TxnTable.mergeInto(spark, nd,
+      Seq((Option.empty[Int], "s-null", 3L)).toDF("id", "v", "amt"),
+      Seq("id"), Seq(MatchedDelete(lit(true))))
+    val ndGot = TxnTable.read(spark, nd).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(ndGot == Set((Some(1), "x"), (None, "t-null"), (None, "s-null")),
+      s"got $ndGot")
+    // idempotent under txnId replay
+    val vm = TxnTable.mergeInto(spark, dir, Seq((1, "again", 1L)).toDF("id", "v", "amt"),
+      Seq("id"), Seq(MatchedUpdate(lit(true), Map("v" -> col("_src_v")))),
+      txnId = Some("mi-1"))
+    assert(TxnTable.mergeInto(spark, dir, Seq((1, "again", 1L)).toDF("id", "v", "amt"),
+      Seq("id"), Seq(MatchedUpdate(lit(true), Map("v" -> col("_src_v")))),
+      txnId = Some("mi-1")) == vm)
+    // SET on a key column is rejected
+    intercept[IllegalArgumentException] {
+      TxnTable.mergeInto(spark, dir, Seq((1, "z", 1L)).toDF("id", "v", "amt"),
+        Seq("id"), Seq(MatchedUpdate(lit(true), Map("id" -> lit(9)))))
+    }
+  }
+
   test("updateWhereDV: predicate MoR SET — pre-image semantics, NULL keeps the row, idempotent txnId") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = tmpTable()
