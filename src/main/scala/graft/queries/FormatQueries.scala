@@ -1533,6 +1533,88 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q222: EQUALITY delete (Iceberg positional/equality taxonomy
+    // completed: CoW q207, positional-dv q211, and this). A CDC
+    // tombstone batch — every 50th key in the second quartile — lands
+    // as a KB-sized key file and ONE manifest write with ZERO table
+    // data scanned (even the positional dv form pays one scan of the
+    // overlapping files to find row positions; at 100 TB and a
+    // high-rate tombstone stream, O(|keys|) per commit is the only
+    // sustainable write). The build requires the live set byte-
+    // identical, the applies-to scope stats-pruned to a strict subset
+    // of dirs, and a post-delete re-append of one tombstoned key to be
+    // VISIBLE (manifest scoping — Iceberg's sequence-number rule: a
+    // delete never applies to later data). The oracle recomputes the
+    // surviving multiset on the raw parquet — the hash proves the
+    // scan-time anti-join deletes exactly the tombstoned rows.
+    Q("q222_txn_eq_delete",
+      Some("""WITH m AS (SELECT (max(o_orderkey)+1)//4 AS q1,
+             |                  (max(o_orderkey)+1)//2 - 100 AS q2h FROM orders),
+             |kept AS (
+             |  SELECT o_orderstatus,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders, m
+             |  WHERE NOT (o_orderkey % 50 = 0
+             |             AND o_orderkey >= m.q1 AND o_orderkey < m.q2h)
+             |  UNION ALL
+             |  SELECT 'R' AS o_orderstatus,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders, m
+             |  WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders, m
+             |                      WHERE o_orderkey % 50 = 0
+             |                        AND o_orderkey >= m.q1 AND o_orderkey < m.q2h))
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+             |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_eq_delete")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxK = base.agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          val (q1, q2, q3) = (maxK / 4, maxK / 2, maxK * 3 / 4)
+          Seq((0L, q1 - 1), (q1, q2 - 1), (q2, q3 - 1), (q3, maxK))
+            .foreach { case (lo, hi) =>
+              TxnTable.append(base.filter(col("o_orderkey").between(lo, hi)),
+                t.getPath, statsCol = Some("o_orderkey"))
+            }
+          val pre = TxnTable.snapshot(t.getPath, TxnTable.latestVersion(t.getPath).get)
+          val tomb = base.filter(col("o_orderkey") % 50 === 0 &&
+              col("o_orderkey") >= q1 && col("o_orderkey") <= q2 - 101)
+            .select(col("o_orderkey"))
+          val v = TxnTable.deleteKeysEq(s, t.getPath, tomb, txnId = Some("tomb-1"))
+          val post = TxnTable.snapshot(t.getPath, v)
+          require(post.live == pre.live,
+            "equality delete must leave every data dir byte-identical")
+          require(post.eqs.size == 1 &&
+              post.eqs.values.head._2.size < post.live.size,
+            s"applies-to must be stats-pruned to a strict subset: ${post.eqs}")
+          // manifest scoping: re-append ONE tombstoned key (restated 'R')
+          // — it must be visible, never retro-deleted
+          val first = tomb.agg(min(col("o_orderkey"))).head().getLong(0)
+          TxnTable.append(base.filter(col("o_orderkey") === first)
+            .withColumn("o_orderstatus", lit("R")),
+            t.getPath, statsCol = Some("o_orderkey"))
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.eqs.size == 1 && snap.live.size == 5,
+          s"eq-delete lineage regressed: eqs=${snap.eqs.size} live=${snap.live.size}")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

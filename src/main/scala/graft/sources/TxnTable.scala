@@ -72,7 +72,8 @@ object TxnTable {
                             dvs: Map[String, String] = Map.empty,
                             schema: Option[String] = None,
                             constraints: Map[String, String] = Map.empty,
-                            ptrans: Option[(String, String)] = None)
+                            ptrans: Option[(String, String)] = None,
+                            eqs: Map[String, (Seq[String], Seq[String])] = Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -207,8 +208,18 @@ object TxnTable {
       case (Some(a), Some(e)) => Some((a, e))
       case _                  => None
     }
+    // equality-delete map: eq dir -> "keyCol1,keyCol2|dataDir1,dataDir2"
+    // (identifier key cols and UUID/relative dir names — no ','/'|')
+    val eqs = """"eqs"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
+      .flatMap(m => m.group(2).split("\\|", 2) match {
+        case Array(cols, ds) => Some(m.group(1) ->
+          ((cols.split(",").toSeq, ds.split(",").filter(_.nonEmpty).toSeq)))
+        case _ => None
+      }).toMap
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
-      stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans)
+      stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans, eqs)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -263,23 +274,44 @@ object TxnTable {
       val r = spark.read
       snap.schema.map(d => r.schema(structOf(d))).getOrElse(r).parquet(paths(ds): _*)
     }
-    // split the scan: dv-free dirs take the plain parquet path with
-    // ZERO overhead; only dv'd dirs pay the hidden-metadata projection
-    // + broadcast anti-join (at 100 TB a handful of purged files, not
-    // the table)
-    val (dvd, clean) = dirs.partition(snap.dvs.contains)
-    if (dvd.isEmpty) rd(dirs)
+    // positional deletion vectors: dv-free dirs take the plain parquet
+    // path with ZERO overhead; only dv'd dirs pay the hidden-metadata
+    // projection + broadcast anti-join (at 100 TB a handful of purged
+    // files, not the table)
+    def readWithDv(ds: Seq[String]): DataFrame = {
+      val (dvd, clean) = ds.partition(snap.dvs.contains)
+      if (dvd.isEmpty) rd(ds)
+      else {
+        val dv = spark.read.parquet(paths(dvd.map(snap.dvs).distinct): _*)
+        val df = rd(dvd)
+          .withColumn("_dv_rel",
+            regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1))
+          .withColumn("_dv_pos", col("_metadata.row_index"))
+        val filtered = df.join(broadcast(dv),
+            df("_dv_rel") === dv("rel") && df("_dv_pos") === dv("pos"), "left_anti")
+          .drop("_dv_rel", "_dv_pos")
+        if (clean.isEmpty) filtered
+        else rd(clean).unionByName(filtered)
+      }
+    }
+    if (snap.eqs.isEmpty) readWithDv(dirs)
     else {
-      val dv = spark.read.parquet(paths(dvd.map(snap.dvs).distinct): _*)
-      val df = rd(dvd)
-        .withColumn("_dv_rel",
-          regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1))
-        .withColumn("_dv_pos", col("_metadata.row_index"))
-      val filtered = df.join(broadcast(dv),
-          df("_dv_rel") === dv("rel") && df("_dv_pos") === dv("pos"), "left_anti")
-        .drop("_dv_rel", "_dv_pos")
-      if (clean.isEmpty) filtered
-      else rd(clean).unionByName(filtered)
+      // EQUALITY deletes (Iceberg's second delete flavor): group the
+      // planned dirs by the SET of eq-delete files that apply (manifest-
+      // scoped — an eq delete only ever applies to dirs live at its
+      // commit, so later appends are untouched), then anti-join each
+      // group against the broadcast KB-sized key sets. NULL keys never
+      // match (SQL join) — NULL-key rows keep.
+      val eqFor = (d: String) =>
+        snap.eqs.toSeq.filter(_._2._2.contains(d)).map(_._1).sorted
+      val groups = dirs.groupBy(eqFor).toSeq.sortBy(_._2.head)
+      groups.map { case (eqds, ds) =>
+        eqds.foldLeft(readWithDv(ds)) { (df, e) =>
+          val cols = snap.eqs(e)._1
+          val keys = spark.read.parquet(new File(dataDir(tableDir), e).getPath)
+          df.join(broadcast(keys.select(cols.map(keys.col): _*)), cols, "left_anti")
+        }
+      }.reduce(_ unionByName _)
     }
   }
 
@@ -288,27 +320,41 @@ object TxnTable {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** The table's commit HISTORY as a DataFrame — one row per retained
-    * version: (version, ts, action, txn_id, num_files, num_rows), the
-    * DESCRIBE HISTORY surface. METADATA-ONLY: built from manifests
-    * alone (row counts are the per-dir `.nrows` folded into each
-    * manifest at commit time), zero data files touched — at 100 TB an
-    * audit of "what changed when, by how much" costs milliseconds, not
-    * a scan. `num_rows` is null for versions whose dirs predate the
-    * `.nrows` sidecar (unknown ≠ 0); `ts` is 0 for pre-timestamp
-    * manifests. */
+    * version: (version, ts, action, txn_id, num_files, num_rows,
+    * files_added, files_removed), the DESCRIBE HISTORY surface with
+    * Delta's operationMetrics file counts. METADATA-ONLY: built from
+    * manifests alone (row counts are the per-dir `.nrows` folded into
+    * each manifest at commit time; the add/remove counts are live-set
+    * diffs of consecutive retained manifests), zero data files touched
+    * — at 100 TB an audit of "what changed when, by how much" costs
+    * milliseconds, not a scan. `num_rows` is null for versions whose
+    * dirs predate the `.nrows` sidecar (unknown ≠ 0), and is an UPPER
+    * bound while equality deletes are outstanding (an eq tombstone's
+    * matched-row count is unknowable without a scan — Iceberg reports
+    * delete FILES for the same reason); `ts` is 0 for pre-timestamp
+    * manifests; `files_added`/`files_removed` are null for the oldest
+    * retained version when its predecessor was vacuumed. */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
-    versions(tableDir).map { v =>
-      val sn = snapshot(tableDir, v)
+    val vs = versions(tableDir)
+    val snaps = vs.map(v => snapshot(tableDir, v))
+    val prevLive: Map[Long, Seq[String]] =
+      snaps.sliding(2).collect { case Seq(a, b) => b.version -> a.live }.toMap
+    snaps.map { sn =>
       // effective rows = physical live rows - dv-deleted positions
       // (dv dirs' counts are manifest-folded too, so still metadata-only)
       val dvDirs = sn.live.flatMap(sn.dvs.get).distinct
+      val prev = prevLive.get(sn.version)
+        .orElse(if (sn.version == 0L) Some(Seq.empty[String]) else None)
       (sn.version, new java.sql.Timestamp(sn.ts), sn.action, sn.txnId,
         sn.live.size,
         if (sn.live.forall(sn.nrows.contains) && dvDirs.forall(sn.nrows.contains))
           Some(sn.live.map(sn.nrows).sum - dvDirs.map(sn.nrows).sum)
-        else None)
-    }.toDF("version", "ts", "action", "txn_id", "num_files", "num_rows")
+        else None,
+        prev.map(p => sn.live.count(!p.contains(_))),
+        prev.map(p => p.count(!sn.live.contains(_))))
+    }.toDF("version", "ts", "action", "txn_id", "num_files", "num_rows",
+      "files_added", "files_removed")
   }
 
   /** The live FILES of a snapshot as a DataFrame — one row per data
@@ -913,7 +959,8 @@ object TxnTable {
                          dvs: Map[String, String] = Map.empty,
                          schema: Option[String] = None,
                          constraintsOverride: Option[Map[String, String]] = None,
-                         ptransOverride: Option[Option[(String, String)]] = None): Boolean = {
+                         ptransOverride: Option[Option[(String, String)]] = None,
+                         eqsOverride: Option[Map[String, (Seq[String], Seq[String])]] = None): Boolean = {
     // CHECK constraints carry forward AUTOMATICALLY from the previous
     // manifest (the publisher at v just read v-1 as its base, so v-1 is
     // retained) — no call site can accidentally drop table-level
@@ -924,6 +971,16 @@ object TxnTable {
       if (v == 0) Map.empty[String, String] else prev.constraints)
     val ptrans = ptransOverride.getOrElse(
       if (v == 0) None else prev.ptrans)
+    // equality deletes inherit-and-FILTER: each entry's applies-to set
+    // intersects the new live set, and emptied entries drop — so a
+    // copy-on-write rewrite or compaction (whose content was read
+    // THROUGH the eq deletes) materializes them away with zero call-site
+    // cooperation, while appends (new dirs never in applies-to) carry
+    // them forward untouched
+    val eqsKept = eqsOverride.getOrElse(
+      if (v == 0) Map.empty[String, (Seq[String], Seq[String])] else prev.eqs)
+      .map { case (e, (cols, applies)) => e -> ((cols, applies.filter(live.contains))) }
+      .filter(_._2._2.nonEmpty)
     // only dv entries for dirs actually in this manifest's live set —
     // a rewritten dir's dv dies with it (the rewrite materialized it)
     val dvKept = dvs.filter { case (d, _) => live.contains(d) }
@@ -970,8 +1027,13 @@ object TxnTable {
           .mkString(""","constraints":{""", ",", "}")
       val ptransJson = ptrans
         .map { case (a, e) => s""","pta":"$a","pte":"$e"""" }.getOrElse("")
+      val eqsJson =
+        if (eqsKept.isEmpty) ""
+        else eqsKept.map { case (e, (cols, ds)) =>
+          s""""$e":"${cols.mkString(",")}|${ds.mkString(",")}""""
+        }.mkString(""","eqs":{""", ",", "}")
       s"""{"version":$v,"action":"$action","ts":${System.currentTimeMillis},""" +
-        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson$ptransJson}"""
+        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson$ptransJson$eqsJson}"""
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))
@@ -1698,6 +1760,92 @@ object TxnTable {
     base + 1L
   }
 
+  /** EQUALITY delete (Iceberg's second delete flavor, completing the
+    * taxonomy: copy-on-write [[deleteRange]]/[[deleteWhere]], positional
+    * merge-on-read [[deleteRangeDV]], and this): delete every row whose
+    * key tuple appears in `keys`, WITHOUT SCANNING THE TABLE AT ALL —
+    * the key set lands as an `eq-*` dir and the manifest's `eqs` map
+    * records which live dirs it applies to (stats-pruned by the first
+    * key's bounds when provable), so the write costs O(|keys|)
+    * regardless of table size: the cheapest delete that exists, the
+    * shape a high-rate CDC tombstone stream needs at 100 TB (positional
+    * dvs still pay one scan of the overlapping files to FIND positions).
+    * The rent moves to read time: applied dirs anti-join the broadcast
+    * KB-sized key set at scan (grouped so unaffected dirs pay nothing).
+    * Sequencing is manifest-scoped, exactly Iceberg's sequence-number
+    * rule: the delete applies only to dirs live at its commit — a LATER
+    * append of the same key is visible, not retro-deleted. Copy-on-write
+    * rewrites and compaction read THROUGH eq deletes and
+    * [[tryPublish]]'s inherit-and-filter drops entries whose applied
+    * dirs left the live set — materialization is automatic, zero
+    * call-site cooperation. NULL keys never match (SQL). Key columns
+    * must exist in the table schema with matching types. Same base+1 /
+    * [[CommitConflict]] / txnId contract as every writer; CDC surfaces
+    * the deleted rows via the multiset path; time travel still reads
+    * them; [[vacuum]] keeps referenced eq dirs; [[cloneTable]] carries
+    * them as references. */
+  def deleteKeysEq(spark: SparkSession, tableDir: String, keys: DataFrame,
+                   txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed delete — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "equality delete needs key columns")
+    // key columns must exist in the table with identical types — a
+    // mistyped anti-join would silently delete nothing
+    val ddl = snap.schema.orElse {
+      val f = new File(tableDir, "_schema")
+      if (f.exists()) Some(new String(Files.readAllBytes(f.toPath), "UTF-8")) else None
+    }
+    ddl.map(structOf).foreach { st =>
+      keyCols.foreach { c =>
+        require(st.fieldNames.contains(c), s"no column $c in the table schema")
+        require(st(c).dataType == keys.schema(c).dataType,
+          s"key column $c is ${keys.schema(c).dataType.sql}, table has ${st(c).dataType.sql}")
+      }
+    }
+    // applies-to: the live set, stats-pruned by the first key's bounds
+    // when provable — ONE aggregate over the (tiny) key set, zero table
+    // data read
+    val key = keyCols.head
+    val applies =
+      if (isIntegral(keys, key) &&
+          snap.live.exists(d => snap.stats.get(d).exists(_.exists(_._1 == key)))) {
+        val r = keys.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+        if (r.isNullAt(0)) Seq.empty[String]
+        else pruneLive(snap, key, r.getLong(0), r.getLong(1))
+      } else snap.live
+    if (applies.isEmpty) { // provably no effect: metadata-only commit
+      if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
+          dvs = snap.dvs, schema = snap.schema))
+        throw new CommitConflict(
+          s"concurrent commit at version ${base + 1}; re-read and retry")
+      maybeCheckpoint(tableDir, base + 1L)
+      return base + 1L
+    }
+    // the key set is DELETE metadata, not table data: written directly
+    // (no constraint gate — a delete cannot violate a CHECK, and the
+    // key projection may not even resolve the constraint's columns)
+    val eqName = s"eq-${UUID.randomUUID()}"
+    val dest = new File(dataDir(tableDir), eqName)
+    keys.select(keyCols.map(keys.col): _*).distinct().coalesce(1)
+      .write.parquet(dest.getPath)
+    val n = spark.read.parquet(dest.getPath).count()
+    Files.write(new File(dest, ".nrows").toPath, n.toString.getBytes("UTF-8"))
+    if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
+        dvs = snap.dvs, schema = snap.schema,
+        eqsOverride = Some(snap.eqs + (eqName -> ((keyCols, applies))))))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
   /** Row-level UPDATE as MERGE-ON-READ (the Delta DV-update shape):
     * instead of rewriting every bounds-overlapping file
     * ([[updateRange]]'s copy-on-write), mark the matched ROW POSITIONS
@@ -1811,11 +1959,13 @@ object TxnTable {
     def readDirs(sn: Snapshot, dirs: Seq[String]): DataFrame =
       if (dirs.isEmpty) read(spark, tableDir, Some(toVersion)).limit(0)
       else readDirsDV(spark, tableDir, sn, dirs)
-    // fast path needs dir-set containment AND per-dir dv identity — a
-    // merge-on-read delete keeps the live set byte-identical but changes
-    // effective content, so a dv delta forces the multiset diff
+    // fast path needs dir-set containment AND per-dir dv identity AND
+    // eq-delete identity — a merge-on-read delete keeps the live set
+    // byte-identical but changes effective content, so a dv or eq delta
+    // forces the multiset diff
     if (from.live.forall(to.live.contains) &&
-        from.live.forall(d => from.dvs.get(d) == to.dvs.get(d))) {
+        from.live.forall(d => from.dvs.get(d) == to.dvs.get(d)) &&
+        from.eqs == to.eqs) {
       val added = to.live.filterNot(from.live.contains)
       if (added.isEmpty) readDirs(to, to.live).limit(0).withColumn("_change", lit("insert"))
       else readDirs(to, added).withColumn("_change", lit("insert"))
@@ -2158,7 +2308,10 @@ object TxnTable {
     if (!tryPublish(destDir, 0L, "clone", snap.live.map(ref), txnId = None,
         dvs = snap.dvs.map { case (d, dv) => ref(d) -> ref(dv) },
         schema = snap.schema,
-        constraintsOverride = Some(snap.constraints)))
+        constraintsOverride = Some(snap.constraints),
+        ptransOverride = Some(snap.ptrans),
+        eqsOverride = Some(snap.eqs.map { case (e, (cols, ds)) =>
+          ref(e) -> ((cols, ds.map(ref))) })))
       throw new CommitConflict(s"concurrent commit at version 0 of $destDir")
     0L
   }
@@ -2192,7 +2345,8 @@ object TxnTable {
       Files.write(new File(tableDir, "_schema").toPath, ddl.getBytes("UTF-8")): Unit
     }
     if (!tryPublish(tableDir, base + 1L, "restore", target.live, txnId,
-        dvs = target.dvs, schema = target.schema))
+        dvs = target.dvs, schema = target.schema,
+        eqsOverride = Some(target.eqs)))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the restore")
     maybeCheckpoint(tableDir, base + 1L)
@@ -2225,8 +2379,8 @@ object TxnTable {
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
     val referenced = keep.flatMap { v =>
       val sn = snapshot(tableDir, v)
-      sn.live ++ sn.dvs.values // dv dirs are data too — a retained
-    }.toSet                    // manifest's reads depend on them
+      sn.live ++ sn.dvs.values ++ sn.eqs.keys // dv/eq dirs are data too —
+    }.toSet                                   // retained reads depend on them
     // move the checkpoint pointer into the retained window FIRST: a
     // pointer naming a dropped manifest would break the forward probe
     keep.headOption.foreach(writeCheckpoint(tableDir, _))

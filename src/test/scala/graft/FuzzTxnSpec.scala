@@ -123,16 +123,20 @@ class FuzzTxnSpec extends SparkTestBase {
           fuzzy += model.size
           model :+= prev      // placeholder: append-first or compact-first
           model :+= prev ++ b // final multiset exact EITHER way — the invariant
-        case 12 => // row-level delete: copy-on-write or merge-on-read
-          // (deletion-vector) form — model semantics are identical, so
-          // the same multiset invariants hammer dv interaction with
-          // merge/compact/restore/vacuum/CDC/time travel
+        case 12 => // row-level delete: copy-on-write, merge-on-read
+          // (deletion-vector), or EQUALITY (zero-scan key-set) form —
+          // model semantics are identical, so the same multiset
+          // invariants hammer all three against merge/compact/restore/
+          // vacuum/CDC/time travel
           if (rng.nextBoolean()) {
             val lo = rng.nextInt(8); val hi = lo + rng.nextInt(4)
-            if (rng.nextBoolean())
-              TxnTable.deleteRange(spark, dir, "id", lo.toLong, hi.toLong)
-            else
-              TxnTable.deleteRangeDV(spark, dir, "id", lo.toLong, hi.toLong)
+            rng.nextInt(3) match {
+              case 0 => TxnTable.deleteRange(spark, dir, "id", lo.toLong, hi.toLong)
+              case 1 => TxnTable.deleteRangeDV(spark, dir, "id", lo.toLong, hi.toLong)
+              case _ => TxnTable.deleteKeysEq(spark, dir,
+                spark.range(lo.toLong, hi.toLong + 1)
+                  .selectExpr("cast(id as int) as id"))
+            }
             model :+= model.last.filterNot(r => r._1 >= lo && r._1 <= hi)
           } else {
             val p = Seq("A", "B", "C")(rng.nextInt(3))

@@ -251,6 +251,11 @@ class TxnTableSpec extends SparkTestBase {
     val tss = h.map(_.getTimestamp(1).getTime).toSeq
     assert(tss.forall(_ > 0) && tss.sliding(2).forall(p => p(0) <= p(1)),
       s"commit timestamps missing or non-monotonic: $tss")
+    // operationMetrics file counts from live-set diffs, still metadata-only:
+    // v0 adds 1 dir, v1 adds 1, the delete rewrites the [0,5) dir (1 in /
+    // 1 out — the [5,8) dir is bounds-disjoint and kept)
+    assert(h.map(_.getInt(6)).toSeq == Seq(1, 1, 1), "files_added wrong")
+    assert(h.map(_.getInt(7)).toSeq == Seq(0, 0, 1), "files_removed wrong")
     // files metadata: two live dirs, both with counts and bounds
     val fm = TxnTable.filesMeta(spark, dir).collect()
     assert(fm.length == 2 && fm.forall(r => !r.isNullAt(1) && !r.isNullAt(3)))
@@ -1114,6 +1119,79 @@ class TxnTableSpec extends SparkTestBase {
       txnId = Some("c-1"))
     assert(TxnTable.addConstraint(spark, dir, "again2", "id > -10",
       txnId = Some("c-1")) == vc)
+  }
+
+  test("deleteKeysEq: zero-scan equality delete — manifest scoping, later appends unaffected, auto-materialize") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    TxnTable.append(Seq((11, "k"), (12, "l")).toDF("id", "v"),
+      dir, statsCol = Some("id"))
+    val pre = TxnTable.snapshot(dir, 1L)
+    // delete keys 2, 3 and a no-match 99 — ZERO table data read
+    val v = TxnTable.deleteKeysEq(spark, dir, Seq(2, 3, 99).toDF("id"))
+    val post = TxnTable.snapshot(dir, v)
+    assert(post.live == pre.live, "equality delete must not touch data dirs")
+    assert(post.eqs.size == 1 && post.action == "delete")
+    assert(rows(dir).sorted == Seq((1, "a"), (4, "d"), (11, "k"), (12, "l")))
+    // time travel still reads the tombstoned keys
+    assert(rows(dir, Some(1L)).sorted ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (11, "k"), (12, "l")))
+    // CDC surfaces the eq-deleted rows as deletes (multiset path — the
+    // byte-identical live set must NOT take the append fast path)
+    val ch = TxnTable.changes(spark, dir, 1L, v).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[String]("_change"))).sorted.toSeq
+    assert(ch == Seq((2, "b", "delete"), (3, "c", "delete")), s"CDC wrong: $ch")
+    // manifest scoping (Iceberg sequence-number rule): a LATER append of
+    // a tombstoned key is visible, never retro-deleted
+    TxnTable.append(Seq((2, "B-again")).toDF("id", "v"), dir,
+      statsCol = Some("id"))
+    assert(rows(dir).sorted ==
+      Seq((1, "a"), (2, "B-again"), (4, "d"), (11, "k"), (12, "l")))
+    // stats-pruned applies-to: keys confined to [11, 12] never touch the
+    // [1, 4] dir (its reads stay anti-join-free)
+    TxnTable.deleteKeysEq(spark, dir, Seq(11).toDF("id"))
+    val s2 = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(s2.eqs.values.exists(e => !e._2.contains(pre.live.head)),
+      s"bounds-disjoint dir must be outside the new delete's applies-to: ${s2.eqs}")
+    assert(rows(dir).sorted ==
+      Seq((1, "a"), (2, "B-again"), (4, "d"), (12, "l")))
+    // provably-no-effect delete: bounds miss every dir → metadata-only
+    val before = TxnTable.latestVersion(dir).get
+    TxnTable.deleteKeysEq(spark, dir, Seq(500).toDF("id"))
+    assert(TxnTable.snapshot(dir, before + 1).eqs == s2.eqs,
+      "no-effect delete must not mint an eq entry")
+    // NULL keys never match
+    TxnTable.deleteKeysEq(spark, dir, Seq(Option.empty[Int]).toDF("id"))
+    assert(rows(dir).sorted ==
+      Seq((1, "a"), (2, "B-again"), (4, "d"), (12, "l")))
+    // compaction reads through the tombstones and materializes them away
+    TxnTable.compact(spark, dir, targetFiles = 1)
+    val packed = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(packed.eqs.isEmpty && packed.live.size == 1)
+    assert(rows(dir).sorted ==
+      Seq((1, "a"), (2, "B-again"), (4, "d"), (12, "l")))
+    // schema guards: unknown column / mistyped key rejected
+    intercept[IllegalArgumentException] {
+      TxnTable.deleteKeysEq(spark, dir, Seq(1).toDF("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.deleteKeysEq(spark, dir, Seq(1L).toDF("id")) // long vs int
+    }
+    // composite keys: only the exact (id, v) tuple dies
+    val cd = tmpTable()
+    TxnTable.append(Seq((1, "a"), (1, "b"), (2, "a")).toDF("id", "v"), cd)
+    TxnTable.deleteKeysEq(spark, cd, Seq((1, "a")).toDF("id", "v"))
+    assert(rows(cd).sorted == Seq((1, "b"), (2, "a")))
+    // clones carry the tombstones as references
+    val fork = tmpTable()
+    TxnTable.cloneTable(spark, cd, fork)
+    assert(rows(fork).sorted == Seq((1, "b"), (2, "a")))
+    // idempotent under txnId replay
+    val vt = TxnTable.deleteKeysEq(spark, cd, Seq((2, "a")).toDF("id", "v"),
+      txnId = Some("eq-1"))
+    assert(TxnTable.deleteKeysEq(spark, cd, Seq((2, "a")).toDF("id", "v"),
+      txnId = Some("eq-1")) == vt)
   }
 
   test("hidden partitioning: manifest-carried transform spec, probe reads plan one partition, divergence rejected") {
