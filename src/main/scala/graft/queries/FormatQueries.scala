@@ -1615,6 +1615,71 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q223: GENERATED columns (Delta GENERATED ALWAYS AS). The
+    // table declares o_year = substring(cast(o_orderdate as string),
+    // 1, 4) in the MANIFEST; the first half of orders lands with the
+    // column supplied (validated by the fused stage gate), the second
+    // half OMITS it and the engine computes it at write time, and a
+    // poisoned batch (wrong year) is rejected traceless with the typed
+    // error — the build asserts version and live set unchanged. This
+    // is how a derived feature/partition column stays TRUSTWORTHY at
+    // 100 TB: the invariant is table metadata enforced on every write
+    // path, not a pipeline convention that silently drifts. The oracle
+    // recomputes the year from the raw timestamps — the hash match
+    // proves supplied and computed halves agree exactly.
+    Q("q223_txn_generated_column",
+      Some("""SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS o_year,
+             |       o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_price_c
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_generated")
+        val genExpr = "substring(cast(o_orderdate as string), 1, 4)"
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxK = base.agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          val h = maxK / 2
+          // first half: column SUPPLIED (conforming) — then declare
+          TxnTable.append(base.filter(col("o_orderkey") < h)
+            .withColumn("o_year", expr(genExpr)), t.getPath)
+          TxnTable.addGeneratedColumn(s, t.getPath, "o_year", genExpr)
+          // second half: column OMITTED — computed at write time
+          TxnTable.append(base.filter(col("o_orderkey") >= h), t.getPath)
+          // a poisoned batch (wrong year) is rejected traceless
+          val before = TxnTable.latestVersion(t.getPath).get
+          val liveBefore = TxnTable.snapshot(t.getPath, before).live
+          val rejected =
+            try {
+              TxnTable.append(base.limit(20)
+                .withColumn("o_year", lit("1900")), t.getPath)
+              false
+            } catch { case _: TxnTable.ConstraintViolation => true }
+          require(rejected &&
+              TxnTable.latestVersion(t.getPath).contains(before) &&
+              TxnTable.snapshot(t.getPath, before).live == liveBefore,
+            "poisoned generated value must be rejected traceless")
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.gens.get("o_year").contains(genExpr),
+          s"generated-column spec regressed: ${snap.gens}")
+        TxnTable.read(s, t)
+          .groupBy(col("o_year"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_year", "o_orderstatus")
       })
   )
 }

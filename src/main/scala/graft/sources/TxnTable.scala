@@ -73,7 +73,8 @@ object TxnTable {
                             schema: Option[String] = None,
                             constraints: Map[String, String] = Map.empty,
                             ptrans: Option[(String, String)] = None,
-                            eqs: Map[String, (Seq[String], Seq[String])] = Map.empty)
+                            eqs: Map[String, (Seq[String], Seq[String])] = Map.empty,
+                            gens: Map[String, String] = Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -218,8 +219,14 @@ object TxnTable {
           ((cols.split(",").toSeq, ds.split(",").filter(_.nonEmpty).toSeq)))
         case _ => None
       }).toMap
+    // generated-column specs: name -> SQL expression (same charset rules
+    // as constraints)
+    val gens = """"gens"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
+      .map(m => m.group(1) -> m.group(2)).toMap
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
-      stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans, eqs)
+      stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans, eqs, gens)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -776,14 +783,19 @@ object TxnTable {
         r.getLong(0)
       case None => back.count()
     }
-    // write-time CHECK enforcement: EVERY row entering the table passes
-    // through stage, so this one gate covers append/overwrite/merge/
-    // update/delete-rewrite/compact alike. SQL semantics: a row violates
-    // only when the expression IS FALSE (NULL passes, as in standard
-    // CHECK). One pass scores all constraints; a violation deletes the
-    // staged dir — a rejected write leaves no trace.
-    val cons = latestVersion(tableDir)
-      .map(v => snapshot(tableDir, v).constraints).getOrElse(Map.empty)
+    // write-time CHECK + generated-column enforcement: EVERY row
+    // entering the table passes through stage, so this one gate covers
+    // append/overwrite/merge/update/delete-rewrite/compact alike. SQL
+    // semantics: a CHECK row violates only when the expression IS FALSE
+    // (NULL passes, as in standard CHECK); a generated column violates
+    // when the stored value is not NULL-SAFE-equal to its expression.
+    // One fused pass scores everything; a violation deletes the staged
+    // dir — a rejected write leaves no trace.
+    val snapG = latestVersion(tableDir).map(v => snapshot(tableDir, v))
+    val cons = snapG.map(_.constraints).getOrElse(Map.empty) ++
+      snapG.map(_.gens).getOrElse(Map.empty[String, String]).map {
+        case (c, e) => s"_gen_$c" -> s"($c) <=> ($e)"
+      }
     if (cons.nonEmpty) try {
       import org.apache.spark.sql.functions.{expr, sum, when}
       val scores = cons.toSeq.map { case (nm, e) =>
@@ -916,15 +928,42 @@ object TxnTable {
       case Some(v) => return v // replayed commit — already in the log
       case None    =>
     }
+    // GENERATED columns the writer omitted are computed here (Delta's
+    // write-time generation), then projected into the table's column
+    // order so schema-on-write still compares exactly; a writer that
+    // DOES supply the column is validated in [[stage]] instead
+    val dfG = {
+      val snapG = latestVersion(tableDir).map(v => snapshot(tableDir, v))
+      val gens = snapG.map(_.gens).getOrElse(Map.empty[String, String])
+        .filter { case (c, _) => !df.columns.contains(c) }
+      if (gens.isEmpty) df
+      else {
+        import org.apache.spark.sql.functions.expr
+        val widened = gens.foldLeft(df) { case (acc, (c, e)) =>
+          acc.withColumn(c, expr(e))
+        }
+        snapG.flatMap(_.schema).orElse {
+          val f = new File(tableDir, "_schema")
+          if (f.exists()) Some(new String(Files.readAllBytes(f.toPath), "UTF-8"))
+          else None
+        } match {
+          case Some(ddl) =>
+            val order = structOf(ddl).fieldNames.toSeq
+            widened.select(order.filter(widened.columns.contains)
+              .map(widened.col): _*)
+          case None => widened
+        }
+      }
+    }
     // overwrite may evolve the schema (it replaces all content); append
     // must match it exactly. The overwrite's _schema write is DEFERRED
     // until staging passes — a constraint-rejected overwrite must not
     // leave a mutated _schema behind.
-    if (action != "overwrite") enforceSchema(df, tableDir)
-    val staged = stage(df, tableDir, statsCol)
+    if (action != "overwrite") enforceSchema(dfG, tableDir)
+    val staged = stage(dfG, tableDir, statsCol)
     if (action == "overwrite")
       Files.write(new File(tableDir, "_schema").toPath,
-        df.schema.catalogString.getBytes("UTF-8")): Unit
+        dfG.schema.catalogString.getBytes("UTF-8")): Unit
     // publish with optimistic retry
     var attempt = 0
     while (attempt < 64) {
@@ -960,7 +999,8 @@ object TxnTable {
                          schema: Option[String] = None,
                          constraintsOverride: Option[Map[String, String]] = None,
                          ptransOverride: Option[Option[(String, String)]] = None,
-                         eqsOverride: Option[Map[String, (Seq[String], Seq[String])]] = None): Boolean = {
+                         eqsOverride: Option[Map[String, (Seq[String], Seq[String])]] = None,
+                         gensOverride: Option[Map[String, String]] = None): Boolean = {
     // CHECK constraints carry forward AUTOMATICALLY from the previous
     // manifest (the publisher at v just read v-1 as its base, so v-1 is
     // retained) — no call site can accidentally drop table-level
@@ -981,6 +1021,9 @@ object TxnTable {
       if (v == 0) Map.empty[String, (Seq[String], Seq[String])] else prev.eqs)
       .map { case (e, (cols, applies)) => e -> ((cols, applies.filter(live.contains))) }
       .filter(_._2._2.nonEmpty)
+    // generated-column specs inherit like constraints
+    val gens = gensOverride.getOrElse(
+      if (v == 0) Map.empty[String, String] else prev.gens)
     // only dv entries for dirs actually in this manifest's live set —
     // a rewritten dir's dv dies with it (the rewrite materialized it)
     val dvKept = dvs.filter { case (d, _) => live.contains(d) }
@@ -1032,8 +1075,12 @@ object TxnTable {
         else eqsKept.map { case (e, (cols, ds)) =>
           s""""$e":"${cols.mkString(",")}|${ds.mkString(",")}""""
         }.mkString(""","eqs":{""", ",", "}")
+      val gensJson =
+        if (gens.isEmpty) ""
+        else gens.map { case (n, e) => s""""$n":"$e"""" }
+          .mkString(""","gens":{""", ",", "}")
       s"""{"version":$v,"action":"$action","ts":${System.currentTimeMillis},""" +
-        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson$ptransJson$eqsJson}"""
+        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson$ptransJson$eqsJson$gensJson}"""
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))
@@ -1575,6 +1622,74 @@ object TxnTable {
     if (!tryPublish(tableDir, base + 1L, "addConstraint", snap.live, txnId,
         dvs = snap.dvs, schema = snap.schema,
         constraintsOverride = Some(snap.constraints + (name -> exprSql))))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** GENERATED column (Delta GENERATED ALWAYS AS): declare an existing
+    * column as computed from `exprSql`. The spec rides IN the manifest
+    * (atomic, carried forward like constraints) and from then on EVERY
+    * write is generation-aware: a writer that OMITS the column gets it
+    * COMPUTED (append/overwrite — the Delta write path), a writer that
+    * supplies it is VALIDATED in [[stage]]'s fused gate (null-safe
+    * equality; a drifted value is rejected with the typed
+    * [[ConstraintViolation]] and no trace). Declaring first VALIDATES
+    * the current snapshot (read through dvs/eqs) — one scan; a table
+    * whose rows already violate the generation cannot adopt it (null-
+    * backfilled addColumn rows count as violations: backfill first).
+    * At 100 TB this is how derived partitioning/feature columns stay
+    * TRUSTWORTHY: the invariant is table-level metadata, not pipeline
+    * convention. Same name/expr charset rules as constraints. */
+  def addGeneratedColumn(spark: SparkSession, tableDir: String, name: String,
+                         exprSql: String, txnId: Option[String] = None): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name '$name' must be identifier-shaped")
+    require(!exprSql.exists(c => c == '"' || c == '}' || c == '\n'),
+      "generation expression must not contain '\"', '}' or newlines")
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    require(!snap.gens.contains(name), s"generated column $name already declared")
+    if (snap.live.nonEmpty) {
+      import org.apache.spark.sql.functions.expr
+      val cur = readDirsDV(spark, tableDir, snap, snap.live)
+      require(cur.columns.contains(name),
+        s"no column $name in the table — addColumn (and backfill) first")
+      val bad = cur.filter(expr(s"NOT (($name) <=> ($exprSql))")).count()
+      if (bad > 0) throw new ConstraintViolation(
+        s"cannot declare $name GENERATED AS ($exprSql): " +
+          s"$bad existing row(s) violate the generation")
+    }
+    if (!tryPublish(tableDir, base + 1L, "addGenerated", snap.live, txnId,
+        dvs = snap.dvs, schema = snap.schema,
+        gensOverride = Some(snap.gens + (name -> exprSql))))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Drop a generated-column declaration — metadata-only commit; the
+    * column itself stays, it just stops being computed/validated. */
+  def dropGeneratedColumn(tableDir: String, name: String,
+                          txnId: Option[String] = None): Long = {
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    require(snap.gens.contains(name), s"no generated column $name")
+    if (!tryPublish(tableDir, base + 1L, "dropGenerated", snap.live, txnId,
+        dvs = snap.dvs, schema = snap.schema,
+        gensOverride = Some(snap.gens - name)))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry")
     maybeCheckpoint(tableDir, base + 1L)
@@ -2310,6 +2425,7 @@ object TxnTable {
         schema = snap.schema,
         constraintsOverride = Some(snap.constraints),
         ptransOverride = Some(snap.ptrans),
+        gensOverride = Some(snap.gens),
         eqsOverride = Some(snap.eqs.map { case (e, (cols, ds)) =>
           ref(e) -> ((cols, ds.map(ref))) })))
       throw new CommitConflict(s"concurrent commit at version 0 of $destDir")

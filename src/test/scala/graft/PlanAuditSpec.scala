@@ -470,6 +470,23 @@ class PlanAuditSpec extends SparkTestBase {
       "residual range filter not pushed to the parquet scan")
   }
 
+  test("q220: the hidden-partition year read plans only that year's dirs, residual-free") {
+    val df = SparkEntry.queries("q220_txn_hidden_partition")(spark, sf)
+    val t = "/tmp/graft_derived/sf0.001/orders_txn_hidden/t"
+    val snap = graft.sources.TxnTable.snapshot(t,
+      graft.sources.TxnTable.latestVersion(t).get)
+    val planned = graft.sources.TxnTable.prunePartition(snap, "oy", "1995")
+    assert(planned.nonEmpty && planned.size < snap.live.size,
+      s"hidden-partition pruning regressed: ${planned.size} of ${snap.live.size}")
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(f => planned.exists(f.contains)),
+      s"scan planned files outside the 1995 partition: $files")
+    // residual-FREE: the transform value is not in the data, so the scan
+    // must carry no oy filter (every planned dir is partition-exact)
+    val p = plan("q220_txn_hidden_partition")
+    assert(!p.contains("oy"), "hidden read must not reference the alias in the plan")
+  }
+
   test("q206: Z-order gives the SECOND column a pruned plan (at most half the dirs)") {
     val df = SparkEntry.queries("q206_txn_zorder")(spark, sf)
     val t = "/tmp/graft_derived/sf0.001/orders_txn_zorder/t"

@@ -1121,6 +1121,61 @@ class TxnTableSpec extends SparkTestBase {
       txnId = Some("c-1")) == vc)
   }
 
+  test("generated columns: computed when omitted, validated when supplied, declaration gated on existing data") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpTable()
+    TxnTable.append(Seq((10, "x", 1), (25, "y", 2)).toDF("amt", "v", "band"), dir)
+    // declaring over CONFORMING data (band = amt DIV 10) lands
+    TxnTable.addGeneratedColumn(spark, dir, "band", "cast(amt div 10 as int)")
+    assert(TxnTable.snapshot(dir, 1L).action == "addGenerated")
+    // an append OMITTING the column gets it computed, in table order
+    TxnTable.append(Seq((37, "z")).toDF("amt", "v"), dir)
+    val got = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(got == Seq((10, "x", 1), (25, "y", 2), (37, "z", 3)), s"got $got")
+    // a supplied-but-WRONG value is rejected traceless
+    val before = TxnTable.latestVersion(dir).get
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.append(Seq((40, "bad", 99)).toDF("amt", "v", "band"), dir)
+    }
+    assert(TxnTable.latestVersion(dir).contains(before))
+    // a supplied-and-CORRECT value passes the same gate
+    TxnTable.append(Seq((55, "ok", 5)).toDF("amt", "v", "band"), dir)
+    assert(rows3(dir).contains((55, "ok", 5)))
+    // an UPDATE that breaks the generation is rejected (stage gate
+    // covers every writer)
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.updateWhere(spark, dir, col("amt") === 10,
+        Map("band" -> org.apache.spark.sql.functions.lit(7)))
+    }
+    // declaring over NON-conforming data throws; nothing committed
+    val nc = tmpTable()
+    TxnTable.append(Seq((10, "x", 9)).toDF("amt", "v", "band"), nc)
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.addGeneratedColumn(spark, nc, "band", "cast(amt div 10 as int)")
+    }
+    assert(TxnTable.latestVersion(nc).contains(0L))
+    intercept[IllegalArgumentException] { // duplicate declaration
+      TxnTable.addGeneratedColumn(spark, dir, "band", "cast(amt div 10 as int)")
+    }
+    // clone inherits the generation
+    val fork = tmpTable()
+    TxnTable.cloneTable(spark, dir, fork)
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.append(Seq((60, "f", 99)).toDF("amt", "v", "band"), fork)
+    }
+    TxnTable.append(Seq((60, "f")).toDF("amt", "v"), fork)
+    assert(rows3(fork).contains((60, "f", 6)))
+    // drop: the column stays but stops being computed/validated
+    TxnTable.dropGeneratedColumn(dir, "band")
+    TxnTable.append(Seq((70, "free", 99)).toDF("amt", "v", "band"), dir)
+    assert(rows3(dir).contains((70, "free", 99)))
+  }
+
+  private def rows3(dir: String): Seq[(Int, String, Int)] =
+    TxnTable.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+
   test("deleteKeysEq: zero-scan equality delete — manifest scoping, later appends unaffected, auto-materialize") {
     val dir = tmpTable()
     TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"),
