@@ -2484,26 +2484,43 @@ object TxnTable {
     vacuum(tableDir, retain = vs.length - keepFrom)
   }
 
-  /** Drop manifests older than the newest `retain` versions, then delete
-    * every data dir no retained manifest references — including orphans
-    * staged by crashed writers. In production an orphan needs a grace
-    * period (an in-flight writer may not have published yet); here the
-    * caller vacuums quiesced tables.
-    */
-  def vacuum(tableDir: String, retain: Int = 1): Unit = {
+  /** What [[vacuum]] WOULD do, without doing it: (manifest versions to
+    * drop, LOCAL data dirs to reap). The production pre-flight — at
+    * 100 TB nobody deletes files without reviewing the list first
+    * (Delta's VACUUM ... DRY RUN). Metadata-only: retained manifests +
+    * one directory listing, zero data reads. */
+  def vacuumDryRun(tableDir: String, retain: Int = 1,
+                   orphanGraceMs: Long = 0L): (Seq[Long], Seq[String]) = {
     val vs = versions(tableDir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
     val referenced = keep.flatMap { v =>
       val sn = snapshot(tableDir, v)
       sn.live ++ sn.dvs.values ++ sn.eqs.keys // dv/eq dirs are data too —
     }.toSet                                   // retained reads depend on them
+    val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
+    val reap = Option(dataDir(tableDir).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && !referenced.contains(f.getName) &&
+        f.lastModified() <= cutoff) // grace: an in-flight writer's fresh
+      .map(_.getName).toSeq.sorted  // staging dir is NOT an orphan yet
+    (drop, reap)
+  }
+
+  /** Drop manifests older than the newest `retain` versions, then delete
+    * every LOCAL data dir no retained manifest references — including
+    * orphans staged by crashed writers. `orphanGraceMs` protects
+    * freshly-staged dirs whose writer has not published yet (Delta's
+    * VACUUM retention-hours guard, the default 0 suits quiesced-table
+    * tests); [[vacuumDryRun]] previews both lists. Clone-referenced
+    * source dirs are inherently safe: only this table's own `data/`
+    * children are ever listed. */
+  def vacuum(tableDir: String, retain: Int = 1, orphanGraceMs: Long = 0L): Unit = {
+    val (drop, reap) = vacuumDryRun(tableDir, retain, orphanGraceMs)
+    val keepHead = versions(tableDir).drop(drop.size).headOption
     // move the checkpoint pointer into the retained window FIRST: a
     // pointer naming a dropped manifest would break the forward probe
-    keep.headOption.foreach(writeCheckpoint(tableDir, _))
+    keepHead.foreach(writeCheckpoint(tableDir, _))
     drop.foreach(v => Files.deleteIfExists(manifestFile(tableDir, v).toPath))
-    Option(dataDir(tableDir).listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && !referenced.contains(f.getName))
-      .foreach(deleteRec)
+    reap.foreach(d => deleteRec(new File(dataDir(tableDir), d)))
   }
 
   private def deleteRec(f: File): Unit = {

@@ -1121,6 +1121,53 @@ class TxnTableSpec extends SparkTestBase {
       txnId = Some("c-1")) == vc)
   }
 
+  test("vacuumDryRun previews exactly what vacuum reaps; orphan grace protects fresh staging dirs") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
+    TxnTable.overwrite(Seq((2, "b")).toDF("id", "v"), dir)
+    // plant an orphan (a crashed writer's staged dir, never published)
+    val orphan = new java.io.File(new java.io.File(dir, "data"), "txn-orphan")
+    orphan.mkdirs()
+    java.nio.file.Files.write(new java.io.File(orphan, "junk").toPath,
+      "x".getBytes("UTF-8"))
+    // dry run: v0 drops, v0's dir + the orphan reap — nothing touched yet
+    val (drop, reap) = TxnTable.vacuumDryRun(dir, retain = 1)
+    val v0dir = TxnTable.snapshot(dir, 0L).live.head
+    assert(drop == Seq(0L) && reap.toSet == Set(v0dir, "txn-orphan"),
+      s"dry run wrong: $drop / $reap")
+    assert(TxnTable.versions(dir) == Seq(0L, 1L) && orphan.exists(),
+      "dry run must not delete anything")
+    // a generous grace period protects the fresh orphan (an in-flight
+    // writer), but NOT the old version's dir once its manifest drops
+    TxnTable.vacuum(dir, retain = 1, orphanGraceMs = 3600000L)
+    assert(orphan.exists(), "grace period must protect the fresh staging dir")
+    assert(TxnTable.versions(dir) == Seq(1L))
+    // the zero-grace pass then reaps both the orphan and v0's dir
+    TxnTable.vacuum(dir, retain = 1)
+    assert(!orphan.exists(), "zero-grace vacuum must reap the orphan")
+    assert(!new java.io.File(new java.io.File(dir, "data"), v0dir).exists())
+    assert(TxnTable.read(spark, dir).collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("restore and vacuum are equality-delete aware") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), dir)
+    TxnTable.deleteKeysEq(spark, dir, Seq(2).toDF("id"))     // v1: tombstone
+    TxnTable.append(Seq((4, "d")).toDF("id", "v"), dir)      // v2
+    TxnTable.deleteKeysEq(spark, dir, Seq(3).toDF("id"))     // v3: tombstone
+    // restore to v1: the SECOND tombstone must vanish, the first bind
+    TxnTable.restore(spark, dir, 1L)
+    assert(rows(dir).sorted == Seq((1, "a"), (3, "c")),
+      "restore must re-pin exactly v1's eq set")
+    val latest = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(latest.eqs.size == 1)
+    // vacuum to latest-only: the restored manifest still references the
+    // v1 eq dir — it must survive and keep filtering
+    TxnTable.vacuum(dir, retain = 1)
+    assert(rows(dir).sorted == Seq((1, "a"), (3, "c")),
+      "vacuum reaped an eq dir a retained manifest references")
+  }
+
   test("generated columns: computed when omitted, validated when supplied, declaration gated on existing data") {
     import org.apache.spark.sql.functions.col
     val dir = tmpTable()
