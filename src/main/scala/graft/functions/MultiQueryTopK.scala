@@ -23,9 +23,12 @@ import org.apache.spark.sql.types._
   * dot land within noise of each other because neither is the bottleneck.
   * This aggregate restores the arithmetic as the cost: the query set rides
   * in as ONE broadcast row (array of (qid, table, norm²) structs, decoded
-  * once per task and cached), each corpus row is loaded once into a
-  * primitive scratch buffer, and the Q×M inner loop runs as tight JIT'd
-  * code — per-(row,query) cost drops to the few ns of the kernel itself.
+  * once per GROUP into the aggregation buffer — so a grouped aggregation
+  * can carry a different query set per group, which is exactly the IVF
+  * composition: groupBy(cell) with each cell's own probing queries), each
+  * corpus row is loaded once into a primitive scratch buffer, and the Q×M
+  * inner loop runs as tight JIT'd code — per-(row,query) cost drops to
+  * the few ns of the kernel itself.
   *
   * At 100 TB this is the shape that matters: the corpus is scanned once
   * (never joined), queries are broadcast once (Q×table bytes, megabytes),
@@ -78,39 +81,38 @@ case class MultiQueryTopK(
 
   import MultiQueryTopK.{MQBuf, sortableBits}
 
-  // ---- broadcast query tables, decoded once per task ----
-  @transient private var qn: Int = -1
-  @transient private var qidsT: Array[Long] = _
-  @transient private var tabsT: Array[Array[Long]] = _
-  @transient private var qnsqT: Array[Double] = _
+  // per-row vector scratch (content-independent — safe per task instance)
   @transient private var scratch: Array[Long] = _
-
-  private def ensureTables(a: ArrayData): Unit = {
-    if (qn >= 0) return
-    val n = a.numElements()
-    val idx = (0 until n).sortBy(i => a.getStruct(i, 3).getLong(0))
-    qidsT = new Array[Long](n)
-    tabsT = new Array[Array[Long]](n)
-    qnsqT = new Array[Double](n)
-    var o = 0
-    idx.foreach { i =>
-      val s = a.getStruct(i, 3)
-      qidsT(o) = s.getLong(0)
-      tabsT(o) = s.getArray(1).toLongArray()
-      qnsqT(o) = s.getLong(2).toDouble
-      o += 1
-    }
-    qn = n
-  }
 
   override def createAggregationBuffer(): MQBuf = new MQBuf(null, null, null, null)
 
-  private def initBuf(buf: MQBuf): Unit = {
+  /** Decode the query tables INTO the buffer, once per GROUP (not per
+    * task): under a grouped aggregation — the IVF composition, where
+    * each cell group carries its OWN query set — different groups see
+    * different `qtabs` values through one aggregate instance, so an
+    * instance-level cache would silently score a cell against another
+    * cell's queries. The buffer is per group by construction; global
+    * aggregation (q204) has one group, so the decode count is unchanged
+    * there. Tables are update-side only — [[serialize]] skips them (the
+    * merge path needs qids/heaps/extras alone). */
+  private def initBuf(buf: MQBuf, a: ArrayData): Unit = {
     if (buf.qids != null) return
-    buf.qids = qidsT
-    buf.sizes = new Array[Int](qn)
-    buf.heaps = Array.fill(qn)(new Array[Long](2 * k))
-    buf.extras = if (exact) null else Array.fill(qn)(new ArrayBuffer[Long])
+    val n = a.numElements()
+    val idx = (0 until n).sortBy(i => a.getStruct(i, 3).getLong(0))
+    buf.qids = new Array[Long](n)
+    buf.tabs = new Array[Array[Long]](n)
+    buf.qnsq = new Array[Double](n)
+    var o = 0
+    idx.foreach { i =>
+      val s = a.getStruct(i, 3)
+      buf.qids(o) = s.getLong(0)
+      buf.tabs(o) = s.getArray(1).toLongArray()
+      buf.qnsq(o) = s.getLong(2).toDouble
+      o += 1
+    }
+    buf.sizes = new Array[Int](n)
+    buf.heaps = Array.fill(n)(new Array[Long](2 * k))
+    buf.extras = if (exact) null else Array.fill(n)(new ArrayBuffer[Long])
   }
 
   // (e1,i1) ranks strictly ahead of (e2,i2) under (cos DESC, id ASC).
@@ -155,8 +157,7 @@ case class MultiQueryTopK(
   override def update(buf: MQBuf, input: InternalRow): MQBuf = {
     val tv = qtabs.eval(input)
     if (tv == null) return buf
-    ensureTables(tv.asInstanceOf[ArrayData])
-    initBuf(buf)
+    initBuf(buf, tv.asInstanceOf[ArrayData])
     val vv = vec.eval(input); val nv = nsq.eval(input); val iv = id.eval(input)
     if (vv == null || nv == null || iv == null) return buf
     val va = vv.asInstanceOf[ArrayData]
@@ -166,9 +167,10 @@ case class MultiQueryTopK(
     while (j < m) { scratch(j) = va.getLong(j); j += 1 }
     val nd = nv.asInstanceOf[Long].toDouble
     val idL = iv.asInstanceOf[Long]
+    val qn = buf.qids.length
     var q = 0
     while (q < qn) {
-      val tab = tabsT(q)
+      val tab = buf.tabs(q)
       var dot = 0L
       if (isAdc) {
         var i = 0
@@ -177,7 +179,7 @@ case class MultiQueryTopK(
         var i = 0
         while (i < m) { dot += tab(i) * scratch(i); i += 1 }
       }
-      val cos = dot.toDouble / math.sqrt(nd * qnsqT(q))
+      val cos = dot.toDouble / math.sqrt(nd * buf.qnsq(q))
       if (!cos.isNaN) {
         buf.sizes(q) = insert(buf.heaps(q), buf.sizes(q), sortableBits(cos), idL)
       }
@@ -305,12 +307,17 @@ object MultiQueryTopK {
 
   /** Per-query candidate buffer: interleaved [enc,id] worst-at-root heaps
     * plus (union mode only) the concatenated merge overflow. `qids == null`
-    * marks the untouched buffer of an empty partition. */
+    * marks the untouched buffer of an empty partition. `tabs`/`qnsq` are
+    * the group's decoded query tables — UPDATE-SIDE ONLY (per-group so a
+    * grouped aggregation can carry a different query set per group, the
+    * IVF composition); serialize/merge never touch them. */
   final class MQBuf(
       var qids: Array[Long],
       var heaps: Array[Array[Long]],
       var sizes: Array[Int],
-      var extras: Array[ArrayBuffer[Long]])
+      var extras: Array[ArrayBuffer[Long]],
+      var tabs: Array[Array[Long]] = null,
+      var qnsq: Array[Double] = null)
 
   val entryType: StructType = StructType(Seq(
     StructField("cos", DoubleType, nullable = false),

@@ -1680,6 +1680,68 @@ object FormatQueries {
           .groupBy(col("o_year"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_year", "o_orderstatus")
+      }),
+
+    // ---- q224: the DataSource V2 FRONT-END (GraftDataSource) over the
+    // SAME four-commit table q202 builds — but the query is now what a
+    // BI tool would write: `spark.read.format("graft").load(dir)` with
+    // a PLAIN `.filter`, no (column, lo, hi) hand-plumbing. The DSv2
+    // ScanBuilder receives Spark's pushed filters
+    // (SupportsPushDownFilters), prunes the planned dirs through the
+    // manifest min/max stats exactly as readRange does — require'd
+    // every execution: 1 of 4 dirs planned, from the ScanMeta record —
+    // and pushes the translated predicates + pruned columns into the
+    // inner parquet read (row-group tier). Same oracle as q202: the
+    // hash match proves the SQL-shaped path loses nothing vs the
+    // library call. At 100 TB this is the difference between "a Scala
+    // library" and "a table format BI tools can query".
+    Q("q224_dsv2_pushdown",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders WHERE o_orderkey BETWEEN 1 AND 300
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.{GraftScanMeta, TxnTable}
+        val dir = derivedDir(d, "orders_txn_skip") // share q202's build
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxKey = base.agg(max(col("o_orderkey"))).head().getLong(0)
+          val m = maxKey / 4
+          Seq((Long.MinValue, m), (m, 2 * m), (2 * m, 3 * m), (3 * m, Long.MaxValue))
+            .zipWithIndex.foreach { case ((lo, hi), i) =>
+              TxnTable.append(
+                base.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+                t.getPath, txnId = Some(s"slice-$i"), statsCol = Some("o_orderkey"))
+            }
+          ()
+        }
+        val t = s"$dir/t"
+        val out = s.read.format("graft").load(t)
+          .filter(col("o_orderkey") >= 1L && col("o_orderkey") <= 300L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+        // force planning so the ScanMeta record reflects THIS query,
+        // then pin the dir-level skip: the DSv2 path must plan the same
+        // 1-of-4 dirs the explicit readRange call does (q202)
+        out.queryExecution.executedPlan: Unit
+        val meta = GraftScanMeta.last.getOrElse(
+          sys.error("DSv2 scan never planned"))
+        require(meta.tableDir == t && meta.live.size == 4 && meta.planned.size == 1,
+          s"DSv2 manifest skipping regressed: planned ${meta.planned.size} " +
+            s"of ${meta.live.size} dirs (pushed=${meta.pushed})")
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(meta.planned == TxnTable.pruneLive(snap, "o_orderkey", 1L, 300L),
+          "DSv2 planned a different dir set than pruneLive")
+        out
       })
   )
 }

@@ -745,6 +745,95 @@ object VectorQueries {
           .select(col("qid"), col("e.id").as("vec_id"),
             (col("pos") + 1).cast("long").as("rnk"), col("e.cos").as("cos"))
           .orderBy("qid", "rnk")
+      }),
+
+    // ---- q225: IVF × the batched kernel — the 100 TB ANN plan the two
+    // halves were each missing (VERDICT r9 #2): q44 probes the right
+    // cells but scores them through the pair-join machinery (~20-25
+    // ns/pair floor); q204 scores through the batched kernel but scans
+    // the WHOLE corpus. Composed: corpus rows keep only the PROBED
+    // cells (a broadcast semi-join on cell id — at scale, a partition-
+    // pruned read), each cell's own probing queries ride in as that
+    // cell's broadcast query-table row, and groupBy(cell) +
+    // MultiQueryTopK scores every cell against exactly its probers in
+    // one tight pass — per-group table decode (the buffer-held tables
+    // this round added) is what makes heterogeneous per-cell query
+    // sets correct. Exact q44 semantics (nprobe=1, top-3 by exact
+    // cosine, self excluded): the kernel returns top-4 including self,
+    // the final 10×4-row re-rank drops self — identical oracle. Scan
+    // cost: probed cells only × (queries in that cell), never
+    // cells × all queries and never corpus × Q join rows.
+    Q("q225_ivf_batch",
+      Some(
+        s"""WITH $emCte,
+           |s_t AS (
+           |  SELECT label, i AS dim,
+           |         CAST(FLOOR(CAST(SUM(em[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |  FROM n_t, generate_series(1, $Dim) t(i) GROUP BY 1, 2),
+           |c_t AS (
+           |  SELECT label AS clabel, list(cv ORDER BY dim) AS cvec FROM s_t GROUP BY 1),
+           |cn_t AS (
+           |  SELECT clabel, cvec,
+           |         CAST(list_sum(list_transform(cvec, c -> c * c)) AS BIGINT) AS cnorm
+           |  FROM c_t),
+           |a_t AS (
+           |  SELECT vec_id, em, nsq, clabel,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY
+           |           nsq + cnorm - 2 * CAST(list_sum(list_transform(generate_series(1, $Dim),
+           |             i -> em[i] * cvec[i])) AS BIGINT), clabel) AS rnk_c
+           |  FROM n_t CROSS JOIN cn_t),
+           |cell_t AS (SELECT vec_id, em, nsq, clabel AS cell FROM a_t WHERE rnk_c = 1),
+           |p_t AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+           |         CAST(list_sum(list_transform(generate_series(1, $Dim), i -> q.em[i] * c.em[i])) AS BIGINT) AS dot,
+           |         q.nsq AS qn, c.nsq AS cn
+           |  FROM cell_t q JOIN cell_t c ON c.cell = q.cell AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |r_t AS (SELECT qid, vid, $cosSql AS cos FROM p_t),
+           |k_t AS (SELECT qid, vid, cos,
+           |               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+           |        FROM r_t)
+           |SELECT qid, vid AS vec_id, CAST(rnk AS BIGINT) AS rnk, cos
+           |FROM k_t WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+      (s, d) => {
+        val n = quantized(s, d)
+        val cent = n
+          .select(col("label"), posexplode(col("em")).as(Seq("dim0", "v")))
+          .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+          .withColumn("cv", floor(col("sv").cast("double") / col("cnt")).cast("long"))
+          .groupBy(col("label").as("clabel"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+          .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
+        val dist = col("nsq") + col("cnorm") -
+          NativeText.dotLong(col("em"), col("cvec")) * 2L
+        val assigned = n.join(broadcast(cent))
+          .withColumn("rnk_c", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(dist, col("clabel"))))
+          .filter(col("rnk_c") === 1)
+          .select(col("vec_id"), col("em"), col("nsq"), col("clabel").as("cell"))
+        // per-cell query tables: each probed cell's OWN probers as one
+        // broadcast row — the heterogeneous-per-group query set
+        val qtabs = assigned.filter(col("vec_id") < 10)
+          .groupBy(col("cell"))
+          .agg(collect_list(struct(col("vec_id").as("qid"), col("em").as("tab"),
+            col("nsq").as("qnsq"))).as("qtabs"))
+        // corpus keeps only probed cells (broadcast hash join on cell),
+        // then ONE batched pass per cell: k=4 covers top-3 + self
+        val perCell = assigned.join(broadcast(qtabs), Seq("cell"))
+          .groupBy(col("cell"))
+          .agg(MultiQueryTopK.dotTopK(col("vec_id"), col("em"), col("nsq"),
+            col("qtabs"), 4).as("res"))
+          .select(explode(col("res")).as("r"))
+          .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
+          .select(col("qid"), col("e.id").as("vec_id"), col("e.cos").as("cos"))
+        // drop self, re-rank the ≤4 survivors per query, keep top-3
+        perCell.filter(col("vec_id") =!= col("qid"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id"), col("rnk"), col("cos"))
+          .orderBy("qid", "rnk")
       })
   )
 

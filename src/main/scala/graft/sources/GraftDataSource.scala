@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.util
+import java.util.OptionalLong
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 front-end for [[TxnTable]] — the layer that turns the
+  * lake-table library (q196–q223: manifest stats, partitions, blooms,
+  * DVs, equality deletes, schema evolution) into an ENGINE a SQL user
+  * can reach:
+  *
+  * {{{
+  *   spark.read.format("graft").load(tableDir)                   // latest
+  *   spark.read.format("graft")
+  *     .option("versionAsOf", 3).load(tableDir)                  // time travel
+  *   spark.read.format("graft")
+  *     .option("timestampAsOf", ms).load(tableDir)               // by commit ts
+  *   df.createOrReplaceTempView("t"); spark.sql("SELECT … FROM t")
+  * }}}
+  *
+  * Pushdown composes with Spark's own planning (the Delta/Iceberg DSv2
+  * `TableProvider` + `SupportsPushDownFilters` +
+  * `SupportsPushDownRequiredColumns` shape):
+  *  - a plain `.filter($"k" between (lo, hi))` prunes the planned DIRS
+  *    through the manifest's min/max stats ([[TxnTable.pruneLive]]) —
+  *    no more hand-passing (column, lo, hi) to `readRange`;
+  *  - a point equality additionally consults the per-dir `.bloom`
+  *    sidecars ([[TxnTable.pruneLivePoint]]) and the manifest `parts`
+  *    map ([[TxnTable.prunePartition]]), so partition reads prune too;
+  *  - pruned columns and translated predicates are pushed into the
+  *    INNER parquet scan, so parquet row-group skipping (the second
+  *    tier) and `ReadSchema` pruning still happen;
+  *  - every filter stays residual at the Spark layer (dir skipping is
+  *    file-granular), so correctness never depends on the pruning.
+  *
+  * Reads go THROUGH deletion vectors and equality deletes
+  * ([[TxnTable.readDirsDV]]) and honor the manifest-carried evolved
+  * schema — the full MoR read stack, automatically.
+  *
+  * Version pinning: the version is resolved ONCE at `getTable` time, so
+  * a DataFrame handle is a SNAPSHOT — re-evaluating it after concurrent
+  * commits re-reads the SAME version (repeatable reads, the TxnTable
+  * reader-isolation contract surfaced through DSv2).
+  *
+  * Execution uses the public [[V1Scan]] bridge (the same mechanism as
+  * Spark's own JDBC source): DSv2 does the planning/pushdown, then the
+  * scan hands Spark a `BaseRelation` whose RDD is the INNER DataFrame's
+  * physical plan with `needConversion = false` — the inner vectorized
+  * parquet read, DV anti-joins, and evolved-schema backfill all execute
+  * unchanged, with zero row-format conversion at the boundary.
+  *
+  * At 100 TB: planning is one manifest fetch; a BI tool issuing
+  * `WHERE k BETWEEN …` over SQL gets the same 1-of-N dir plan the
+  * hand-written `readRange` call gets, plus parquet row-group skipping,
+  * without knowing the table format exists.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftDataSource.resolve(options.asCaseSensitiveMap())._3
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val (dir, version, resolved) = GraftDataSource.resolve(properties)
+    new GraftTable(dir, version, resolved)
+  }
+}
+
+object GraftDataSource {
+
+  /** Resolve (tableDir, pinned version, effective schema) from reader
+    * options. `versionAsOf` / `timestampAsOf` mirror Delta's reader
+    * options; absent both, the then-latest version pins. */
+  private[sources] def resolve(props: util.Map[String, String]): (String, Long, StructType) = {
+    def opt(k: String): Option[String] = {
+      // CaseInsensitiveStringMap lower-cases keys; plain maps may not
+      val it = props.entrySet().iterator()
+      var r = Option.empty[String]
+      while (it.hasNext && r.isEmpty) {
+        val e = it.next()
+        if (e.getKey.equalsIgnoreCase(k)) r = Option(e.getValue)
+      }
+      r
+    }
+    val dir = opt("path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft source needs a path: spark.read.format(\"graft\").load(tableDir)"))
+    val version = opt("versionAsOf").map(_.trim.toLong)
+      .orElse(opt("timestampAsOf").map { t =>
+        val ts = t.trim.toLong
+        val vs = TxnTable.versions(dir)
+        require(vs.nonEmpty, s"no commits at $dir")
+        vs.map(v => (v, TxnTable.snapshot(dir, v).ts)).filter(_._2 <= ts)
+          .lastOption.map(_._1).getOrElse(throw new TxnTable.RetentionError(
+            s"no retained commit at or before ts=$ts at $dir"))
+      })
+      .orElse(TxnTable.latestVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no commits at $dir"))
+    val snap = TxnTable.snapshot(dir, version)
+    val schema = TxnTable.effectiveSchema(dir, snap).getOrElse {
+      // pre-_schema table: the live files' footers are the truth
+      require(snap.live.nonEmpty, s"version $version has no schema record and no data")
+      SparkSession.active.read.parquet(snap.live.map(d =>
+        new java.io.File(new java.io.File(dir, "data"), d).getPath): _*).schema
+    }
+    (dir, version, schema)
+  }
+}
+
+/** One pinned-version graft table. */
+final class GraftTable(dir: String, version: Long, tableSchema: StructType)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$dir`@v$version"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, version, tableSchema)
+}
+
+/** Collects Spark's pushed filters and pruned columns, then builds the
+  * manifest-planned scan. ALL filters are returned as residual
+  * (dir-level skipping is file-granular — Spark re-applies row-level),
+  * while the translatable subset is reported via `pushedFilters` (it
+  * shows in `.explain` as `PushedFilters: […]`) and reused inside the
+  * inner parquet read for row-group skipping. */
+final class GraftScanBuilder(dir: String, version: Long, tableSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftScan.toColumn(f).isDefined)
+    filters // everything stays residual — pruning is dir-granular
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(dir, version, tableSchema, required, pushed)
+}
+
+/** The planned scan: dir-level skipping happens HERE, once, at plan
+  * time — one manifest fetch, zero data reads ([[GraftScan.prune]]) —
+  * and the result is visible to Spark as row-count/size statistics (so
+  * a pruned graft table can be broadcast in a join). */
+final class GraftScan(dir: String, version: Long, tableSchema: StructType,
+                      required: StructType, pushed: Array[Filter])
+    extends V1Scan with SupportsReportStatistics {
+
+  private lazy val snap = TxnTable.snapshot(dir, version)
+  private lazy val planned: Seq[String] = GraftScan.prune(dir, snap, pushed)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftScan $dir v$version dirs=${planned.size}/${snap.live.size} " +
+      s"filters=[${pushed.mkString(", ")}]"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // manifest-carried row counts over the PLANNED dirs only: pruning
+    // shrinks the estimate, which is what lets a filtered graft table
+    // qualify for a broadcast join upstream
+    private val rows: Option[Long] =
+      if (planned.forall(snap.nrows.contains))
+        Some(planned.map(snap.nrows).sum) else None
+    override def sizeInBytes(): OptionalLong =
+      rows.map(r => OptionalLong.of(r * math.max(1,
+        required.map(_.dataType.defaultSize).sum))).getOrElse(OptionalLong.empty())
+    override def numRows(): OptionalLong =
+      rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T = {
+    val scanSchema = required
+    val df = buildDf(context.sparkSession)
+    GraftScanMeta.record(dir, version, snap.live, planned, pushed)
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = scanSchema
+      // the rows ARE InternalRows (the inner plan's physical output):
+      // zero conversion at the V1 boundary
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] =
+        df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    }.asInstanceOf[T]
+  }
+
+  /** The inner read: planned dirs through DVs/eq-deletes with the
+    * evolved schema, translated predicates re-applied (parquet
+    * row-group tier), columns pruned to the required set. */
+  private def buildDf(spark: SparkSession): DataFrame = {
+    val base =
+      if (planned.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+      else TxnTable.readDirsDV(spark, dir, snap, planned)
+    val filtered = pushed.flatMap(GraftScan.toColumn).foldLeft(base)(_ filter _)
+    if (required.isEmpty) filtered.select()
+    else filtered.select(required.fieldNames.map(filtered.col).toSeq: _*)
+  }
+}
+
+object GraftScan {
+
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  /** Dir-level skipping from the pushed conjuncts: every top-level
+    * conjunct independently narrows the planned set, so the result is
+    * the INTERSECTION of what each predicate proves. Sound by
+    * construction — each prune keeps every dir it cannot disprove. */
+  private[sources] def prune(dir: String, snap: TxnTable.Snapshot,
+                             filters: Array[Filter]): Seq[String] = {
+    var dirs = snap.live
+    def narrow(kept: Seq[String]): Unit = dirs = dirs.filter(kept.contains)
+    filters.flatMap(conjuncts).foreach {
+      case EqualTo(a, v) =>
+        longOf(v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
+        narrow(TxnTable.prunePartition(snap, a, String.valueOf(v)))
+      case EqualNullSafe(a, v) if v != null =>
+        longOf(v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
+        narrow(TxnTable.prunePartition(snap, a, String.valueOf(v)))
+      case GreaterThan(a, v) =>
+        longOf(v).filter(_ < Long.MaxValue)
+          .foreach(x => narrow(TxnTable.pruneLive(snap, a, x + 1L, Long.MaxValue)))
+      case GreaterThanOrEqual(a, v) =>
+        longOf(v).foreach(x => narrow(TxnTable.pruneLive(snap, a, x, Long.MaxValue)))
+      case LessThan(a, v) =>
+        longOf(v).filter(_ > Long.MinValue)
+          .foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x - 1L)))
+      case LessThanOrEqual(a, v) =>
+        longOf(v).foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x)))
+      case In(a, vs) if vs.nonEmpty =>
+        val ls = vs.flatMap(longOf)
+        if (ls.length == vs.length) // all values integral → bounds prune
+          narrow(TxnTable.pruneLive(snap, a, ls.min, ls.max))
+        // partition prune: keep dirs whose recorded value is IN the set
+        // (union of per-value prunes — a dir survives if ANY value matches)
+        val perValue = vs.map(v => TxnTable.prunePartition(snap, a, String.valueOf(v)))
+        narrow(dirs.filter(d => perValue.exists(_.contains(d))))
+      case _ => () // Or/Not/unknown shapes prune nothing — always sound
+    }
+    dirs
+  }
+
+  private def conjuncts(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case i: Int   => Some(i.toLong)
+    case l: Long  => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None
+  }
+
+  /** Translate a source filter back to a Column for the INNER read —
+    * this is what lets parquet row-group skipping fire inside the V1
+    * bridge. None = untranslated (it stays residual at the Spark layer,
+    * so skipping it costs correctness nothing). */
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p)     => Some(col(a).endsWith(p))
+    case StringContains(a, p)     => Some(col(a).contains(p))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c)    => toColumn(c).map(not)
+    case _         => None
+  }
+}
+
+/** Diagnostic record of the most recent graft scan's PLANNING decision
+  * (driver-side, volatile — a test/audit hook, not a data path): which
+  * dirs the manifest pruning planned out of the live set, and which
+  * filters drove it. PlanAuditSpec pins dir-level skipping through this
+  * — `df.inputFiles` cannot see through the V1 bridge. */
+object GraftScanMeta {
+  final case class PlannedScan(tableDir: String, version: Long,
+                               live: Seq[String], planned: Seq[String],
+                               pushed: Seq[String])
+  @volatile var last: Option[PlannedScan] = None
+  private[sources] def record(dir: String, version: Long, live: Seq[String],
+                              planned: Seq[String], pushed: Array[Filter]): Unit =
+    last = Some(PlannedScan(dir, version, live, planned, pushed.map(_.toString).toSeq))
+}

@@ -89,6 +89,19 @@ object TxnTable {
     * raw filesystem error a missing manifest used to surface as. */
   final class RetentionError(msg: String) extends RuntimeException(msg)
 
+  /** Every top-level manifest key, present or future-reserved. Constraint
+    * and generated-column NAMES become manifest keys inside their own
+    * objects, but [[snapshot]]'s flat-field regex (`field("schema")`,
+    * `field("pta")`, …) scans the WHOLE manifest string — a constraint or
+    * generated column named `schema` would satisfy `field("schema")` on a
+    * never-evolved table and feed its expression to `DataType.fromDDL`,
+    * crashing every read (a `pta`/`pte` pair likewise fabricates a
+    * hidden-partition spec). One shared set guards every named-metadata
+    * entry point. */
+  private val reservedManifestKeys: Set[String] = Set(
+    "version", "action", "ts", "live", "txnId", "stats", "parts", "nrows",
+    "dvs", "schema", "constraints", "pta", "pte", "eqs", "gens")
+
   private def logDir(tableDir: String) = new File(tableDir, "_log")
   private def dataDir(tableDir: String) = new File(tableDir, "data")
   private def manifestFile(tableDir: String, v: Long) =
@@ -231,12 +244,17 @@ object TxnTable {
 
   def latestVersion(tableDir: String): Option[Long] =
     lastCheckpoint(tableDir) match {
-      case Some(cp) =>
+      // the pointer is advisory and its writes swallow failures
+      // (writeCheckpoint) — if vacuum's pre-drop repoint didn't land, the
+      // pointer can name a vacuumed manifest; trusting it blindly would
+      // make every read/commit throw until a new checkpoint lands. A
+      // missing checkpointed manifest falls back to the full listing.
+      case Some(cp) if manifestFile(tableDir, cp).exists() =>
         // bounded forward probe — no log listing on the hot path
         var v = cp
         while (manifestFile(tableDir, v + 1).exists()) v += 1
         Some(v)
-      case None => versions(tableDir).lastOption // cold / never-checkpointed
+      case _ => versions(tableDir).lastOption // cold / stale pointer
     }
 
   /** Read a snapshot as a DataFrame — the latest by default, or any
@@ -269,8 +287,8 @@ object TxnTable {
     * the data side; dv-free snapshots take the plain multi-dir path
     * with zero overhead. Positions are (path relative to `data/`,
     * parquet row index), so the table can be relocated wholesale. */
-  private def readDirsDV(spark: SparkSession, tableDir: String,
-                         snap: Snapshot, dirs: Seq[String]): DataFrame = {
+  private[sources] def readDirsDV(spark: SparkSession, tableDir: String,
+                                  snap: Snapshot, dirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
     def paths(ds: Seq[String]) = ds.map(d => new File(dataDir(tableDir), d).getPath)
     // a manifest-carried evolved schema is passed to the parquet reader
@@ -439,7 +457,10 @@ object TxnTable {
   /** Stage one partition's rows with a `.part` sidecar naming its value. */
   private def stagePartition(df: DataFrame, tableDir: String,
                              partCol: String, value: String): String = {
-    require(!value.exists(c => c == '"' || c == '\\' || c == '\n'),
+    // '}' would truncate snapshot()'s regex capture of the parts object,
+    // silently dropping partition metadata for every dir serialized after
+    // it — same charset contract as constraints/gens expressions
+    require(!value.exists(c => c == '"' || c == '\\' || c == '\n' || c == '}'),
       s"unsupported characters in partition value '$value'")
     val staged = stage(df, tableDir, None)
     Files.write(new File(new File(dataDir(tableDir), staged), ".part").toPath,
@@ -471,7 +492,8 @@ object TxnTable {
   def overwritePartitions(spark: SparkSession, tableDir: String, df: DataFrame,
                           partCol: String, txnId: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
-    require(!partCol.contains("=") && !partCol.contains("\""),
+    require(!partCol.contains("=") && !partCol.contains("\"") &&
+        !partCol.contains("}"),
       s"unsupported characters in partition column name '$partCol'")
     txnId.flatMap(findTxn(tableDir, _)) match {
       case Some(v) => return v // replayed commit
@@ -742,11 +764,28 @@ object TxnTable {
     * only, and a "disjoint" dir could still hold a matching uncastable
     * key → merge would insert a duplicate instead of replacing. */
   private def isIntegral(df: DataFrame, c: String): Boolean =
-    df.schema(c).dataType match {
+    isIntegralType(df.schema(c).dataType)
+
+  private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+
+  /** The snapshot's EFFECTIVE schema: the manifest-carried evolved DDL
+    * when present, else the table's `_schema` record. This — not any one
+    * dir's parquet footer — is what column checks must consult: on a
+    * schema-evolved table, pre-evolution dirs simply LACK added columns
+    * (the reader null-backfills them), so a footer check would reject
+    * legitimate operations on added columns. */
+  private[sources] def effectiveSchema(tableDir: String,
+                                       snap: Snapshot): Option[org.apache.spark.sql.types.StructType] =
+    snap.schema.orElse {
+      val f = new File(tableDir, "_schema")
+      if (f.exists()) Some(new String(Files.readAllBytes(f.toPath), "UTF-8"))
+      else None
+    }.map(structOf)
 
   /** Stage `df` as an immutable data dir (invisible until a manifest
     * references it), with a `.nrows` row-count sidecar (folded into the
@@ -1122,6 +1161,29 @@ object TxnTable {
     * ConcurrentAppendException semantics). Readers of prior versions
     * are unaffected; time travel still sees the pre-merge rows.
     */
+  /** Enforce the key-unique-source precondition merge/mergeInto document:
+    * duplicate source key tuples would fan matched target rows out
+    * through the join and commit duplicated data silently. Delta rejects
+    * with "multiple source rows matched"; so do we, BEFORE any staging —
+    * one cheap aggregate over the (small) batch. NULL-containing tuples
+    * are exempt: they never match a target row (SQL join semantics), so
+    * they cannot fan anything out. */
+  private def requireKeyUnique(source: DataFrame, keyCols: Seq[String],
+                               op: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = source
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1L).limit(1).collect()
+    if (dup.nonEmpty) {
+      val tup = keyCols.zipWithIndex
+        .map { case (c, i) => s"$c=${dup.head.get(i)}" }.mkString(", ")
+      throw new IllegalArgumentException(
+        s"$op: multiple source rows matched the same key ($tup) — " +
+          "the source must be key-unique; dedup upstream")
+    }
+  }
+
   def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
             keyCols: Seq[String], txnId: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
@@ -1134,6 +1196,10 @@ object TxnTable {
     val base = latestVersion(tableDir)
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, base)
+    // AFTER the base is fixed: the first evaluation of the caller's
+    // update frame happens once the merge's snapshot is pinned (callers
+    // may sequence side effects on it; the conflict test relies on this)
+    requireKeyUnique(updates, keyCols, "merge")
     val key = keyCols.head
     // file-level pruning: a dir whose manifest-recorded key range misses
     // every update key keeps its place in the live set (manifest stats,
@@ -1293,6 +1359,8 @@ object TxnTable {
     val base = latestVersion(tableDir)
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, base)
+    // after the base is fixed — see [[merge]]'s evaluation-order note
+    requireKeyUnique(source, keyCols, "mergeInto")
     val key = keyCols.head
     // same rewrite pruning as merge: kept dirs are provably key-disjoint
     // from the source, so they hold no matched row and stay untouched
@@ -1598,8 +1666,7 @@ object TxnTable {
                     exprSql: String, txnId: Option[String] = None): Long = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"constraint name '$name' must be identifier-shaped")
-    require(!Set("version", "action", "ts", "live", "txnId", "stats", "parts",
-      "nrows", "dvs", "schema", "constraints").contains(name),
+    require(!reservedManifestKeys.contains(name),
       s"constraint name '$name' is reserved")
     require(!exprSql.exists(c => c == '"' || c == '}' || c == '\n'),
       "constraint expression must not contain '\"', '}' or newlines")
@@ -1646,6 +1713,8 @@ object TxnTable {
                          exprSql: String, txnId: Option[String] = None): Long = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"column name '$name' must be identifier-shaped")
+    require(!reservedManifestKeys.contains(name),
+      s"generated column name '$name' is reserved")
     require(!exprSql.exists(c => c == '"' || c == '}' || c == '\n'),
       "generation expression must not contain '\"', '}' or newlines")
     txnId.flatMap(findTxn(tableDir, _)) match {
@@ -1833,10 +1902,13 @@ object TxnTable {
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, base)
     val touched = pruneLive(snap, column, lo, hi) // only these can match
-    touched.headOption.foreach { d =>
-      val df = spark.read.parquet(new File(dataDir(tableDir), d).getPath)
-      require(df.columns.contains(column), s"no column $column")
-      require(isIntegral(df, column),
+    // validate against the snapshot's EFFECTIVE schema, not one dir's raw
+    // footer: a pre-evolution dir lacks added columns, and a head-dir-only
+    // check would both reject legitimate deletes on added columns and
+    // skip validating the remaining dirs
+    effectiveSchema(tableDir, snap).foreach { st =>
+      require(st.fieldNames.contains(column), s"no column $column")
+      require(isIntegralType(st(column).dataType),
         s"deleteRangeDV column $column must be an integral type; use deleteWhereDV")
     }
     val updated = touched.flatMap { d =>

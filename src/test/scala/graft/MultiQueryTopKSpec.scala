@@ -129,4 +129,44 @@ class MultiQueryTopKSpec extends SparkTestBase {
       assert(gq == 7L && grnk == i + 1 && gid == id && gcos == cos)
     }
   }
+
+  test("grouped aggregation decodes query tables PER GROUP (the IVF " +
+      "composition): each cell scores against exactly its own queries") {
+    // cells 0/1/2 partition the corpus by id % 3; each cell is probed by
+    // its own query (ids 0, 1, 2 — which live in their own cells). An
+    // instance-level table cache would score every cell against the
+    // FIRST cell's queries; per-group decode must keep them apart.
+    val cells = corpus.withColumn("cell", pmod(col("id"), lit(3L)))
+    val qt = cells.filter(col("id") < 3)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("id").as("qid"), col("em").as("tab"),
+        col("nsq").as("qnsq"))).as("qtabs"))
+    val got = cells.repartition(4).join(broadcast(qt), Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(MultiQueryTopK.dotTopK(col("id"), col("em"), col("nsq"),
+        col("qtabs"), 5).as("res"))
+      .select(explode(col("res")).as("r"))
+      .select(col("r.qid").as("qid"), posexplode(col("r.tk")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e.id").as("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: per-query window top-5 restricted to the query's own cell
+    val ref = cells.as("c").join(
+        broadcast(cells.filter(col("id") < 3).select(col("id").as("qid"),
+          col("em").as("qem"), col("nsq").as("qnsq"), col("cell").as("qcell"))),
+        col("c.cell") === col("qcell"))
+      .select(col("qid"), col("c.id").as("id"),
+        aggregate(zip_with(col("c.em"), col("qem"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v).as("dot"),
+        col("c.nsq").as("nsq"), col("qnsq"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("nsq").cast("double") * col("qnsq").cast("double")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref,
+      s"per-group tables diverged from per-cell window top-k:\n got=$got\n ref=$ref")
+  }
 }

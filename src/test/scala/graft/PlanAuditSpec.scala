@@ -487,6 +487,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("oy"), "hidden read must not reference the alias in the plan")
   }
 
+  test("q224: the DSv2 read plans the SAME 1-of-4 dirs as readRange; " +
+      "filters pushed; inner parquet scan pruned to the planned dir") {
+    val df = SparkEntry.queries("q224_dsv2_pushdown")(spark, sf)
+    df.queryExecution.executedPlan: Unit // plan (and record ScanMeta)
+    val t = "/tmp/graft_derived/sf0.001/orders_txn_skip/t"
+    val snap = graft.sources.TxnTable.snapshot(t,
+      graft.sources.TxnTable.latestVersion(t).get)
+    val expect = graft.sources.TxnTable.pruneLive(snap, "o_orderkey", 1L, 300L)
+    assert(snap.live.size == 4 && expect.size == 1)
+    val meta = graft.sources.GraftScanMeta.last.get
+    assert(meta.tableDir == t && meta.planned == expect,
+      s"DSv2 planned ${meta.planned} but readRange plans $expect")
+    // Spark's own pushdown reached the DSv2 scan builder: the physical
+    // plan shows the pushed range in the scan node's filter record
+    val p = plan("q224_dsv2_pushdown")
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,1)") &&
+      p.contains("LessThanOrEqual(o_orderkey,300)"),
+      "range filter not pushed through SupportsPushDownFilters:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    // and column pruning reached it too (no price-irrelevant columns)
+    assert(!p.contains("o_orderdate"), "column pruning failed through DSv2")
+  }
+
   test("q206: Z-order gives the SECOND column a pruned plan (at most half the dirs)") {
     val df = SparkEntry.queries("q206_txn_zorder")(spark, sf)
     val t = "/tmp/graft_derived/sf0.001/orders_txn_zorder/t"

@@ -1602,4 +1602,105 @@ class TxnTableSpec extends SparkTestBase {
     TxnTable.append(Seq((4, "d")).toDF("id", "v"), dir)
     assert(rows(dir) == Seq((1, "a"), (2, "b"), (4, "d")))
   }
+
+  test("reserved manifest keys: constraint/generated-column names that would " +
+      "collide with flat manifest fields are rejected before any commit") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
+    // a gen named 'schema' would satisfy snapshot()'s field("schema") on a
+    // never-evolved table and feed its expression to DataType.fromDDL; a
+    // pta/pte pair fabricates a hidden-partition spec
+    for (bad <- Seq("schema", "pta", "pte", "eqs", "gens", "live", "stats")) {
+      intercept[IllegalArgumentException] {
+        TxnTable.addGeneratedColumn(spark, dir, bad, "id + 0")
+      }
+      intercept[IllegalArgumentException] {
+        TxnTable.addConstraint(spark, dir, bad, "id > 0")
+      }
+    }
+    // no trace: the table still reads fine and carries no metadata
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.constraints.isEmpty && snap.gens.isEmpty && snap.ptrans.isEmpty)
+    assert(rows(dir) == Seq((1, "a")))
+    // non-reserved names still work
+    TxnTable.addConstraint(spark, dir, "id_pos", "id > 0")
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.append(Seq((-1, "x")).toDF("id", "v"), dir)
+    }
+    assert(col("id") != null) // keep the import used
+  }
+
+  test("merge/mergeInto reject a duplicate-key source (Delta's 'multiple " +
+      "source rows matched'); NULL-key duplicates are exempt") {
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    val dup = Seq((1, "x"), (1, "y")).toDF("id", "v")
+    val before = rows(dir)
+    intercept[IllegalArgumentException] {
+      TxnTable.merge(spark, dir, dup, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.mergeInto(spark, dir, dup, Seq("id"),
+        whenMatched = Seq(TxnTable.MatchedUpdate(lit(true),
+          Map("v" -> lit("z")))))
+    }
+    assert(rows(dir) == before, "a rejected merge left a trace")
+    assert(TxnTable.latestVersion(dir) == Some(0L), "a rejected merge committed")
+    // NULL-key rows never match a target — duplicates among them are legal
+    val nullDup = Seq((Option.empty[Int], "p"), (Option.empty[Int], "q"))
+      .toDF("id", "v")
+    TxnTable.merge(spark, dir, nullDup, Seq("id"))
+    assert(TxnTable.read(spark, dir).count() == 4L)
+  }
+
+  test("latestVersion survives a checkpoint pointer naming a vacuumed manifest") {
+    val dir = tmpTable()
+    (0 to 11).foreach(i => TxnTable.append(Seq((i, s"r$i")).toDF("id", "v"), dir))
+    assert(TxnTable.lastCheckpoint(dir) == Some(10L))
+    // simulate the vacuum-repoint-failure window: the checkpointed
+    // manifest is gone but the pointer still names it
+    Files.delete(new File(s"$dir/_log", f"v${10L}%020d.json").toPath)
+    assert(TxnTable.latestVersion(dir) == Some(11L),
+      "a stale checkpoint pointer broke latest-version resolution")
+    assert(rows(dir).map(_._1) == (0 to 11), "read through the stale pointer failed")
+    // and commits still land
+    TxnTable.append(Seq((12, "r12")).toDF("id", "v"), dir)
+    assert(TxnTable.latestVersion(dir) == Some(12L))
+  }
+
+  test("partition values containing '}' are rejected (manifest regex safety)") {
+    val dir = tmpTable()
+    val df = Seq((1, "a}b"), (2, "ok")).toDF("id", "part")
+    intercept[IllegalArgumentException] {
+      TxnTable.overwritePartitions(spark, dir, df, "part")
+    }
+    // clean values still work and survive a later good commit's re-fold
+    val good = Seq((1, "x"), (2, "y")).toDF("id", "part")
+    TxnTable.overwritePartitions(spark, dir, good, "part")
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.parts.values.map(_._2).toSet == Set("x", "y"))
+  }
+
+  test("deleteRangeDV on a schema-evolved table validates the EFFECTIVE " +
+      "schema: a delete on an added column works over pre-evolution dirs") {
+    val dir = tmpTable()
+    // pre-evolution dir lacks 'score'; head-dir footer validation used to
+    // reject this legitimate delete with 'no column'
+    TxnTable.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    TxnTable.addColumn(spark, dir, "score", "bigint")
+    TxnTable.append(Seq((3, "c", 9L), (4, "d", 20L)).toDF("id", "v", "score"), dir)
+    TxnTable.deleteRangeDV(spark, dir, "score", 5L, 10L)
+    assert(rows(dir).map(_._1) == Seq(1, 2, 4),
+      "DV delete on the evolved column missed or over-deleted")
+    // and a genuinely unknown column still throws
+    intercept[IllegalArgumentException] {
+      TxnTable.deleteRangeDV(spark, dir, "nope", 0L, 1L)
+    }
+    // non-integral columns still route to deleteWhereDV
+    intercept[IllegalArgumentException] {
+      TxnTable.deleteRangeDV(spark, dir, "v", 0L, 1L)
+    }
+  }
 }
