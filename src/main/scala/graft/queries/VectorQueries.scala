@@ -733,13 +733,16 @@ object VectorQueries {
            |FROM k_t WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin),
       (s, d) => {
         val n = quantized(s, d)
+        // the query set travels as a real BROADCAST, not a joined column
+        // (which would copy the whole table into every corpus row at the
+        // aggregate boundary) and not a plan literal (which ships it in
+        // every task binary): once per executor, primitive arrays
         val qt = n.filter(col("vec_id") < 8)
-          .agg(collect_list(struct(col("vec_id").as("qid"), col("em").as("tab"),
-            col("nsq").as("qnsq"))).as("qtabs"))
-        n.crossJoin(broadcast(qt))
-          .groupBy()
+          .select(col("vec_id"), col("em"), col("nsq")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+        n.groupBy()
           .agg(MultiQueryTopK.dotTopK(col("vec_id"), col("em"), col("nsq"),
-            col("qtabs"), 10).as("res"))
+            qt, 10).as("res"))
           .select(explode(col("res")).as("r"))
           .select(col("r.qid").as("qid"), posexplode(col("r.tk")).as(Seq("pos", "e")))
           .select(col("qid"), col("e.id").as("vec_id"),
@@ -812,18 +815,21 @@ object VectorQueries {
             Window.partitionBy(col("vec_id")).orderBy(dist, col("clabel"))))
           .filter(col("rnk_c") === 1)
           .select(col("vec_id"), col("em"), col("nsq"), col("clabel").as("cell"))
-        // per-cell query tables: each probed cell's OWN probers as one
-        // broadcast row — the heterogeneous-per-group query set
-        val qtabs = assigned.filter(col("vec_id") < 10)
-          .groupBy(col("cell"))
-          .agg(collect_list(struct(col("vec_id").as("qid"), col("em").as("tab"),
-            col("nsq").as("qnsq"))).as("qtabs"))
-        // corpus keeps only probed cells (broadcast hash join on cell),
+        // per-cell query tables as a BROADCAST MAP (cell → its probers):
+        // each group's buffer decodes exactly its own query set, keyed
+        // by the group column — zero per-row table bytes (q204's note)
+        val byCell = assigned.filter(col("vec_id") < 10)
+          .select(col("cell").cast("long"), col("vec_id"), col("em"), col("nsq"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2), r.getLong(3))))
+          .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
+        // corpus keeps only PROBED cells (at scale: partition pruning),
         // then ONE batched pass per cell: k=4 covers top-3 + self
-        val perCell = assigned.join(broadcast(qtabs), Seq("cell"))
+        val perCell = assigned
+          .filter(col("cell").cast("long").isin(byCell.keys.toSeq: _*))
           .groupBy(col("cell"))
-          .agg(MultiQueryTopK.dotTopK(col("vec_id"), col("em"), col("nsq"),
-            col("qtabs"), 4).as("res"))
+          .agg(MultiQueryTopK.dotTopKGrouped(col("vec_id"), col("em"), col("nsq"),
+            col("cell").cast("long"), byCell, 4).as("res"))
           .select(explode(col("res")).as("r"))
           .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
           .select(col("qid"), col("e.id").as("vec_id"), col("e.cos").as("cos"))

@@ -257,6 +257,8 @@ object GraftScan {
         // (union of per-value prunes — a dir survives if ANY value matches)
         val perValue = vs.map(v => TxnTable.prunePartition(snap, a, String.valueOf(v)))
         narrow(dirs.filter(d => perValue.exists(_.contains(d))))
+      case IsNull(a)    => narrow(TxnTable.pruneLiveNull(snap, a, wantNull = true))
+      case IsNotNull(a) => narrow(TxnTable.pruneLiveNull(snap, a, wantNull = false))
       case _ => () // Or/Not/unknown shapes prune nothing — always sound
     }
     dirs

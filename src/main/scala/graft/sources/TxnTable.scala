@@ -74,7 +74,12 @@ object TxnTable {
                             constraints: Map[String, String] = Map.empty,
                             ptrans: Option[(String, String)] = None,
                             eqs: Map[String, (Seq[String], Seq[String])] = Map.empty,
-                            gens: Map[String, String] = Map.empty)
+                            gens: Map[String, String] = Map.empty,
+                            fids: Map[String, Int] = Map.empty,
+                            schema0: Option[String] = None,
+                            fhwm: Int = 0,
+                            nulls: Map[String, Seq[(String, Long)]] = Map.empty,
+                            pthist: Map[String, String] = Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -100,7 +105,8 @@ object TxnTable {
     * entry point. */
   private val reservedManifestKeys: Set[String] = Set(
     "version", "action", "ts", "live", "txnId", "stats", "parts", "nrows",
-    "dvs", "schema", "constraints", "pta", "pte", "eqs", "gens")
+    "dvs", "schema", "constraints", "pta", "pte", "eqs", "gens",
+    "fids", "schema0", "fhwm", "nulls", "pth")
 
   private def logDir(tableDir: String) = new File(tableDir, "_log")
   private def dataDir(tableDir: String) = new File(tableDir, "data")
@@ -238,8 +244,40 @@ object TxnTable {
       .map(_.group(1)).toSeq
       .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
       .map(m => m.group(1) -> m.group(2)).toMap
+    // field-id map: CURRENT column name -> stable id (the Iceberg
+    // mechanism for rename/drop/widen). `schema0` is the DDL at
+    // id-minting time — the era schema of dirs staged before `.cols`
+    // sidecars existed. Absent on pre-fids tables (parse to empty).
+    val fids = """"fids"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    // field-id high-water mark: ids are NEVER reused (a recycled id
+    // would resolve a dropped column's old files into the new column)
+    val fhwm = """"fhwm"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
+    // per-dir null counts on stats columns ("c:n;c2:n2", like stats):
+    // what lets IS [NOT] NULL predicates prune at the manifest tier
+    val nulls = """"nulls"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
+      .map { m =>
+        m.group(1) -> m.group(2).split(";").toSeq.flatMap(_.split(":") match {
+          case Array(c, n) => Some((c, n.toLong))
+          case _           => None
+        })
+      }.filter(_._2.nonEmpty).toMap
+    // hidden-partition SPEC HISTORY: every transform this table has ever
+    // partitioned under (alias -> expr; pta/pte name the CURRENT one).
+    // Spec evolution leaves old dirs under their old alias — readers
+    // prune each era under ITS OWN recorded transform.
+    val pthist = """"pth"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
+      .map(m => m.group(1) -> m.group(2)).toMap
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
-      stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans, eqs, gens)
+      stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans, eqs, gens,
+      fids, field("schema0"), fhwm, nulls, pthist)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -287,34 +325,120 @@ object TxnTable {
     * the data side; dv-free snapshots take the plain multi-dir path
     * with zero overhead. Positions are (path relative to `data/`,
     * parquet row index), so the table can be relocated wholesale. */
+  /** The write-time era of a data dir: its `.cols` sidecar — line 1 the
+    * DDL the dir was staged under, line 2 its columns' field ids in
+    * order. Absent on dirs staged before the table minted field ids. */
+  private def colsOf(tableDir: String, dataDirName: String): Option[(String, Seq[Int])] = {
+    val f = new File(new File(dataDir(tableDir), dataDirName), ".cols")
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").linesIterator.toSeq match {
+      case Seq(ddl, ids) =>
+        Some((ddl, ids.trim.split("\\s+").filter(_.nonEmpty).map(_.toInt).toSeq))
+      case _ => None
+    }
+  }
+
+  /** Read `dirs` projected to the snapshot's CURRENT schema, resolving
+    * each dir's physical columns BY FIELD ID when the table carries
+    * `fids` (rename/drop/widen evolution): dirs group by write-time era
+    * (`.cols` sidecar; sidecar-less dirs predate minting and read under
+    * `schema0`), each era reads name-based WITHIN the era (pre-addColumn
+    * files null-backfill as before), and the projection maps each
+    * current (name, type) to the era field with the SAME ID — a renamed
+    * column resolves under its old physical name, a dropped one is not
+    * selected, a widened one casts up, an added one null-backfills.
+    * Fids-less tables take the single-scan fast path UNCHANGED (zero
+    * overhead — evolution is pay-for-use). `withMeta` captures
+    * (`_era_rel`, `_era_pos`) from the hidden `_metadata` BEFORE the
+    * projection — positions for dv staging survive the rename mapping. */
+  private def readEras(spark: SparkSession, tableDir: String, snap: Snapshot,
+                       dirs: Seq[String], withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract}
+    def paths(ds: Seq[String]) = ds.map(d => new File(dataDir(tableDir), d).getPath)
+    def metaOf(df: DataFrame): Seq[org.apache.spark.sql.Column] =
+      if (!withMeta) Nil
+      else Seq(
+        regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1).as("_era_rel"),
+        col("_metadata.row_index").as("_era_pos"))
+    if (snap.fids.isEmpty) {
+      // a manifest-carried evolved schema is passed to the parquet reader
+      // explicitly: files staged BEFORE an addColumn simply lack the new
+      // field and the reader null-backfills it — the Delta/Iceberg
+      // metadata-only evolution read, zero data rewritten
+      val r = spark.read
+      val df = snap.schema.map(d => r.schema(structOf(d))).getOrElse(r)
+        .parquet(paths(dirs): _*)
+      if (!withMeta) df else df.select(col("*") +: metaOf(df): _*)
+    } else {
+      val cur = structOf(snap.schema.getOrElse(throw new IllegalStateException(
+        s"$tableDir carries field ids but no manifest schema")))
+      val mintDdl = snap.schema0.getOrElse(throw new IllegalStateException(
+        s"$tableDir carries field ids but no schema0"))
+      val mintEra = (mintDdl, structOf(mintDdl).fields.indices.map(_ + 1).toSeq)
+      dirs.groupBy(d => colsOf(tableDir, d).getOrElse(mintEra))
+        .toSeq.sortBy(_._2.head).map { case ((ddl, ids), ds) =>
+          val era = structOf(ddl)
+          val byId = ids.zip(era.fields).map { case (i, f) => i -> f }.toMap
+          val raw = spark.read.schema(era).parquet(paths(ds): _*)
+          val projected = cur.fields.toSeq.map { f =>
+            byId.get(snap.fids(f.name)) match {
+              case Some(ef) if ef.name == f.name && ef.dataType == f.dataType =>
+                col(f.name)
+              case Some(ef) => col(ef.name).cast(f.dataType).as(f.name)
+              case None     => lit(null).cast(f.dataType).as(f.name)
+            }
+          }
+          raw.select(projected ++ metaOf(raw): _*)
+        }.reduce(_ unionByName _)
+    }
+  }
+
   private[sources] def readDirsDV(spark: SparkSession, tableDir: String,
                                   snap: Snapshot, dirs: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
+    import org.apache.spark.sql.functions.broadcast
     def paths(ds: Seq[String]) = ds.map(d => new File(dataDir(tableDir), d).getPath)
-    // a manifest-carried evolved schema is passed to the parquet reader
-    // explicitly: files staged BEFORE an addColumn simply lack the new
-    // field and the reader null-backfills it — the Delta/Iceberg
-    // metadata-only evolution read, zero data rewritten
-    def rd(ds: Seq[String]): DataFrame = {
-      val r = spark.read
-      snap.schema.map(d => r.schema(structOf(d))).getOrElse(r).parquet(paths(ds): _*)
-    }
+    def rd(ds: Seq[String]): DataFrame =
+      readEras(spark, tableDir, snap, ds, withMeta = false)
     // positional deletion vectors: dv-free dirs take the plain parquet
-    // path with ZERO overhead; only dv'd dirs pay the hidden-metadata
-    // projection + broadcast anti-join (at 100 TB a handful of purged
-    // files, not the table)
+    // path with ZERO overhead; only dv'd dirs pay the dv filter. Two
+    // forms, chosen by the manifest's (metadata-only) dv row counts:
+    //  - POSITION PREDICATE (the normal, KB-sized-dv case): doomed
+    //    positions ride as one Broadcast keyed by part-file name and a
+    //    codegen `dv_keep(file_path, row_index)` predicate FUSES into
+    //    the scan's whole-stage codegen — no join operator, no per-row
+    //    regex, clean files pay one cached path check per row
+    //    (lakebench: cut the one-dv'd-dir scan rent from 2.3× to ~1×);
+    //  - broadcast ANTI-JOIN fallback for pathological dv volumes
+    //    (> ~4M positions, where compactDirty is overdue anyway) or
+    //    unknown counts.
     def readWithDv(ds: Seq[String]): DataFrame = {
       val (dvd, clean) = ds.partition(snap.dvs.contains)
       if (dvd.isEmpty) rd(ds)
       else {
-        val dv = spark.read.parquet(paths(dvd.map(snap.dvs).distinct): _*)
-        val df = rd(dvd)
-          .withColumn("_dv_rel",
-            regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1))
-          .withColumn("_dv_pos", col("_metadata.row_index"))
-        val filtered = df.join(broadcast(dv),
-            df("_dv_rel") === dv("rel") && df("_dv_pos") === dv("pos"), "left_anti")
-          .drop("_dv_rel", "_dv_pos")
+        val dvDirs = dvd.map(snap.dvs).distinct
+        val dvCounts = dvDirs.map(snap.nrows.get)
+        // the predicate references `_metadata`, resolvable only on the
+        // raw scan — a field-id era projection sits between, so evolved
+        // tables keep the anti-join (their dv'd dirs rewrite on the
+        // next compactDirty anyway)
+        val inline = snap.fids.isEmpty && dvCounts.forall(_.isDefined) &&
+          dvCounts.flatten.sum <= 4L * 1024 * 1024
+        val filtered =
+          if (inline) {
+            val positions: Map[String, Array[Long]] =
+              spark.read.parquet(paths(dvDirs): _*).collect()
+                .map(r => (r.getString(0), r.getLong(1)))
+                .groupBy { case (rel, _) => rel.substring(rel.lastIndexOf('/') + 1) }
+                .map { case (name, xs) => name -> xs.map(_._2).sorted }
+            readEras(spark, tableDir, snap, dvd, withMeta = false)
+              .filter(graft.functions.DvKeep.keepColumn(spark, positions))
+          } else {
+            val dv = spark.read.parquet(paths(dvDirs): _*)
+            val df = readEras(spark, tableDir, snap, dvd, withMeta = true)
+            df.join(broadcast(dv),
+                df("_era_rel") === dv("rel") && df("_era_pos") === dv("pos"), "left_anti")
+              .drop("_era_rel", "_era_pos")
+          }
         if (clean.isEmpty) filtered
         else rd(clean).unionByName(filtered)
       }
@@ -430,6 +554,23 @@ object TxnTable {
         case _                   => true
       })
 
+  /** The live dirs an `IS NULL` (`wantNull = true`) or `IS NOT NULL`
+    * predicate on `column` can possibly touch, per the manifest null
+    * counts: a dir recording ZERO nulls cannot satisfy IS NULL; a dir
+    * whose nulls equal its row count cannot satisfy IS NOT NULL. Dirs
+    * without a recorded count must be planned. Note min/max bounds
+    * CANNOT serve here — they are silent about nulls (an all-null dir
+    * has no bounds at all), which is exactly why the count is its own
+    * manifest stat. */
+  def pruneLiveNull(snap: Snapshot, column: String, wantNull: Boolean): Seq[String] =
+    snap.live.filter { d =>
+      (snap.nulls.get(d).flatMap(_.find(_._1 == column)), snap.nrows.get(d)) match {
+        case (Some((_, nn)), _) if wantNull            => nn > 0
+        case (Some((_, nn)), Some(total)) if !wantNull => nn < total
+        case _                                         => true
+      }
+    }
+
   /** Filtered snapshot read with MANIFEST-STATS DATA SKIPPING: plans
     * only the dirs [[pruneLive]] keeps, then applies the residual
     * row-level filter (which also pushes into the parquet scan for
@@ -532,7 +673,8 @@ object TxnTable {
   private def publishPartitionSwap(tableDir: String, staged: Seq[String],
                                    byValue: Seq[String], partCol: String,
                                    txnId: Option[String],
-                                   ptrans: Option[Option[(String, String)]]): Long = {
+                                   ptrans: Option[Option[(String, String)]],
+                                   oldEraAliases: Set[String] = Set.empty): Long = {
     latestVersion(tableDir) match {
       case None =>
         if (!tryPublish(tableDir, 0L, "overwritePartitions", staged, txnId,
@@ -543,14 +685,19 @@ object TxnTable {
         var attempt = base
         while (true) {
           val snap = snapshot(tableDir, attempt)
-          val kept = snap.live.map { d =>
+          val kept = snap.live.flatMap { d =>
             snap.parts.get(d) match {
-              case Some((c, pv)) if c == partCol => (d, pv)
+              case Some((c, pv)) if c == partCol =>
+                if (byValue.contains(pv)) None else Some(d)
+              // a PREVIOUS spec era's dir (hidden-partition evolution):
+              // always kept — this write replaces only same-spec
+              // partitions; old-era dirs stay until rewritten
+              case Some((c, _)) if oldEraAliases.contains(c) => Some(d)
               case _ => throw new IllegalStateException(
                 s"live dir $d carries no partition value on $partCol — " +
                   s"not a $partCol-partitioned table; overwrite fully instead")
             }
-          }.collect { case (d, pv) if !byValue.contains(pv) => d }
+          }
           if (tryPublish(tableDir, attempt + 1L, "overwritePartitions",
               kept ++ staged, txnId, dvs = snap.dvs, schema = snap.schema,
               ptransOverride = ptrans)) {
@@ -637,9 +784,22 @@ object TxnTable {
     * since every planned dir is partition-exact). Same atomic swap,
     * conflict-rebase, and time-travel semantics as
     * [[overwritePartitions]]. */
+  /** `evolveSpec = true` enables Iceberg-style PARTITION SPEC EVOLUTION:
+    * a write whose (alias, transform) differs from the manifest-carried
+    * spec commits under the NEW spec — the new spec becomes current
+    * (`pta`/`pte`), the old one stays in the accumulative history
+    * (`pth`), old-era dirs KEEP their layout (planned under their own
+    * recorded transform by [[readPartitionHidden]]) and are never
+    * replaced by new-spec writes; rewriting them under the new spec is
+    * an explicit later compaction. The new alias must be FRESH (never
+    * used by any past spec) so `parts` entries stay unambiguous. With
+    * the default `false`, a divergent write is rejected exactly as
+    * before — evolution is an explicit, audited decision, not an
+    * accident. */
   def overwritePartitionsHidden(spark: SparkSession, tableDir: String,
                                 df: DataFrame, alias: String, transformSql: String,
-                                txnId: Option[String] = None): Long = {
+                                txnId: Option[String] = None,
+                                evolveSpec: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     require(alias.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"partition alias '$alias' must be identifier-shaped")
@@ -653,13 +813,24 @@ object TxnTable {
     }
     dataDir(tableDir).mkdirs(); logDir(tableDir).mkdirs()
     enforceSchema(df, tableDir)
-    // the manifest-carried spec is the ONLY allowed layout
+    // the manifest-carried spec is the ONLY allowed layout — unless this
+    // is an explicit spec evolution
+    var oldAliases = Set.empty[String]
     latestVersion(tableDir).foreach { v =>
-      snapshot(tableDir, v).ptrans match {
+      val sn = snapshot(tableDir, v)
+      sn.ptrans match {
+        case Some((a, e)) if a == alias && e == transformSql =>
+          oldAliases = sn.pthist.keySet - alias
+        case Some((a, e)) if evolveSpec =>
+          require(!(sn.pthist.keySet + a).contains(alias),
+            s"spec evolution needs a FRESH alias: '$alias' was already a " +
+              "partition spec of this table")
+          oldAliases = sn.pthist.keySet + a
         case Some((a, e)) =>
-          require(a == alias && e == transformSql,
+          throw new IllegalArgumentException(
             s"table is hidden-partitioned by $a = $e (manifest-carried " +
-              s"spec); a write with $alias = $transformSql would diverge the layout")
+              s"spec); a write with $alias = $transformSql would diverge the " +
+              "layout — pass evolveSpec = true to evolve it explicitly")
         case None => throw new IllegalStateException(
           s"$tableDir is not hidden-partitioned; use overwritePartitions " +
             "or overwrite instead")
@@ -679,7 +850,7 @@ object TxnTable {
       }
       finally { cached.unpersist(); () }
     publishPartitionSwap(tableDir, staged, byValue, alias, txnId,
-      Some(Some((alias, transformSql))))
+      Some(Some((alias, transformSql))), oldEraAliases = oldAliases)
   }
 
   /** Query a hidden-partitioned table by SOURCE-column equality — the
@@ -698,14 +869,32 @@ object TxnTable {
     val v = version.orElse(latestVersion(tableDir))
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, v)
-    val (alias, transformSql) = snap.ptrans.getOrElse(
-      throw new IllegalStateException(s"$tableDir carries no hidden-partition spec"))
+    require(snap.ptrans.isDefined,
+      s"$tableDir carries no hidden-partition spec")
     val one = probe.foldLeft(spark.range(1).toDF()) {
       case (acc, (c, x)) => acc.withColumn(c, lit(x))
     }
-    val pv = one.select(expr(transformSql).cast("string")).head().getString(0)
-    require(pv != null, s"transform $transformSql is null for probe $probe")
-    val planned = prunePartition(snap, alias, pv)
+    // evaluate EVERY spec era's transform on the probe (driver-side, one
+    // row each): a dir partitioned under era E prunes by E's OWN
+    // transform value — this is Iceberg's spec evolution, where old dirs
+    // stay planned under the spec they were written with. A transform
+    // that cannot evaluate on the probe columns keeps its era's dirs
+    // (sound — never prune what can't be disproven).
+    val specs = snap.pthist ++ snap.ptrans
+    val eraValue: Map[String, Option[String]] = specs.map { case (a, e) =>
+      a -> scala.util.Try(
+        Option(one.select(expr(e).cast("string")).head().getString(0))).toOption.flatten
+    }
+    require(snap.ptrans.forall { case (a, _) => eraValue(a).isDefined },
+      s"current transform is null/unevaluable for probe $probe")
+    val planned = snap.live.filter(d => snap.parts.get(d) match {
+      case Some((a, pv)) if specs.contains(a) =>
+        eraValue(a) match {
+          case Some(want) => pv == want
+          case None       => true // unevaluable era: must plan
+        }
+      case _ => true
+    })
     val df =
       if (planned.isEmpty) read(spark, tableDir, Some(v)).limit(0)
       else readDirsDV(spark, tableDir, snap, planned)
@@ -794,7 +983,8 @@ object TxnTable {
     * sidecar. One read-back aggregate covers both (parquet footers, no
     * row scan). The stats column must be integral (see [[isIntegral]]). */
   private def stage(df: DataFrame, tableDir: String,
-                    statsCol: Option[String]): String = {
+                    statsCol: Option[String],
+                    fidsForSidecar: Option[Map[String, Int]] = None): String = {
     statsCol.foreach(c => require(isIntegral(df, c),
       s"statsCol $c must be an integral type, got ${df.schema(c).dataType.sql}"))
     val staged = s"txn-${UUID.randomUUID()}"
@@ -805,15 +995,23 @@ object TxnTable {
     val n = statsCol match {
       case Some(c) =>
         val r = back.agg(count(lit(1)),
-          min(col(c).cast("long")), max(col(c).cast("long"))).head()
+          min(col(c).cast("long")), max(col(c).cast("long")),
+          count(col(c))).head()
         if (!r.isNullAt(1))
           Files.write(new File(dir, ".stats").toPath,
             s"$c:${r.getLong(1)}:${r.getLong(2)}".getBytes("UTF-8")): Unit
+        // null count on the stats column — written even when bounds are
+        // null (an ALL-null dir has no min/max but a definite null
+        // count), the tier that lets IS [NOT] NULL prune dirs
+        Files.write(new File(dir, ".nulls").toPath,
+          s"$c:${r.getLong(0) - r.getLong(3)}".getBytes("UTF-8")): Unit
         // point-lookup index: a per-dir BLOOM sidecar over the stats
         // column (Delta bloom-index / Iceberg puffin shape). Min/max
         // bounds cannot prune a point probe on an interleaved write
         // pattern (every dir spans the key range); the bloom can.
-        if (r.getLong(0) > 0L) {
+        // Gated on the NON-NULL count: an all-null column has no keys
+        // to index and Spark's bloomFilter NPEs on the empty buffer.
+        if (r.getLong(3) > 0L) {
           val bf = back.stat.bloomFilter(col(c).cast("long"),
             math.max(r.getLong(0), 1L), 0.01)
           val os = new java.io.FileOutputStream(new File(dir, ".bloom"))
@@ -857,6 +1055,18 @@ object TxnTable {
             s"schema: ${t.getMessage}")
     }
     Files.write(new File(dir, ".nrows").toPath, n.toString.getBytes("UTF-8"))
+    // `.cols` era sidecar: the dir's write-time DDL + its columns' field
+    // ids, so rename/drop/widen evolution can resolve this file forever
+    // (fids-less tables write nothing — evolution is pay-for-use;
+    // `fidsForSidecar` overrides for the schema-evolving overwrite,
+    // whose new ids are minted at publish). Ids are rename-stable, so a
+    // concurrent rename between stage and publish cannot stale this.
+    val fidsNow = fidsForSidecar.orElse(snapG.map(_.fids)).getOrElse(Map.empty)
+    if (fidsNow.nonEmpty && df.schema.fieldNames.forall(fidsNow.contains)) {
+      Files.write(new File(dir, ".cols").toPath,
+        (df.schema.catalogString + "\n" +
+          df.schema.fieldNames.map(fidsNow).mkString(" ")).getBytes("UTF-8")): Unit
+    }
     staged
   }
 
@@ -946,6 +1156,17 @@ object TxnTable {
   def statsOf(tableDir: String, dataDirName: String): Option[(String, Long, Long)] =
     statsAllOf(tableDir, dataDirName).headOption
 
+  /** Every (col, nullCount) in a data dir's `.nulls` sidecar. */
+  def nullsOf(tableDir: String, dataDirName: String): Seq[(String, Long)] = {
+    val f = new File(new File(dataDir(tableDir), dataDirName), ".nulls")
+    if (!f.exists()) Nil
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").linesIterator
+      .map(_.trim).filter(_.nonEmpty).flatMap(_.split(":") match {
+        case Array(c, n) => Some((c, n.toLong))
+        case _           => None
+      }).toSeq
+  }
+
   /** Single-writer-per-txnId assumption: the idempotency check is
     * check-then-act (findTxn, then publish), so two DISTINCT concurrent
     * writers sharing one txnId can both pass the check before either
@@ -999,7 +1220,19 @@ object TxnTable {
     // until staging passes — a constraint-rejected overwrite must not
     // leave a mutated _schema behind.
     if (action != "overwrite") enforceSchema(dfG, tableDir)
-    val staged = stage(dfG, tableDir, statsCol)
+    // a schema-evolving overwrite on a fids table re-mints: same-named
+    // columns keep their ids, new names get fresh ids past the
+    // high-water mark (never recycling a dropped id — old files of the
+    // dropped column would resolve into the new one)
+    val snapPre = latestVersion(tableDir).map(v => snapshot(tableDir, v))
+    val owFids: Option[Map[String, Int]] =
+      snapPre.map(_.fids).filter(_.nonEmpty).filter(_ => action == "overwrite")
+        .map { preFids =>
+          var hwm = math.max(snapPre.map(_.fhwm).getOrElse(0), preFids.values.max)
+          dfG.schema.fieldNames.map(n =>
+            n -> preFids.getOrElse(n, { hwm += 1; hwm })).toMap
+        }
+    val staged = stage(dfG, tableDir, statsCol, fidsForSidecar = owFids)
     if (action == "overwrite")
       Files.write(new File(tableDir, "_schema").toPath,
         dfG.schema.catalogString.getBytes("UTF-8")): Unit
@@ -1017,7 +1250,10 @@ object TxnTable {
       val next = base.map(_ + 1L).getOrElse(0L)
       if (tryPublish(tableDir, next, action, prevLive :+ staged, txnId,
           dvs = prevSnap.map(_.dvs).getOrElse(Map.empty),
-          schema = prevSnap.flatMap(_.schema))) {
+          schema =
+            if (owFids.isDefined) Some(dfG.schema.catalogString)
+            else prevSnap.flatMap(_.schema),
+          fidsOverride = owFids)) {
         maybeCheckpoint(tableDir, next); return next
       }
       attempt += 1 // conflict: someone else took `next` — rebase and retry
@@ -1039,7 +1275,10 @@ object TxnTable {
                          constraintsOverride: Option[Map[String, String]] = None,
                          ptransOverride: Option[Option[(String, String)]] = None,
                          eqsOverride: Option[Map[String, (Seq[String], Seq[String])]] = None,
-                         gensOverride: Option[Map[String, String]] = None): Boolean = {
+                         gensOverride: Option[Map[String, String]] = None,
+                         fidsOverride: Option[Map[String, Int]] = None,
+                         schema0Override: Option[Option[String]] = None,
+                         fhwmFloor: Int = 0): Boolean = {
     // CHECK constraints carry forward AUTOMATICALLY from the previous
     // manifest (the publisher at v just read v-1 as its base, so v-1 is
     // retained) — no call site can accidentally drop table-level
@@ -1063,6 +1302,14 @@ object TxnTable {
     // generated-column specs inherit like constraints
     val gens = gensOverride.getOrElse(
       if (v == 0) Map.empty[String, String] else prev.gens)
+    // field ids + the minting-era DDL inherit like schema
+    val fids = fidsOverride.getOrElse(
+      if (v == 0) Map.empty[String, Int] else prev.fids)
+    val schema0 = schema0Override.getOrElse(
+      if (v == 0) None else prev.schema0)
+    // spec history: strictly accumulative — the current spec always
+    // joins it, past specs are never dropped (their dirs may live on)
+    val pthist = (if (v == 0) Map.empty[String, String] else prev.pthist) ++ ptrans
     // only dv entries for dirs actually in this manifest's live set —
     // a rewritten dir's dv dies with it (the rewrite materialized it)
     val dvKept = dvs.filter { case (d, _) => live.contains(d) }
@@ -1109,6 +1356,10 @@ object TxnTable {
           .mkString(""","constraints":{""", ",", "}")
       val ptransJson = ptrans
         .map { case (a, e) => s""","pta":"$a","pte":"$e"""" }.getOrElse("")
+      val pthJson =
+        if (pthist.isEmpty) ""
+        else pthist.toSeq.sortBy(_._1).map { case (a, e) => s""""$a":"$e"""" }
+          .mkString(""","pth":{""", ",", "}")
       val eqsJson =
         if (eqsKept.isEmpty) ""
         else eqsKept.map { case (e, (cols, ds)) =>
@@ -1118,8 +1369,26 @@ object TxnTable {
         if (gens.isEmpty) ""
         else gens.map { case (n, e) => s""""$n":"$e"""" }
           .mkString(""","gens":{""", ",", "}")
+      val nullsJson = {
+        val entries = live.flatMap { d =>
+          val all = nullsOf(tableDir, d)
+          if (all.isEmpty) None
+          else Some(s""""$d":"${all.map { case (c, n) => s"$c:$n" }.mkString(";")}"""")
+        }
+        if (entries.isEmpty) "" else entries.mkString(""","nulls":{""", ",", "}")
+      }
+      val fidsJson =
+        if (fids.isEmpty) ""
+        else fids.toSeq.sortBy(_._2).map { case (n, i) => s""""$n":$i""" }
+          .mkString(""","fids":{""", ",", "}")
+      val schema0Json = schema0.map(s => s""","schema0":"$s"""").getOrElse("")
+      // id high-water mark: monotone across drops so ids never recycle
+      // (fhwmFloor imports a clone source's mark at v0)
+      val fhwm = math.max(fhwmFloor, math.max(if (v == 0) 0 else prev.fhwm,
+        if (fids.isEmpty) 0 else fids.values.max))
+      val fhwmJson = if (fhwm > 0) s""","fhwm":$fhwm""" else ""
       s"""{"version":$v,"action":"$action","ts":${System.currentTimeMillis},""" +
-        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson$ptransJson$eqsJson$gensJson}"""
+        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson$ptransJson$pthJson$eqsJson$gensJson$fidsJson$schema0Json$fhwmJson$nullsJson}"""
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))
@@ -1342,13 +1611,24 @@ object TxnTable {
     * txnId-idempotency contract as [[merge]]; reads THROUGH dvs, so a
     * dv'd row cannot resurrect; CDC surfaces the effects as
     * delete+insert pairs. */
+  /** `whenNotMatchedBySource` (Delta's third clause family, SQL:2023
+    * MERGE): clauses applied to TARGET rows with NO source match —
+    * UPDATE SET / DELETE, first-true-wins, unfired rows keep.
+    * Conditions and SETs see target columns only (there IS no source
+    * row). The full-sync/retention pattern: `MatchedDelete(lit(true))`
+    * by-source turns the merge into "make target = source". NOTE:
+    * by-source clauses can fire on ANY target row, so the key-bounds
+    * rewrite pruning is DISABLED when the list is non-empty (a pruned
+    * dir's rows are all not-matched-by-source by construction — Delta
+    * full-scans for the same reason). */
   def mergeInto(spark: SparkSession, tableDir: String, source: DataFrame,
                 keyCols: Seq[String],
                 whenMatched: Seq[MatchedClause],
                 insertNotMatched: Boolean = true,
                 insertCond: org.apache.spark.sql.Column =
                   org.apache.spark.sql.functions.lit(true),
-                txnId: Option[String] = None): Long = {
+                txnId: Option[String] = None,
+                whenNotMatchedBySource: Seq[MatchedClause] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, when}
     require(keyCols.nonEmpty, "mergeInto needs key columns")
     txnId.flatMap(findTxn(tableDir, _)) match {
@@ -1363,8 +1643,10 @@ object TxnTable {
     requireKeyUnique(source, keyCols, "mergeInto")
     val key = keyCols.head
     // same rewrite pruning as merge: kept dirs are provably key-disjoint
-    // from the source, so they hold no matched row and stay untouched
-    val hasStats = isIntegral(source, key) &&
+    // from the source, so they hold no matched row and stay untouched —
+    // UNLESS by-source clauses exist, which can fire on exactly those
+    // rows: then every live dir is touched
+    val hasStats = whenNotMatchedBySource.isEmpty && isIntegral(source, key) &&
       snap.live.exists(d => snap.stats.get(d).exists(_.exists(_._1 == key)))
     val (kept, touched) =
       if (hasStats) {
@@ -1390,7 +1672,7 @@ object TxnTable {
       .join(srcRenamed.withColumn("_src", lit(true)), keyCols.toSeq, "full_outer")
     val isTgt = col("_tgt").isNotNull
     val isSrc = col("_src").isNotNull
-    whenMatched.foreach {
+    (whenMatched ++ whenNotMatchedBySource).foreach {
       case MatchedUpdate(_, set) => require(!keyCols.exists(set.contains),
         "SET on a merge key is not supported — delete + insert instead")
       case _ => ()
@@ -1411,8 +1693,23 @@ object TxnTable {
       }
     val matchedKept = joined.filter(isTgt && isSrc && !deleted)
       .select(tgtCols.map(c => valueOf(c).as(c)): _*)
-    val unmatchedTgt = joined.filter(isTgt && !isSrc)
-      .select(tgtCols.map(c => col(c)): _*)
+    // by-source clauses: same first-true-wins fold over the NOT-matched
+    // target rows (conditions/SETs see target columns only — a `_src_*`
+    // reference is NULL there, so such a condition simply never fires)
+    val deletedNS = whenNotMatchedBySource.foldRight(lit(false)) { (cl, rest) =>
+      when(fires(cl.cond), lit(cl.isInstanceOf[MatchedDelete])).otherwise(rest)
+    }
+    def valueOfNS(c: String) =
+      if (keyCols.contains(c)) col(c) // the coalesced USING-join key
+      else whenNotMatchedBySource.foldRight(current.col(c)) { (cl, rest) =>
+        cl match {
+          case MatchedUpdate(cond, set) if set.contains(c) =>
+            when(fires(cond), set(c).cast(current.schema(c).dataType)).otherwise(rest)
+          case other => when(fires(other.cond), current.col(c)).otherwise(rest)
+        }
+      }
+    val unmatchedTgt = joined.filter(isTgt && !isSrc && !deletedNS)
+      .select(tgtCols.map(c => valueOfNS(c).as(c)): _*)
     val inserts =
       if (!insertNotMatched) current.limit(0)
       else joined.filter(!isTgt && isSrc && fires(insertCond))
@@ -1638,7 +1935,166 @@ object TxnTable {
     val evolved = StructType(
       cur.fields :+ StructField(name, DataType.fromDDL(ddlType), nullable = true))
     if (!tryPublish(tableDir, base + 1L, "addColumn", snap.live, txnId,
-        dvs = snap.dvs, schema = Some(evolved.catalogString)))
+        dvs = snap.dvs, schema = Some(evolved.catalogString),
+        // on a fids table the new column gets a FRESH id past the
+        // high-water mark (never recycling a dropped one)
+        fidsOverride = if (snap.fids.isEmpty) None
+          else Some(snap.fids +
+            (name -> (math.max(snap.fhwm, snap.fids.values.max) + 1)))))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Reject an evolution that would orphan references to `name`:
+    * constraints/generated columns/hidden-partition transforms mention
+    * columns by name in SQL text, and partitioned dirs record the
+    * partition column by name — a rename/drop under them would break
+    * reads or writes silently. Conservative word-boundary match. */
+  private def refCheck(snap: Snapshot, name: String, op: String): Unit = {
+    val pat = ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_])").r
+    (snap.constraints ++ snap.gens).foreach { case (n, e) =>
+      require(n != name && pat.findFirstIn(e).isEmpty,
+        s"$op: column $name is referenced by constraint/generated column $n ($e)")
+    }
+    snap.ptrans.foreach { case (a, e) =>
+      require(a != name && pat.findFirstIn(e).isEmpty,
+        s"$op: column $name is referenced by the hidden-partition spec ($a = $e)")
+    }
+    require(!snap.parts.values.exists(_._1 == name),
+      s"$op: column $name is a partition column of live dirs")
+    require(!snap.eqs.values.exists(_._1.contains(name)),
+      s"$op: column $name is a key of an outstanding equality delete " +
+        "(compact to materialize the tombstones first)")
+  }
+
+  /** The table's field ids, MINTED on first use: ids 1..n are assigned
+    * to the current schema's columns in order and `schema0` records that
+    * DDL — dirs staged before minting have no `.cols` sidecar and read
+    * under `schema0` (sound: no rename can have preceded minting, so
+    * name-based resolution within that era is exact). Once minted, ids
+    * are permanent ([[restore]] refuses to cross the minting boundary —
+    * un-minting then re-minting would re-number ids that existing
+    * sidecars already use). */
+  private def mintedFids(snap: Snapshot,
+                         cur: org.apache.spark.sql.types.StructType): (Map[String, Int], String) =
+    if (snap.fids.nonEmpty)
+      (snap.fids, snap.schema0.getOrElse(
+        throw new IllegalStateException("fids present but no schema0")))
+    else
+      (cur.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap,
+        cur.catalogString)
+
+  /** Metadata-only RENAME COLUMN (Iceberg schema evolution, the field-id
+    * mechanism): ONE manifest write, ZERO data rewritten. The column's
+    * stable id keeps resolving old files under their physical (old)
+    * name at read time ([[readEras]]); writes after the rename carry the
+    * new name (schema-on-write compares the evolved DDL); compaction
+    * materializes the rename into the files. Stats-based pruning on
+    * PRE-rename dirs degrades to "always planned" for the renamed
+    * column (their manifest bounds carry the old name — sound, just
+    * unpruned) until a clustered rewrite re-derives them. Renaming a
+    * column referenced by a constraint/generated column/partition spec
+    * is rejected — SQL text references names, not ids. */
+  def renameColumn(spark: SparkSession, tableDir: String, oldName: String,
+                   newName: String, txnId: Option[String] = None): Long = {
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name '$newName' must be identifier-shaped")
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val cur = effectiveSchema(tableDir, snap).getOrElse(
+      throw new IllegalStateException(s"no recorded schema at $tableDir"))
+    require(cur.fieldNames.contains(oldName), s"no column $oldName")
+    require(!cur.fieldNames.contains(newName), s"column $newName already exists")
+    refCheck(snap, oldName, "renameColumn")
+    val (fids, schema0) = mintedFids(snap, cur)
+    val evolved = org.apache.spark.sql.types.StructType(
+      cur.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+    if (!tryPublish(tableDir, base + 1L, "renameColumn", snap.live, txnId,
+        dvs = snap.dvs, schema = Some(evolved.catalogString),
+        fidsOverride = Some(fids - oldName + (newName -> fids(oldName))),
+        schema0Override = Some(Some(schema0))))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Metadata-only DROP COLUMN: the field vanishes from the schema and
+    * the fids map; old files physically retain the bytes (not selected
+    * at read time) until a rewrite materializes the drop. The freed id
+    * is NEVER reused (`fhwm` high-water mark) — a recycled id would
+    * resolve the dropped column's old files into the new column. */
+  def dropColumn(spark: SparkSession, tableDir: String, name: String,
+                 txnId: Option[String] = None): Long = {
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val cur = effectiveSchema(tableDir, snap).getOrElse(
+      throw new IllegalStateException(s"no recorded schema at $tableDir"))
+    require(cur.fieldNames.contains(name), s"no column $name")
+    require(cur.fields.length > 1, "cannot drop the last column")
+    refCheck(snap, name, "dropColumn")
+    val (fids, schema0) = mintedFids(snap, cur)
+    val evolved = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name == name))
+    if (!tryPublish(tableDir, base + 1L, "dropColumn", snap.live, txnId,
+        dvs = snap.dvs, schema = Some(evolved.catalogString),
+        fidsOverride = Some(fids - name),
+        schema0Override = Some(Some(schema0))))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
+  /** Safe type WIDENING, metadata-only: tinyint→smallint→int→bigint and
+    * float→double (the Iceberg-allowed promotions — every old value is
+    * exactly representable in the new type, so the read-time cast is
+    * lossless). Old files keep their narrow physical type and cast up
+    * per era at read time; writes after the widen carry the wide type. */
+  def widenColumn(spark: SparkSession, tableDir: String, name: String,
+                  newTypeDdl: String, txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.types._
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val cur = effectiveSchema(tableDir, snap).getOrElse(
+      throw new IllegalStateException(s"no recorded schema at $tableDir"))
+    require(cur.fieldNames.contains(name), s"no column $name")
+    refCheck(snap, name, "widenColumn")
+    val to = DataType.fromDDL(newTypeDdl)
+    val from = cur(name).dataType
+    val ok = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+    require(ok, s"widenColumn: ${from.sql} -> ${to.sql} is not a safe widening")
+    val (fids, schema0) = mintedFids(snap, cur)
+    val evolved = StructType(
+      cur.fields.map(f => if (f.name == name) f.copy(dataType = to) else f))
+    if (!tryPublish(tableDir, base + 1L, "widenColumn", snap.live, txnId,
+        dvs = snap.dvs, schema = Some(evolved.catalogString),
+        fidsOverride = Some(fids),
+        schema0Override = Some(Some(schema0))))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry")
     maybeCheckpoint(tableDir, base + 1L)
@@ -1818,14 +2274,14 @@ object TxnTable {
   private def stageDV(spark: SparkSession, tableDir: String, snap: Snapshot,
                       dir: String,
                       pred: DataFrame => org.apache.spark.sql.Column): Option[String] = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_extract}
-    val rdr = spark.read
-    val df = snap.schema.map(d => rdr.schema(structOf(d))).getOrElse(rdr)
-      .parquet(new File(dataDir(tableDir), dir).getPath)
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // era-aware read: the predicate references CURRENT column names —
+    // on a renamed/widened table the projection resolves them by field
+    // id against the dir's physical columns; positions are captured
+    // pre-projection so they still address the raw file
+    val df = readEras(spark, tableDir, snap, Seq(dir), withMeta = true)
     val matched = df.filter(coalesce(pred(df), lit(false)))
-      .select(
-        regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1).as("rel"),
-        col("_metadata.row_index").as("pos"))
+      .select(col("_era_rel").as("rel"), col("_era_pos").as("pos"))
     writeDV(spark, tableDir, snap, dir, matched)
   }
 
@@ -1838,14 +2294,9 @@ object TxnTable {
   private def stageDVMatch(spark: SparkSession, tableDir: String, snap: Snapshot,
                            dir: String, keys: DataFrame,
                            keyCols: Seq[String]): Option[String] = {
-    import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
-    val rdr = spark.read
-    val df = snap.schema.map(d => rdr.schema(structOf(d))).getOrElse(rdr)
-      .parquet(new File(dataDir(tableDir), dir).getPath)
-    val matched = df
-      .select(col("*"),
-        regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1).as("rel"),
-        col("_metadata.row_index").as("pos"))
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val matched = readEras(spark, tableDir, snap, Seq(dir), withMeta = true)
+      .withColumnRenamed("_era_rel", "rel").withColumnRenamed("_era_pos", "pos")
       .join(broadcast(keys), keyCols, "left_semi")
       .select(col("rel"), col("pos"))
     writeDV(spark, tableDir, snap, dir, matched)
@@ -2386,6 +2837,7 @@ object TxnTable {
       s"1 or 2 cluster keys supported, got ${clusterCols.size}")
     val base = latestVersion(tableDir)
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val baseSnap = snapshot(tableDir, base)
     val df = read(spark, tableDir, Some(base))
     clusterCols.foreach { c =>
       require(df.columns.contains(c), s"no column $c")
@@ -2437,13 +2889,22 @@ object TxnTable {
             lines.mkString("\n").getBytes("UTF-8")): Unit
         Files.write(new File(dest, ".nrows").toPath,
           r.getLong(0).toString.getBytes("UTF-8"))
+        // era sidecar: clustered dirs are written under the CURRENT
+        // schema — the rewrite materializes any rename/drop/widen
+        if (baseSnap.fids.nonEmpty &&
+            packed.schema.fieldNames.forall(baseSnap.fids.contains)) {
+          Files.write(new File(dest, ".cols").toPath,
+            (packed.schema.catalogString + "\n" +
+              packed.schema.fieldNames.map(baseSnap.fids).mkString(" "))
+              .getBytes("UTF-8")): Unit
+        }
         name
       }.toSeq
     deleteRec(tmp)
     // an empty table (a delete removed every row) clusters to an empty
     // live set — content-identical, like any compaction
     if (!tryPublish(tableDir, base + 1L, "compact", staged, None,
-        schema = snapshot(tableDir, base).schema))
+        schema = baseSnap.schema))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the clustering")
     maybeCheckpoint(tableDir, base + 1L)
@@ -2499,7 +2960,12 @@ object TxnTable {
         ptransOverride = Some(snap.ptrans),
         gensOverride = Some(snap.gens),
         eqsOverride = Some(snap.eqs.map { case (e, (cols, ds)) =>
-          ref(e) -> ((cols, ds.map(ref))) })))
+          ref(e) -> ((cols, ds.map(ref))) }),
+        // field ids + numbering lineage ride into the clone (referenced
+        // dirs' .cols sidecars resolve through the relative refs)
+        fidsOverride = Some(snap.fids),
+        schema0Override = Some(snap.schema0),
+        fhwmFloor = snap.fhwm))
       throw new CommitConflict(s"concurrent commit at version 0 of $destDir")
     0L
   }
@@ -2526,6 +2992,15 @@ object TxnTable {
     val base = latestVersion(tableDir)
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val target = snapshot(tableDir, toVersion) // RetentionError if vacuumed
+    // the field-id numbering lineage is permanent: restoring to a
+    // pre-minting version would un-mint ids that post-minting dirs'
+    // `.cols` sidecars already use — a later re-mint would re-number
+    // and silently mis-resolve them. Restore within the fids era (ids
+    // revert with the manifest) or to another pre-minting version.
+    require(snapshot(tableDir, base).fids.isEmpty || target.fids.nonEmpty,
+      s"cannot restore $tableDir to v$toVersion: it predates field-id " +
+        "minting (rename/drop/widen); restore to a post-minting version " +
+        "or compact first")
     if (target.live.nonEmpty) {
       val ddl = spark.read.parquet(
         target.live.map(d => new File(dataDir(tableDir), d).getPath): _*)
@@ -2534,7 +3009,9 @@ object TxnTable {
     }
     if (!tryPublish(tableDir, base + 1L, "restore", target.live, txnId,
         dvs = target.dvs, schema = target.schema,
-        eqsOverride = Some(target.eqs)))
+        eqsOverride = Some(target.eqs),
+        fidsOverride = Some(target.fids),
+        schema0Override = Some(target.schema0)))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry the restore")
     maybeCheckpoint(tableDir, base + 1L)

@@ -380,6 +380,8 @@ object ScaleBench {
                         probe1Sec: Double, hits1: Long,
                         probe2Sec: Double, hits2: Long,
                         probe4Sec: Double, hits4: Long,
+                        batch1Sec: Double, bHits1: Long,
+                        batch4Sec: Double, bHits4: Long,
                         pqFullSec: Double, pqFullHits: Long,
                         ivfPqSec: Double, ivfPqHits: Long, truthRows: Long)
     val annPoints = annQs.map { q =>
@@ -396,18 +398,20 @@ object ScaleBench {
       val truthRows = bruteTop.count() // actual ground-truth rows: ties or
       // tiny corpora can yield < 10 per query; recall divides by THIS.
       // BATCHED exact scan (MultiQueryTopK): the same exact top-10, but as
-      // ONE corpus pass with all Q queries broadcast as a single row — no
-      // N×Q join rows, so the ~20-25 ns/pair join machinery that floors
-      // the crossJoin form is amortized across Q. Overlap vs bruteTop can
-      // dip below 1.0 only where floor(cos·1e6) ties collapse distinct
-      // doubles at the rank-10 boundary (the batch ranks raw doubles).
-      val qtabsQ = queries.agg(collect_list(struct(col("qid"),
-        col("qem").as("tab"), col("qnsq"))).as("qtabs"))
+      // ONE corpus pass with all Q queries as a PLAN LITERAL — no N×Q
+      // join rows (the ~20-25 ns/pair machinery floor) and no per-row
+      // copy of the query tables (a crossJoin'd qtabs column is
+      // materialized into EVERY corpus row at the aggregate boundary —
+      // Q × table bytes per row, measured dominant at 128 dims).
+      // Overlap vs bruteTop can dip below 1.0 only where floor(cos·1e6)
+      // ties collapse distinct doubles at the rank-10 boundary.
+      val qtabsQ = queries.collect().map(r =>
+        (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
       val (bbHits, tBruteBatch) = timed(s"brute BATCHED scan (Q=$q)") {
-        val top = emb.crossJoin(broadcast(qtabsQ))
+        val top = emb
           .groupBy()
           .agg(graft.functions.MultiQueryTopK.dotTopK(
-            col("id"), col("em"), col("nsq"), col("qtabs"), 10).as("res"))
+            col("id"), col("em"), col("nsq"), qtabsQ, 10).as("res"))
           .select(explode(col("res")).as("r"))
           .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
           .select(col("qid"), col("e.id").as("id"))
@@ -434,6 +438,37 @@ object ScaleBench {
       val (hits1, tProbe1) = probe(1)
       val (hits2, tProbe2) = probe(2)
       val (hits4, tProbe4) = probe(4)
+      // IVF × BATCHED (the q225 composition): same probed-cell candidate
+      // set as probe(nprobe), but scored through the grouped
+      // MultiQueryTopK kernel — groupBy(cell) with each cell's OWN
+      // probing queries as its broadcast table row (the per-group table
+      // decode), so per-(row,query) cost is the dot itself, not the
+      // ~20-25 ns/pair join machinery. nprobe>1 splits a query across
+      // cells; the final merge re-ranks the ≤ nprobe×10 survivors.
+      def probeBatch(nprobe: Int): (Long, Double) =
+        timed(s"IVF BATCHED probe (Q=$q, nprobe=$nprobe)") {
+          val byCell = qCellOf(nprobe)
+            .select(col("cell"), col("qid"), col("qem"), col("qnsq")).collect()
+            .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2), r.getLong(3))))
+            .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
+          val perCell = docsInCell
+            .where(col("cell").isin(byCell.keys.toSeq: _*))
+            .groupBy(col("cell"))
+            .agg(graft.functions.MultiQueryTopK.dotTopKGrouped(
+              col("id"), col("em"), col("nsq"), col("cell"), byCell, 10).as("res"))
+            .select(explode(col("res")).as("r"))
+            .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
+            .select(col("qid"), col("e.id").as("id"), col("e.cos").as("cos"))
+          val top =
+            if (nprobe == 1) perCell.select(col("qid"), col("id"))
+            else perCell
+              .withColumn("rnk", row_number().over(
+                Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
+              .where(col("rnk") <= 10).select(col("qid"), col("id"))
+          top.join(bruteTop, Seq("qid", "id")).count()
+        }
+      val (bHits1, tBatch1) = probeBatch(1)
+      val (bHits4, tBatch4) = probeBatch(4)
       // per-query ADC table: dense positional array over slot = m·K+code
       // (the codebook construction guarantees every slot exists)
       val qdt = subOf(queries.select(col("qid").as("id"), col("qem").as("em")))
@@ -480,7 +515,8 @@ object ScaleBench {
       }
       bruteTop.unpersist(blocking = false)
       AnnPoint(q, tBrute, tBruteBatch, bbHits, tProbe1, hits1, tProbe2, hits2,
-        tProbe4, hits4, tPqFull, pqFullHits, tIvfPq, ivfPqHits, truthRows)
+        tProbe4, hits4, tBatch1, bHits1, tBatch4, bHits4,
+        tPqFull, pqFullHits, tIvfPq, ivfPqHits, truthRows)
     }
     encWithCell.unpersist(blocking = false)
     pqEnc.unpersist(blocking = false)
@@ -553,6 +589,7 @@ object ScaleBench {
     case class Pq128Point(q: Long, bruteSec: Double,
                           dotBatchSec: Double, dotBatchHits: Long,
                           adcSec: Double, hits: Long,
+                          adcScanSec: Double, adcScanHits: Long,
                           adcBatchSec: Double, adcBatchHits: Long,
                           truthRows: Long)
     val pq128Points = q128s.map { q =>
@@ -571,13 +608,13 @@ object ScaleBench {
       // BATCHED exact scan: the same top-10, one corpus pass, queries
       // broadcast as one row — the pair-join machinery floor removed.
       // This is the fair FLOP baseline for the batched ADC leg below.
-      val qtabs128 = queries.agg(collect_list(struct(col("qid"),
-        col("qem").as("tab"), col("qnsq"))).as("qtabs"))
+      val qtabs128 = queries.collect().map(r =>
+        (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
       val (dbHits, tDotBatch) = timed(s"PQ128 brute BATCHED scan (Q=$q)") {
-        val top = emb128.crossJoin(broadcast(qtabs128))
+        val top = emb128
           .groupBy()
           .agg(graft.functions.MultiQueryTopK.dotTopK(
-            col("id"), col("em"), col("nsq"), col("qtabs"), 10).as("res"))
+            col("id"), col("em"), col("nsq"), qtabs128, 10).as("res"))
           .select(explode(col("res")).as("r"))
           .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
           .select(col("qid"), col("e.id").as("id"))
@@ -622,20 +659,42 @@ object ScaleBench {
       // the pair-join legs above pay ~20-25 ns/pair of join machinery
       // per SCORE, which buries a 16-lookup kernel; amortized across Q
       // queries per row, arithmetic is the cost again.
-      val qtabsAdc = qdt.agg(collect_list(struct(col("qid"),
-        col("dtq").as("tab"), col("qnsq"))).as("qtabs"))
-      val parts128 = enc128.rdd.getNumPartitions
-      val shortK = math.max(64, (2L * rerank128 / math.max(parts128, 1)).toInt)
-      val (abHits, tAdcBatch) = timed(s"PQ128 ADC BATCHED scan + re-rank (Q=$q)") {
-        val cand = enc128.crossJoin(broadcast(qtabsAdc))
+      val qtabsAdc = qdt.select(col("qid"), col("dtq"), col("qnsq")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+      // PURE KERNEL CROSSOVER: batched ADC exact-merge top-10 in one
+      // pass, identical machinery to the batched dot leg above — the
+      // ONLY difference is the scoring kernel (16 transposed block
+      // reads vs 128 multiply-adds). This isolates the FLOP-cut
+      // question from shortlist/re-rank volume: adc_scan_sec vs
+      // dot_batch_sec is the honest "does ADC beat the exact dot at
+      // 128 dims" number; its recall is ADC-rank recall (quantization
+      // noise included), reported separately.
+      val (asHits, tAdcScan) = timed(s"PQ128 ADC BATCHED pure scan (Q=$q)") {
+        val top = enc128
           .groupBy()
-          .agg(graft.functions.MultiQueryTopK.adcShortlist(
-            col("id"), col("codes"), col("nsq"), col("qtabs"), shortK, k128).as("res"))
+          .agg(graft.functions.MultiQueryTopK.adcTopK(
+            col("id"), col("codes"), col("nsq"), qtabsAdc, 10, k128).as("res"))
           .select(explode(col("res")).as("r"))
           .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
           .select(col("qid"), col("e.id").as("id"))
-          .repartition(cpus.toInt)
-        val top = topkOf(emb128.join(cand, Seq("id"))
+        top.join(bruteTop, Seq("qid", "id")).count()
+      }
+      val parts128 = enc128.rdd.getNumPartitions
+      // per-partition k' sized so the UNION matches the rerank budget
+      // (was 2×rerank/partition — r9 measured the resulting candidate
+      // volume explosion); and the candidate set is BROADCAST into the
+      // vector-fetch join (it was an unhinted join that shuffled the
+      // 2 GB vector table — the dominant cost of the r9 457 s leg)
+      val shortK = math.max(32, (rerank128.toLong / math.max(parts128, 1)).toInt)
+      val (abHits, tAdcBatch) = timed(s"PQ128 ADC BATCHED scan + re-rank (Q=$q)") {
+        val cand = enc128
+          .groupBy()
+          .agg(graft.functions.MultiQueryTopK.adcShortlist(
+            col("id"), col("codes"), col("nsq"), qtabsAdc, shortK, k128).as("res"))
+          .select(explode(col("res")).as("r"))
+          .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
+          .select(col("qid"), col("e.id").as("id"))
+        val top = topkOf(emb128.join(broadcast(cand), Seq("id"))
           .join(broadcast(queries), Seq("qid"))
           .select(col("qid"),
             cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
@@ -643,7 +702,8 @@ object ScaleBench {
         top.join(bruteTop, Seq("qid", "id")).count()
       }
       bruteTop.unpersist(blocking = false)
-      Pq128Point(q, tB, tDotBatch, dbHits, tA, hits, tAdcBatch, abHits, truthRows)
+      Pq128Point(q, tB, tDotBatch, dbHits, tA, hits, tAdcScan, asHits,
+        tAdcBatch, abHits, truthRows)
     }
     enc128.unpersist(blocking = false)
     emb128.unpersist(blocking = false)
@@ -965,6 +1025,8 @@ object ScaleBench {
         s""""np1_probe_sec":${p.probe1Sec},"np1_recall_at_10":${rec(p.hits1)},""" +
         s""""np2_probe_sec":${p.probe2Sec},"np2_recall_at_10":${rec(p.hits2)},""" +
         s""""np4_probe_sec":${p.probe4Sec},"np4_recall_at_10":${rec(p.hits4)},""" +
+        s""""np1_batch_sec":${p.batch1Sec},"np1_batch_recall_at_10":${rec(p.bHits1)},""" +
+        s""""np4_batch_sec":${p.batch4Sec},"np4_batch_recall_at_10":${rec(p.bHits4)},""" +
         s""""pq_full_sec":${p.pqFullSec},"pq_full_recall_at_10":${rec(p.pqFullHits)},""" +
         s""""ivfpq4_sec":${p.ivfPqSec},"ivfpq4_recall_at_10":${rec(p.ivfPqHits)},""" +
         s""""ivf_total_np1_sec":${tLloyd + tIvfBuild + p.probe1Sec}}"""
@@ -994,9 +1056,12 @@ object ScaleBench {
           s"""{"q":${p.q},"brute_sec":${p.bruteSec},""" +
             s""""dot_batch_sec":${p.dotBatchSec},"dot_batch_overlap":${rec(p.dotBatchHits)},""" +
             s""""adc_rerank_sec":${p.adcSec},"adc_recall_at_10":${rec(p.hits)},""" +
+            s""""adc_scan_sec":${p.adcScanSec},"adc_scan_recall_at_10":${rec(p.adcScanHits)},""" +
             s""""adc_batch_sec":${p.adcBatchSec},"adc_batch_recall_at_10":${rec(p.adcBatchHits)},""" +
             s""""speedup_vs_brute":${
               if (p.adcSec > 0) p.bruteSec / p.adcSec else -1.0},""" +
+            s""""kernel_speedup_adc_vs_dot":${
+              if (p.adcScanSec > 0) p.dotBatchSec / p.adcScanSec else -1.0},""" +
             s""""batch_speedup_adc_vs_dot":${
               if (p.adcBatchSec > 0) p.dotBatchSec / p.adcBatchSec else -1.0}}"""
         }.mkString("[", ",", "]")}},""" +

@@ -30,15 +30,17 @@ class FuzzTxnSpec extends SparkTestBase {
 
   private type Row3 = (Int, String, Long)
 
-  private def df(rows: Seq[Row3]) =
-    rows.toDF("id", "part", "value").coalesce(1)
-
   private def counts(rows: Seq[Row3]): Map[Row3, Int] =
     rows.groupMapReduce(identity)(_ => 1)(_ + _)
 
+  // id reads back as int or bigint depending on whether the sequence's
+  // evolution arm widened it — the MODEL is width-agnostic
   private def readAll(dir: String, v: Option[Long] = None): Seq[Row3] =
     TxnTable.read(spark, dir, v).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      .map(r => (r.get(0) match {
+        case i: Int  => i
+        case l: Long => l.toInt
+      }, r.getString(1), r.getLong(2))).toSeq
 
   test("seeded op sequences (append/overwrite/merge/compact/vacuum + races) match the model") {
     val nSeqs = sys.env.get("SPARK_GRAFT_FUZZ_TXN").map(_.toInt).getOrElse(200)
@@ -53,6 +55,24 @@ class FuzzTxnSpec extends SparkTestBase {
     var model = Vector.empty[Seq[Row3]] // index = version → expected multiset
     var fuzzy = Set.empty[Int]          // race-interleaved versions: content unspecified
     var oldest = 0                      // first retained version after vacuums
+    // schema-evolution state: the part column's CURRENT name (rename
+    // flips it), whether id has been widened to bigint, versions where
+    // the schema changed (CDC spans must not straddle them — the
+    // multiset CDC aligns by NAME, so a rename reads as drop+add), the
+    // fids-minting version (restore cannot cross it), and per-version
+    // (partName, idWide) so restore can revert the trackers
+    var partName = "part"
+    var idWide = false
+    var evoVers = Set.empty[Int]
+    var minted = Option.empty[Int]
+    var meta = Vector.empty[(String, Boolean)]
+
+    def df(rows: Seq[Row3]) = {
+      import org.apache.spark.sql.functions.col
+      val base = rows.toDF("id", partName, "value")
+      (if (idWide) base.withColumn("id", col("id").cast("bigint")) else base)
+        .select(col("id"), col(partName), col("value")).coalesce(1)
+    }
 
     def randRows(n: Int): Seq[Row3] =
       Seq.fill(n)((rng.nextInt(8), Seq("A", "B", "C")(rng.nextInt(3)),
@@ -60,7 +80,7 @@ class FuzzTxnSpec extends SparkTestBase {
 
     val nOps = 6
     (0 until nOps).foreach { i =>
-      val op = if (model.isEmpty) 0 else rng.nextInt(15)
+      val op = if (model.isEmpty) 0 else rng.nextInt(16)
       op match {
         case 0 | 1 | 2 => // append
           val b = randRows(1 + rng.nextInt(2))
@@ -135,12 +155,12 @@ class FuzzTxnSpec extends SparkTestBase {
               case 1 => TxnTable.deleteRangeDV(spark, dir, "id", lo.toLong, hi.toLong)
               case _ => TxnTable.deleteKeysEq(spark, dir,
                 spark.range(lo.toLong, hi.toLong + 1)
-                  .selectExpr("cast(id as int) as id"))
+                  .selectExpr(s"cast(id as ${if (idWide) "bigint" else "int"}) as id"))
             }
             model :+= model.last.filterNot(r => r._1 >= lo && r._1 <= hi)
           } else {
             val p = Seq("A", "B", "C")(rng.nextInt(3))
-            val pred = org.apache.spark.sql.functions.col("part") === p
+            val pred = org.apache.spark.sql.functions.col(partName) === p
             if (rng.nextBoolean()) TxnTable.deleteWhere(spark, dir, pred)
             else TxnTable.deleteWhereDV(spark, dir, pred)
             model :+= model.last.filterNot(_._2 == p)
@@ -161,20 +181,52 @@ class FuzzTxnSpec extends SparkTestBase {
               if (r._1 >= lo && r._1 <= hi) r.copy(_3 = r._3 + bump) else r)
           } else {
             val p = Seq("A", "B", "C")(rng.nextInt(3))
-            if (mor) TxnTable.updateWhereDV(spark, dir, col("part") === p,
-              Map("part" -> lit("U"), "value" -> (col("value") + bump)))
-            else TxnTable.updateWhere(spark, dir, col("part") === p,
-              Map("part" -> lit("U"), "value" -> (col("value") + bump)))
+            if (mor) TxnTable.updateWhereDV(spark, dir, col(partName) === p,
+              Map(partName -> lit("U"), "value" -> (col("value") + bump)))
+            else TxnTable.updateWhere(spark, dir, col(partName) === p,
+              Map(partName -> lit("U"), "value" -> (col("value") + bump)))
             model :+= model.last.map(r =>
               if (r._2 == p) r.copy(_2 = "U", _3 = r._3 + bump) else r)
           }
-        case 13 => // restore to a random retained, non-fuzzy version
+        case 13 => // restore to a random retained, non-fuzzy version —
+          // never crossing the fids-minting boundary (TxnTable refuses)
           val candidates = (oldest until model.size).filterNot(fuzzy)
-          val target = candidates(rng.nextInt(candidates.size))
-          TxnTable.restore(spark, dir, target.toLong)
-          model :+= model(target)
+            .filter(v => minted.forall(v >= _))
+          if (candidates.nonEmpty) {
+            val target = candidates(rng.nextInt(candidates.size))
+            TxnTable.restore(spark, dir, target.toLong)
+            // the restored manifest carries the TARGET's schema: revert
+            // the name trackers; a name flip is a CDC-span boundary
+            if (meta(target) != ((partName, idWide))) evoVers += model.size
+            partName = meta(target)._1
+            idWide = meta(target)._2
+            model :+= model(target)
+          } else { // nothing restorable: land an append instead
+            val b = randRows(1)
+            TxnTable.append(df(b), dir)
+            model :+= model.last ++ b
+          }
+        case 15 => // SCHEMA EVOLUTION, metadata-only: widen id int→bigint
+          // (once) or flip the part column's name — content unchanged,
+          // so every later op hammers the field-id read path. Widening
+          // is refused while an equality delete is outstanding
+          // (refCheck) — fall back to the rename.
+          val widened =
+            if (!idWide && rng.nextBoolean())
+              try { TxnTable.widenColumn(spark, dir, "id", "bigint"); idWide = true; true }
+              catch { case _: IllegalArgumentException => false }
+            else false
+          if (!widened) {
+            val nn = if (partName == "part") "pt" else "part"
+            TxnTable.renameColumn(spark, dir, partName, nn)
+            partName = nn
+          }
+          if (minted.isEmpty) minted = Some(model.size)
+          evoVers += model.size
+          model :+= model.last
         case _ => throw new MatchError(op)
       }
+      while (meta.size < model.size) meta :+= ((partName, idWide))
       // snapshot-isolation invariant, every step: the latest read is the
       // model's latest multiset, exactly
       assert(counts(readAll(dir)) == counts(model.last),
@@ -194,10 +246,16 @@ class FuzzTxnSpec extends SparkTestBase {
     val exact = (oldest until model.size).filterNot(fuzzy).toVector
     (0 until 2).foreach { _ =>
       val from = exact(rng.nextInt(exact.size))
-      val tos = exact.filter(_ >= from)
+      // spans must not straddle a schema-evolution commit: the multiset
+      // CDC aligns columns by NAME, so a rename reads as drop+add
+      val tos = exact.filter(t => t >= from &&
+        !evoVers.exists(e => e > from && e <= t))
       val to = tos(rng.nextInt(tos.size))
       val ch = TxnTable.changes(spark, dir, from.toLong, to.toLong).collect()
-        .map(r => ((r.getInt(0), r.getString(1), r.getLong(2)), r.getAs[String]("_change")))
+        .map(r => ((r.get(0) match {
+          case i: Int  => i
+          case l: Long => l.toInt
+        }, r.getString(1), r.getLong(2)), r.getAs[String]("_change")))
       val applied = ch.foldLeft(counts(model(from))) {
         case (m, (row, "insert")) => m.updated(row, m.getOrElse(row, 0) + 1)
         case (m, (row, "delete")) =>

@@ -109,6 +109,34 @@ class GraftDataSourceSpec extends SparkTestBase {
       .load(dir).count() == 2L)
   }
 
+  test("IS NULL / IS NOT NULL prune dirs through manifest null counts") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = tmpTable()
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    def rows(xs: Seq[(java.lang.Long, String)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(xs.map { case (k, v) =>
+          org.apache.spark.sql.Row(k, v) }), schema)
+    // dir A: no nulls; dir B: all nulls; dir C: mixed
+    TxnTable.append(rows(Seq((1L, "a"), (2L, "b"))), dir, statsCol = Some("k"))
+    TxnTable.append(rows(Seq((null, "c"), (null, "d"))), dir, statsCol = Some("k"))
+    TxnTable.append(rows(Seq((5L, "e"), (null, "f"))), dir, statsCol = Some("k"))
+    // IS NULL plans B and C only (A records zero nulls)
+    assert(graftDf(dir).filter(col("k").isNull).count() == 3L)
+    val m1 = GraftScanMeta.last.get
+    assert(m1.live.size == 3 && m1.planned.size == 2,
+      s"IS NULL pruning regressed: ${m1.planned.size} of ${m1.live.size}")
+    // IS NOT NULL plans A and C only (B is all-null — never planned)
+    assert(graftDf(dir).filter(col("k").isNotNull).count() == 3L)
+    val m2 = GraftScanMeta.last.get
+    assert(m2.planned.size == 2 && m2.planned != m1.planned,
+      s"IS NOT NULL pruning regressed: ${m2.planned.size} of ${m2.live.size}")
+    // the library tier agrees with the DSv2 tier
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(TxnTable.pruneLiveNull(snap, "k", wantNull = true) == m1.planned)
+    assert(TxnTable.pruneLiveNull(snap, "k", wantNull = false) == m2.planned)
+  }
+
   test("count(*) (empty projection) and empty pruned plans stay correct") {
     val dir = tmpTable()
     TxnTable.append((1L to 50L).map(k => (k, k * 2)).toDF("k", "v"), dir,

@@ -45,13 +45,14 @@ class MultiQueryTopKSpec extends SparkTestBase {
 
   private def batched(k: Int, parts: Int, exact: Boolean): DataFrame = {
     val c = corpus.repartition(parts)
-    val qt = qtabsOf(corpus.filter(col("id") < 4))
+    // the production input form: query tables as a broadcast
+    val qt = corpus.filter(col("id") < 4).select(col("id"), col("em"), col("nsq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
     val agg = if (exact)
-      MultiQueryTopK.dotTopK(col("id"), col("em"), col("nsq"), col("qtabs"), k)
+      MultiQueryTopK.dotTopK(col("id"), col("em"), col("nsq"), qt, k)
     else
-      MultiQueryTopK.dotShortlist(col("id"), col("em"), col("nsq"), col("qtabs"), k)
-    c.crossJoin(broadcast(qt))
-      .groupBy()
+      MultiQueryTopK.dotShortlist(col("id"), col("em"), col("nsq"), qt, k)
+    c.groupBy()
       .agg(agg.as("res"))
       .select(explode(col("res")).as("r"))
       .select(col("r.qid").as("qid"), posexplode(col("r.tk")).as(Seq("pos", "e")))
@@ -137,14 +138,14 @@ class MultiQueryTopKSpec extends SparkTestBase {
     // instance-level table cache would score every cell against the
     // FIRST cell's queries; per-group decode must keep them apart.
     val cells = corpus.withColumn("cell", pmod(col("id"), lit(3L)))
-    val qt = cells.filter(col("id") < 3)
+    val byCell = cells.filter(col("id") < 3)
+      .select(col("cell"), col("id"), col("em"), col("nsq")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2), r.getLong(3))))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
+    val got = cells.repartition(4)
       .groupBy(col("cell"))
-      .agg(collect_list(struct(col("id").as("qid"), col("em").as("tab"),
-        col("nsq").as("qnsq"))).as("qtabs"))
-    val got = cells.repartition(4).join(broadcast(qt), Seq("cell"))
-      .groupBy(col("cell"))
-      .agg(MultiQueryTopK.dotTopK(col("id"), col("em"), col("nsq"),
-        col("qtabs"), 5).as("res"))
+      .agg(MultiQueryTopK.dotTopKGrouped(col("id"), col("em"), col("nsq"),
+        col("cell"), byCell, 5).as("res"))
       .select(explode(col("res")).as("r"))
       .select(col("r.qid").as("qid"), posexplode(col("r.tk")).as(Seq("pos", "e")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),

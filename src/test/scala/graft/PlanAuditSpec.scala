@@ -487,6 +487,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("oy"), "hidden read must not reference the alias in the plan")
   }
 
+  test("q225: IVF×batched scores probed cells through ONE grouped aggregate " +
+      "— no pair join of corpus rows, no cartesian") {
+    val p = plan("q225_ivf_batch")
+    assert(p.contains("ObjectHashAggregate") && p.contains("multi_query_topk"),
+      "probed-cell scoring did not go through the batched kernel")
+    assert(!p.contains("CartesianProduct"), "cartesian appeared in the IVF path")
+    // the corpus side is filtered to probed cells and never crossJoined
+    // against the query set — the only joins are the centroid broadcast
+    // (assignment) and the final tiny re-rank
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "corpus × queries pair join reappeared")
+  }
+
   test("q224: the DSv2 read plans the SAME 1-of-4 dirs as readRange; " +
       "filters pushed; inner parquet scan pruned to the planned dir") {
     val df = SparkEntry.queries("q224_dsv2_pushdown")(spark, sf)

@@ -1683,6 +1683,175 @@ class TxnTableSpec extends SparkTestBase {
     assert(snap.parts.values.map(_._2).toSet == Set("x", "y"))
   }
 
+  test("mergeInto WHEN NOT MATCHED BY SOURCE: delete/update fire on " +
+      "source-absent target rows, first-true-wins, pruning disabled") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpTable()
+    // two key-disjoint commits with stats — the by-source merge must
+    // touch BOTH (a pruned dir's rows are all not-matched-by-source)
+    TxnTable.append((1L to 5L).map(k => (k, "old", 10L)).toDF("k", "st", "v"),
+      dir, statsCol = Some("k"))
+    TxnTable.append((100L to 104L).map(k => (k, "old", 10L)).toDF("k", "st", "v"),
+      dir, statsCol = Some("k"))
+    // source: keys 1..3 restate (matched), key 200 inserts; keys 4, 5 and
+    // 100..104 are not-matched-by-source → k%2==0 purges, rest stale-mark.
+    // Key 4 fires BOTH by-source clauses: delete must win (first true).
+    val src = Seq((1L, "upd", 20L), (2L, "upd", 20L), (3L, "upd", 20L),
+      (200L, "new", 1L)).toDF("k", "st", "v")
+    TxnTable.mergeInto(spark, dir, src, Seq("k"),
+      whenMatched = Seq(TxnTable.MatchedUpdate(lit(true),
+        Map("st" -> col("_src_st"), "v" -> col("_src_v")))),
+      whenNotMatchedBySource = Seq(
+        TxnTable.MatchedDelete(col("k") % 2 === 0),
+        TxnTable.MatchedUpdate(lit(true), Map("st" -> lit("stale")))))
+    val got = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "upd", 20L), (2L, "upd", 20L), (3L, "upd", 20L),
+      (5L, "stale", 10L),            // odd unmatched: stale-marked, v kept
+      (101L, "stale", 10L), (103L, "stale", 10L), // 100/102/104 purged
+      (200L, "new", 1L)), s"by-source semantics wrong: $got")
+    // a by-source merge with NO matched/insert effect is a pure retention
+    // sweep — delete everything absent from an empty-ish source
+    TxnTable.mergeInto(spark, dir, Seq((1L, "z", 0L)).toDF("k", "st", "v"),
+      Seq("k"), whenMatched = Nil, insertNotMatched = false,
+      whenNotMatchedBySource = Seq(TxnTable.MatchedDelete(lit(true))))
+    assert(TxnTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "full-sync by-source delete did not reduce target to the source keys")
+  }
+
+  test("partition-spec evolution: new data under a new transform, old dirs " +
+      "planned under their recorded spec; divergence without evolveSpec throws") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpTable()
+    // era 1: bucket by id % 2 (aliased b2)
+    val era1 = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("id", "v")
+    TxnTable.overwritePartitionsHidden(spark, dir, era1, "b2", "pmod(id, 2)")
+    // divergent write WITHOUT evolveSpec: rejected
+    intercept[IllegalArgumentException] {
+      TxnTable.overwritePartitionsHidden(spark, dir,
+        Seq((10, "x")).toDF("id", "v"), "b3", "pmod(id, 3)")
+    }
+    // a reused alias cannot evolve (parts entries would be ambiguous)
+    intercept[IllegalArgumentException] {
+      TxnTable.overwritePartitionsHidden(spark, dir,
+        Seq((10, "x")).toDF("id", "v"), "b2", "pmod(id, 3)", evolveSpec = true)
+    }
+    // era 2: EVOLVE to id % 3 under a fresh alias
+    val era2 = Seq((10, "x"), (11, "y"), (12, "z")).toDF("id", "v")
+    TxnTable.overwritePartitionsHidden(spark, dir, era2, "b3", "pmod(id, 3)",
+      evolveSpec = true)
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.ptrans.contains(("b3", "pmod(id, 3)")))
+    assert(snap.pthist == Map("b2" -> "pmod(id, 2)", "b3" -> "pmod(id, 3)"))
+    assert(snap.live.size == 5, "evolution must keep old-era dirs") // 2 + 3
+    // probe id=2: era-1 dirs prune by id%2=0, era-2 dirs by id%3=2 — one
+    // dir planned per era
+    val got = TxnTable.readPartitionHidden(spark, dir, Map("id" -> 2))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((2, "c")))
+    // a new-spec overwrite replaces ONLY same-spec partitions: old-era
+    // dirs stay untouched
+    TxnTable.overwritePartitionsHidden(spark, dir,
+      Seq((13, "y2")).toDF("id", "v"), "b3", "pmod(id, 3)")
+    // 13%3=1 replaces era-2 partition b3=1 (which held id 10); ids 11/12
+    // (b3=2/0) and every era-1 dir survive
+    val all = TxnTable.read(spark, dir).collect().map(_.getInt(0)).sorted.toSeq
+    assert(all == Seq(0, 1, 2, 3, 11, 12, 13),
+      s"new-spec overwrite perturbed old-era dirs: $all")
+    // probes still correct across the replace
+    assert(TxnTable.readPartitionHidden(spark, dir, Map("id" -> 1))
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(col("id") != null)
+  }
+
+  test("renameColumn/dropColumn/widenColumn: metadata-only, old files " +
+      "resolve by field id; restore refuses the minting boundary") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpTable()
+    // v0: pre-minting dir (no .cols sidecar) — must read under schema0
+    TxnTable.append(Seq((1, "a", 1.5f), (2, "b", 2.5f)).toDF("id", "v", "w"), dir)
+    // v1: RENAME id -> key (mints field ids)
+    TxnTable.renameColumn(spark, dir, "id", "key")
+    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("key", "v", "w"))
+    assert(TxnTable.read(spark, dir).orderBy("key").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2),
+      "pre-rename files did not resolve by field id")
+    // v2: append under the NEW name (old-shape append throws)
+    intercept[TxnTable.SchemaMismatch] {
+      TxnTable.append(Seq((3, "c", 3.5f)).toDF("id", "v", "w"), dir)
+    }
+    TxnTable.append(Seq((3, "c", 3.5f)).toDF("key", "v", "w"), dir)
+    // v3: WIDEN key int -> bigint; both eras cast up at read
+    TxnTable.widenColumn(spark, dir, "key", "bigint")
+    val afterWiden = TxnTable.read(spark, dir)
+    assert(afterWiden.schema("key").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(afterWiden.orderBy("key").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] { // unsafe narrowing rejected
+      TxnTable.widenColumn(spark, dir, "key", "int")
+    }
+    // v4: append in the widened shape
+    TxnTable.append(Seq((4L, "d", 4.5f)).toDF("key", "v", "w"), dir)
+    // v5: DROP w — gone from reads, old files untouched
+    TxnTable.dropColumn(spark, dir, "w")
+    val afterDrop = TxnTable.read(spark, dir)
+    assert(afterDrop.columns.toSeq == Seq("key", "v"))
+    assert(afterDrop.count() == 4L)
+    // v6: re-ADD a column named w — gets a FRESH id, so the dropped w's
+    // old bytes must NOT resurrect into it
+    TxnTable.addColumn(spark, dir, "w", "double")
+    val resurrect = TxnTable.read(spark, dir).orderBy("key").collect()
+      .map(r => r.isNullAt(2)).toSeq
+    assert(resurrect == Seq(true, true, true, true),
+      "dropped column's old bytes leaked into the re-added column")
+    // DML through the evolution: dv delete + update on the renamed/widened key
+    TxnTable.deleteRangeDV(spark, dir, "key", 2L, 2L)
+    TxnTable.updateWhere(spark, dir, col("key") === 3L, Map("v" -> lit("C")))
+    val got = TxnTable.read(spark, dir).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (3L, "C"), (4L, "d")))
+    // compaction materializes the whole evolution into plain files
+    TxnTable.compact(spark, dir, targetFiles = 1)
+    assert(TxnTable.read(spark, dir).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == got)
+    // restore within the fids era works; across the minting boundary throws
+    val v1 = 1L // the rename commit — first fids version
+    TxnTable.restore(spark, dir, v1)
+    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("key", "v", "w"))
+    assert(TxnTable.read(spark, dir).orderBy("key").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2), "restore within fids era broke")
+    intercept[IllegalArgumentException] {
+      TxnTable.restore(spark, dir, 0L) // pre-minting
+    }
+  }
+
+  test("evolution refuses columns referenced by constraints, generated " +
+      "columns, partitions, or outstanding equality deletes") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a", 10L)).toDF("id", "v", "amt"), dir)
+    TxnTable.addConstraint(spark, dir, "amt_pos", "amt > 0")
+    intercept[IllegalArgumentException] {
+      TxnTable.renameColumn(spark, dir, "amt", "amount")
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.dropColumn(spark, dir, "amt")
+    }
+    TxnTable.dropConstraint(dir, "amt_pos")
+    import spark.implicits._
+    TxnTable.deleteKeysEq(spark, dir, Seq(99).toDF("id")) // outstanding eq
+    intercept[IllegalArgumentException] {
+      TxnTable.renameColumn(spark, dir, "id", "pk")
+    }
+    // compaction materializes the eq tombstone away; rename then lands
+    TxnTable.compact(spark, dir, 1)
+    TxnTable.renameColumn(spark, dir, "id", "pk")
+    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("pk", "v", "amt"))
+    assert(col("pk") != null)
+  }
+
   test("deleteRangeDV on a schema-evolved table validates the EFFECTIVE " +
       "schema: a delete on an added column works over pre-evolution dirs") {
     val dir = tmpTable()
