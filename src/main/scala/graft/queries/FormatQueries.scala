@@ -1939,10 +1939,15 @@ object FormatQueries {
             case _               => true
           })
         }
-        require(planned.size < snap.live.size &&
-            planned.exists(dd => snap.parts.get(dd).exists(_._1 == "om")) &&
-            planned.exists(dd => snap.parts.get(dd).exists(_._1 == "oy")),
-          s"evolved-spec pruning regressed: ${planned.size} of ${snap.live.size}")
+        // each era prunes to AT MOST ONE dir under ITS OWN transform
+        // (at tiny SF the probe date may exist in only one half, so the
+        // other era legitimately plans zero dirs)
+        def eraPlanned(a: String) =
+          planned.count(dd => snap.parts.get(dd).exists(_._1 == a))
+        require(planned.size < snap.live.size && planned.nonEmpty &&
+            eraPlanned("om") <= 1 && eraPlanned("oy") <= 1,
+          s"evolved-spec pruning regressed: ${planned.size} of ${snap.live.size} " +
+            s"(om=${eraPlanned("om")}, oy=${eraPlanned("oy")})")
         TxnTable.readPartitionHidden(s, t, Map("o_orderdate" -> maxDate))
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))

@@ -634,15 +634,27 @@ object VectorQueries {
     // Query scoring is asymmetric distance computation: the query stays
     // exact, a (queries × M × codes) distance TABLE is precomputed, and
     // each candidate's approximate dot is 4 table lookups + a sum instead
-    // of 64 multiplies — the 16× FLOP cut that makes a 100 TB linear scan
-    // affordable, with memory per vector down from 64 longs to 4 codes
-    // (+1 norm for cosine). Everything is equality joins: encode is a
+    // of 64 multiplies. What that FLOP cut buys was MEASURED, not
+    // assumed (rounds 9-10, 2M×128-dim, M=16): through per-pair join
+    // machinery the cut is invisible (~20-25 ns/pair floors both
+    // kernels), but through the batched MultiQueryTopK scan with the
+    // TRANSPOSED table layout (sequential per-sub-space blocks) the
+    // isolated A/B probe (graft.tools.KernelProbe) shows the ADC pass
+    // at 0.39 s vs the exact-dot pass at 1.00 s — a 2.6× kernel win,
+    // compounded by the 8× scan-byte cut (16 codes + norm vs 128
+    // longs/row: the working set that decides whether a 100 TB pass is
+    // memory- or disk-bound). The remaining honest caveat is RERANK
+    // VOLUME on unstructured (hash-random) corpora: true top-10 score
+    // gaps sit inside quantization noise, so the shortlist must scale
+    // with N (~0.5%) and the exact re-rank, not the scan, dominates —
+    // real embeddings cluster, and the production composition is
+    // IVF + ADC (probe cells first; scalebench ivfpq4 at Q=1000:
+    // 4.3 s vs 43.4 s pair-join brute at recall 0.87).
+    // Everything is equality joins: encode is a
     // broadcast of the 40-row codebook, ADC is a broadcast of the
     // 400-row distance table; the corpus is never shuffled on anything
     // but its own id. Recall vs the exact q36 baseline is measured in
-    // ScaleBench (the q189 audit discipline); at production scale PQ
-    // composes with the q44 IVF cells (probe the cell list, score with
-    // the table).
+    // ScaleBench (the q189 audit discipline).
     Q("q197_pq_ann",
       Some(
         s"""WITH $emCte,

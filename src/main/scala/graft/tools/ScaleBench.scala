@@ -537,7 +537,9 @@ object ScaleBench {
     // scan components scale with N×Q while the shortlist/re-rank stages
     // scale with Q only, so a small fixture sits below the crossover
     // (measured 0.33x at 100k) and the full corpus above it
-    val n128 = math.min(n, sys.env.getOrElse("SPARK_GRAFT_PQ128_N", n.toString).toLong)
+    // independent of SCALE_N so the pq128 section can run at full size
+    // under an otherwise-small (fast) suite — the focused-rerun knob
+    val n128 = sys.env.getOrElse("SPARK_GRAFT_PQ128_N", n.toString).toLong
     val q128s = sys.env.getOrElse("SPARK_GRAFT_PQ128_QS", "200")
       .split(",").map(_.trim.toLong).filter(_ > 0).sorted
     val m128 = 16; val sub128 = d128 / m128; val k128 = 64
@@ -638,6 +640,26 @@ object ScaleBench {
       // the heap TopK makes the wide-k aggregate O(1) per rejected row.
       val rerank128 = sys.env.get("SPARK_GRAFT_PQ128_RERANK").map(_.toInt)
         .getOrElse(math.max(1000L, n128 / 200L).toInt)
+      val qtabsAdc = qdt.select(col("qid"), col("dtq"), col("qnsq")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+      // PURE KERNEL CROSSOVER: batched ADC exact-merge top-10 in one
+      // pass, identical machinery to the batched dot leg above — the
+      // ONLY difference is the scoring kernel (16 transposed block
+      // reads vs 128 multiply-adds). This isolates the FLOP-cut
+      // question from shortlist/re-rank volume: adc_scan_sec vs
+      // dot_batch_sec is the honest "does ADC beat the exact dot at
+      // 128 dims" number; its recall is ADC-rank recall (quantization
+      // noise included), reported separately.
+      val (asHits, tAdcScan) = timed(s"PQ128 ADC BATCHED pure scan (Q=$q)") {
+        val top = enc128
+          .groupBy()
+          .agg(graft.functions.MultiQueryTopK.adcTopK(
+            col("id"), col("codes"), col("nsq"), qtabsAdc, 10, k128).as("res"))
+          .select(explode(col("res")).as("r"))
+          .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
+          .select(col("qid"), col("e.id").as("id"))
+        top.join(bruteTop, Seq("qid", "id")).count()
+      }
       val (hits, tA) = timed(s"PQ128 ADC scan + re-rank (Q=$q)") {
         val short = enc128.crossJoin(broadcast(qdt))
           .select(col("qid"), cosMicro(score128, col("nsq"), col("qnsq")).as("s"), col("id"))
@@ -659,26 +681,6 @@ object ScaleBench {
       // the pair-join legs above pay ~20-25 ns/pair of join machinery
       // per SCORE, which buries a 16-lookup kernel; amortized across Q
       // queries per row, arithmetic is the cost again.
-      val qtabsAdc = qdt.select(col("qid"), col("dtq"), col("qnsq")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
-      // PURE KERNEL CROSSOVER: batched ADC exact-merge top-10 in one
-      // pass, identical machinery to the batched dot leg above — the
-      // ONLY difference is the scoring kernel (16 transposed block
-      // reads vs 128 multiply-adds). This isolates the FLOP-cut
-      // question from shortlist/re-rank volume: adc_scan_sec vs
-      // dot_batch_sec is the honest "does ADC beat the exact dot at
-      // 128 dims" number; its recall is ADC-rank recall (quantization
-      // noise included), reported separately.
-      val (asHits, tAdcScan) = timed(s"PQ128 ADC BATCHED pure scan (Q=$q)") {
-        val top = enc128
-          .groupBy()
-          .agg(graft.functions.MultiQueryTopK.adcTopK(
-            col("id"), col("codes"), col("nsq"), qtabsAdc, 10, k128).as("res"))
-          .select(explode(col("res")).as("r"))
-          .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
-          .select(col("qid"), col("e.id").as("id"))
-        top.join(bruteTop, Seq("qid", "id")).count()
-      }
       val parts128 = enc128.rdd.getNumPartitions
       // per-partition k' sized so the UNION matches the rerank budget
       // (was 2×rerank/partition — r9 measured the resulting candidate

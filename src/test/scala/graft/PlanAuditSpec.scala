@@ -232,12 +232,12 @@ class PlanAuditSpec extends SparkTestBase {
       //  - q193: the 1-row token-budget scalar against the ranked
       //    density frame.
       "q193_budget_curation",
-      //  - q204: the 1-row broadcast of the ENTIRE query set (array of
-      //    (qid, vector, norm) structs) riding onto the corpus scan —
-      //    the batched-kNN design replaces the corpus×Q pair join with
-      //    one scalar-attach cross; candidate generation happens inside
-      //    the MultiQueryTopK partial aggregate.
-      "q204_knn_batch_scan")
+      //  - q225: the tiny centroid-assignment broadcast (corpus × 10
+      //    centroids — the same IVF coarse-quantizer attach q44/q65
+      //    use); the query tables themselves ride as a broadcast inside
+      //    the grouped MultiQueryTopK aggregate, join-free (q204, now
+      //    fully joinless, pins that shape in its own test).
+      "q225_ivf_batch")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name) // throws -> test fails: the plan must at least build
       if (!scalarCross(name) &&
@@ -493,11 +493,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("ObjectHashAggregate") && p.contains("multi_query_topk"),
       "probed-cell scoring did not go through the batched kernel")
     assert(!p.contains("CartesianProduct"), "cartesian appeared in the IVF path")
-    // the corpus side is filtered to probed cells and never crossJoined
-    // against the query set — the only joins are the centroid broadcast
-    // (assignment) and the final tiny re-rank
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+    // the corpus is never pair-joined against the query set: the ONLY
+    // nested-loop join is the tiny centroid-assignment broadcast
+    // (corpus × 10 centroids); the query tables ride as a broadcast
+    // inside the grouped aggregate, invisible to the plan
+    assert(opTree(p).count(_.startsWith("BroadcastNestedLoopJoin")) <= 1,
       "corpus × queries pair join reappeared")
   }
 
@@ -542,15 +542,16 @@ class PlanAuditSpec extends SparkTestBase {
       "residual custkey range not pushed to the parquet scan")
   }
 
-  test("q204: batched kNN plans ONE single-row broadcast cross, no window, no corpus shuffle") {
+  test("q204: batched kNN is ONE joinless corpus pass — queries ride as a " +
+      "broadcast inside the aggregate, not as a plan operator") {
     val p = plan("q204_knn_batch_scan")
-    // the ONLY join is the 1-row qtabs broadcast riding onto the corpus
-    assert(opTree(p).count(_.startsWith("BroadcastNestedLoopJoin")) == 1,
-      "expected exactly the single-row query-set broadcast")
+    // round 10: the query-set transport moved from a 1-row crossJoin
+    // column to a real Broadcast captured by the aggregate — there is
+    // NO join of any kind left in the plan
+    assert(!opTree(p).exists(o => o.contains("Join") || o.contains("CartesianProduct")),
+      "batched kNN must be joinless — the query set is a broadcast, not a relation")
     assert(!p.contains("Window"),
       "batched kNN must not fall back to the window top-k")
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      "no per-pair join may appear in the batched plan")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       "MultiQueryTopK aggregate missing from the plan")
   }
