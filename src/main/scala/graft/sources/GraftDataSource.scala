@@ -94,9 +94,14 @@ object GraftDataSource {
       }
       r
     }
-    val dir = opt("path").getOrElse(
+    val raw = opt("path").getOrElse(
       throw new IllegalArgumentException(
         "graft source needs a path: spark.read.format(\"graft\").load(tableDir)"))
+    // the session catalog hands a CREATE TABLE ... LOCATION through as a
+    // `file:` URI; TxnTable speaks local paths
+    val dir =
+      if (raw.startsWith("file:")) new java.io.File(java.net.URI.create(raw)).getPath
+      else raw
     val version = opt("versionAsOf").map(_.trim.toLong)
       .orElse(opt("timestampAsOf").map { t =>
         val ts = t.trim.toLong

@@ -109,6 +109,28 @@ class GraftDataSourceSpec extends SparkTestBase {
       .load(dir).count() == 2L)
   }
 
+  test("CREATE TABLE ... USING graft LOCATION: plain SQL over the catalog, " +
+      "pruning intact") {
+    val dir = tmpTable()
+    TxnTable.append((0L to 99L).map(k => (k, s"r$k")).toDF("k", "v"), dir,
+      statsCol = Some("k"))
+    TxnTable.append((100L to 199L).map(k => (k, s"r$k")).toDF("k", "v"), dir,
+      statsCol = Some("k"))
+    spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+    spark.sql(s"CREATE TABLE graft_sql_t USING graft LOCATION '$dir'")
+    try {
+      // a BI-tool-shaped query: pure SQL, no Scala API anywhere —
+      // the catalog hands the location through as a file: URI
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM graft_sql_t WHERE k BETWEEN 10 AND 20")
+        .head().getLong(0)
+      assert(n == 11L)
+      val meta = GraftScanMeta.last.get
+      assert(meta.live.size == 2 && meta.planned.size == 1,
+        s"manifest pruning did not fire through SQL: ${meta.planned.size} of 2")
+    } finally spark.sql("DROP TABLE graft_sql_t")
+  }
+
   test("IS NULL / IS NOT NULL prune dirs through manifest null counts") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val dir = tmpTable()
