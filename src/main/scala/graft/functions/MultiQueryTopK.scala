@@ -222,6 +222,38 @@ case class MultiQueryTopK(
         if (tv == null) return buf
         initBuf(buf, tv.asInstanceOf[ArrayData])
       }
+    } else if (buf.tabs == null) {
+      // a buffer that came back from serialize/merge (spilled partial)
+      // carries qids/heaps but NOT the update-side tables — serialize
+      // skips them by design. Spark's ObjectAggregationIterator today
+      // processes a group's input rows before merging spilled partials,
+      // so update never sees such a buffer, but that ordering is an
+      // implicit invariant of someone else's code: re-derive the tables
+      // instead of NPEing if a Spark version ever reorders the fallback.
+      val fresh = new MQBuf(null, null, null, null)
+      if (bc.isDefined) initArr(fresh, bc.get.value)
+      else if (bcGrouped.isDefined) {
+        val g = qtabs.eval(input)
+        if (g == null) return buf
+        bcGrouped.get.value.get(g.asInstanceOf[Long]) match {
+          case Some(a) if a.nonEmpty => initArr(fresh, a)
+          case _                     => return buf
+        }
+      } else {
+        val tv = qtabs.eval(input)
+        if (tv == null) return buf
+        initBuf(fresh, tv.asInstanceOf[ArrayData])
+      }
+      require(java.util.Arrays.equals(fresh.qids, buf.qids),
+        "multi_query_topk: re-derived query set differs from the merged buffer's")
+      buf.tabs = fresh.tabs; buf.qnsq = fresh.qnsq
+      buf.invSq = fresh.invSq; buf.adcT = fresh.adcT
+      // screen state from the EXISTING (merged) heaps, not fresh's empty
+      // ones — a full heap's root is the exact running threshold
+      buf.rootCos = Array.tabulate(buf.qids.length)(q =>
+        if (buf.sizes(q) == k)
+          java.lang.Double.longBitsToDouble(sortableBits(buf.heaps(q)(0)))
+        else Double.NegativeInfinity)
     }
     val vv = vec.eval(input); val nv = nsq.eval(input); val iv = id.eval(input)
     if (vv == null || nv == null || iv == null) return buf

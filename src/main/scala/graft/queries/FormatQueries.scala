@@ -1731,9 +1731,11 @@ object FormatQueries {
           .orderBy("o_orderstatus")
         // force planning so the ScanMeta record reflects THIS query,
         // then pin the dir-level skip: the DSv2 path must plan the same
-        // 1-of-4 dirs the explicit readRange call does (q202)
+        // 1-of-4 dirs the explicit readRange call does (q202). Keyed
+        // lookup, not the global `last` slot — a concurrent graft scan
+        // of another table must not swap the record under the audit.
         out.queryExecution.executedPlan: Unit
-        val meta = GraftScanMeta.last.getOrElse(
+        val meta = GraftScanMeta.forTable(t).getOrElse(
           sys.error("DSv2 scan never planned"))
         require(meta.tableDir == t && meta.live.size == 4 && meta.planned.size == 1,
           s"DSv2 manifest skipping regressed: planned ${meta.planned.size} " +

@@ -240,10 +240,10 @@ object GraftScan {
     filters.flatMap(conjuncts).foreach {
       case EqualTo(a, v) =>
         longOf(v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
-        narrow(TxnTable.prunePartition(snap, a, String.valueOf(v)))
+        stableRender(v).foreach(s => narrow(TxnTable.prunePartition(snap, a, s)))
       case EqualNullSafe(a, v) if v != null =>
         longOf(v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
-        narrow(TxnTable.prunePartition(snap, a, String.valueOf(v)))
+        stableRender(v).foreach(s => narrow(TxnTable.prunePartition(snap, a, s)))
       case GreaterThan(a, v) =>
         longOf(v).filter(_ < Long.MaxValue)
           .foreach(x => narrow(TxnTable.pruneLive(snap, a, x + 1L, Long.MaxValue)))
@@ -259,9 +259,16 @@ object GraftScan {
         if (ls.length == vs.length) // all values integral → bounds prune
           narrow(TxnTable.pruneLive(snap, a, ls.min, ls.max))
         // partition prune: keep dirs whose recorded value is IN the set
-        // (union of per-value prunes — a dir survives if ANY value matches)
-        val perValue = vs.map(v => TxnTable.prunePartition(snap, a, String.valueOf(v)))
-        narrow(dirs.filter(d => perValue.exists(_.contains(d))))
+        // (union of per-value prunes — a dir survives if ANY value
+        // matches); only when EVERY value has a rendering proven equal
+        // to the write-time Row.toString — otherwise a rendering drift
+        // (e.g. Timestamp "… 00:00:00.0" vs "…T00:00:00Z") would prune
+        // a matching dir and silently lose rows
+        val rendered = vs.flatMap(stableRender)
+        if (rendered.length == vs.length) {
+          val perValue = rendered.map(s => TxnTable.prunePartition(snap, a, s))
+          narrow(dirs.filter(d => perValue.exists(_.contains(d))))
+        }
       case IsNull(a)    => narrow(TxnTable.pruneLiveNull(snap, a, wantNull = true))
       case IsNotNull(a) => narrow(TxnTable.pruneLiveNull(snap, a, wantNull = false))
       case _ => () // Or/Not/unknown shapes prune nothing — always sound
@@ -272,6 +279,24 @@ object GraftScan {
   private def conjuncts(f: Filter): Seq[Filter] = f match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other     => Seq(other)
+  }
+
+  /** Renderings PROVEN to match the write-time `Row.get(_).toString`
+    * the `.part` sidecar recorded: strings verbatim, integrals and
+    * booleans (canonical toString on both sides). Dates/timestamps/
+    * decimals are excluded — their pushed-value rendering depends on
+    * `spark.sql.datetime.java8API.enabled` / scale normalization and
+    * can differ from the write-time one, which would prune a MATCHING
+    * dir (silent row loss — the residual filter cannot recover rows
+    * from unplanned files). Excluded types stay planned: sound. */
+  private def stableRender(v: Any): Option[String] = v match {
+    case s: String  => Some(s)
+    case i: Int     => Some(i.toString)
+    case l: Long    => Some(l.toString)
+    case s: Short   => Some(s.toString)
+    case b: Byte    => Some(b.toString)
+    case b: Boolean => Some(b.toString)
+    case _          => None
   }
 
   private def longOf(v: Any): Option[Long] = v match {
@@ -316,7 +341,21 @@ object GraftScanMeta {
                                live: Seq[String], planned: Seq[String],
                                pushed: Seq[String])
   @volatile var last: Option[PlannedScan] = None
+  // keyed records: `last` is a single global slot, so a CONCURRENT
+  // graft scan (parallel query, another planning thread) can overwrite
+  // it between a query's scan and its audit read — an audit that must
+  // describe its OWN scan reads the per-table slot instead
+  private val byTable =
+    new java.util.concurrent.ConcurrentHashMap[String, PlannedScan]()
+  /** Most recent planning record for `tableDir` (race-free across
+    * concurrent scans of DIFFERENT tables; same-table concurrent scans
+    * of one immutable version record identical content). */
+  def forTable(tableDir: String): Option[PlannedScan] =
+    Option(byTable.get(tableDir))
   private[sources] def record(dir: String, version: Long, live: Seq[String],
-                              planned: Seq[String], pushed: Array[Filter]): Unit =
-    last = Some(PlannedScan(dir, version, live, planned, pushed.map(_.toString).toSeq))
+                              planned: Seq[String], pushed: Array[Filter]): Unit = {
+    val rec = PlannedScan(dir, version, live, planned, pushed.map(_.toString).toSeq)
+    byTable.put(dir, rec)
+    last = Some(rec)
+  }
 }

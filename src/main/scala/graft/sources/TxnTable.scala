@@ -1370,8 +1370,27 @@ object TxnTable {
         else gens.map { case (n, e) => s""""$n":"$e"""" }
           .mkString(""","gens":{""", ",", "}")
       val nullsJson = {
+        // on a fids (evolved) table a dir's `.nulls` sidecar is
+        // PHYSICAL (write-time names): resolve each recorded name
+        // through the dir's era field ids to the CURRENT column of the
+        // same id — a renamed column's count folds under its new name
+        // (pruning recovered), and a drop+re-add of the same name drops
+        // the stale entry instead of letting IS NULL prune dirs whose
+        // re-added column is entirely null-backfilled (silent row loss;
+        // range/bloom stats are null-silent so only this stat needs the
+        // id check)
+        lazy val idToCur: Map[Int, String] = fids.map(_.swap)
+        def eraIds(d: String): Map[String, Int] = colsOf(tableDir, d) match {
+          case Some((ddl, ids)) => structOf(ddl).fieldNames.zip(ids).toMap
+          case None => schema0.map(ddl => structOf(ddl).fieldNames.zipWithIndex
+            .map { case (n, i) => n -> (i + 1) }.toMap).getOrElse(Map.empty)
+        }
         val entries = live.flatMap { d =>
-          val all = nullsOf(tableDir, d)
+          val raw = nullsOf(tableDir, d)
+          val all = if (fids.isEmpty) raw else {
+            val em = eraIds(d)
+            raw.flatMap { case (c, n) => em.get(c).flatMap(idToCur.get).map(_ -> n) }
+          }
           if (all.isEmpty) None
           else Some(s""""$d":"${all.map { case (c, n) => s"$c:$n" }.mkString(";")}"""")
         }
@@ -2052,7 +2071,13 @@ object TxnTable {
     if (!tryPublish(tableDir, base + 1L, "dropColumn", snap.live, txnId,
         dvs = snap.dvs, schema = Some(evolved.catalogString),
         fidsOverride = Some(fids - name),
-        schema0Override = Some(Some(schema0))))
+        schema0Override = Some(Some(schema0)),
+        // when the drop itself MINTS the ids (prev.fhwm = 0) and the
+        // dropped column held the highest id, the post-drop fids alone
+        // would publish fhwm = n-1 and a later addColumn would recycle
+        // id n — resolving the dropped column's old bytes into the new
+        // column. Floor the mark at the PRE-removal max.
+        fhwmFloor = fids.values.max))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry")
     maybeCheckpoint(tableDir, base + 1L)

@@ -75,6 +75,35 @@ class GraftDataSourceSpec extends SparkTestBase {
       s"partition pruning through DSv2 regressed: ${pm.planned.size} of ${pm.live.size}")
   }
 
+  test("partition pruning declines value types without a proven stable " +
+      "rendering (date/timestamp) — planned conservatively, rows correct") {
+    val pdir = tmpTable()
+    val df = Seq(
+      (1, java.sql.Date.valueOf("2024-01-15")),
+      (2, java.sql.Date.valueOf("2024-02-15")),
+      (3, java.sql.Date.valueOf("2024-03-15"))).toDF("id", "d")
+    TxnTable.overwritePartitions(spark, pdir, df, "d")
+    // the pushed EqualTo carries a Date/LocalDate whose rendering depends
+    // on spark.sql.datetime.java8API.enabled — pruning on it could drop a
+    // MATCHING dir; the scan must plan ALL dirs and let the residual
+    // filter select rows
+    val out = graftDf(pdir).filter(col("d") === lit(java.sql.Date.valueOf("2024-02-15")))
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(2))
+    val meta = GraftScanMeta.forTable(pdir).get
+    assert(meta.live.size == 3 && meta.planned.size == 3,
+      s"date-valued partition equality must not prune (rendering not " +
+        s"proven stable): planned ${meta.planned.size} of ${meta.live.size}")
+    // integral partition values have a canonical rendering → still prune
+    val idir = tmpTable()
+    TxnTable.overwritePartitions(spark, idir,
+      Seq((1, 10), (2, 20), (3, 30)).toDF("id", "bucket"), "bucket")
+    assert(graftDf(idir).filter(col("bucket") === 20).collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+    val im = GraftScanMeta.forTable(idir).get
+    assert(im.planned.size == 1,
+      s"integral partition equality should prune: ${im.planned} of ${im.live}")
+  }
+
   test("reads go through deletion vectors and equality deletes") {
     val dir = tmpTable()
     TxnTable.append((1L to 10L).map(k => (k, s"r$k")).toDF("k", "v"), dir,

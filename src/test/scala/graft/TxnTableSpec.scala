@@ -1827,6 +1827,46 @@ class TxnTableSpec extends SparkTestBase {
     }
   }
 
+  test("dropColumn as the fid-MINTING op still records the dropped id in " +
+      "fhwm — a later addColumn never recycles it") {
+    val dir = tmpTable()
+    // 'secret' holds the LAST schema position, so minting assigns it the
+    // highest id; the drop itself mints (no prior rename/widen), which
+    // used to publish fhwm from the POST-drop fids (max = n-1) and let
+    // the next addColumn re-mint id n — resolving the dropped column's
+    // old bytes into the new column
+    TxnTable.append(Seq((1, "a", 111L), (2, "b", 222L)).toDF("id", "v", "secret"), dir)
+    TxnTable.dropColumn(spark, dir, "secret")
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.fhwm == 3,
+      s"minting drop must floor fhwm at the PRE-removal max id, got ${snap.fhwm}")
+    TxnTable.addColumn(spark, dir, "fresh", "bigint")
+    val snap2 = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap2.fids("fresh") == 4, s"dropped id recycled: ${snap2.fids}")
+    val got = TxnTable.read(spark, dir).orderBy("id").collect()
+      .map(_.isNullAt(2)).toSeq
+    assert(got == Seq(true, true),
+      "dropped column's old bytes resurrected into the re-added column")
+  }
+
+  test("null-count manifest stats do not leak across drop + re-add of the " +
+      "same column name (IS NULL pruning stays sound)") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpTable()
+    // dir0 records c:0 nulls in its write-era sidecar (c fully populated)
+    TxnTable.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "c"), dir,
+      statsCol = Some("c"))
+    TxnTable.dropColumn(spark, dir, "c")
+    TxnTable.addColumn(spark, dir, "c", "bigint")
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    // the stale write-era count (keyed by NAME) must not fold under the
+    // re-added c (different field id): IS NULL must PLAN dir0, whose
+    // re-added c is entirely null-backfilled
+    assert(TxnTable.pruneLiveNull(snap, "c", wantNull = true) == snap.live,
+      "stale null count pruned a dir whose re-added column is all null")
+    assert(TxnTable.read(spark, dir).filter(col("c").isNull).count() == 2L)
+  }
+
   test("evolution refuses columns referenced by constraints, generated " +
       "columns, partitions, or outstanding equality deletes") {
     import org.apache.spark.sql.functions.col
