@@ -480,10 +480,18 @@ object MultiQueryTopK {
     org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
       tabs.map { case (q, t, n) => (q, t.toArray, n) }.toArray)
 
-  private def bcGroupedOf(tabs: Map[Long, Seq[(Long, Seq[Long], Long)]]) =
+  private def bcGroupedOf(tabs: Map[Long, Seq[(Long, Seq[Long], Long)]]) = {
+    // a query probing SEVERAL groups (IVF nprobe > 1) shares ONE table
+    // array across its group entries — both Java and Kryo serialization
+    // preserve intra-graph references, so the broadcast ships and each
+    // executor holds each table once, not nprobe times (at Q=10k,
+    // nprobe=4, 4 KB ADC tables that is 40 MB instead of 160 MB)
+    val arrByQid = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
     org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
       tabs.map { case (g, ts) =>
-        g -> ts.map { case (q, t, n) => (q, t.toArray, n) }.toArray })
+        g -> ts.map { case (q, t, n) =>
+          (q, arrByQid.getOrElseUpdate(q, t.toArray), n) }.toArray })
+  }
 
   /** Order-preserving involution double-bits <-> signed long: signed
     * comparison of the encoding matches IEEE total order on the doubles
@@ -534,6 +542,18 @@ object MultiQueryTopK {
               tabs: Seq[(Long, Seq[Long], Long)], k: Int, subK: Int): Column =
     build(id, codes, nsq, org.apache.spark.sql.functions.lit(0L),
       "adc", k, subK, exact = true, bc = Some(bcOf(tabs)))
+
+  /** Grouped broadcast exact-merge ADC top-k (the IVF-PQ composition):
+    * `group` selects each aggregation group's OWN per-query ADC tables
+    * from the broadcast map — the probed-cell analogue of
+    * [[dotTopKGrouped]], scoring each cell's docs against only the
+    * queries that probed it, at 4-lookups-per-candidate ADC cost with
+    * zero per-pair join rows. */
+  def adcTopKGrouped(id: Column, codes: Column, nsq: Column, group: Column,
+                     tabs: Map[Long, Seq[(Long, Seq[Long], Long)]],
+                     k: Int, subK: Int): Column =
+    build(id, codes, nsq, group, "adc", k, subK, exact = true,
+      bcGrouped = Some(bcGroupedOf(tabs)))
 
   /** Union-of-per-partition-top-k shortlist on exact dots. */
   def dotShortlist(id: Column, vec: Column, nsq: Column, qtabs: Column, k: Int): Column =

@@ -1954,6 +1954,186 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q229: DSv2 WRITE path (round 11) — `df.write.format("graft")`
+    // and SQL `INSERT INTO` / `INSERT OVERWRITE` over a `USING graft`
+    // catalog table, each landing as ONE atomic TxnTable commit through
+    // the same staged-write + manifest-publish gates as the Scala API
+    // (schema-on-write, constraints, conflict rebase). The build: half
+    // of orders lands via the DataFrame writer (with statsCol pruning
+    // sidecars), the other half via pure-SQL INSERT INTO, then INSERT
+    // OVERWRITE replaces everything with the full table — so the final
+    // content equals raw orders and the oracle's hash match proves all
+    // three write shapes landed losslessly. Lineage is require'd:
+    // exactly [append, append, overwrite], and the v0 dirs carry
+    // manifest bounds (the writer option reached the sidecar writer).
+    Q("q229_dsv2_write",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_price_c
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_dsv2_write")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxK = base.agg(max(col("o_orderkey").cast("long"))).head().getLong(0)
+          val h = maxK / 2
+          // v0: the DataFrame writer creates the table (first commit
+          // records the schema; statsCol writes pruning sidecars)
+          base.filter(col("o_orderkey") <= h)
+            .write.format("graft").option("statsCol", "o_orderkey")
+            .mode("append").save(t.getPath)
+          // v1: pure-SQL INSERT INTO through the session catalog
+          s.sql("DROP TABLE IF EXISTS graft_q229_t")
+          s.sql(s"CREATE TABLE graft_q229_t USING graft LOCATION '${t.getPath}'")
+          base.filter(col("o_orderkey") > h)
+            .createOrReplaceTempView("graft_q229_src_hi")
+          s.sql("INSERT INTO graft_q229_t SELECT * FROM graft_q229_src_hi")
+          // v2: INSERT OVERWRITE replaces the content with the full set
+          base.createOrReplaceTempView("graft_q229_src_all")
+          s.sql("INSERT OVERWRITE graft_q229_t SELECT * FROM graft_q229_src_all")
+          s.sql("DROP TABLE graft_q229_t")
+          ()
+        }
+        val t = s"$dir/t"
+        val actions = TxnTable.versions(t)
+          .map(v => TxnTable.snapshot(t, v).action)
+        require(actions == Seq("append", "append", "overwrite"),
+          s"DSv2 write lineage regressed: $actions")
+        require(TxnTable.snapshot(t, 0L).stats.nonEmpty,
+          "statsCol option did not reach the sidecar writer through DSv2")
+        s.read.format("graft").load(t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // ---- q230: SQL MERGE INTO over a graft catalog table (round 11) —
+    // the q221 CDC-apply scenario executed from pure SQL TEXT: ordered
+    // WHEN MATCHED clauses (conditional DELETE tombstones first, then
+    // source-valued UPDATE — first true clause wins) plus WHEN NOT
+    // MATCHED INSERT *, dispatched by [[graft.plans.GraftDml]] (a
+    // runtime-injectable planner strategy, the extension shape Delta
+    // uses) to [[TxnTable.mergeInto]] — ONE atomic stats-pruned
+    // copy-on-write commit. Identical oracle to q221: the hash match
+    // proves SQL-text MERGE ≡ the Scala-API merge, clause order and all.
+    Q("q230_sql_merge_into",
+      Some("""WITH m AS (SELECT max(o_orderkey)+1 AS mk FROM orders),
+             |kept AS (
+             |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+             |              ELSE o_orderstatus END AS o_orderstatus,
+             |         CAST(round(o_totalprice * 100) AS BIGINT)
+             |           * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS price_c
+             |  FROM orders WHERE o_orderkey % 20 <> 10),
+             |ins AS (
+             |  SELECT 'N' AS o_orderstatus,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders WHERE o_orderkey % 20 = 5),
+             |u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_sql_merge_into")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          graft.plans.GraftDml.install(s)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          val maxK = base.agg(max(col("o_orderkey").cast("long"))).head().getLong(0) + 1L
+          TxnTable.append(base, t.getPath, statsCol = Some("o_orderkey"))
+          val upd = base.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_orderstatus", lit("U"))
+            .withColumn("price_c", col("price_c") * 2L)
+          val ins = base.filter(col("o_orderkey") % 20 === 5)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(maxK))
+            .withColumn("o_orderstatus", lit("N"))
+          upd.unionByName(ins).createOrReplaceTempView("graft_q230_src")
+          s.sql("DROP TABLE IF EXISTS graft_q230_t")
+          s.sql(s"CREATE TABLE graft_q230_t USING graft LOCATION '${t.getPath}'")
+          s.sql("""MERGE INTO graft_q230_t AS t USING graft_q230_src AS s
+                  |ON t.o_orderkey = s.o_orderkey
+                  |WHEN MATCHED AND t.o_orderkey % 20 = 10 THEN DELETE
+                  |WHEN MATCHED THEN UPDATE SET
+                  |  o_orderstatus = s.o_orderstatus, price_c = s.price_c
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          s.sql("DROP TABLE graft_q230_t")
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.action == "merge",
+          s"SQL MERGE did not land as a TxnTable merge commit: ${snap.action}")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // ---- q231: SQL UPDATE + DELETE over a graft catalog table (round
+    // 11) — the remaining two DML verbs as pure SQL text through the
+    // same [[graft.plans.GraftDml]] dispatch: UPDATE doubles the
+    // price of every 10th key ([[TxnTable.updateWhere]], stats-pruned
+    // CoW rewrite), then DELETE purges every 20th-plus-10 key
+    // ([[TxnTable.deleteWhere]]). The oracle recomputes the final
+    // state from raw parquet — the doubled-then-deleted overlap keys
+    // (%20 = 10 are %10 = 0 too) make a clause-bleed or wrong-order
+    // execution hash-visible.
+    Q("q231_sql_update_delete",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+             |         * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END) AS BIGINT)
+             |         AS sum_price_c
+             |FROM orders WHERE o_orderkey % 20 <> 10
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_sql_update_delete")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          graft.plans.GraftDml.install(s)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          TxnTable.append(base, t.getPath, statsCol = Some("o_orderkey"))
+          s.sql("DROP TABLE IF EXISTS graft_q231_t")
+          s.sql(s"CREATE TABLE graft_q231_t USING graft LOCATION '${t.getPath}'")
+          s.sql("UPDATE graft_q231_t SET price_c = price_c * 2 WHERE o_orderkey % 10 = 0")
+          s.sql("DELETE FROM graft_q231_t WHERE o_orderkey % 20 = 10")
+          s.sql("DROP TABLE graft_q231_t")
+          ()
+        }
+        val t = s"$dir/t"
+        val actions = TxnTable.versions(t)
+          .map(v => TxnTable.snapshot(t, v).action)
+        require(actions == Seq("append", "update", "delete"),
+          s"SQL UPDATE/DELETE lineage regressed: $actions")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

@@ -5,9 +5,10 @@ import java.util.OptionalLong
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -102,7 +103,7 @@ object GraftDataSource {
     val dir =
       if (raw.startsWith("file:")) new java.io.File(java.net.URI.create(raw)).getPath
       else raw
-    val version = opt("versionAsOf").map(_.trim.toLong)
+    val versionOpt = opt("versionAsOf").map(_.trim.toLong)
       .orElse(opt("timestampAsOf").map { t =>
         val ts = t.trim.toLong
         val vs = TxnTable.versions(dir)
@@ -112,31 +113,113 @@ object GraftDataSource {
             s"no retained commit at or before ts=$ts at $dir"))
       })
       .orElse(TxnTable.latestVersion(dir))
-      .getOrElse(throw new IllegalStateException(s"no commits at $dir"))
-    val snap = TxnTable.snapshot(dir, version)
-    val schema = TxnTable.effectiveSchema(dir, snap).getOrElse {
-      // pre-_schema table: the live files' footers are the truth
-      require(snap.live.nonEmpty, s"version $version has no schema record and no data")
-      SparkSession.active.read.parquet(snap.live.map(d =>
-        new java.io.File(new java.io.File(dir, "data"), d).getPath): _*).schema
+    versionOpt match {
+      // a commit-less location resolves to an EMPTY table handle so the
+      // WRITE path can create it (df.write.format("graft") on a fresh
+      // dir = first commit, like Delta); scans of it throw at build time
+      case None => (dir, -1L, new StructType())
+      case Some(version) =>
+        val snap = TxnTable.snapshot(dir, version)
+        val schema = TxnTable.effectiveSchema(dir, snap).getOrElse {
+          // pre-_schema table: the live files' footers are the truth
+          require(snap.live.nonEmpty, s"version $version has no schema record and no data")
+          SparkSession.active.read.parquet(snap.live.map(d =>
+            new java.io.File(new java.io.File(dir, "data"), d).getPath): _*).schema
+        }
+        (dir, version, schema)
     }
-    (dir, version, schema)
   }
 }
 
-/** One pinned-version graft table. */
-final class GraftTable(dir: String, version: Long, tableSchema: StructType)
-    extends Table with SupportsRead {
+/** One pinned-version graft table; writable. Reads pin `version` (a
+  * DataFrame handle is a snapshot); writes always commit on top of the
+  * table's CURRENT head via the TxnTable conflict-rebase machinery, so
+  * a stale handle never silently clobbers a concurrent commit. */
+final class GraftTable(val tableDir: String, version: Long, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  private def dir: String = tableDir
 
   override def name(): String = s"graft.`$dir`@v$version"
 
   override def schema(): StructType = tableSchema
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def capabilities(): util.Set[TableCapability] = {
+    // V1_BATCH_WRITE selects the V1Write fallback exec (AppendDataExecV1
+    // / OverwriteByExpressionExecV1) — the path that hands the whole
+    // DataFrame to our InsertableRelation; BATCH_WRITE is additionally
+    // required by DataFrameWriter.save's V2-branch gate (without it the
+    // writer falls back to the V1 CreatableRelationProvider path we
+    // don't implement)
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+    // a commit-less location has no schema to validate against — the
+    // FIRST write defines it (TxnTable records `_schema` at commit 0);
+    // existing tables keep Spark's strict by-name output resolution,
+    // the analysis-time face of schema-on-write
+    if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(version >= 0L, s"no commits at $dir — nothing to read")
     new GraftScanBuilder(dir, version, tableSchema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir, info)
+}
+
+/** DSv2 write path: append / INSERT INTO, full overwrite (TRUNCATE /
+  * INSERT OVERWRITE), and dynamic-partition overwrite (writer option
+  * `overwritePartitions=<col>`), each landing as ONE atomic TxnTable
+  * commit — schema-on-write, CHECK constraints, generated columns, and
+  * concurrent-commit conflict rebase all enforced by the same `stage`/
+  * `tryPublish` gates the Scala API goes through. Uses the public
+  * [[V1Write]] bridge (as Spark's JDBC source does): the physical plan
+  * hands the whole DataFrame to the relation, and TxnTable's own staged
+  * write + atomic manifest publish provides exactly-once semantics the
+  * per-partition DSv2 writer protocol would only reimplement. Writer
+  * option `statsCol=<col>` records min/max+bloom+null-count pruning
+  * sidecars, `txnId=<id>` makes the commit idempotent for retries. */
+final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    // dir-granular storage: only the full-table overwrite is expressible
+    // as one commit (Spark sends AlwaysTrue for INSERT OVERWRITE /
+    // SaveMode.Overwrite); a filtered overwrite must go through
+    // TxnTable.deleteWhere + append (or MERGE) where the rewrite set is
+    // manifest-pruned
+    require(filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]),
+      s"graft supports only full-table overwrite, got [${filters.mkString(", ")}]")
+    truncateFirst = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          def opt(k: String): Option[String] = Option(info.options.get(k))
+          val statsCol = opt("statscol").orElse(opt("statsCol"))
+          val txnId = opt("txnid").orElse(opt("txnId"))
+          val partCol = opt("overwritepartitions").orElse(opt("overwritePartitions"))
+          partCol match {
+            case Some(c) =>
+              TxnTable.overwritePartitions(data.sparkSession, dir, data, c, txnId): Unit
+            case None if truncateFirst || overwrite =>
+              TxnTable.overwrite(data, dir, txnId, statsCol): Unit
+            case None =>
+              TxnTable.append(data, dir, txnId, statsCol): Unit
+          }
+        }
+      }
+  }
 }
 
 /** Collects Spark's pushed filters and pruned columns, then builds the

@@ -506,11 +506,43 @@ object ScaleBench {
             .select(col("qid"), cosMicro(pqScore, col("nsq"), col("qnsq")).as("s"), col("id")))
           top.join(bruteTop, Seq("qid", "id")).count()
         } else (-1L, -1.0)
-      val (ivfPqHits, tIvfPq) = timed(s"IVF-PQ probe (Q=$q, nprobe=4, ADC + re-rank)") {
-        val probeSet = qCellOf(4).select(col("qid"), col("cell"))
-          .join(qdt, Seq("qid"))
-        val top = shortlistRerank(encWithCell.join(broadcast(probeSet), Seq("cell"))
-          .select(col("qid"), cosMicro(pqScore, col("nsq"), col("qnsq")).as("s"), col("id")))
+      // IVF-PQ through the GROUPED BATCHED ADC kernel (the q225
+      // composition in ADC mode): the old shape joined encWithCell to the
+      // probe set per-pair — ~1B (doc, query) join rows at Q=10k, each
+      // COPYING the query's 4 KB ADC table into the pair row (transport,
+      // not arithmetic — measured 241 s). Here each probed cell's docs
+      // pass ONCE through adcTopKGrouped with the cell's own query
+      // tables riding a reference-deduped broadcast; per-cell ADC
+      // top-R survivors union-merge to a global per-query shortlist
+      // that the bounded exact re-rank decides.
+      val (ivfPqHits, tIvfPq) = timed(s"IVF-PQ BATCHED (Q=$q, nprobe=4, grouped ADC + re-rank)") {
+        val qdtRows = qdt.select(col("qid"), col("dtq"), col("qnsq")).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(0), r.getSeq[Long](1), r.getLong(2))))
+          .toMap
+        val byCellAdc = qCellOf(4).select(col("cell"), col("qid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (c, xs) => c -> xs.map(x => qdtRows(x._2)).toSeq }
+        val perCell = encWithCell
+          .where(col("cell").isin(byCellAdc.keys.toSeq: _*))
+          .groupBy(col("cell"))
+          .agg(graft.functions.MultiQueryTopK.adcTopKGrouped(
+            col("id"), col("codes"), col("nsq"), col("cell"),
+            byCellAdc, rerankR, pqK).as("res"))
+          .select(explode(col("res")).as("r"))
+          .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
+          .select(col("qid"), col("e.cos").as("s0"), col("e.id").as("id"))
+        // union-merge the ≤ nprobe×R per-cell survivors to the global ADC
+        // top-R per query (Q×4R rows — window cost is noise), then the
+        // exact re-rank decides the top-10 from R true dots per query
+        val short = perCell
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("s0").desc, col("id"))))
+          .where(col("rnk") <= rerankR).select(col("qid"), col("id"))
+        val top = topkOf(emb.join(broadcast(short), Seq("id"))
+          .join(broadcast(queries), Seq("qid"))
+          .select(col("qid"),
+            cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
+            col("id")))
         top.join(bruteTop, Seq("qid", "id")).count()
       }
       bruteTop.unpersist(blocking = false)

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Column <-> Expression bridge for custom Catalyst expressions.
@@ -11,9 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * expression libraries conventionally expose it through a shim in the
   * org.apache.spark.sql namespace (the same access pattern Spark connector
   * and extension projects use). This is the ONLY file that reaches into
-  * Spark internals; everything else goes through these two calls.
+  * Spark internals; everything else goes through these calls.
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** A DataFrame over an analyzed logical plan — the SQL-DML dispatch
+    * needs the MERGE source (an arbitrary resolved query) back as a
+    * frame to hand to the TxnTable op (`Dataset.ofRows`, the same
+    * private[sql] door every Spark extension project uses). */
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -199,4 +199,89 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(GraftScanMeta.last.get.planned.isEmpty,
       "an impossible range should plan zero dirs")
   }
+
+  // ---- DSv2 WRITE path (round 11) ----
+
+  test("df.write.format(\"graft\"): first append creates the table, later " +
+      "appends and overwrite land as atomic versioned commits") {
+    val dir = tmpTable()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft").option("statsCol", "k").mode("append").save(dir)
+    assert(TxnTable.latestVersion(dir).contains(0L), "first write = commit v0")
+    Seq((3L, "c")).toDF("k", "v")
+      .write.format("graft").option("statsCol", "k").mode("append").save(dir)
+    assert(graftDf(dir).orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
+    // schema-on-write holds through the DSv2 writer — Spark's by-name
+    // output resolution rejects the drifted frame at ANALYSIS time
+    // (before TxnTable's own SchemaMismatch gate would)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((4L, 1.5)).toDF("k", "x").write.format("graft").mode("append").save(dir)
+    }
+    // overwrite replaces content; earlier versions still readable
+    Seq((9L, "z")).toDF("k", "v").write.format("graft").mode("overwrite").save(dir)
+    assert(graftDf(dir).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(dir)
+      .count() == 3L)
+    // statsCol sidecars from the DSv2 writer drive pruning like the API's
+    val snap = TxnTable.snapshot(dir, 1L)
+    assert(TxnTable.pruneLive(snap, "k", 3L, 3L).size == 1,
+      "statsCol written through DSv2 did not produce pruning bounds")
+  }
+
+  test("DSv2 dynamic-partition overwrite: only the incoming partitions swap") {
+    val dir = tmpTable()
+    Seq((1, "2024-01"), (2, "2024-02"), (3, "2024-03")).toDF("id", "month")
+      .write.format("graft").option("overwritePartitions", "month")
+      .mode("overwrite").save(dir)
+    // reload ONE month through the same writer; others must survive
+    Seq((20, "2024-02")).toDF("id", "month")
+      .write.format("graft").option("overwritePartitions", "month")
+      .mode("overwrite").save(dir)
+    assert(graftDf(dir).orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 3, 20))
+    // and the partition read plans one dir from the manifest
+    assert(graftDf(dir).filter(col("month") === "2024-02").count() == 1L)
+    assert(GraftScanMeta.forTable(dir).get.planned.size == 1)
+  }
+
+  test("SQL INSERT INTO / INSERT OVERWRITE over a USING graft catalog table") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    spark.sql("DROP TABLE IF EXISTS graft_w_t")
+    spark.sql(s"CREATE TABLE graft_w_t USING graft LOCATION '$dir'")
+    try {
+      spark.sql("INSERT INTO graft_w_t VALUES (2, 'b'), (3, 'c')")
+      assert(spark.sql("SELECT k FROM graft_w_t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(TxnTable.latestVersion(dir).contains(1L),
+        "INSERT INTO must land as ONE TxnTable commit")
+      spark.sql("INSERT OVERWRITE graft_w_t VALUES (7, 'q')")
+      assert(spark.sql("SELECT k, v FROM graft_w_t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "q")))
+      // time travel still sees the pre-overwrite content
+      assert(spark.read.format("graft").option("versionAsOf", "1").load(dir)
+        .count() == 3L)
+    } finally spark.sql("DROP TABLE graft_w_t")
+  }
+
+  test("CHECK constraints and concurrent-append conflict rebase hold " +
+      "through the DSv2 writer") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1L, 10L)).toDF("k", "amt"), dir)
+    TxnTable.addConstraint(spark, dir, "amt_pos", "amt > 0")
+    intercept[TxnTable.ConstraintViolation] {
+      Seq((2L, -5L)).toDF("k", "amt").write.format("graft").mode("append").save(dir)
+    }
+    assert(graftDf(dir).count() == 1L, "a rejected DSv2 write left rows behind")
+    // two racing DSv2 appends: both must commit (one rebases), no loss
+    val t1 = new Thread(() =>
+      Seq((10L, 1L)).toDF("k", "amt").write.format("graft").mode("append").save(dir))
+    val t2 = new Thread(() =>
+      Seq((20L, 2L)).toDF("k", "amt").write.format("graft").mode("append").save(dir))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(graftDf(dir).orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 10L, 20L), "a concurrent DSv2 append was lost")
+    assert(TxnTable.latestVersion(dir).contains(3L))
+  }
 }

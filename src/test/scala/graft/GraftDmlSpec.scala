@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.plans.GraftDml
+import graft.sources.TxnTable
+
+/** SQL DML text (`DELETE FROM` / `UPDATE` / `MERGE INTO`) over graft
+  * catalog tables, dispatched by the runtime-injected planner strategy
+  * to the TxnTable transactional ops — and, crucially, NOT touching any
+  * non-graft table (the strategy matches only graft DSv2 relations). */
+class GraftDmlSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  GraftDml.install(spark)
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-dml").toString
+
+  private def freshTable(name: String, rows: Seq[(Long, String, Long)]): String = {
+    val dir = tmpTable()
+    TxnTable.append(rows.toDF("k", "v", "amt"), dir, statsCol = Some("k"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graft LOCATION '$dir'")
+    dir
+  }
+
+  test("DELETE FROM <graft table> WHERE … lands as one TxnTable delete commit") {
+    val dir = freshTable("dml_del_t",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    try {
+      spark.sql("DELETE FROM dml_del_t WHERE k % 2 = 0 AND amt > 25")
+      assert(TxnTable.read(spark, dir).orderBy("k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get).action == "delete")
+      // the catalog read sees the new version (fresh scan resolves latest)
+      assert(spark.read.format("graft").load(dir).count() == 3L)
+    } finally spark.sql("DROP TABLE dml_del_t")
+  }
+
+  test("UPDATE <graft table> SET … WHERE … dispatches to updateWhere") {
+    val dir = freshTable("dml_upd_t",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    try {
+      spark.sql("UPDATE dml_upd_t SET amt = amt * 10, v = 'X' WHERE k >= 2")
+      val got = TxnTable.read(spark, dir).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == Seq((1L, "a", 10L), (2L, "X", 200L), (3L, "X", 300L)))
+      assert(TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get).action == "update")
+    } finally spark.sql("DROP TABLE dml_upd_t")
+  }
+
+  test("MERGE INTO <graft table>: ordered clauses, BY SOURCE family, INSERT *") {
+    val dir = freshTable("dml_mrg_t",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    try {
+      Seq((2L, "B", 200L), (3L, "C", 300L), (9L, "i", 90L)).toDF("k", "v", "amt")
+        .createOrReplaceTempView("dml_mrg_src")
+      spark.sql("""MERGE INTO dml_mrg_t AS t USING dml_mrg_src AS s
+                  |ON t.k = s.k
+                  |WHEN MATCHED AND t.k = 2 THEN DELETE
+                  |WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt + t.amt
+                  |WHEN NOT MATCHED THEN INSERT *
+                  |WHEN NOT MATCHED BY SOURCE AND t.k = 4 THEN UPDATE SET v = 'stale'
+                  |""".stripMargin)
+      val got = TxnTable.read(spark, dir).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // k=2 deleted (first true clause wins), k=3 updated with BOTH-side
+      // expr, k=9 inserted, k=4 stale-marked by source-absence, k=1 kept
+      assert(got == Seq((1L, "a", 10L), (3L, "C", 330L), (4L, "stale", 40L),
+        (9L, "i", 90L)))
+      assert(TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get).action == "merge")
+    } finally spark.sql("DROP TABLE dml_mrg_t")
+  }
+
+  test("non-graft tables are untouched by the strategy (parquet DML still " +
+      "rejected by Spark; v2 in-memory DML untouched semantics preserved)") {
+    // a parquet catalog table: DELETE must still fail with Spark's own
+    // "does not support deletes" error, not be silently swallowed or
+    // misrouted by the graft strategy
+    val pdir = tmpTable()
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(pdir)
+    spark.sql("DROP TABLE IF EXISTS dml_parq_t")
+    spark.sql(s"CREATE TABLE dml_parq_t USING parquet LOCATION '$pdir'")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM dml_parq_t WHERE k = 1")
+      }
+      assert(!e.getMessage.contains("graft"),
+        s"graft DML strategy leaked onto a parquet table: ${e.getMessage}")
+      assert(spark.read.parquet(pdir).count() == 1L,
+        "a non-graft table lost rows through the DML strategy")
+    } finally spark.sql("DROP TABLE dml_parq_t")
+  }
+
+  test("MERGE with a non-equality ON or value-rewriting INSERT is rejected " +
+      "with a clear error, leaving the table unchanged") {
+    val dir = freshTable("dml_rej_t", Seq((1L, "a", 10L)))
+    try {
+      Seq((1L, "z", 99L)).toDF("k", "v", "amt")
+        .createOrReplaceTempView("dml_rej_src")
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO dml_rej_t t USING dml_rej_src s
+                    |ON t.k < s.k
+                    |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(e.getMessage != null)
+      assert(TxnTable.read(spark, dir).count() == 1L)
+      assert(TxnTable.latestVersion(dir).contains(0L),
+        "a rejected MERGE must not commit")
+    } finally spark.sql("DROP TABLE dml_rej_t")
+  }
+}
