@@ -85,8 +85,6 @@ case class MultiQueryTopK(
 
   // per-row vector scratch (content-independent — safe per task instance)
   @transient private var scratch: Array[Long] = _
-  // per-row ADC accumulators, one per query (content-independent)
-  @transient private var acc: Array[Long] = _
 
   override def createAggregationBuffer(): MQBuf = new MQBuf(null, null, null, null)
 
@@ -143,26 +141,12 @@ case class MultiQueryTopK(
     // the margin, so no true candidate is ever screened out).
     buf.invSq = buf.qnsq.map(x => 1.0 / math.sqrt(x))
     buf.rootCos = Array.fill(n)(Double.NegativeInfinity)
-    // ADC mode: TRANSPOSE the Q per-query tables into one interleaved
-    // array, slot (m·subK + code)·Q + q — so the per-row hot loop reads
-    // Q CONSECUTIVE longs per sub-space (m outer, q inner) instead of
-    // doing Q independent random walks over Q separate tables. The 16
-    // random lookups per (row, query) become 16 sequential Q-long block
-    // reads per ROW — measured, this is what lets the 8× FLOP cut
-    // actually beat the exact dot at 128 dims instead of losing to
-    // cache misses.
-    if (isAdc && n > 0) {
-      val tlen = buf.tabs(0).length
-      val t = new Array[Long](tlen * n)
-      var q = 0
-      while (q < n) {
-        val tab = buf.tabs(q)
-        var s = 0
-        while (s < tlen) { t(s * n + q) = tab(s); s += 1 }
-        q += 1
-      }
-      buf.adcT = t
-    }
+    // ADC mode scores row-blocked / query-outer (see [[flushAdc]]): the
+    // per-query tables are used directly, L1-resident per block — no
+    // transposed copy needed (the r10 transpose fixed the per-row
+    // q-inner random walks but still streamed m Q-long blocks plus a
+    // Q-long accumulator per ROW, which became the bottleneck at high
+    // Q; the block tiling amortizes table traffic over the block).
   }
 
   // (e1,i1) ranks strictly ahead of (e2,i2) under (cos DESC, id ASC).
@@ -247,7 +231,7 @@ case class MultiQueryTopK(
       require(java.util.Arrays.equals(fresh.qids, buf.qids),
         "multi_query_topk: re-derived query set differs from the merged buffer's")
       buf.tabs = fresh.tabs; buf.qnsq = fresh.qnsq
-      buf.invSq = fresh.invSq; buf.adcT = fresh.adcT
+      buf.invSq = fresh.invSq
       // screen state from the EXISTING (merged) heaps, not fresh's empty
       // ones — a full heap's root is the exact running threshold
       buf.rootCos = Array.tabulate(buf.qids.length)(q =>
@@ -267,24 +251,31 @@ case class MultiQueryTopK(
     val qn = buf.qids.length
     val invSn = 1.0 / math.sqrt(nd) // one sqrt per ROW, not per pair
     if (isAdc) {
-      // m-outer / q-inner over the transposed table: each sub-space's
-      // looked-up code contributes a CONSECUTIVE Q-long block — fully
-      // sequential reads, one accumulator array pass per row
-      if (acc == null || acc.length < qn) acc = new Array[Long](qn)
-      java.util.Arrays.fill(acc, 0, qn, 0L)
-      val t = buf.adcT
+      // ROW-BATCHED, QUERY-OUTER tiling: buffer a block of rows' codes,
+      // then for each query score the whole block with that query's own
+      // table (M·K longs, ~4 KB — L1-resident for the block) before
+      // moving to the next. The earlier layouts were memory-bound at
+      // high Q: per-row q-inner over Q separate tables streamed Q random
+      // walks, and the transposed m-outer variant wrote+read a Q-long
+      // accumulator and touched m Q-long blocks of an L3-sized table
+      // EVERY row (~15 KB/row at Q=625). Tiling amortizes the Q·4 KB
+      // table traffic over the whole block (~2.4 KB/row at block 1024)
+      // and needs no accumulator at all.
+      if (buf.pend == null) {
+        buf.pend = new Array[Int](MultiQueryTopK.adcBlock * m)
+        buf.pendNd = new Array[Double](MultiQueryTopK.adcBlock)
+        buf.pendInv = new Array[Double](MultiQueryTopK.adcBlock)
+        buf.pendId = new Array[Long](MultiQueryTopK.adcBlock)
+        buf.pendN = 0
+      }
+      val base = buf.pendN * m
       var i = 0
-      while (i < m) {
-        val base = (i * subK + scratch(i).toInt) * qn
-        var q = 0
-        while (q < qn) { acc(q) += t(base + q); q += 1 }
-        i += 1
-      }
-      var q = 0
-      while (q < qn) {
-        score(buf, q, acc(q), nd, invSn, idL)
-        q += 1
-      }
+      while (i < m) { buf.pend(base + i) = scratch(i).toInt; i += 1 }
+      buf.pendNd(buf.pendN) = nd
+      buf.pendInv(buf.pendN) = invSn
+      buf.pendId(buf.pendN) = idL
+      buf.pendN += 1
+      if (buf.pendN == MultiQueryTopK.adcBlock) flushAdc(buf, m)
     } else {
       var q = 0
       while (q < qn) {
@@ -298,6 +289,38 @@ case class MultiQueryTopK(
     }
     buf
   }
+
+  /** Score the buffered ADC row block, query-outer / row-inner: each
+    * query's table stays L1-resident across the block, the codes stream
+    * sequentially from the block buffer. Set-identical to per-row
+    * scoring (heap top-k content is insert-order independent). */
+  private def flushAdc(buf: MQBuf, m: Int): Unit = {
+    val cnt = buf.pendN
+    if (cnt == 0) return
+    val qn = buf.qids.length
+    val codes = buf.pend
+    var q = 0
+    while (q < qn) {
+      val tab = buf.tabs(q)
+      var r = 0
+      while (r < cnt) {
+        val base = r * m
+        var dot = 0L
+        var i = 0
+        while (i < m) { dot += tab(i * subK + codes(base + i)); i += 1 }
+        score(buf, q, dot, buf.pendNd(r), buf.pendInv(r), buf.pendId(r))
+        r += 1
+      }
+      q += 1
+    }
+    buf.pendN = 0
+  }
+
+  /** Flush any buffered ADC rows (m recovered from the table length) —
+    * must run before the buffer's heaps are read (serialize/merge/eval). */
+  private def drain(buf: MQBuf): Unit =
+    if (isAdc && buf.pendN > 0 && buf.tabs != null)
+      flushAdc(buf, buf.tabs(0).length / subK)
 
   /** Screened exact-cos heap insert: the cheap product estimate rejects
     * pairs provably below the heap root (k·ln(n) survivors expected);
@@ -317,7 +340,8 @@ case class MultiQueryTopK(
 
   override def merge(buf: MQBuf, other: MQBuf): MQBuf = {
     if (other.qids == null) return buf
-    if (buf.qids == null) return other
+    if (buf.qids == null) { drain(other); return other }
+    drain(buf); drain(other)
     var q = 0
     while (q < buf.qids.length) {
       val oh = other.heaps(q); val on = other.sizes(q)
@@ -340,6 +364,7 @@ case class MultiQueryTopK(
 
   override def eval(buf: MQBuf): Any = {
     if (buf.qids == null) return new GenericArrayData(Array.empty[Any])
+    drain(buf)
     val out = new Array[Any](buf.qids.length)
     var q = 0
     while (q < buf.qids.length) {
@@ -364,6 +389,7 @@ case class MultiQueryTopK(
   }
 
   override def serialize(buf: MQBuf): Array[Byte] = {
+    drain(buf)
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     if (buf.qids == null) out.writeInt(-1)
@@ -445,9 +471,15 @@ object MultiQueryTopK {
       var extras: Array[ArrayBuffer[Long]],
       var tabs: Array[Array[Long]] = null,
       var qnsq: Array[Double] = null,
-      var adcT: Array[Long] = null,
       var invSq: Array[Double] = null,
-      var rootCos: Array[Double] = null)
+      var rootCos: Array[Double] = null,
+      // ADC row-block buffer (update-side only, drained before any
+      // serialize/merge/eval reads the heaps)
+      var pend: Array[Int] = null,
+      var pendNd: Array[Double] = null,
+      var pendInv: Array[Double] = null,
+      var pendId: Array[Long] = null,
+      var pendN: Int = 0)
 
   val entryType: StructType = StructType(Seq(
     StructField("cos", DoubleType, nullable = false),
@@ -481,17 +513,27 @@ object MultiQueryTopK {
       tabs.map { case (q, t, n) => (q, t.toArray, n) }.toArray)
 
   private def bcGroupedOf(tabs: Map[Long, Seq[(Long, Seq[Long], Long)]]) = {
-    // a query probing SEVERAL groups (IVF nprobe > 1) shares ONE table
-    // array across its group entries — both Java and Kryo serialization
-    // preserve intra-graph references, so the broadcast ships and each
-    // executor holds each table once, not nprobe times (at Q=10k,
-    // nprobe=4, 4 KB ADC tables that is 40 MB instead of 160 MB)
-    val arrByQid = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+    // a query probing SEVERAL groups (IVF nprobe > 1) usually shares ONE
+    // table object across its group entries — identity-dedup so the
+    // broadcast ships (and each executor holds) each shared table once,
+    // not nprobe times (at Q=10k, nprobe=4, 4 KB ADC tables that is
+    // 40 MB instead of 160 MB). Keyed by the Seq INSTANCE, not the qid:
+    // residual IVFADC tables legitimately differ per (query, cell) —
+    // same qid, different content — and must NOT be collapsed.
+    val arrBySeq = new java.util.IdentityHashMap[Seq[Long], Array[Long]]()
     org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
       tabs.map { case (g, ts) =>
         g -> ts.map { case (q, t, n) =>
-          (q, arrByQid.getOrElseUpdate(q, t.toArray), n) }.toArray })
+          var a = arrBySeq.get(t)
+          if (a == null) { a = t.toArray; arrBySeq.put(t, a) }
+          (q, a, n)
+        }.toArray })
   }
+
+  /** ADC scoring block size: 1024 rows x M codes (ints) keeps the
+    * block buffer ~32-64 KB while amortizing the Q x (M*K*8B) table
+    * stream to ~Q*4KB/1024 per row. */
+  val adcBlock: Int = 1024
 
   /** Order-preserving involution double-bits <-> signed long: signed
     * comparison of the encoding matches IEEE total order on the doubles

@@ -63,7 +63,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * hand-written `readRange` call gets, plus parquet row-group skipping,
   * without knowing the table format exists.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -77,9 +78,37 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val (dir, version, resolved) = GraftDataSource.resolve(properties)
     new GraftTable(dir, version, resolved)
   }
+
+  // ---- streaming read: spark.readStream.format("graft").load(dir) ----
+  // V1 StreamSourceProvider (the stable Source.getBatch API): commit
+  // versions are the offsets, each batch is a CDC window — see
+  // [[GraftStreamSource]].
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftStreamSource.feedSchema(
+      ctx.sparkSession, GraftDataSource.dirOf(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(ctx.sparkSession, GraftDataSource.dirOf(parameters))
 }
 
 object GraftDataSource {
+
+  /** The session catalog hands a CREATE TABLE ... LOCATION through as a
+    * `file:` URI; TxnTable speaks local paths. */
+  private[sources] def normalize(raw: String): String =
+    if (raw.startsWith("file:")) new java.io.File(java.net.URI.create(raw)).getPath
+    else raw
+
+  /** Table dir from a streaming reader's parameters map. */
+  private[sources] def dirOf(parameters: Map[String, String]): String =
+    normalize(parameters.map { case (k, v) => k.toLowerCase -> v }
+      .getOrElse("path", throw new IllegalArgumentException(
+        "graft stream needs a path: spark.readStream.format(\"graft\").load(tableDir)")))
 
   /** Resolve (tableDir, pinned version, effective schema) from reader
     * options. `versionAsOf` / `timestampAsOf` mirror Delta's reader
@@ -98,11 +127,7 @@ object GraftDataSource {
     val raw = opt("path").getOrElse(
       throw new IllegalArgumentException(
         "graft source needs a path: spark.read.format(\"graft\").load(tableDir)"))
-    // the session catalog hands a CREATE TABLE ... LOCATION through as a
-    // `file:` URI; TxnTable speaks local paths
-    val dir =
-      if (raw.startsWith("file:")) new java.io.File(java.net.URI.create(raw)).getPath
-      else raw
+    val dir = normalize(raw)
     val versionOpt = opt("versionAsOf").map(_.trim.toLong)
       .orElse(opt("timestampAsOf").map { t =>
         val ts = t.trim.toLong

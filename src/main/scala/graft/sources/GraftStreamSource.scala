@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** STREAMING read of a graft table — the table-format-as-stream-source
+  * bread and butter (Delta's streaming source shape):
+  *
+  * {{{
+  *   spark.readStream.format("graft").load(tableDir)      // CDC feed
+  *     .writeStream.option("checkpointLocation", …)…
+  * }}}
+  *
+  * Offsets are COMMIT VERSIONS — the natural exactly-once cursor of a
+  * versioned table: `latestOffset` is the head version, each micro-batch
+  * is the change feed of the commit window `(startV, endV]` via
+  * [[TxnTable.changes]] (insert/delete-tagged rows, the q201 CDC
+  * machinery — append windows take the file-level fast path, DML windows
+  * the multiset diff), and the FIRST batch bootstraps with the initial
+  * snapshot (version 0 as inserts) exactly like [[TxnTable.changesStream]]
+  * proved out. Spark's checkpoint persists the version cursor, so a
+  * restarted query resumes from its last committed window and a replayed
+  * window re-reads the SAME immutable manifests — deterministic batches,
+  * the property streaming exactly-once composes from.
+  *
+  * Built on the stable V1 streaming source API (`StreamSourceProvider` /
+  * `Source.getBatch` returning a DataFrame) — the window read IS a batch
+  * DataFrame over committed files, re-tagged streaming at the RDD
+  * boundary exactly as Spark's own file source does. Retention caveat as
+  * in [[TxnTable.changesStream]]: vacuuming past an inactive stream's
+  * cursor surfaces as a typed [[TxnTable.RetentionError]] on restart.
+  */
+final class GraftStreamSource(spark: SparkSession, tableDir: String)
+    extends Source {
+
+  import GraftStreamSource.VersionOffset
+
+  override val schema: StructType = GraftStreamSource.feedSchema(spark, tableDir)
+
+  override def getOffset: Option[Offset] =
+    TxnTable.latestVersion(tableDir).map(VersionOffset)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = VersionOffset.versionOf(end)
+    val feed = start.map(VersionOffset.versionOf) match {
+      case Some(startV) if startV >= endV =>
+        // replay edge: an empty window re-plans to zero rows
+        TxnTable.read(spark, tableDir, Some(endV)).limit(0)
+          .withColumn("_change", lit("insert"))
+      case Some(startV) =>
+        TxnTable.changes(spark, tableDir, startV, endV)
+      case None =>
+        // bootstrap: initial snapshot as inserts, plus any windows that
+        // landed before the stream's first batch
+        val boot = TxnTable.read(spark, tableDir, Some(0L))
+          .withColumn("_change", lit("insert"))
+        if (endV == 0L) boot
+        else boot.unionByName(TxnTable.changes(spark, tableDir, 0L, endV))
+    }
+    ColumnBridge.asStreaming(spark, feed)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object GraftStreamSource {
+
+  /** Feed schema = table schema (at head) + the `_change` tag. */
+  private[sources] def feedSchema(spark: SparkSession, tableDir: String): StructType = {
+    val v = TxnTable.latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = TxnTable.snapshot(tableDir, v)
+    val base = TxnTable.effectiveSchema(tableDir, snap)
+      .getOrElse(TxnTable.read(spark, tableDir, Some(v)).schema)
+    StructType(base.fields :+ StructField("_change", StringType, nullable = false))
+  }
+
+  /** Commit-version offset (json = the version number). */
+  final case class VersionOffset(version: Long) extends Offset {
+    override def json: String = version.toString
+  }
+
+  object VersionOffset {
+    def versionOf(o: Offset): Long = o match {
+      case VersionOffset(v) => v
+      case other            => other.json.trim.toLong // checkpoint round trip
+    }
+  }
+}

@@ -352,7 +352,8 @@ object TxnTable {
     * (`_era_rel`, `_era_pos`) from the hidden `_metadata` BEFORE the
     * projection — positions for dv staging survive the rename mapping. */
   private def readEras(spark: SparkSession, tableDir: String, snap: Snapshot,
-                       dirs: Seq[String], withMeta: Boolean): DataFrame = {
+                       dirs: Seq[String], withMeta: Boolean,
+                       dvKeep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, regexp_extract}
     def paths(ds: Seq[String]) = ds.map(d => new File(dataDir(tableDir), d).getPath)
     def metaOf(df: DataFrame): Seq[org.apache.spark.sql.Column] =
@@ -360,14 +361,20 @@ object TxnTable {
       else Seq(
         regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1).as("_era_rel"),
         col("_metadata.row_index").as("_era_pos"))
+    // the dv position predicate references `_metadata`, resolvable only
+    // on the RAW parquet scan — applied here, BEFORE any era projection,
+    // it fuses into every era's whole-stage codegen (evolved tables get
+    // the same ~1.1x dv scan rent as plain ones instead of the
+    // anti-join's 2.3x)
+    def keep(raw: DataFrame): DataFrame = dvKeep.map(raw.filter).getOrElse(raw)
     if (snap.fids.isEmpty) {
       // a manifest-carried evolved schema is passed to the parquet reader
       // explicitly: files staged BEFORE an addColumn simply lack the new
       // field and the reader null-backfills it — the Delta/Iceberg
       // metadata-only evolution read, zero data rewritten
       val r = spark.read
-      val df = snap.schema.map(d => r.schema(structOf(d))).getOrElse(r)
-        .parquet(paths(dirs): _*)
+      val df = keep(snap.schema.map(d => r.schema(structOf(d))).getOrElse(r)
+        .parquet(paths(dirs): _*))
       if (!withMeta) df else df.select(col("*") +: metaOf(df): _*)
     } else {
       val cur = structOf(snap.schema.getOrElse(throw new IllegalStateException(
@@ -379,7 +386,7 @@ object TxnTable {
         .toSeq.sortBy(_._2.head).map { case ((ddl, ids), ds) =>
           val era = structOf(ddl)
           val byId = ids.zip(era.fields).map { case (i, f) => i -> f }.toMap
-          val raw = spark.read.schema(era).parquet(paths(ds): _*)
+          val raw = keep(spark.read.schema(era).parquet(paths(ds): _*))
           val projected = cur.fields.toSeq.map { f =>
             byId.get(snap.fids(f.name)) match {
               case Some(ef) if ef.name == f.name && ef.dataType == f.dataType =>
@@ -417,11 +424,10 @@ object TxnTable {
       else {
         val dvDirs = dvd.map(snap.dvs).distinct
         val dvCounts = dvDirs.map(snap.nrows.get)
-        // the predicate references `_metadata`, resolvable only on the
-        // raw scan — a field-id era projection sits between, so evolved
-        // tables keep the anti-join (their dv'd dirs rewrite on the
-        // next compactDirty anyway)
-        val inline = snap.fids.isEmpty && dvCounts.forall(_.isDefined) &&
+        // size gate only: readEras applies the predicate to each era's
+        // RAW scan (fids tables included — the r10 restriction to
+        // non-evolved tables is gone, closing the era-table 2.3x rent)
+        val inline = dvCounts.forall(_.isDefined) &&
           dvCounts.flatten.sum <= 4L * 1024 * 1024
         val filtered =
           if (inline) {
@@ -430,8 +436,8 @@ object TxnTable {
                 .map(r => (r.getString(0), r.getLong(1)))
                 .groupBy { case (rel, _) => rel.substring(rel.lastIndexOf('/') + 1) }
                 .map { case (name, xs) => name -> xs.map(_._2).sorted }
-            readEras(spark, tableDir, snap, dvd, withMeta = false)
-              .filter(graft.functions.DvKeep.keepColumn(spark, positions))
+            readEras(spark, tableDir, snap, dvd, withMeta = false,
+              dvKeep = Some(graft.functions.DvKeep.keepColumn(spark, positions)))
           } else {
             val dv = spark.read.parquet(paths(dvDirs): _*)
             val df = readEras(spark, tableDir, snap, dvd, withMeta = true)

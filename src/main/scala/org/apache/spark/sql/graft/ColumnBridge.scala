@@ -24,4 +24,15 @@ object ColumnBridge {
   def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-tag a BATCH DataFrame as a STREAMING one (executed plan, RDD
+    * boundary): the V1 streaming `Source.getBatch` contract requires an
+    * isStreaming plan, while a table-format CDC window is naturally a
+    * batch read of committed files — the same wrap every V1 file/Kafka
+    * source performs via `internalCreateDataFrame(isStreaming = true)`. */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

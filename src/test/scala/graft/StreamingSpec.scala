@@ -340,4 +340,52 @@ class StreamingSpec extends SparkTestBase {
     assert(TxnTable.versions(dest).size == 5,
       "full-history replay minted extra destination commits")
   }
+
+  test("readStream.format(\"graft\"): streamed CDC windows equal the batch " +
+      "feed; checkpoint restart resumes the version cursor exactly once") {
+    import graft.sources.TxnTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rstream-ck").toString
+    // v0: two rows; v1: append; v2: dv delete — a mixed window set
+    TxnTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir,
+      statsCol = Some("k"))
+    TxnTable.append(Seq((3L, "c")).toDF("k", "v"), dir, statsCol = Some("k"))
+    TxnTable.deleteRangeDV(spark, dir, "k", 2L, 2L)
+    def runOnce(): Seq[(Long, String, String)] = {
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            out.add((r.getLong(0), r.getString(1), r.getString(2)))): Unit
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      out.toArray(Array.empty[(Long, String, String)]).toSeq
+    }
+    val first = runOnce().sorted
+    // bootstrap (v0 inserts) + v1 insert + v2 delete — exactly the
+    // batch CDC feed changes(0, 2) plus the initial snapshot
+    val expected = (TxnTable.read(spark, dir, Some(0L))
+      .withColumn("_change", org.apache.spark.sql.functions.lit("insert"))
+      .unionByName(TxnTable.changes(spark, dir, 0L, 2L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(first == expected,
+      s"streamed feed diverged from the batch CDC feed: $first vs $expected")
+    // restart on the SAME checkpoint with no new commits: zero new rows
+    assert(runOnce().isEmpty, "checkpoint restart re-emitted processed windows")
+    // a new commit after restart streams exactly its window
+    TxnTable.append(Seq((9L, "z")).toDF("k", "v"), dir, statsCol = Some("k"))
+    val third = runOnce()
+    assert(third == Seq((9L, "z", "insert")),
+      s"post-restart window wrong: $third")
+    // the streamed multiset equals the table's final CDC-folded state
+    val folded = (first ++ third).groupBy(x => (x._1, x._2))
+      .map { case (kv, xs) =>
+        kv -> (xs.count(_._3 == "insert") - xs.count(_._3 == "delete")) }
+      .filter(_._2 > 0).keys.toSeq.sorted
+    val table = TxnTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(folded == table, "folding the stream did not reproduce the table")
+  }
 }

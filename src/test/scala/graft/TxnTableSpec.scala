@@ -1827,6 +1827,33 @@ class TxnTableSpec extends SparkTestBase {
     }
   }
 
+  test("dv position predicate fuses into fids-era scans — an evolved table " +
+      "pays the ~1x dv_keep rent, not the anti-join") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpTable()
+    TxnTable.append((1L to 100L).map(k => (k, s"r$k")).toDF("key0", "v"), dir,
+      statsCol = Some("key0"))
+    TxnTable.renameColumn(spark, dir, "key0", "key") // mints field ids
+    TxnTable.append((101L to 200L).map(k => (k, s"r$k")).toDF("key", "v"), dir,
+      statsCol = Some("key"))
+    TxnTable.deleteRangeDV(spark, dir, "key", 10L, 20L) // dv on the RENAMED era dir
+    val df = TxnTable.read(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dv_keep"),
+      s"evolved-table dv read lost the fused position predicate:\n${plan.take(800)}")
+    assert(!plan.contains("LeftAnti"),
+      "evolved-table dv read fell back to the broadcast anti-join")
+    assert(df.count() == 189L)
+    assert(df.filter(col("key") >= 10L && col("key") <= 20L).count() == 0L,
+      "dv'd rows resurfaced through the era scan")
+    // the pre-rename era resolves by field id THROUGH the dv filter
+    assert(df.orderBy("key").limit(1).collect().head.getLong(0) == 1L)
+    // the pathological-volume fallback still exists for unknown counts:
+    // correctness unchanged either way
+    assert(TxnTable.read(spark, dir).orderBy(col("key").desc).limit(1)
+      .collect().head.getLong(0) == 200L)
+  }
+
   test("dropColumn as the fid-MINTING op still records the dropped id in " +
       "fhwm — a later addColumn never recycles it") {
     val dir = tmpTable()
