@@ -302,6 +302,38 @@ final class GraftScan(dir: String, version: Long, tableSchema: StructType,
         required.map(_.dataType.defaultSize).sum))).getOrElse(OptionalLong.empty())
     override def numRows(): OptionalLong =
       rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    // COLUMN statistics: NDV from the per-dir KMV sidecars merged over
+    // exactly the planned subset, null counts from the manifest — the
+    // cardinality CBO's filter/join estimation consumes (nrows sizes a
+    // relation; rows/NDV is what an equality predicate selects). Sketch
+    // reads are k tiny per-dir files, computed lazily ONCE per scan and
+    // only when Spark asks for column stats.
+    override def columnStats(): util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStatsMap
+  }
+
+  private lazy val colStatsMap = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val m = new util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+    val sketched = planned.flatMap(d => TxnTable.kmvOf(dir, d).map(_._1)).distinct
+    sketched.foreach { c =>
+      TxnTable.estimateDistinct(dir, c, planned).foreach { ndv =>
+        val nullCnt: Option[Long] = {
+          val per = planned.map(d =>
+            snap.nulls.get(d).flatMap(_.find(_._1 == c)).map(_._2))
+          if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+        }
+        m.put(Expressions.column(c), new ColumnStatistics {
+          override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
+          override def nullCount(): OptionalLong =
+            nullCnt.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+        })
+      }
+    }
+    m
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T = {

@@ -1022,6 +1022,22 @@ object TxnTable {
             math.max(r.getLong(0), 1L), 0.01)
           val os = new java.io.FileOutputStream(new File(dir, ".bloom"))
           try bf.writeTo(os) finally os.close()
+          // NDV sketch: the bottom-64 DISTINCT 48-bit hashes of the
+          // column (the q58 KMV construction) — 64 longs per dir,
+          // union-min MERGEABLE across dirs, so a scan's planner can
+          // estimate the distinct count of exactly its planned subset
+          // ([[estimateDistinct]] → DSv2 column statistics). nrows
+          // alone sizes a relation; NDV is what join/filter
+          // cardinality estimation actually needs.
+          import org.apache.spark.sql.functions.{shiftrightunsigned, transform, xxhash64}
+          val mins = back.where(col(c).isNotNull)
+            .select(shiftrightunsigned(xxhash64(col(c)), 16).as("hv"))
+            .distinct()
+            .agg(graft.functions.TopKLongs.topK(-col("hv"), col("hv"), 64).as("tk"))
+            .select(transform(col("tk"), x => x.getField("id")).as("ids"))
+            .head().getSeq[Long](0)
+          Files.write(new File(dir, ".kmv").toPath,
+            s"$c:${mins.mkString(",")}".getBytes("UTF-8")): Unit
         }
         r.getLong(0)
       case None => back.count()
@@ -1074,6 +1090,36 @@ object TxnTable {
           df.schema.fieldNames.map(fidsNow).mkString(" ")).getBytes("UTF-8")): Unit
     }
     staged
+  }
+
+  /** The stats column's KMV NDV sketch from a data dir's `.kmv`
+    * sidecar: (column, ascending bottom-64 distinct 48-bit hashes). */
+  def kmvOf(tableDir: String, dataDirName: String): Option[(String, Array[Long])] = {
+    val f = new File(new File(dataDir(tableDir), dataDirName), ".kmv")
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").split(":", 2) match {
+      case Array(c, vs) if vs.nonEmpty =>
+        Some((c, vs.split(",").map(_.trim.toLong).sorted))
+      case _ => None
+    }
+  }
+
+  /** Distinct-count ESTIMATE of `column` over exactly `dirs`, from the
+    * per-dir KMV sidecars: union the minima, keep the 64 smallest —
+    * exact below 64 distinct hashes, `63·2^48 / h_64` above (the q58
+    * estimator, rel. error ~1/√63 ≈ 13%). None unless EVERY dir carries
+    * a sketch for the column (a partial union silently understates).
+    * Per-dir sidecar reads (k tiny files), intended for the planner's
+    * column-statistics path — advisory cardinality, not correctness. */
+  def estimateDistinct(tableDir: String, column: String,
+                       dirs: Seq[String]): Option[Long] = {
+    val sketches = dirs.map(d => kmvOf(tableDir, d).filter(_._1 == column))
+    if (dirs.isEmpty || sketches.exists(_.isEmpty)) None
+    else {
+      val merged = sketches.flatMap(_.get._2).distinct.sorted.take(64)
+      Some(if (merged.length < 64) merged.length.toLong
+           else 63L * 281474976710656L / math.max(merged.last, 1L))
+    }
   }
 
   /** The stats column's bloom filter from a data dir's `.bloom`

@@ -142,6 +142,34 @@ object LakeBench {
     require(TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get).dvs.isEmpty,
       "compaction left a dv behind")
 
+    // ---- evolved-table DV rent (round 11): rename + widen mints field
+    // ids, which until r10 forced dv'd reads down the broadcast
+    // anti-join (the carried 2.3x-class rent). The dv_keep position
+    // predicate now fuses into each ERA's raw scan — measure the rent
+    // on a renamed+widened table: clean era scan vs scan through 1 dv.
+    val evo = Files.createTempDirectory("graft-lakebench-evo").toString
+    val (_, tEvoBuild) = timed("evolved table: 4 appends + rename + widen") {
+      (0 until 4).foreach { i =>
+        TxnTable.append(
+          spark.range(i * (n / 4), (i + 1) * (n / 4)).toDF("id0")
+            .select(col("id0").cast("int").as("id0"),
+              pmod(col("id0") * 2654435761L, lit(1000000L)).as("v")),
+          evo, statsCol = Some("id0"))
+      }
+      TxnTable.renameColumn(spark, evo, "id0", "id")
+      TxnTable.widenColumn(spark, evo, "id", "bigint")
+    }
+    val ((evoClean, _), tEvoClean) = timed("evolved era scan (clean)")(
+      agg(TxnTable.read(spark, evo)))
+    TxnTable.deleteRangeDV(spark, evo, "id", n / 4L, n / 4L + 99L)
+    val evoDvDf = TxnTable.read(spark, evo)
+    require(evoDvDf.queryExecution.executedPlan.toString.contains("dv_keep"),
+      "evolved dv read fell off the fused-predicate path")
+    val ((evoDv, _), tEvoDv) = timed("evolved era scan (through 1 dv)")(
+      agg(evoDvDf))
+    require(evoDv == evoClean - 100L,
+      s"evolved dv scan wrong count: $evoDv != ${evoClean - 100L}")
+
     val json =
       s"""{"n":$n,"build_sec":$tBuild,""" +
         s""""append_slice_bare_sec":$tBare,"append_slice_indexed_sec":$tIdx,""" +
@@ -155,8 +183,11 @@ object LakeBench {
         s""""purge_100_cow":{"sec":$tCowPurge,"rewrote_dirs":$cowRewrote},""" +
         s""""purge_100_dv":{"sec":$tDvPurge,"rewrote_dirs":0,"dv_dirs":${dvSnap.dvs.size}},""" +
         s""""scan_through_dv_sec":$tScanDV,"full_scan_sec_ref":$tFull,""" +
-        s""""dv_materialize_compact_sec":$tMaterialize}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_LAKEBENCH_OUT", "lakebench_r9.json")
+        s""""dv_materialize_compact_sec":$tMaterialize,""" +
+        s""""evolved":{"build_sec":$tEvoBuild,"scan_clean_sec":$tEvoClean,""" +
+        s""""scan_through_dv_sec":$tEvoDv,"dv_rent":${
+          if (tEvoClean > 0) tEvoDv / tEvoClean else -1.0}}}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_LAKEBENCH_OUT", "lakebench_r11.json")
     Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     println(json)
     spark.stop()

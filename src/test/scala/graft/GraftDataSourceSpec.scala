@@ -200,6 +200,43 @@ class GraftDataSourceSpec extends SparkTestBase {
       "an impossible range should plan zero dirs")
   }
 
+  test("KMV NDV sidecars feed DSv2 column statistics, scoped to the " +
+      "PLANNED dirs") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val dir = tmpTable()
+    // two dirs with OVERLAPPING key ranges: union NDV (1500) is less
+    // than the sum of per-dir NDVs (2000) — a merge that double-counts
+    // is caught, and a per-dir estimate proves planned-subset scoping
+    TxnTable.append((0L until 1000L).map(k => (k, s"r$k")).toDF("k", "v"), dir,
+      statsCol = Some("k"))
+    TxnTable.append((500L until 1500L).map(k => (k, s"r$k")).toDF("k", "v"), dir,
+      statsCol = Some("k"))
+    val v = TxnTable.latestVersion(dir).get
+    val schema = spark.read.format("graft").load(dir).schema
+    def ndvOf(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val scan = new graft.sources.GraftScan(dir, v, schema, schema, filters)
+      val cs = scan.estimateStatistics().columnStats()
+      val st = cs.get(Expressions.column("k"))
+      assert(st != null, "no column statistics for the sketched column")
+      st.distinctCount().getAsLong
+    }
+    val full = ndvOf(Array.empty)
+    assert(math.abs(full - 1500L) <= 1500L / 4,
+      s"union NDV estimate off: $full vs ~1500 (13% expected error)")
+    // a range filter prunes to ONE dir — the estimate must cover only it
+    val pruned = ndvOf(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("k", 1100L)))
+    assert(math.abs(pruned - 1000L) <= 1000L / 4,
+      s"planned-subset NDV estimate off: $pruned vs ~1000")
+    assert(pruned < full, "pruning did not shrink the NDV estimate")
+    // exact below the sketch size: a 40-distinct dir reports exactly 40
+    val tiny = tmpTable()
+    TxnTable.append((0L until 40L).map(k => (k, "x")).toDF("k", "v"), tiny,
+      statsCol = Some("k"))
+    assert(TxnTable.estimateDistinct(tiny,
+      "k", TxnTable.snapshot(tiny, 0L).live).contains(40L))
+  }
+
   // ---- DSv2 WRITE path (round 11) ----
 
   test("df.write.format(\"graft\"): first append creates the table, later " +
