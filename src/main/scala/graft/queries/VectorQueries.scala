@@ -637,19 +637,23 @@ object VectorQueries {
     // of 64 multiplies. What that FLOP cut buys was MEASURED, not
     // assumed (rounds 9-10, 2M×128-dim, M=16): through per-pair join
     // machinery the cut is invisible (~20-25 ns/pair floors both
-    // kernels), but through the batched MultiQueryTopK scan with the
-    // TRANSPOSED table layout (sequential per-sub-space blocks) the
-    // isolated A/B probe (graft.tools.KernelProbe) shows the ADC pass
-    // at 0.39 s vs the exact-dot pass at 1.00 s — a 2.6× kernel win,
-    // compounded by the 8× scan-byte cut (16 codes + norm vs 128
-    // longs/row: the working set that decides whether a 100 TB pass is
-    // memory- or disk-bound). The remaining honest caveat is RERANK
-    // VOLUME on unstructured (hash-random) corpora: true top-10 score
-    // gaps sit inside quantization noise, so the shortlist must scale
-    // with N (~0.5%) and the exact re-rank, not the scan, dominates —
-    // real embeddings cluster, and the production composition is
-    // IVF + ADC (probe cells first; scalebench ivfpq4 at Q=1000:
-    // 4.3 s vs 43.4 s pair-join brute at recall 0.87).
+    // kernels), but through the batched MultiQueryTopK scan (r11:
+    // row-block/query-outer tiling — each query's 4 KB table stays
+    // L1-resident across a 1024-row block) the kernel win is measured
+    // at 5.3× vs the batched exact dot (adc scan 12.3 s vs dot 65.7 s,
+    // 2M×128d, Q=2000, scalebench_r11), compounded by the 8× scan-byte
+    // cut (16 codes + norm vs 128 longs/row: the working set that
+    // decides whether a 100 TB pass is memory- or disk-bound). The
+    // honest caveats, both MEASURED: (1) at LOW dims the comparison
+    // inverts — a SIMD-vectorized 16-mult dot beats 8 serial gathers,
+    // so the dims=16 composition keeps the exact kernel; (2) shortlist
+    // volume — on corpora whose true-neighbor sets scale with N, the
+    // re-rank eats the kernel win, so the production composition is
+    // IVFADC proper: RESIDUAL encoding + per-(query,cell) tables
+    // through the grouped kernel, which at 2M×128d beats the composed
+    // exact dot 1.56× at IDENTICAL 0.928 recall (4.5 s vs 7.1 s,
+    // Q=200, R=128 constant in corpus size — scalebench_r11
+    // pq128.ivf_np4_*).
     // Everything is equality joins: encode is a
     // broadcast of the 40-row codebook, ADC is a broadcast of the
     // 400-row distance table; the corpus is never shuffled on anything

@@ -756,22 +756,15 @@ object ScaleBench {
     val pq128Points = q128s.map { q =>
       val queries = emb128.where(col("id") < q)
         .select(col("id").as("qid"), col("em").as("qem"), col("nsq").as("qnsq"))
-      val (bruteTop, tB) = timed(s"PQ128 brute exact kNN (Q=$q)") {
-        val top = topkOf(emb128.crossJoin(broadcast(queries))
-          .select(col("qid"),
-            cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
-            col("id")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        top.count()
-        top
-      }
-      val truthRows = bruteTop.count()
-      // BATCHED exact scan: the same top-10, one corpus pass, queries
-      // broadcast as one row — the pair-join machinery floor removed.
-      // This is the fair FLOP baseline for the batched ADC leg below.
+      // BATCHED exact scan is the GROUND TRUTH (same policy as the
+      // dims=16 section): one corpus pass, queries broadcast, and the
+      // fair FLOP baseline for the batched ADC leg. The pair-join brute
+      // is measured as a comparison point at Q<=200 only — at Q=2000 it
+      // burned 6 suite-minutes restating a truth the batched scan
+      // computes at measured overlap 1.0.
       val qtabs128 = queries.collect().map(r =>
         (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
-      val (dbHits, tDotBatch) = timed(s"PQ128 brute BATCHED scan (Q=$q)") {
+      val (bruteTop, tDotBatch) = timed(s"PQ128 brute BATCHED scan / truth (Q=$q)") {
         val top = emb128
           .groupBy()
           .agg(graft.functions.MultiQueryTopK.dotTopK(
@@ -779,8 +772,20 @@ object ScaleBench {
           .select(explode(col("res")).as("r"))
           .select(col("r.qid").as("qid"), explode(col("r.tk")).as("e"))
           .select(col("qid"), col("e.id").as("id"))
-        top.join(bruteTop, Seq("qid", "id")).count()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        top.count()
+        top
       }
+      val truthRows = bruteTop.count()
+      val (dbHits, tB) =
+        if (q > 200) (-1L, -1.0)
+        else timed(s"PQ128 brute pair-join kNN (Q=$q)") {
+          val top = topkOf(emb128.crossJoin(broadcast(queries))
+            .select(col("qid"),
+              cosMicro(NativeText.dotLong(col("em"), col("qem")), col("nsq"), col("qnsq")).as("s"),
+              col("id")))
+          top.join(bruteTop, Seq("qid", "id")).count()
+        }
       val qdt = sub128Of(queries.select(col("qid").as("id"), col("qem").as("em")))
         .join(broadcast(cb128), Seq("m"))
         .select(col("id").as("qid"), (col("m") * k128 + col("code")).as("slot"),
