@@ -43,11 +43,15 @@ import graft.sources.{GraftTable, TxnTable}
   */
 object GraftDml {
 
-  /** Make the current session's SQL DML graft-aware. Idempotent. */
-  def install(spark: SparkSession): Unit =
+  /** Make the current session's SQL DML graft-aware (and restore the
+    * statistics surface the V1 bridge drops — [[GraftStatsRestore]]).
+    * Idempotent. */
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[GraftDmlStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new GraftDmlStrategy
+    GraftStatsRestore.install(spark)
+  }
 
   private[plans] def graftDir(plan: LogicalPlan): Option[(String, AttributeSet)] =
     plan match {

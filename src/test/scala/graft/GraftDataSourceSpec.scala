@@ -237,6 +237,48 @@ class GraftDataSourceSpec extends SparkTestBase {
       "k", TxnTable.snapshot(tiny, 0L).live).contains(40L))
   }
 
+  test("CBO: the NDV column statistic flips a filtered graft join side to " +
+      "broadcast — row counts alone do not") {
+    // two identical 200k-row tables; only one carries the KMV sidecars.
+    // An equality filter selects ~1 row: with the NDV stat, CBO's filter
+    // estimation shrinks the side to rows/ndv and the join broadcasts;
+    // without it the side keeps its full planned size and stays
+    // sort-merge. This is exactly what cardinality (vs size) buys.
+    // the filter column (k, sketched) is NOT the join key (j) — an
+    // equality on the join key would constant-propagate to the other
+    // side and shrink it too, making the flip unattributable
+    val sk = tmpTable()
+    TxnTable.append((0L until 200000L).map(k => (k, k % 1000L)).toDF("k", "j"),
+      sk, statsCol = Some("k"))
+    val nosk = tmpTable()
+    TxnTable.append((0L until 200000L).map(k => (k, k % 1000L)).toDF("k", "j"),
+      nosk)
+    val big = spark.range(0L, 3000000L).toDF("j")
+    def initialJoinPlan(dir: String): String = {
+      val filtered = graftDf(dir).filter(col("k") === 12345L)
+      big.join(filtered, "j").queryExecution.executedPlan.toString
+    }
+    graft.plans.GraftDml.install(spark) // injects the stats-restore rule
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static decision under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (200 * 1024).toString)
+    try {
+      val withNdv = initialJoinPlan(sk)
+      assert(withNdv.contains("BroadcastHashJoin"),
+        s"NDV-backed filter estimate did not flip the join to broadcast:\n${withNdv.take(600)}")
+      val withoutNdv = initialJoinPlan(nosk)
+      assert(!withoutNdv.contains("BroadcastHashJoin"),
+        "without the NDV stat the full-size side must NOT broadcast — " +
+          "the flip would not be attributable to the sketch")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   // ---- DSv2 WRITE path (round 11) ----
 
   test("df.write.format(\"graft\"): first append creates the table, later " +
