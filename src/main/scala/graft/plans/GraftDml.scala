@@ -93,6 +93,28 @@ object GraftDml {
     case other => throw new UnsupportedOperationException(
       s"graft DML: unsupported assignment target $other (nested fields not supported)")
   }
+
+  /** The TxnTable ops re-resolve the condition against their own frame;
+    * a subquery would need its own re-analysis there and instead fails
+    * with a confusing downstream error — reject it up front. */
+  private[plans] def rejectSubquery(e: Expression, stmt: String): Expression = {
+    if (e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        s"graft $stmt: subqueries in the condition are not supported " +
+          "(rewrite as a join or a literal list)")
+    e
+  }
+
+  /** `SET a = 1, a = 2` would silently last-win through `.toMap` —
+    * reject duplicate targets instead, like ANSI UPDATE does. */
+  private[plans] def rejectDupTargets(assigns: Seq[Assignment], stmt: String): Unit = {
+    val dup = assigns.map(assignName).groupBy(identity).collect {
+      case (n, hits) if hits.sizeIs > 1 => n
+    }
+    if (dup.nonEmpty) throw new UnsupportedOperationException(
+      s"graft $stmt: duplicate assignment target(s) ${dup.mkString(", ")}")
+  }
 }
 
 /** The planner strategy. Matching is deliberately narrow: only resolved
@@ -106,15 +128,17 @@ final class GraftDmlStrategy extends SparkStrategy {
     case DeleteFromTable(target, condition) if graftDir(target).isDefined =>
       val (dir, tgt) = graftDir(target).get
       GraftDmlExec("graft delete", { spark =>
-        TxnTable.deleteWhere(spark, dir, toColumn(condition, tgt)): Unit
+        TxnTable.deleteWhere(spark, dir,
+          toColumn(rejectSubquery(condition, "DELETE"), tgt)): Unit
       }) :: Nil
 
     case UpdateTable(target, assignments, condition) if graftDir(target).isDefined =>
       val (dir, tgt) = graftDir(target).get
+      rejectDupTargets(assignments, "UPDATE")
       val set = assignments.map(a => assignName(a) -> toColumn(a.value, tgt)).toMap
       GraftDmlExec("graft update", { spark =>
         TxnTable.updateWhere(spark, dir,
-          condition.map(toColumn(_, tgt))
+          condition.map(c => toColumn(rejectSubquery(c, "UPDATE"), tgt))
             .getOrElse(org.apache.spark.sql.functions.lit(true)), set): Unit
       }) :: Nil
 
@@ -145,13 +169,34 @@ final class GraftDmlStrategy extends SparkStrategy {
       }
       val keySet = keyCols.toSet
       def cond(c: Option[Expression]): Column =
-        c.map(toColumn(_, tgt, src, keySet))
+        c.map(e => toColumn(rejectSubquery(e, "MERGE"), tgt, src, keySet))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
       def clauses(actions: Seq[MergeAction], family: String): Seq[TxnTable.MatchedClause] =
         actions.map {
-          case UpdateAction(c, assigns, _) => TxnTable.MatchedUpdate(cond(c),
-            assigns.filterNot(a => keySet(assignName(a)))
-              .map(a => assignName(a) -> toColumn(a.value, tgt, src, keySet)).toMap)
+          case UpdateAction(c, assigns, _) =>
+            rejectDupTargets(assigns, "MERGE UPDATE")
+            // `SET k = s.k` (the identity Spark's resolver itself adds
+            // under UPDATE SET *) is a no-op — the key join already
+            // coalesces keys — and is dropped; any OTHER value assigned
+            // to a key column would be silently ignored, so reject it
+            // (the Scala-API mergeInto contract: "SET on a merge key is
+            // not supported").
+            val (keyAssigns, dataAssigns) =
+              assigns.partition(a => keySet(assignName(a)))
+            keyAssigns.foreach { a =>
+              val identity = a.value match {
+                case ar: AttributeReference =>
+                  ar.name == assignName(a) && (src.contains(ar) || tgt.contains(ar))
+                case _ => false
+              }
+              if (!identity) throw new UnsupportedOperationException(
+                s"graft MERGE: SET on merge key '${assignName(a)}' is not " +
+                  s"supported (got ${a.value.sql}); keys identify the row and " +
+                  "cannot be rewritten — DELETE + INSERT instead")
+            }
+            TxnTable.MatchedUpdate(cond(c),
+              dataAssigns
+                .map(a => assignName(a) -> toColumn(a.value, tgt, src, keySet)).toMap)
           case DeleteAction(c) => TxnTable.MatchedDelete(cond(c))
           case other => throw new UnsupportedOperationException(
             s"graft MERGE: unsupported $family action $other")

@@ -21,6 +21,16 @@ import org.apache.spark.sql.graft.StatsV1ScanWrapper
   * "User Provided Optimizers" batch — runs before planning reads plan
   * stats), installed by [[GraftDml.install]] alongside the DML
   * strategy. Non-graft scans never match.
+  *
+  * Coverage boundary: the User Provided Optimizers batch runs AFTER
+  * the optimizer's own Join Reorder batch, so `CostBasedJoinReorder`
+  * (logical join reordering) still sees `defaultSizeInBytes` for graft
+  * scans. What the restored stats DO reach is every planning-time
+  * consumer — `JoinSelection` broadcast sizing and any stats read at
+  * physical planning — which is where the broadcast-vs-shuffle call is
+  * made. A session-extensions install (`injectOptimizerRule`, a
+  * pre-CBO batch) would close the reorder gap but cannot be injected
+  * into the driver's already-built session; documented trade.
   */
 final class GraftStatsRestore extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

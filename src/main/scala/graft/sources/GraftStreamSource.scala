@@ -55,9 +55,20 @@ final class GraftStreamSource(spark: SparkSession, tableDir: String)
         TxnTable.changes(spark, tableDir, startV, endV)
       case None =>
         // bootstrap: initial snapshot as inserts, plus any windows that
-        // landed before the stream's first batch
-        val boot = TxnTable.read(spark, tableDir, Some(0L))
-          .withColumn("_change", lit("insert"))
+        // landed before the stream's first batch. The v0 read carries
+        // the v0-ERA schema; changes() and the declared source schema
+        // are aligned to the HEAD schema — so align the snapshot the
+        // same way changes() aligns its FROM side (missing columns
+        // null-backfill, extras drop, survivors cast to the head type)
+        // or an evolved table would trip unionByName at batch 0.
+        val boot0 = TxnTable.read(spark, tableDir, Some(0L))
+        val base = schema.fields.dropRight(1) // head schema sans _change
+        val boot = (
+          if (boot0.columns.sameElements(base.map(_.name))) boot0
+          else boot0.select(base.map(f =>
+            (if (boot0.columns.contains(f.name)) boot0.col(f.name).cast(f.dataType)
+             else lit(null).cast(f.dataType)).as(f.name)).toSeq: _*)
+        ).withColumn("_change", lit("insert"))
         if (endV == 0L) boot
         else boot.unionByName(TxnTable.changes(spark, tableDir, 0L, endV))
     }

@@ -96,6 +96,53 @@ class GraftDmlSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE dml_parq_t")
   }
 
+  test("MERGE SET on a merge key: identity `k = s.k` is accepted (and a " +
+      "no-op); any other key assignment is rejected, not silently dropped") {
+    val dir = freshTable("dml_key_t", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    try {
+      Seq((2L, "B", 200L)).toDF("k", "v", "amt")
+        .createOrReplaceTempView("dml_key_src")
+      // identity form (what UPDATE SET * resolves to) passes through
+      spark.sql("""MERGE INTO dml_key_t t USING dml_key_src s
+                  |ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v, amt = s.amt
+                  |""".stripMargin)
+      val got = TxnTable.read(spark, dir).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == Seq((1L, "a", 10L), (2L, "B", 200L)))
+      // value-rewriting key assignment: rejected with the mergeInto
+      // contract error, NOT silently ignored (the pre-fix behavior)
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql("""MERGE INTO dml_key_t t USING dml_key_src s
+                    |ON t.k = s.k
+                    |WHEN MATCHED THEN UPDATE SET k = t.k + 100, v = s.v
+                    |""".stripMargin)
+      }
+      assert(e.getMessage.contains("merge key"))
+      assert(TxnTable.latestVersion(dir).contains(1L),
+        "a rejected key-rewriting MERGE must not commit")
+    } finally spark.sql("DROP TABLE dml_key_t")
+  }
+
+  test("UPDATE with duplicate assignment targets and DML conditions " +
+      "containing subqueries are rejected up front") {
+    val dir = freshTable("dml_dup_t", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    try {
+      val dup = intercept[UnsupportedOperationException] {
+        spark.sql("UPDATE dml_dup_t SET amt = 1, amt = 2 WHERE k = 1")
+      }
+      assert(dup.getMessage.contains("duplicate assignment"))
+      Seq(1L).toDF("k").createOrReplaceTempView("dml_dup_keys")
+      val sub = intercept[UnsupportedOperationException] {
+        spark.sql("DELETE FROM dml_dup_t WHERE k IN (SELECT k FROM dml_dup_keys)")
+      }
+      assert(sub.getMessage.contains("subquer"))
+      assert(TxnTable.read(spark, dir).count() == 2L)
+      assert(TxnTable.latestVersion(dir).contains(0L),
+        "rejected statements must not commit")
+    } finally spark.sql("DROP TABLE dml_dup_t")
+  }
+
   test("MERGE with a non-equality ON or value-rewriting INSERT is rejected " +
       "with a clear error, leaving the table unchanged") {
     val dir = freshTable("dml_rej_t", Seq((1L, "a", 10L)))
