@@ -44,14 +44,42 @@ import graft.sources.{GraftTable, TxnTable}
 object GraftDml {
 
   /** Make the current session's SQL DML graft-aware (and restore the
-    * statistics surface the V1 bridge drops — [[GraftStatsRestore]]).
+    * statistics surface the V1 bridge drops — [[GraftStatsRestore]]),
+    * and register the path catalog that carries SQL time travel
+    * (`FROM graft.`/path/`` VERSION AS OF n` — [[GraftCatalog]];
+    * runtime-settable, CatalogManager loads catalogs lazily).
     * Idempotent. */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[GraftDmlStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new GraftDmlStrategy
+    if (!spark.conf.getOption("spark.sql.catalog.graft").isDefined)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
     GraftStatsRestore.install(spark)
   }
+
+  /** ALTER TABLE targets resolve to [[ResolvedTable]] (not a DSv2
+    * relation) — and for session-catalog `USING graft` tables the
+    * resolved handle is Spark's V1Table WRAPPER around the catalog
+    * entry, not our GraftTable (only relation resolution goes through
+    * `TableProvider.getTable`). Match it structurally via the table
+    * properties the wrapper surfaces (provider/location — the
+    * TableCatalog property contract), which also keeps this file free
+    * of the private[sql] V1Table class. */
+  private[plans] def resolvedGraftDir(plan: LogicalPlan): Option[String] =
+    plan match {
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable => r.table match {
+        case t: GraftTable => Some(t.tableDir)
+        case t if Option(t.properties.get("provider")).exists(_.equalsIgnoreCase("graft")) =>
+          Option(t.properties.get("location")).map(graft.sources.GraftDataSource.normalize)
+        case _ => None
+      }
+      // ADD CHECK CONSTRAINT's child is the analyzer-built VALIDATION
+      // scan — Filter(NOT cond) over the relation; unwrap to the table
+      case f: Filter => resolvedGraftDir(f.child)
+      case _         => graftDir(plan).map(_._1)
+    }
 
   private[plans] def graftDir(plan: LogicalPlan): Option[(String, AttributeSet)] =
     plan match {
@@ -229,6 +257,28 @@ final class GraftDmlStrategy extends SparkStrategy {
           ColumnBridge.dataFrame(spark, sourcePlan), keyCols,
           whenMatched, insertNotMatched, insertCond,
           whenNotMatchedBySource = bySource): Unit
+      }) :: Nil
+
+    // ---- SQL constraint DDL (Spark 4's ANSI constraint grammar):
+    // ALTER TABLE t ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT.
+    // The manifest-carried constraint set is the graft-native storage
+    // (addConstraint validates EXISTING rows before committing, exactly
+    // like Delta's ADD CONSTRAINT), so the DSv2 TableChange path —
+    // which our catalog-less tables never receive — is bypassed.
+    case AddCheckConstraint(t, check) if resolvedGraftDir(t).isDefined =>
+      val dir = resolvedGraftDir(t).get
+      GraftDmlExec("graft add constraint", { spark =>
+        TxnTable.addConstraint(spark, dir, check.name, check.condition): Unit
+      }) :: Nil
+
+    case DropConstraint(t, name, ifExists, _) if resolvedGraftDir(t).isDefined =>
+      val dir = resolvedGraftDir(t).get
+      GraftDmlExec("graft drop constraint", { _ =>
+        val has = TxnTable.latestVersion(dir).exists(v =>
+          TxnTable.snapshot(dir, v).constraints.contains(name))
+        if (has) TxnTable.dropConstraint(dir, name): Unit
+        else if (!ifExists) throw new IllegalArgumentException(
+          s"no constraint $name on graft table $dir")
       }) :: Nil
 
     case _ => Nil

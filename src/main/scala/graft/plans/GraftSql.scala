@@ -1,0 +1,124 @@
+package graft.plans
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.TxnTable
+
+/** SQL MAINTENANCE surface for graft tables: `VACUUM`, `OPTIMIZE`,
+  * `DESCRIBE HISTORY` and `ALTER TABLE … ADD/DROP CONSTRAINT` as plain
+  * SQL text — the statements a pure-SQL operator needs beyond DML
+  * (q230/q231 cover SELECT/MERGE/UPDATE/DELETE).
+  *
+  * Dispatch boundary (documented, not incidental): Spark's parser has
+  * NO grammar for `VACUUM` / `OPTIMIZE` / `DESCRIBE HISTORY` — Delta
+  * adds them via `injectParser`, which only applies to sessions built
+  * with the extension and cannot be retrofitted into an already-built
+  * session (`sessionState.sqlParser` is resolved once; the declared
+  * queries receive the driver's session). [[GraftSql.sql]] is therefore
+  * the CALL-style escape: it parses exactly the graft maintenance
+  * grammar below and DELEGATES EVERYTHING ELSE verbatim to
+  * `spark.sql`, so it is a drop-in `spark.sql` replacement — the same
+  * boundary Delta draws for pre-extension sessions with its
+  * `DeltaTable.vacuum/optimize/history` escape hatches.
+  * `ALTER TABLE … ADD CONSTRAINT … CHECK` DOES parse (Spark 4's ANSI
+  * constraint grammar) and dispatches through [[GraftDmlStrategy]] like
+  * the DML verbs; it is accepted here too so one entry point covers the
+  * whole maintenance vocabulary.
+  *
+  * Grammar (case-insensitive; `<tbl>` is a session-catalog table name,
+  * a `graft.`/path/`` literal, or a quoted path):
+  * {{{
+  *   DESCRIBE HISTORY <tbl>
+  *   VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]
+  *   OPTIMIZE <tbl> [ZORDER BY (c1[, c2])] [TARGET <n> FILES]
+  * }}}
+  * `VACUUM` defaults to RETAIN 168 HOURS (the Delta default); DRY RUN
+  * returns the reap list without deleting (the production pre-flight).
+  * `OPTIMIZE` bin-packs to TARGET files (default 16); ZORDER BY
+  * clusters on 1–2 integral keys ([[TxnTable.compactClustered]]).
+  */
+object GraftSql {
+
+  private val describeHistory =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val vacuum =
+    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val optimize =
+    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+FILES?)?\s*;?\s*""".r
+
+  /** Run `text`: graft maintenance statements execute against the
+    * table's TxnTable log; anything else delegates to `spark.sql`. */
+  def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case describeHistory(ref) =>
+      TxnTable.history(spark, locate(spark, ref))
+
+    case vacuum(ref, hours, dry) =>
+      import spark.implicits._
+      val dir = locate(spark, ref)
+      val retainMs = Option(hours).map(_.toLong).getOrElse(168L) * 3600L * 1000L
+      val cutoff = System.currentTimeMillis() - retainMs
+      // age → newest-N translation (the vacuumOlderThan fold): keep
+      // every version at or after the cutoff, always at least the head
+      val vs = TxnTable.versions(dir)
+      require(vs.nonEmpty, s"no commits at $dir")
+      val keepFrom = vs.indexWhere(v => TxnTable.snapshot(dir, v).ts >= cutoff) match {
+        case -1 => vs.length - 1
+        case i  => i
+      }
+      val retain = math.max(1, vs.length - keepFrom)
+      val (drop, reap) = TxnTable.vacuumDryRun(dir, retain)
+      if (dry == null || dry.isEmpty) TxnTable.vacuum(dir, retain)
+      drop.map(v => ("version", s"v$v")).toDF("kind", "target")
+        .unionByName(reap.map(d => ("data_dir", d)).toDF("kind", "target"))
+        .withColumn("executed",
+          org.apache.spark.sql.functions.lit(dry == null || dry.isEmpty))
+
+    case optimize(ref, zorder, target) =>
+      import spark.implicits._
+      val dir = locate(spark, ref)
+      val targetFiles = Option(target).map(_.toInt).getOrElse(16)
+      // physical parquet part-files over the live set (compact packs N
+      // files into ONE dir; clustering makes one dir per bucket — the
+      // file count is the layout truth either way). Driver listing of
+      // live dirs only: metadata-proportional, like the commit itself.
+      def fileCount(v: Long): Long =
+        TxnTable.snapshot(dir, v).live.map(d =>
+          Option(new File(new File(new File(dir, "data"), d).getPath).listFiles())
+            .getOrElse(Array.empty[File])
+            .count(f => f.getName.endsWith(".parquet"))).sum.toLong
+      val base = TxnTable.latestVersion(dir)
+        .getOrElse(throw new IllegalStateException(s"no commits at $dir"))
+      val before = fileCount(base)
+      val v = Option(zorder).map(_.split(",").map(_.trim).toSeq) match {
+        case Some(cols) => TxnTable.compactClustered(spark, dir, cols, targetFiles)
+        case None       => TxnTable.compact(spark, dir, targetFiles)
+      }
+      Seq((v, before, fileCount(v)))
+        .toDF("version", "files_before", "files_after")
+
+    case other => spark.sql(other)
+  }
+
+  /** Resolve a statement's table reference to its TxnTable location:
+    * `graft.`/path/`` (the Delta path-table convention), a quoted path
+    * literal, or a session-catalog name CREATEd `USING graft`. */
+  private[plans] def locate(spark: SparkSession, ref: String): String = {
+    val r = ref.trim
+    if (r.startsWith("graft.`") && r.endsWith("`"))
+      r.substring("graft.`".length, r.length - 1)
+    else if ((r.startsWith("'") && r.endsWith("'")) ||
+             (r.startsWith("\"") && r.endsWith("\"")))
+      r.substring(1, r.length - 1)
+    else {
+      val ti = spark.sessionState.sqlParser.parseTableIdentifier(r)
+      val meta = spark.sessionState.catalog.getTableMetadata(ti)
+      require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+        s"$r is not a graft table (provider: ${meta.provider.getOrElse("none")})")
+      val raw = meta.location.toString
+      if (raw.startsWith("file:")) new File(java.net.URI.create(raw)).getPath
+      else raw
+    }
+  }
+}

@@ -2134,6 +2134,66 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q232: the SQL MAINTENANCE surface (round 12) — OPTIMIZE /
+    // DESCRIBE HISTORY via [[graft.plans.GraftSql]] (Spark's parser has
+    // no grammar for them; GraftSql is the documented CALL-style escape
+    // that delegates everything else to spark.sql), and ALTER TABLE
+    // ADD CONSTRAINT as native Spark 4 SQL through the same
+    // GraftDmlStrategy dispatch the DML verbs use. The build runs three
+    // status-sliced appends, `OPTIMIZE … TARGET 2 FILES` (one bin-packed
+    // commit), and a SQL CHECK constraint (validates existing rows,
+    // metadata-only commit); the declared result is DESCRIBE HISTORY's
+    // (version, action, num_files, num_rows) — deterministic dir counts
+    // and row sums the oracle reconstructs from raw parquet, so a
+    // maintenance op that rewrote rows, lost a commit, or miscounted
+    // files is hash-visible.
+    Q("q232_sql_maintenance",
+      Some("""WITH c AS (SELECT
+             |  CAST(count(*) FILTER (o_orderstatus='F') AS BIGINT) AS f,
+             |  CAST(count(*) FILTER (o_orderstatus='O') AS BIGINT) AS o,
+             |  CAST(count(*) FILTER (o_orderstatus='P') AS BIGINT) AS p FROM orders)
+             |SELECT version, action, num_files, num_rows FROM (
+             |  SELECT CAST(0 AS BIGINT) AS version, 'append' AS action,
+             |         CAST(1 AS INT) AS num_files, f AS num_rows FROM c
+             |  UNION ALL SELECT CAST(1 AS BIGINT), 'append', CAST(2 AS INT), f+o FROM c
+             |  UNION ALL SELECT CAST(2 AS BIGINT), 'append', CAST(3 AS INT), f+o+p FROM c
+             |  UNION ALL SELECT CAST(3 AS BIGINT), 'compact', CAST(1 AS INT), f+o+p FROM c
+             |  UNION ALL SELECT CAST(4 AS BIGINT), 'addConstraint', CAST(1 AS INT), f+o+p FROM c)
+             |ORDER BY version""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_sql_maintenance")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          graft.plans.GraftDml.install(s)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          Seq("F", "O", "P").foreach(st =>
+            TxnTable.append(base.filter(col("o_orderstatus") === st), t.getPath))
+          val opt = graft.plans.GraftSql
+            .sql(s, s"OPTIMIZE graft.`${t.getPath}` TARGET 2 FILES").head()
+          require(opt.getLong(0) == 3L && opt.getLong(2) == 2L,
+            s"OPTIMIZE did not bin-pack to 2 files at v3: $opt")
+          s.sql("DROP TABLE IF EXISTS graft_q232_t")
+          s.sql(s"CREATE TABLE graft_q232_t USING graft LOCATION '${t.getPath}'")
+          s.sql("ALTER TABLE graft_q232_t ADD CONSTRAINT price_pos CHECK (price_c >= 0)")
+          s.sql("DROP TABLE graft_q232_t")
+          ()
+        }
+        val t = s"$dir/t"
+        require(TxnTable.snapshot(t, 4L).constraints.contains("price_pos"),
+          "SQL ADD CONSTRAINT did not land in the manifest")
+        graft.plans.GraftSql.sql(s, s"DESCRIBE HISTORY graft.`$t`")
+          .select(col("version"), col("action"), col("num_files"), col("num_rows"))
+          .orderBy("version")
       })
   )
 }

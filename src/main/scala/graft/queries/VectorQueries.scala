@@ -814,6 +814,8 @@ object VectorQueries {
            |SELECT qid, vid AS vec_id, CAST(rnk AS BIGINT) AS rnk, cos
            |FROM k_t WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
       (s, d) => {
+        import graft.operators.CacheScope
+        CacheScope.release("q225")
         val n = quantized(s, d)
         val cent = n
           .select(col("label"), posexplode(col("em")).as(Seq("dim0", "v")))
@@ -826,11 +828,14 @@ object VectorQueries {
           .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
         val dist = col("nsq") + col("cnorm") -
           NativeText.dotLong(col("em"), col("cvec")) * 2L
-        val assigned = n.join(broadcast(cent))
+        // persisted: the byCell collect below AND the corpus pass both
+        // read the assignment — without the persist each re-runs the
+        // centroid broadcast-join (one redundant pass per query)
+        val assigned = CacheScope.persist("q225", n.join(broadcast(cent))
           .withColumn("rnk_c", row_number().over(
             Window.partitionBy(col("vec_id")).orderBy(dist, col("clabel"))))
           .filter(col("rnk_c") === 1)
-          .select(col("vec_id"), col("em"), col("nsq"), col("clabel").as("cell"))
+          .select(col("vec_id"), col("em"), col("nsq"), col("clabel").as("cell")))
         // per-cell query tables as a BROADCAST MAP (cell → its probers):
         // each group's buffer decodes exactly its own query set, keyed
         // by the group column — zero per-row table bytes (q204's note)

@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** PATH-BASED DSv2 catalog for graft tables — what makes SQL TIME
+  * TRAVEL native:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.sql("SELECT * FROM graft.`/data/events` VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM graft.`/data/events` TIMESTAMP AS OF '…'")
+  * }}}
+  *
+  * Spark's time-travel resolution calls `TableCatalog.loadTable(ident,
+  * version|timestamp)`; the SESSION catalog hard-fails both overloads
+  * for its tables (`V2SessionCatalog.failTimeTravel` — verified against
+  * the shipped bytecode), so `VERSION AS OF` on a `USING graft` session
+  * table is structurally unreachable for any third-party format. This
+  * named catalog is the supported path — the same boundary Delta draws
+  * with `delta.`/path/``. The identifier's name IS the table directory
+  * (backquote it; namespaces are rejected — paths don't nest in a
+  * metastore). Reader-option time travel
+  * (`spark.read.format("graft").option("versionAsOf", …)`) remains the
+  * non-SQL equivalent; both pin the SAME snapshot semantics
+  * ([[GraftDataSource.resolve]] — one resolver, three front doors).
+  *
+  * The catalog is conf-registered (runtime-settable — CatalogManager
+  * instantiates lazily on first reference, so an already-built session
+  * can adopt it; [[graft.plans.GraftDml.install]] does), and the loaded
+  * tables are ordinary [[GraftTable]]s: scans prune through the
+  * manifest, writes commit through TxnTable, and the DML/constraint
+  * strategies match them exactly as they match session-catalog tables.
+  *
+  * DDL (CREATE/DROP/ALTER) is intentionally not routed here: a graft
+  * table IS its directory — creation is the first commit
+  * (`df.write.format("graft")`), deletion is removing the directory,
+  * schema changes are TxnTable evolution commits. The catalog is a
+  * RESOLVER, not a metastore.
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private var catName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catName = name
+
+  override def name(): String = catName
+
+  private def dirOf(ident: Identifier): String = {
+    require(ident.namespace().isEmpty,
+      s"graft catalog tables are paths — use $catName.`/abs/path`, got " +
+        s"namespace [${ident.namespace().mkString(".")}]")
+    GraftDataSource.normalize(ident.name())
+  }
+
+  private def load(ident: Identifier, extra: Map[String, String]): Table = {
+    val props = new util.HashMap[String, String]()
+    props.put("path", dirOf(ident))
+    extra.foreach { case (k, v) => props.put(k, v) }
+    val (dir, version, schema) = GraftDataSource.resolve(props)
+    new GraftTable(dir, version, schema)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
+
+  /** `VERSION AS OF v` — the DSv2 time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Map("versionAsOf" -> version.trim))
+
+  /** `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch;
+    * the resolver speaks commit-manifest milliseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, Map("timestampAsOf" -> (timestamp / 1000L).toString))
+
+  override def tableExists(ident: Identifier): Boolean =
+    TxnTable.latestVersion(dirOf(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // paths are not enumerable from a metastore
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created by their first commit — " +
+        "df.write.format(\"graft\").save(path)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER on the path catalog is not supported — graft schema/constraint " +
+        "evolution commits through TxnTable (or SQL ALTER on a session-catalog " +
+        "graft table, dispatched by GraftDmlStrategy)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "a graft table IS its directory; remove the directory to drop it")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "a graft table IS its directory; move the directory to rename it")
+}

