@@ -83,12 +83,23 @@ final class GraftCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // paths are not enumerable from a metastore
 
+  /** `CREATE TABLE graft.`/p` (cols…)` — a schema-only v0 commit
+    * ([[TxnTable.create]]); CTAS appends on top as v1 (Spark's
+    * non-staging CTAS protocol: createTable, then AppendData, with
+    * [[dropTable]] as the failure cleanup). Partition transforms are
+    * rejected: graft partition layout is a WRITE-time decision
+    * (`overwritePartitions` / hidden transforms carried in the
+    * manifest), not a DDL-time one. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by their first commit — " +
-        "df.write.format(\"graft\").save(path)")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft DDL takes no PARTITIONED BY — partition layout is a write-time " +
+        "decision (overwritePartitions / hidden transforms); see SURVEY L171/L188")
+    val dir = dirOf(ident)
+    TxnTable.create(dir, schema)
+    new GraftTable(dir, 0L, schema)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -96,9 +107,21 @@ final class GraftCatalog extends TableCatalog {
         "evolution commits through TxnTable (or SQL ALTER on a session-catalog " +
         "graft table, dispatched by GraftDmlStrategy)")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "a graft table IS its directory; remove the directory to drop it")
+  /** `DROP TABLE graft.`/p``: a graft table IS its directory — drop
+    * deletes it, but ONLY a directory that provably is a graft table
+    * (`_log` present), so a mistyped path can never recursively delete
+    * arbitrary data. Also the CTAS-failure cleanup hook. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = new java.io.File(dirOf(ident))
+    if (!new java.io.File(dir, "_log").isDirectory) false
+    else {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rec)
+        f.delete(): Unit
+      }
+      rec(dir); true
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

@@ -32,9 +32,16 @@ import org.apache.spark.sql.streaming.OutputMode
   * OutputMode.Complete (streaming aggregations) as a full
   * [[TxnTable.overwrite]] — the streaming-materialized-view shape
   * MviewStream hand-rolled over foreachBatch, now behind the public
-  * `writeStream.format("graft")` API. Update mode has no
-  * upsert-key contract in the writer API and is rejected (route
-  * through foreachBatch + mergeInto, where keys are explicit).
+  * `writeStream.format("graft")` API. OutputMode.Update needs an
+  * upsert-key contract the writer API lacks — `.option("mergeKeys",
+  * "c1[,c2…]")` supplies it, and each batch lands as ONE
+  * [[TxnTable.merge]] (stats-pruned copy-on-write upsert; an
+  * update-mode aggregation emits at most one row per group per batch,
+  * satisfying merge's key-unique precondition by construction — the
+  * INCREMENTAL materialized view, where Complete rewrites the world).
+  * The first batch on a fresh location appends (nothing to merge
+  * into). Update without mergeKeys is rejected toward foreachBatch +
+  * mergeInto.
   *
   * Schema-on-write, CHECK constraints, generated columns and
   * conflict-rebase all apply — the batch and streaming writers share
@@ -44,7 +51,8 @@ import org.apache.spark.sql.streaming.OutputMode
   * window (the Delta VACUUM-vs-txn caveat); keep retention above the
   * longest expected query downtime.
   */
-final class GraftStreamSink(tableDir: String, mode: OutputMode, appId: String)
+final class GraftStreamSink(tableDir: String, mode: OutputMode, appId: String,
+                            mergeKeys: Seq[String])
     extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -54,8 +62,14 @@ final class GraftStreamSink(tableDir: String, mode: OutputMode, appId: String)
     // a fresh batch analysis.
     val batch = ColumnBridge.asBatch(data.sparkSession, data)
     val txnId = Some(s"$appId-$batchId")
-    if (mode == OutputMode.Complete()) TxnTable.overwrite(batch, tableDir, txnId): Unit
-    else TxnTable.append(batch, tableDir, txnId): Unit
+    if (mode == OutputMode.Complete())
+      TxnTable.overwrite(batch, tableDir, txnId): Unit
+    else if (mode == OutputMode.Update()) {
+      if (TxnTable.latestVersion(tableDir).isEmpty)
+        TxnTable.append(batch, tableDir, txnId): Unit // first batch bootstraps
+      else
+        TxnTable.merge(batch.sparkSession, tableDir, batch, mergeKeys, txnId): Unit
+    } else TxnTable.append(batch, tableDir, txnId): Unit
   }
 
   override def toString: String = s"GraftStreamSink[$tableDir, $mode]"
@@ -84,13 +98,18 @@ object GraftStreamSink {
             new java.io.File(cp).getAbsolutePath))
       case None => "run" + java.util.UUID.randomUUID().toString
     })
+    val keys = opt("mergeKeys").map(_.split(",").map(_.trim).toSeq
+      .filter(_.nonEmpty)).getOrElse(Nil)
     outputMode match {
       case m if m == OutputMode.Append() || m == OutputMode.Complete() =>
-        new GraftStreamSink(dir, m, appId)
+        new GraftStreamSink(dir, m, appId, Nil)
+      case m if m == OutputMode.Update() && keys.nonEmpty =>
+        new GraftStreamSink(dir, m, appId, keys)
       case other => throw new UnsupportedOperationException(
-        s"graft streaming sink supports Append and Complete output modes, " +
-          s"got $other — for Update-mode upserts use foreachBatch with " +
-          "TxnTable.mergeInto (explicit keys)")
+        s"graft streaming sink: output mode $other needs upsert keys — " +
+          "pass .option(\"mergeKeys\", \"c1[,c2]\") for per-batch MERGE " +
+          "semantics, or use foreachBatch with TxnTable.mergeInto for " +
+          "conditional clauses")
     }
   }
 }

@@ -1035,6 +1035,25 @@ object TxnTable {
     }
   }
 
+  /** CREATE an EMPTY table: record the schema and publish version 0
+    * with an empty live set — the `CREATE TABLE graft.`…`(cols)` DDL
+    * primitive ([[GraftCatalog.createTable]]; CTAS appends on top as
+    * v1). A schema-only commit: zero data files, one manifest. Throws
+    * if the location already has commits (CREATE is not idempotent —
+    * use IF NOT EXISTS at the dispatch layer). */
+  def create(tableDir: String, schema: org.apache.spark.sql.types.StructType): Long = {
+    require(latestVersion(tableDir).isEmpty,
+      s"$tableDir already has commits — cannot CREATE over an existing table")
+    require(schema.nonEmpty, "CREATE needs at least one column")
+    dataDir(tableDir).mkdirs(); logDir(tableDir).mkdirs()
+    Files.write(new File(tableDir, "_schema").toPath,
+      schema.catalogString.getBytes("UTF-8"))
+    if (!tryPublish(tableDir, 0L, "create", Nil, None,
+        schema = Some(schema.catalogString)))
+      throw new CommitConflict(s"concurrent first commit at $tableDir")
+    0L
+  }
+
   /** Append `df` as one atomic commit; returns the committed version.
     * Idempotent per `txnId` (a retried commit is skipped). With
     * `statsCol` set (a long-typed column), the staged dir records that

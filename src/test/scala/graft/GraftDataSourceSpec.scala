@@ -398,4 +398,28 @@ class GraftDataSourceSpec extends SparkTestBase {
     // time travel still sees every pre-DML version
     assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").count() == 3L)
   }
+
+  test("path-catalog DDL: CREATE TABLE is a schema-only v0 commit, CTAS " +
+      "appends on top, DROP TABLE deletes only provable graft dirs") {
+    graft.plans.GraftDml.install(spark)
+    val p = s"${tmpTable()}/t1"
+    spark.sql(s"CREATE TABLE graft.`$p` (k BIGINT, v STRING)")
+    assert(TxnTable.snapshot(p, 0L).action == "create")
+    val empty = spark.sql(s"SELECT * FROM graft.`$p`")
+    assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0L,
+      "created table must read empty with the declared schema")
+    spark.sql(s"INSERT INTO graft.`$p` VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql(s"SELECT * FROM graft.`$p`").count() == 2L)
+    // CTAS: createTable + append through the same write path
+    val p2 = s"${tmpTable()}/t2"
+    spark.sql(s"CREATE TABLE graft.`$p2` AS SELECT k, v FROM graft.`$p` WHERE k = 1")
+    assert(spark.sql(s"SELECT * FROM graft.`$p2`").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // DROP deletes the directory — but only one carrying a graft _log
+    spark.sql(s"DROP TABLE graft.`$p2`")
+    assert(!new java.io.File(p2).exists(), "DROP TABLE left the table dir")
+    // CREATE over an existing table is rejected, table intact
+    intercept[Exception] { spark.sql(s"CREATE TABLE graft.`$p` (x INT)") }
+    assert(spark.sql(s"SELECT * FROM graft.`$p`").count() == 2L)
+  }
 }

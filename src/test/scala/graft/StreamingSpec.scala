@@ -513,7 +513,38 @@ class StreamingSpec extends SparkTestBase {
         .start(java.nio.file.Files.createTempDirectory("graft-ssink-up").toString)
         .processAllAvailable()
     }
-    assert(err.getMessage != null && err.getMessage.contains("foreachBatch"),
-      s"Update mode must be rejected with guidance, got: ${err.getMessage}")
+    assert(err.getMessage != null && err.getMessage.contains("mergeKeys"),
+      s"Update mode without keys must be rejected with guidance, got: ${err.getMessage}")
+  }
+
+  test("writeStream.format(\"graft\") Update mode + mergeKeys: each batch is " +
+      "one keyed MERGE — the INCREMENTAL materialized view (only changed " +
+      "groups rewrite, untouched groups keep their rows)") {
+    import graft.sources.TxnTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dst = java.nio.file.Files.createTempDirectory("graft-ssink-upsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssink-upsert-ck").toString
+    val ms = MemoryStream[(String, Long)]
+    val agg = ms.toDF().toDF("cat", "cents")
+      .groupBy($"cat").agg(sum($"cents").as("total"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("graft")
+      .outputMode("update")
+      .option("mergeKeys", "cat")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      ms.addData(("a", 100L), ("b", 30L)); q.processAllAvailable()
+      ms.addData(("a", 11L)); q.processAllAvailable() // update emits 'a' only
+      val got = TxnTable.read(spark, dst).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(got == Seq(("a", 111L, 2L), ("b", 30L, 1L)), s"upsert state wrong: $got")
+      // lineage: bootstrap append, then a MERGE per changed batch —
+      // never a Complete-style full overwrite
+      val actions = TxnTable.versions(dst).map(v => TxnTable.snapshot(dst, v).action)
+      assert(actions == Seq("append", "merge"), s"lineage wrong: $actions")
+    } finally q.stop()
   }
 }
