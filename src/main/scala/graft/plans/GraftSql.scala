@@ -38,21 +38,73 @@ import graft.sources.TxnTable
   * returns the reap list without deleting (the production pre-flight).
   * `OPTIMIZE` bin-packs to TARGET files (default 16); ZORDER BY
   * clusters on 1–2 integral keys ([[TxnTable.compactClustered]]).
+  * Round-12 additions to the vocabulary:
+  * {{{
+  *   RESTORE [TABLE] <tbl> TO VERSION [AS OF] <n>   -- metadata-only undo
+  *   DESCRIBE DETAIL <tbl>                          -- one-row table profile
+  * }}}
+  * `RESTORE` re-commits the target version's live set
+  * ([[TxnTable.restore]] — one manifest write, the 3am-bad-job
+  * recovery; the bad versions stay auditable until vacuumed).
+  * `DESCRIBE DETAIL` is the Delta surface: location, current version,
+  * file/row counts, constraint and partition-spec metadata — all from
+  * ONE manifest fetch plus a local file listing, zero data reads.
   */
 object GraftSql {
 
   private val describeHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val describeDetail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*""".r
   private val vacuum =
     """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val optimize =
     """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+FILES?)?\s*;?\s*""".r
+  private val restore =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*;?\s*""".r
 
   /** Run `text`: graft maintenance statements execute against the
     * table's TxnTable log; anything else delegates to `spark.sql`. */
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case describeHistory(ref) =>
       TxnTable.history(spark, locate(spark, ref))
+
+    case describeDetail(ref) =>
+      import spark.implicits._
+      val dir = locate(spark, ref)
+      val v = TxnTable.latestVersion(dir)
+        .getOrElse(throw new IllegalStateException(s"no commits at $dir"))
+      val snap = TxnTable.snapshot(dir, v)
+      val dvDirs = snap.live.flatMap(snap.dvs.get).distinct
+      val numRows: Option[Long] =
+        if (snap.live.forall(snap.nrows.contains) && dvDirs.forall(snap.nrows.contains))
+          Some(snap.live.map(snap.nrows).sum - dvDirs.map(snap.nrows).sum)
+        else None
+      val sizeBytes = snap.live.map(d =>
+        Option(new File(new File(new File(dir, "data"), d).getPath).listFiles())
+          .getOrElse(Array.empty[File])
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum).sum
+      Seq((
+        "graft", dir, v, snap.action, snap.live.size.toLong, numRows, sizeBytes,
+        snap.dvs.size.toLong, snap.constraints.keys.toSeq.sorted.mkString(","),
+        snap.ptrans.map { case (a, e) => s"$a = $e" }.getOrElse(""),
+        snap.schema.orElse {
+          // pre-evolution tables record their DDL in `_schema`, not
+          // the manifest (evolution commits carry it forward)
+          val f = new File(dir, "_schema")
+          if (f.exists())
+            Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+          else None
+        }.getOrElse("")))
+        .toDF("format", "location", "version", "last_action", "num_files",
+          "num_rows", "size_bytes", "num_dvs", "constraints",
+          "partition_spec", "schema_ddl")
+
+    case restore(ref, version) =>
+      import spark.implicits._
+      val dir = locate(spark, ref)
+      val v = TxnTable.restore(spark, dir, version.toLong)
+      Seq((v, version.toLong)).toDF("version", "restored_to")
 
     case vacuum(ref, hours, dry) =>
       import spark.implicits._

@@ -686,8 +686,12 @@ object TxnTable {
         .sortBy(_.getName)
       require(leaves.nonEmpty, "input has no rows — nothing to overwrite")
       val byDir: Seq[(File, String)] = leaves.toSeq.map { f =>
-        val v = unescapePathName(f.getName.substring(pcol.length + 1))
         require(f.getName != s"$pcol=__HIVE_DEFAULT_PARTITION__", nullValueMsg)
+        // dir name = hive_escape(url_encode(value)): undo both layers —
+        // the URL layer is ours (see the caller's url_encode), keeping
+        // staged paths pure-ASCII on any filesystem locale
+        val v = java.net.URLDecoder.decode(
+          unescapePathName(f.getName.substring(pcol.length + 1)), "UTF-8")
         requirePartValueCharset(v)
         (f, v)
       }
@@ -784,8 +788,13 @@ object TxnTable {
       s"column name $bulkPartCol is reserved by the partition writer")
     // the partition value rides to `partitionBy` as a DUPLICATE string
     // column, so the data files keep the real column; the duplicate
-    // lands in dir names only
-    val dfp = df.withColumn(bulkPartCol, col(partCol).cast("string"))
+    // lands in dir names only — URL-ENCODED, so staged paths stay
+    // pure ASCII on any filesystem locale (a raw 'é' in a dir name
+    // crashes the Hadoop writer under a non-UTF-8 sun.jnu.encoding;
+    // the old per-value loop never put values in paths, and the bulk
+    // path must not regress non-ASCII partition values)
+    val dfp = df.withColumn(bulkPartCol,
+      org.apache.spark.sql.functions.url_encode(col(partCol).cast("string")))
     val staged = stagePartitionsBulk(spark, tableDir, dfp, bulkPartCol, partCol,
       back => back.col(partCol).cast("string"),
       s"null $partCol partition values unsupported")
@@ -975,9 +984,11 @@ object TxnTable {
     }
     // the alias column is consumed by `partitionBy` itself — it lands
     // in dir names and NEVER in the data files (hidden means hidden);
+    // url_encode keeps staged paths ASCII (see overwritePartitions);
     // the read-back count key re-evaluates the transform, which is
     // deterministic, so write-side and count-side values agree
-    val withA = df.withColumn(alias, expr(transformSql).cast("string"))
+    val withA = df.withColumn(alias,
+      org.apache.spark.sql.functions.url_encode(expr(transformSql).cast("string")))
     val staged = stagePartitionsBulk(spark, tableDir, withA, alias, alias,
       back => expr(transformSql).cast("string"),
       s"transform $transformSql evaluates to null for some rows")
@@ -1240,6 +1251,7 @@ object TxnTable {
   /** The stats column's KMV NDV sketch from a data dir's `.kmv`
     * sidecar: (column, ascending bottom-64 distinct 48-bit hashes). */
   def kmvOf(tableDir: String, dataDirName: String): Option[(String, Array[Long])] = {
+    sidecarReads.incrementAndGet()
     val f = new File(new File(dataDir(tableDir), dataDirName), ".kmv")
     if (!f.exists()) None
     else new String(Files.readAllBytes(f.toPath), "UTF-8").split(":", 2) match {
@@ -1329,8 +1341,17 @@ object TxnTable {
     df.filter(df(column) === lit(value).cast(t))
   }
 
+  /** Test introspection: sidecar files probed by the accessor helpers
+    * (`statsAllOf`/`partOf`/`nrowsOf`/`nullsOf`/`kmvOf`). The round-12
+    * O(new-dirs) publish contract — survivors copy their manifest
+    * entries from the previous manifest instead of re-reading sidecars
+    * — is pinned by measuring this counter's DELTA across one commit
+    * on a wide table. */
+  private[graft] val sidecarReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Row count from a data dir's `.nrows` sidecar, if present. */
   def nrowsOf(tableDir: String, dataDirName: String): Option[Long] = {
+    sidecarReads.incrementAndGet()
     val f = new File(new File(dataDir(tableDir), dataDirName), ".nrows")
     if (!f.exists()) None
     else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.toLongOption
@@ -1340,6 +1361,7 @@ object TxnTable {
     * `.stats`, the sidecar is the write-time record; the manifest copy
     * (`parts`) is what the read path plans from. */
   def partOf(tableDir: String, dataDirName: String): Option[(String, String)] = {
+    sidecarReads.incrementAndGet()
     val f = new File(new File(dataDir(tableDir), dataDirName), ".part")
     if (!f.exists()) None
     else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.split("=", 2) match {
@@ -1352,6 +1374,7 @@ object TxnTable {
     * `c:lo:hi` line per column (Z-order clustering writes one per
     * cluster key; append/overwrite write at most one). */
   def statsAllOf(tableDir: String, dataDirName: String): Seq[(String, Long, Long)] = {
+    sidecarReads.incrementAndGet()
     val f = new File(new File(dataDir(tableDir), dataDirName), ".stats")
     if (!f.exists()) Nil
     else new String(Files.readAllBytes(f.toPath), "UTF-8").linesIterator
@@ -1367,6 +1390,7 @@ object TxnTable {
 
   /** Every (col, nullCount) in a data dir's `.nulls` sidecar. */
   def nullsOf(tableDir: String, dataDirName: String): Seq[(String, Long)] = {
+    sidecarReads.incrementAndGet()
     val f = new File(new File(dataDir(tableDir), dataDirName), ".nulls")
     if (!f.exists()) Nil
     else new String(Files.readAllBytes(f.toPath), "UTF-8").linesIterator
@@ -1528,17 +1552,32 @@ object TxnTable {
       // fold each live dir's sidecar bounds into the manifest: the
       // sidecar is the write-time source of truth (local to the dir the
       // writer just staged or inherited), the manifest copy is what the
-      // READ path plans from — one fetch, no per-dir GETs
+      // READ path plans from — one fetch, no per-dir GETs.
+      //
+      // WRITE-path scaling (round 12): data dirs are IMMUTABLE, so a
+      // dir that was live in the PREVIOUS manifest already has its
+      // sidecar content folded there — SURVIVORS copy their entries
+      // from the prev manifest and never touch their sidecars again
+      // (absence in prev is equally authoritative: a statless dir is
+      // not re-probed every commit). Only NEWLY-STAGED dirs read
+      // sidecars, so a commit on a 10,000-dir table costs O(new dirs)
+      // sidecar GETs, not O(live) — the same reason Delta folds
+      // add-file stats into log entries instead of re-stat-ing files.
+      val prevLiveSet: Set[String] = if (v == 0) Set.empty else prev.live.toSet
+      def carried[T](d: String, prevMap: => Map[String, T],
+                     fresh: => Option[T]): Option[T] =
+        if (prevLiveSet.contains(d)) prevMap.get(d) else fresh
       val statsJson = {
         val entries = live.flatMap { d =>
-          val all = statsAllOf(tableDir, d)
+          val all = carried(d, prev.stats, Some(statsAllOf(tableDir, d)).filter(_.nonEmpty))
+            .getOrElse(Nil)
           if (all.isEmpty) None
           else Some(s""""$d":"${all.map { case (c, lo, hi) => s"$c:$lo:$hi" }.mkString(";")}"""")
         }
         if (entries.isEmpty) "" else entries.mkString(""","stats":{""", ",", "}")
       }
       val partsJson = {
-        val entries = live.flatMap(d => partOf(tableDir, d).map {
+        val entries = live.flatMap(d => carried(d, prev.parts, partOf(tableDir, d)).map {
           case (c, pv) => s""""$d":"$c=$pv""""
         })
         if (entries.isEmpty) "" else entries.mkString(""","parts":{""", ",", "}")
@@ -1546,9 +1585,13 @@ object TxnTable {
       val nrowsJson = {
         // dv dirs' counts ride along (names are disjoint from live):
         // history's effective row count = live rows - dv-deleted rows,
-        // still metadata-only
-        val entries = (live ++ dvKept.values.toSeq.distinct)
-          .flatMap(d => nrowsOf(tableDir, d).map(n => s""""$d":$n"""))
+        // still metadata-only. dv dirs are not in prev.live, so they
+        // carry through prev.nrows with a sidecar fallback.
+        val entries = (live ++ dvKept.values.toSeq.distinct).flatMap { d =>
+          (if (prevLiveSet.contains(d)) prev.nrows.get(d)
+           else if (v > 0 && prev.nrows.contains(d)) prev.nrows.get(d)
+           else nrowsOf(tableDir, d)).map(n => s""""$d":$n""")
+        }
         if (entries.isEmpty) "" else entries.mkString(""","nrows":{""", ",", "}")
       }
       val dvsJson = {
@@ -1595,10 +1638,18 @@ object TxnTable {
       }
       def resolveEra(d: String, c: String): Option[String] =
         if (fids.isEmpty) Some(c) else eraIds(d).get(c).flatMap(idToCur.get)
+      // nulls/kmvs manifest entries are stored under CURRENT column
+      // names, so the prev-manifest copy is valid only while the id
+      // mapping is unchanged — an EVOLUTION commit (rename/drop/mint)
+      // re-folds every dir through era resolution instead (rare by
+      // construction; the frequent ops all take the O(new-dirs) path)
+      val evoUnchanged = v > 0 && fids == prev.fids && schema0 == prev.schema0
       val nullsJson = {
         val entries = live.flatMap { d =>
-          val all = nullsOf(tableDir, d)
-            .flatMap { case (c, n) => resolveEra(d, c).map(_ -> n) }
+          val all =
+            (if (evoUnchanged && prevLiveSet.contains(d)) prev.nulls.getOrElse(d, Nil)
+             else nullsOf(tableDir, d)
+               .flatMap { case (c, n) => resolveEra(d, c).map(_ -> n) })
           if (all.isEmpty) None
           else Some(s""""$d":"${all.map { case (c, n) => s"$c:$n" }.mkString(";")}"""")
         }
@@ -1611,9 +1662,10 @@ object TxnTable {
       // zero per-dir sidecar reads at thousand-dir scale
       val kmvsJson = {
         val entries = live.flatMap { d =>
-          kmvOf(tableDir, d).flatMap { case (c, hs) =>
-            resolveEra(d, c).map(cur => s""""$d":"$cur:${hs.mkString(",")}"""")
-          }
+          (if (evoUnchanged && prevLiveSet.contains(d)) prev.kmvs.get(d)
+           else kmvOf(tableDir, d).flatMap { case (c, hs) =>
+             resolveEra(d, c).map(cur => (cur, hs.toSeq))
+           }).map { case (c, hs) => s""""$d":"$c:${hs.mkString(",")}"""" }
         }
         if (entries.isEmpty) "" else entries.mkString(""","kmvs":{""", ",", "}")
       }

@@ -119,6 +119,36 @@ class BulkPartitionSpec extends SparkTestBase {
     assert(TxnTable.readPartitionHidden(spark, dir, Map("ts" -> 2)).count() == 100L)
   }
 
+  test("publish folds survivors from the PREVIOUS manifest: one commit on " +
+      "a wide table costs O(new dirs) sidecar reads, not O(live)") {
+    val dir = tmp()
+    (0 until 30).foreach(i =>
+      TxnTable.append(spark.range(i * 100L, (i + 1) * 100L).toDF("k"), dir,
+        statsCol = Some("k")))
+    val before = TxnTable.sidecarReads.get()
+    TxnTable.append(spark.range(3000L, 3001L).toDF("k"), dir, statsCol = Some("k"))
+    val delta = TxnTable.sidecarReads.get() - before
+    // the NEW dir's own ~5 sidecars (+slack); the r11 fold was
+    // O(live): 31 dirs x 5 sidecars = 155 reads per commit
+    assert(delta <= 12, s"publish re-read survivor sidecars: $delta reads")
+    // the folded manifest is complete regardless: every dir has stats,
+    // nrows, and a kmv sketch
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.live.size == 31 && snap.live.forall(snap.nrows.contains) &&
+      snap.live.forall(snap.stats.contains) && snap.live.forall(snap.kmvs.contains),
+      "survivor-copied manifest lost entries")
+    assert(snap.nrows.values.sum == 3001L)
+    // evolution commits re-fold through era resolution: rename keeps
+    // NDV/null stats under the NEW name
+    TxnTable.renameColumn(spark, dir, "k", "key")
+    TxnTable.append(spark.range(4000L, 4001L).toDF("key"), dir, statsCol = Some("key"))
+    val snap2 = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap2.kmvs.values.forall(_._1 == "key"),
+      s"rename did not re-resolve kmv names: ${snap2.kmvs.values.map(_._1).toSet}")
+    assert(TxnTable.estimateDistinctFromManifest(snap2, "key", snap2.live)
+      .exists(n => n > 2300 && n < 4000), "post-rename manifest NDV broken")
+  }
+
   test("KMV NDV sketches are manifest-folded: column statistics survive " +
       "deleting every per-dir .kmv sidecar (zero-sidecar planning path)") {
     val dir = tmp()

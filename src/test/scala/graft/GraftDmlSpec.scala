@@ -226,4 +226,30 @@ class GraftDmlSpec extends SparkTestBase {
       assert(GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0) == 2)
     } finally spark.sql("DROP TABLE dml_maint_t")
   }
+
+  test("GraftSql: RESTORE TO VERSION undoes metadata-only; DESCRIBE DETAIL " +
+      "profiles the table from one manifest fetch") {
+    import graft.plans.GraftSql
+    val dir = freshTable("dml_restore_t",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    try {
+      spark.sql("DELETE FROM dml_restore_t WHERE k >= 2") // v1: damage
+      assert(TxnTable.read(spark, dir).count() == 1L)
+      val r = GraftSql.sql(spark, "RESTORE TABLE dml_restore_t TO VERSION AS OF 0")
+        .head()
+      assert(r.getLong(0) == 2L && r.getLong(1) == 0L, s"restore row wrong: $r")
+      assert(TxnTable.read(spark, dir).count() == 3L,
+        "RESTORE did not return the pre-delete content")
+      TxnTable.addConstraint(spark, dir, "amt_pos", "amt > 0")
+      val det = GraftSql.sql(spark, s"DESCRIBE DETAIL graft.`$dir`").head()
+      assert(det.getString(0) == "graft" && det.getString(1) == dir)
+      assert(det.getLong(2) == 3L, s"version wrong: $det")          // v3: addConstraint
+      assert(det.getLong(4) == 1L, s"num_files wrong: $det")        // one staged dir
+      assert(det.getLong(5) == 3L, s"num_rows wrong: $det")
+      assert(det.getLong(6) > 0L, "size_bytes must be positive")
+      assert(det.getString(8) == "amt_pos", s"constraints wrong: $det")
+      assert(det.getString(10).contains("k:bigint"),
+        s"schema_ddl wrong: ${det.getString(10)}")
+    } finally spark.sql("DROP TABLE dml_restore_t")
+  }
 }
