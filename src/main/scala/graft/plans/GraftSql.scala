@@ -32,8 +32,12 @@ import graft.sources.TxnTable
   * {{{
   *   DESCRIBE HISTORY <tbl>
   *   VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]
-  *   OPTIMIZE <tbl> [ZORDER BY (c1[, c2])] [TARGET <n> FILES]
+  *   OPTIMIZE <tbl> [WHERE <partCol> = '<value>']
+  *                  [ZORDER BY (c1[, c2])] [TARGET <n> FILES]
   * }}}
+  * `OPTIMIZE … WHERE` is partition-scoped ([[TxnTable.compactPartition]]
+  * — compact today's partition after the load, pay proportional to the
+  * partition, never the table).
   * `VACUUM` defaults to RETAIN 168 HOURS (the Delta default); DRY RUN
   * returns the reap list without deleting (the production pre-flight).
   * `OPTIMIZE` bin-packs to TARGET files (default 16); ZORDER BY
@@ -59,9 +63,11 @@ object GraftSql {
   private val vacuum =
     """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val optimize =
-    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+FILES?)?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*'([^']*)')?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+FILES?)?\s*;?\s*""".r
   private val restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*;?\s*""".r
+  private val showPartitions =
+    """(?is)\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*""".r
 
   /** Run `text`: graft maintenance statements execute against the
     * table's TxnTable log; anything else delegates to `spark.sql`. */
@@ -106,6 +112,28 @@ object GraftSql {
       val v = TxnTable.restore(spark, dir, version.toLong)
       Seq((v, version.toLong)).toDF("version", "restored_to")
 
+    // SHOW PARTITIONS is ALSO valid Spark grammar (hive-partitioned
+    // tables) — only graft tables are intercepted; everything else
+    // passes through to spark.sql untouched
+    case showPartitions(ref) if locateIfGraft(spark, ref).isDefined =>
+      import spark.implicits._
+      val dir = locateIfGraft(spark, ref).get
+      val v = TxnTable.latestVersion(dir)
+        .getOrElse(throw new IllegalStateException(s"no commits at $dir"))
+      val snap = TxnTable.snapshot(dir, v)
+      // metadata-only: the manifest's parts map IS the partition
+      // listing (one fetch, zero data reads); dirs and row counts
+      // aggregate per value
+      snap.parts.toSeq
+        .map { case (d, (c, pv)) =>
+          (c, pv, 1L, snap.nrows.get(d): Option[Long]) }
+        .groupBy(t => (t._1, t._2))
+        .map { case ((c, pv), xs) =>
+          val rows = if (xs.forall(_._4.isDefined)) Some(xs.flatMap(_._4).sum) else None
+          (c, pv, xs.size.toLong, rows)
+        }.toSeq.sortBy(t => (t._1, t._2))
+        .toDF("partition_column", "value", "num_files", "num_rows")
+
     case vacuum(ref, hours, dry) =>
       import spark.implicits._
       val dir = locate(spark, ref)
@@ -127,10 +155,13 @@ object GraftSql {
         .withColumn("executed",
           org.apache.spark.sql.functions.lit(dry == null || dry.isEmpty))
 
-    case optimize(ref, zorder, target) =>
+    case optimize(ref, whereCol, whereVal, zorder, target) =>
       import spark.implicits._
       val dir = locate(spark, ref)
       val targetFiles = Option(target).map(_.toInt).getOrElse(16)
+      require(whereCol == null || zorder == null,
+        "OPTIMIZE … WHERE is partition-scoped bin-packing; combine with " +
+          "ZORDER BY by clustering the whole table instead")
       // physical parquet part-files over the live set (compact packs N
       // files into ONE dir; clustering makes one dir per bucket — the
       // file count is the layout truth either way). Driver listing of
@@ -143,15 +174,26 @@ object GraftSql {
       val base = TxnTable.latestVersion(dir)
         .getOrElse(throw new IllegalStateException(s"no commits at $dir"))
       val before = fileCount(base)
-      val v = Option(zorder).map(_.split(",").map(_.trim).toSeq) match {
-        case Some(cols) => TxnTable.compactClustered(spark, dir, cols, targetFiles)
-        case None       => TxnTable.compact(spark, dir, targetFiles)
+      val v = (Option(whereCol), Option(zorder).map(_.split(",").map(_.trim).toSeq)) match {
+        case (Some(c), _) =>
+          // partition-scoped: default to ONE packed file per partition
+          TxnTable.compactPartition(spark, dir, c, whereVal,
+            Option(target).map(_.toInt).getOrElse(1))
+        case (_, Some(cols)) => TxnTable.compactClustered(spark, dir, cols, targetFiles)
+        case _               => TxnTable.compact(spark, dir, targetFiles)
       }
       Seq((v, before, fileCount(v)))
         .toDF("version", "files_before", "files_after")
 
     case other => spark.sql(other)
   }
+
+  /** [[locate]] that answers None (instead of throwing) when the
+    * reference is a catalog table of a DIFFERENT provider — the guard
+    * that keeps statements with overlapping Spark grammar (SHOW
+    * PARTITIONS) passing through for non-graft tables. */
+  private[plans] def locateIfGraft(spark: SparkSession, ref: String): Option[String] =
+    try Some(locate(spark, ref)) catch { case _: Exception => None }
 
   /** Resolve a statement's table reference to its TxnTable location:
     * `graft.`/path/`` (the Delta path-table convention), a quoted path

@@ -92,8 +92,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
-    new GraftStreamSource(ctx.sparkSession, GraftDataSource.dirOf(parameters))
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val maxV = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.trim.toLong
+    }
+    maxV.foreach(n => require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"))
+    new GraftStreamSource(ctx.sparkSession, GraftDataSource.dirOf(parameters), maxV)
+  }
 
   // ---- streaming write: df.writeStream.format("graft").start(dir) ----
   // V1 StreamSinkProvider (the DataFrame-granular addBatch API): each

@@ -41,7 +41,11 @@ import org.apache.spark.sql.streaming.OutputMode
   * INCREMENTAL materialized view, where Complete rewrites the world).
   * The first batch on a fresh location appends (nothing to merge
   * into). Update without mergeKeys is rejected toward foreachBatch +
-  * mergeInto.
+  * mergeInto. Append + `.option("overwritePartitions", col)` turns
+  * each batch into a dynamic-partition overwrite — a re-delivered day
+  * atomically swaps that day's partition, other days untouched (the
+  * late-data reprocessing shape; the caller owns the "batches carry
+  * complete partitions" contract, as with the batch writer).
   *
   * Schema-on-write, CHECK constraints, generated columns and
   * conflict-rebase all apply — the batch and streaming writers share
@@ -52,7 +56,8 @@ import org.apache.spark.sql.streaming.OutputMode
   * longest expected query downtime.
   */
 final class GraftStreamSink(tableDir: String, mode: OutputMode, appId: String,
-                            mergeKeys: Seq[String])
+                            mergeKeys: Seq[String],
+                            partCol: Option[String] = None)
     extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -69,7 +74,20 @@ final class GraftStreamSink(tableDir: String, mode: OutputMode, appId: String,
         TxnTable.append(batch, tableDir, txnId): Unit // first batch bootstraps
       else
         TxnTable.merge(batch.sparkSession, tableDir, batch, mergeKeys, txnId): Unit
-    } else TxnTable.append(batch, tableDir, txnId): Unit
+    } else partCol match {
+      case Some(c) =>
+        // dynamic partition overwrite per micro-batch. An EMPTY batch
+        // replaces nothing (skip — the batch API's "no rows" guard is
+        // for interactive misuse, not an idle trigger); the persist
+        // keeps the emptiness probe from re-running the micro-batch.
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty)
+            TxnTable.overwritePartitions(cached.sparkSession, tableDir, cached,
+              c, txnId): Unit
+        } finally { cached.unpersist(); () }
+      case None => TxnTable.append(batch, tableDir, txnId): Unit
+    }
   }
 
   override def toString: String = s"GraftStreamSink[$tableDir, $mode]"
@@ -100,7 +118,16 @@ object GraftStreamSink {
     })
     val keys = opt("mergeKeys").map(_.split(",").map(_.trim).toSeq
       .filter(_.nonEmpty)).getOrElse(Nil)
+    // dynamic-partition-overwrite streaming: each Append-mode batch
+    // REPLACES exactly the partitions it contains (the late-data /
+    // daily-reprocessing shape — a re-delivered day atomically swaps
+    // that day's partition, other days untouched). The caller owns the
+    // "batches carry complete partitions" contract, same as the batch
+    // writer's dynamic overwrite.
+    val partCol = opt("overwritePartitions")
     outputMode match {
+      case m if m == OutputMode.Append() && partCol.isDefined =>
+        new GraftStreamSink(dir, m, appId, Nil, partCol)
       case m if m == OutputMode.Append() || m == OutputMode.Complete() =>
         new GraftStreamSink(dir, m, appId, Nil)
       case m if m == OutputMode.Update() && keys.nonEmpty =>

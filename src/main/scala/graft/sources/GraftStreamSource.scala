@@ -34,17 +34,39 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * in [[TxnTable.changesStream]]: vacuuming past an inactive stream's
   * cursor surfaces as a typed [[TxnTable.RetentionError]] on restart.
   */
-final class GraftStreamSource(spark: SparkSession, tableDir: String)
+final class GraftStreamSource(spark: SparkSession, tableDir: String,
+                              maxVersionsPerTrigger: Option[Long] = None)
     extends Source {
 
   import GraftStreamSource.VersionOffset
 
   override val schema: StructType = GraftStreamSource.feedSchema(spark, tableDir)
 
+  /** Rate-limit cursor: the newest version this source has HANDED OUT
+    * in a batch. Seeded on restart by the engine's recovery `getBatch`
+    * call (the V1 contract replays the restored window before asking
+    * for new offsets), so a capped source never re-offers versions a
+    * checkpoint already covers. Volatile only for the engine's
+    * thread-hop; there is one caller at a time. */
+  @volatile private var handedOut: Option[Long] = None
+
+  /** ADMISSION CONTROL (the Delta maxFilesPerTrigger analogue): an
+    * uncapped source offers the HEAD version, so a restarted stream
+    * facing a large commit backlog gets one giant catch-up batch — at
+    * scale that means replaying days of commits in a single
+    * micro-batch. With `maxVersionsPerTrigger = n`, each trigger
+    * admits at most n commit windows; the engine drains the backlog in
+    * bounded batches and each checkpoint covers bounded work. */
   override def getOffset: Option[Offset] =
-    TxnTable.latestVersion(tableDir).map(VersionOffset)
+    TxnTable.latestVersion(tableDir).map { head =>
+      VersionOffset(maxVersionsPerTrigger match {
+        case Some(n) => math.min(head, handedOut.getOrElse(-1L) + n)
+        case None    => head
+      })
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    handedOut = Some(math.max(handedOut.getOrElse(-1L), VersionOffset.versionOf(end)))
     val endV = VersionOffset.versionOf(end)
     val feed = start.map(VersionOffset.versionOf) match {
       case Some(startV) if startV >= endV =>

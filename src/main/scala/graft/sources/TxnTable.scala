@@ -3013,6 +3013,40 @@ object TxnTable {
     base + 1L
   }
 
+  /** PARTITION-SCOPED compaction (Delta's `OPTIMIZE … WHERE`): rewrite
+    * ONLY the dirs carrying `partCol = value` into one bin-packed dir;
+    * every other partition keeps its dirs BYTE-UNTOUCHED. The 100 TB
+    * maintenance shape — "compact today's partition after the load"
+    * pays proportional to the partition, never the table ([[compact]]
+    * rewrites everything). Reads the targets THROUGH their deletion
+    * vectors (materializing that partition's dv debt away), re-stamps
+    * the `.part` sidecar so partition pruning survives, and publishes
+    * at base+1 with [[CommitConflict]] semantics. A no-match value is
+    * a no-op returning `base` (one manifest read, no commit). */
+  def compactPartition(spark: SparkSession, tableDir: String, partCol: String,
+                       value: String, targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val targets = snap.live.filter(d => snap.parts.get(d)
+      .exists { case (c, pv) => c == partCol && pv == value })
+    if (targets.isEmpty) return base
+    val df = readDirsDV(spark, tableDir, snap, targets).coalesce(targetFiles)
+    val staged = stage(df, tableDir, None)
+    val dest = new File(dataDir(tableDir), staged)
+    requirePartValueCharset(value)
+    Files.write(new File(dest, ".part").toPath,
+      s"$partCol=$value".getBytes("UTF-8"))
+    if (!tryPublish(tableDir, base + 1L, "compactPartition",
+        snap.live.filterNot(targets.contains) :+ staged, None,
+        dvs = snap.dvs, schema = snap.schema))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry the compaction")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
+  }
+
   /** INCREMENTAL compaction targeting deletion-vector debt (the Delta
     * REORG TABLE ... APPLY (PURGE) shape): rewrite ONLY the dirs whose
     * dv'd-row share meets `minDvRatio`, materializing their deletion

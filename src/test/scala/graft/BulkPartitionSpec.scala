@@ -119,6 +119,31 @@ class BulkPartitionSpec extends SparkTestBase {
     assert(TxnTable.readPartitionHidden(spark, dir, Map("ts" -> 2)).count() == 100L)
   }
 
+  test("compactPartition: OPTIMIZE-WHERE scope — only the named partition's " +
+      "dirs rewrite, others stay byte-identical, its dv debt materializes") {
+    val dir2 = tmp()
+    TxnTable.overwritePartitions(spark, dir2,
+      Seq((1, "a"), (10, "a"), (11, "a"), (2, "b"), (20, "b")).toDF("id", "p"), "p")
+    // partition a accrues dv debt; b stays clean
+    TxnTable.deleteWhereDV(spark, dir2, col("id") === 11)
+    val pre = TxnTable.snapshot(dir2, TxnTable.latestVersion(dir2).get)
+    val bDirs = pre.live.filter(d => pre.parts.get(d).exists(_._2 == "b"))
+    assert(pre.dvs.nonEmpty, "fixture did not create dv debt")
+    val v = TxnTable.compactPartition(spark, dir2, "p", "a", targetFiles = 1)
+    val post = TxnTable.snapshot(dir2, v)
+    // b's dirs kept verbatim; a collapsed to one packed dir carrying
+    // the partition value, its deletion vector materialized away
+    assert(bDirs.forall(post.live.contains), "other partitions were rewritten")
+    val aDirs = post.live.filter(d => post.parts.get(d).exists(_._2 == "a"))
+    assert(aDirs.size == 1, s"partition a not packed: $aDirs")
+    assert(post.dvs.isEmpty, "compactPartition left the partition's dv behind")
+    assert(TxnTable.readPartition(spark, dir2, "p", "a").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 10))
+    assert(TxnTable.read(spark, dir2).count() == 4L)
+    // a no-match value is a metadata-only no-op
+    assert(TxnTable.compactPartition(spark, dir2, "p", "zzz") == v)
+  }
+
   test("publish folds survivors from the PREVIOUS manifest: one commit on " +
       "a wide table costs O(new dirs) sidecar reads, not O(live)") {
     val dir = tmp()

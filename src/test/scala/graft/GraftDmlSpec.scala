@@ -252,4 +252,37 @@ class GraftDmlSpec extends SparkTestBase {
         s"schema_ddl wrong: ${det.getString(10)}")
     } finally spark.sql("DROP TABLE dml_restore_t")
   }
+
+  test("GraftSql SHOW PARTITIONS: graft tables answer from the manifest; " +
+      "non-graft tables pass through to Spark's own grammar") {
+    import graft.plans.GraftSql
+    val dir = tmpTable()
+    TxnTable.overwritePartitions(spark, dir,
+      Seq((1, "2024-01"), (2, "2024-01"), (3, "2024-02")).toDF("id", "month"),
+      "month")
+    val got = GraftSql.sql(spark, s"SHOW PARTITIONS graft.`$dir`").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("month", "2024-01", 1L, 2L), ("month", "2024-02", 1L, 1L)),
+      s"manifest partition listing wrong: $got")
+    // OPTIMIZE … WHERE: partition-scoped bin-packing as SQL text —
+    // only the named partition's dirs rewrite
+    val pre = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    val keep = pre.live.filter(d => pre.parts.get(d).exists(_._2 == "2024-02"))
+    val o = GraftSql.sql(spark,
+      s"OPTIMIZE graft.`$dir` WHERE month = '2024-01' TARGET 1 FILES").head()
+    val post = TxnTable.snapshot(dir, o.getLong(0))
+    assert(keep.forall(post.live.contains),
+      "OPTIMIZE WHERE rewrote an out-of-scope partition")
+    assert(TxnTable.read(spark, dir).count() == 3L)
+    // passthrough: a hive-partitioned parquet catalog table still goes
+    // through Spark's own SHOW PARTITIONS
+    spark.sql("DROP TABLE IF EXISTS dml_hivepart_t")
+    Seq((1, "a"), (2, "b")).toDF("id", "p").write
+      .partitionBy("p").format("parquet").saveAsTable("dml_hivepart_t")
+    try {
+      val hive = GraftSql.sql(spark, "SHOW PARTITIONS dml_hivepart_t").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(hive == Seq("p=a", "p=b"), s"passthrough SHOW PARTITIONS wrong: $hive")
+    } finally spark.sql("DROP TABLE dml_hivepart_t")
+  }
 }

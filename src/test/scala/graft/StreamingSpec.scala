@@ -474,6 +474,34 @@ class StreamingSpec extends SparkTestBase {
       s"source: $folded vs $table")
   }
 
+  test("writeStream.format(\"graft\") + overwritePartitions option: each " +
+      "batch atomically REPLACES exactly its partitions — the late-data " +
+      "reprocessing shape") {
+    import graft.sources.TxnTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dst = java.nio.file.Files.createTempDirectory("graft-ssink-dpo").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssink-dpock").toString
+    val ms = MemoryStream[(String, Long)]
+    val q = ms.toDF().toDF("day", "amount").writeStream.format("graft")
+      .option("overwritePartitions", "day")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      ms.addData(("d1", 10L), ("d1", 11L), ("d2", 20L)); q.processAllAvailable()
+      // re-delivered day2 (late data): its partition swaps, day1 untouched
+      ms.addData(("d2", 99L)); q.processAllAvailable()
+      val got = TxnTable.read(spark, dst).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(got == Seq(("d1", 10L), ("d1", 11L), ("d2", 99L)),
+        s"partition-overwrite sink state wrong: $got")
+      val snap = TxnTable.snapshot(dst, TxnTable.latestVersion(dst).get)
+      assert(snap.parts.values.map(_._2).toSet == Set("d1", "d2") &&
+        snap.action == "overwritePartitions", s"manifest wrong: ${snap.action}")
+    } finally q.stop()
+  }
+
   test("writeStream.format(\"graft\") Complete mode: each batch atomically " +
       "overwrites — the streaming-materialized-view shape; Update rejected") {
     import graft.sources.TxnTable
@@ -515,6 +543,44 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(err.getMessage != null && err.getMessage.contains("mergeKeys"),
       s"Update mode without keys must be rejected with guidance, got: ${err.getMessage}")
+  }
+
+  test("readStream.format(\"graft\") maxVersionsPerTrigger: a commit backlog " +
+      "drains in bounded micro-batches, nothing lost or duplicated") {
+    import graft.sources.TxnTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ratelim").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ratelim-ck").toString
+    (0 until 6).foreach(i =>
+      TxnTable.append(Seq((i.toLong, s"r$i")).toDF("k", "v"), dir))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "2")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.add((id, b.collect().length)): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.toArray(Array.empty[(Long, Int)]).toSeq.sortBy(_._1)
+    // 6 commits at 2 windows per trigger: 3 batches — bootstrap+v1,
+    // v2..3, v4..5 — each carrying its windows' 2 rows
+    assert(got.map(_._2) == Seq(2, 2, 2),
+      s"backlog did not drain in capped batches: $got")
+    // restart on the same checkpoint with 1 more commit: exactly one
+    // more single-window batch (the cursor survives recovery)
+    TxnTable.append(Seq((9L, "z")).toDF("k", "v"), dir)
+    val batches2 = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val q2 = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "2")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches2.add(b.collect().length): Unit
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches2.toArray(Array.empty[Integer]).toSeq == Seq(Integer.valueOf(1)),
+      s"post-restart capped stream wrong: ${batches2.toArray.toSeq}")
   }
 
   test("writeStream.format(\"graft\") Update mode + mergeKeys: each batch is " +
