@@ -97,7 +97,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.trim.toLong
     }
     maxV.foreach(n => require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"))
-    new GraftStreamSource(ctx.sparkSession, GraftDataSource.dirOf(parameters), maxV)
+    // startingVersion = n skips the snapshot bootstrap: the first batch
+    // is the CDC window from commit n (the Delta option; the consumer
+    // already holds the snapshot). n >= 1 — the full-history feed is
+    // the default bootstrap, not startingVersion = 0.
+    val startV = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingVersion") => v.trim.toLong
+    }
+    startV.foreach(n => require(n >= 1,
+      s"startingVersion must be >= 1 (omit it for the snapshot bootstrap), got $n"))
+    new GraftStreamSource(ctx.sparkSession, GraftDataSource.dirOf(parameters),
+      maxV, startV)
   }
 
   // ---- streaming write: df.writeStream.format("graft").start(dir) ----

@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * cursor surfaces as a typed [[TxnTable.RetentionError]] on restart.
   */
 final class GraftStreamSource(spark: SparkSession, tableDir: String,
-                              maxVersionsPerTrigger: Option[Long] = None)
+                              maxVersionsPerTrigger: Option[Long] = None,
+                              startingVersion: Option[Long] = None)
     extends Source {
 
   import GraftStreamSource.VersionOffset
@@ -75,6 +76,16 @@ final class GraftStreamSource(spark: SparkSession, tableDir: String,
           .withColumn("_change", lit("insert"))
       case Some(startV) =>
         TxnTable.changes(spark, tableDir, startV, endV)
+      case None if startingVersion.isDefined =>
+        // `startingVersion = n` (the Delta option): NO snapshot
+        // bootstrap — the first batch is the CDC window from commit n
+        // onward (the destination already holds the snapshot; only
+        // the tail of the log is wanted). n=endV+1 (nothing new yet)
+        // reads as an empty window.
+        val sv = startingVersion.get
+        if (sv > endV) TxnTable.read(spark, tableDir, Some(endV)).limit(0)
+          .withColumn("_change", lit("insert"))
+        else TxnTable.changes(spark, tableDir, sv - 1L, endV)
       case None =>
         // bootstrap: initial snapshot as inserts, plus any windows that
         // landed before the stream's first batch. The v0 read carries

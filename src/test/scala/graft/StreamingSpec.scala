@@ -474,6 +474,31 @@ class StreamingSpec extends SparkTestBase {
       s"source: $folded vs $table")
   }
 
+  test("readStream.format(\"graft\") startingVersion: no snapshot bootstrap " +
+      "— the feed begins at the named commit's CDC window") {
+    import graft.sources.TxnTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-startv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-startv-ck").toString
+    TxnTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir,
+      statsCol = Some("k"))                           // v0: NOT wanted
+    TxnTable.append(Seq((3L, "c")).toDF("k", "v"), dir, statsCol = Some("k")) // v1
+    TxnTable.deleteRangeDV(spark, dir, "k", 1L, 1L)   // v2: delete window
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => out.add((r.getLong(0), r.getString(2)))): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = out.toArray(Array.empty[(Long, String)]).toSeq.sorted
+    // v1 insert + v2 delete, NO v0 snapshot rows
+    assert(got == Seq((1L, "delete"), (3L, "insert")),
+      s"startingVersion feed wrong: $got")
+  }
+
   test("writeStream.format(\"graft\") + overwritePartitions option: each " +
       "batch atomically REPLACES exactly its partitions — the late-data " +
       "reprocessing shape") {
