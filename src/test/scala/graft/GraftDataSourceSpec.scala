@@ -421,5 +421,12 @@ class GraftDataSourceSpec extends SparkTestBase {
     // CREATE over an existing table is rejected, table intact
     intercept[Exception] { spark.sql(s"CREATE TABLE graft.`$p` (x INT)") }
     assert(spark.sql(s"SELECT * FROM graft.`$p`").count() == 2L)
+    // native metadata grammar works over the path catalog too
+    val desc = spark.sql(s"DESCRIBE TABLE graft.`$p`").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc.contains(("k", "bigint")) && desc.contains(("v", "string")),
+      s"native DESCRIBE over the path catalog wrong: $desc")
+    assert(spark.sql("SHOW TABLES IN graft").collect().isEmpty,
+      "path tables must not enumerate from a metastore")
   }
 }
