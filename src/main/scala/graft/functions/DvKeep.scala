@@ -21,8 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * on the (per-file constant) path plus a binary search over that
   * file's sorted positions — and files without dv'd rows pay just the
   * path check. The dv payload travels as a real Broadcast (once per
-  * executor), keyed by parquet part-file NAME (globally unique — Spark
-  * part files embed a task UUID), so no per-row path parsing at all.
+  * executor), keyed by the file's last TWO path components
+  * (`<data-dir>/<part-file>` — dir names are txn-UUIDs, so the key is
+  * unique by construction; the part-file NAME alone embeds only the
+  * write JOB's UUID, and the round-12 bulk partition writer stages
+  * many dirs from one job, giving files in different partitions
+  * identical basenames — a name-keyed lookup aliased their positions
+  * across partitions, caught by the q233 oracle as cross-partition
+  * over-deletion).
   *
   * Sized for the MoR premise (KB-sized dvs); the caller size-gates on
   * the manifest's dv row counts and falls back to the anti-join for
@@ -63,14 +69,25 @@ object DvKeep {
     def keep(path: UTF8String, idx: Long): Boolean = {
       val lp = lastPath
       if (lp == null || !lp.equals(path)) {
-        // new file: resolve its sorted doomed positions by file NAME
+        // new file: resolve its sorted doomed positions by the
+        // dir/name suffix (see the class doc — basenames alone are
+        // NOT unique across one bulk write job's partition dirs)
         val s = path.toString
-        val name = s.substring(s.lastIndexOf('/') + 1)
-        lastArr = bc.value.getOrElse(name, null)
+        lastArr = bc.value.getOrElse(DvKeep.dirAndName(s), null)
         lastPath = path.clone()
       }
       val arr = lastArr
       arr == null || java.util.Arrays.binarySearch(arr, idx) < 0
+    }
+  }
+
+  /** The last two path components (`dir/name`) — the unique dv key. */
+  def dirAndName(path: String): String = {
+    val i = path.lastIndexOf('/')
+    if (i <= 0) path
+    else {
+      val j = path.lastIndexOf('/', i - 1)
+      path.substring(j + 1)
     }
   }
 

@@ -2194,6 +2194,60 @@ object FormatQueries {
         graft.plans.GraftSql.sql(s, s"DESCRIBE HISTORY graft.`$t`")
           .select(col("version"), col("action"), col("num_files"), col("num_rows"))
           .orderBy("version")
+      }),
+
+    // ---- q233: partition MAINTENANCE end-to-end (round 12) — the
+    // bulk partition writer (one shuffled job stages all three status
+    // partitions), merge-on-read deletes cutting across every
+    // partition, and partition-scoped compaction (`OPTIMIZE … WHERE`
+    // via [[TxnTable.compactPartition]]): F's deletion vector
+    // materializes away and its files bin-pack, while O and P keep
+    // their dv debt AND their dirs byte-untouched. The read must fold
+    // the remaining dvs correctly — the oracle recomputes the final
+    // state from raw parquet, so a compaction that resurrected deleted
+    // rows, dropped a partition, or leaked F's dv into O/P is
+    // hash-visible. SHOW PARTITIONS and the manifest lineage are
+    // require'd in-build.
+    Q("q233_partition_maintenance",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_price_c
+             |FROM orders WHERE o_orderkey % 50 <> 10
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_partition_maintenance")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          TxnTable.overwritePartitions(s, t.getPath, base, "o_orderstatus")
+          TxnTable.deleteWhereDV(s, t.getPath, col("o_orderkey") % 50 === 10)
+          TxnTable.compactPartition(s, t.getPath, "o_orderstatus", "F")
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(snap.action == "compactPartition",
+          s"maintenance lineage regressed: ${snap.action}")
+        val fDirs = snap.live.filter(dd => snap.parts.get(dd).exists(_._2 == "F"))
+        require(fDirs.size == 1 && fDirs.forall(!snap.dvs.contains(_)),
+          "partition F did not compact to one dv-free dir")
+        require(snap.dvs.nonEmpty,
+          "O/P must keep their dv debt — compaction scope leaked")
+        val parts = graft.plans.GraftSql.sql(s, s"SHOW PARTITIONS graft.`$t`")
+          .collect().map(_.getString(1)).sorted.toSeq
+        require(parts == Seq("F", "O", "P"), s"SHOW PARTITIONS wrong: $parts")
+        TxnTable.read(s, t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

@@ -445,11 +445,13 @@ object TxnTable {
           dvCounts.flatten.sum <= 4L * 1024 * 1024
         val filtered =
           if (inline) {
+            // keyed by dir/name — the basename alone is NOT unique
+            // across one bulk write job's partition dirs (see DvKeep)
             val positions: Map[String, Array[Long]] =
               spark.read.parquet(paths(dvDirs): _*).collect()
                 .map(r => (r.getString(0), r.getLong(1)))
-                .groupBy { case (rel, _) => rel.substring(rel.lastIndexOf('/') + 1) }
-                .map { case (name, xs) => name -> xs.map(_._2).sorted }
+                .groupBy { case (rel, _) => graft.functions.DvKeep.dirAndName(rel) }
+                .map { case (key, xs) => key -> xs.map(_._2).sorted }
             readEras(spark, tableDir, snap, dvd, withMeta = false,
               dvKeep = Some(graft.functions.DvKeep.keepColumn(spark, positions)))
           } else {
