@@ -510,6 +510,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus × queries pair join reappeared: $bnlj")
   }
 
+  test("q233: the maintenance read folds remaining dvs via the FUSED " +
+      "dv_keep predicate — no join operator between scan and aggregate") {
+    val p = plan("q233_partition_maintenance")
+    assert(p.contains("dv_keep"),
+      "O/P's dv debt fell off the fused-predicate path")
+    val ops = opTree(p)
+    assert(!ops.exists(o => o.startsWith("SortMergeJoin") ||
+      o.startsWith("BroadcastHashJoin") || o.startsWith("BroadcastNestedLoopJoin")),
+      s"MoR read grew a join operator: ${ops.filter(_.contains("Join"))}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q224: the DSv2 read plans the SAME 1-of-4 dirs as readRange; " +
       "filters pushed; inner parquet scan pruned to the planned dir") {
     val df = SparkEntry.queries("q224_dsv2_pushdown")(spark, sf)
