@@ -121,16 +121,25 @@ object GraftSql {
       val v = TxnTable.latestVersion(dir)
         .getOrElse(throw new IllegalStateException(s"no commits at $dir"))
       val snap = TxnTable.snapshot(dir, v)
-      // metadata-only: the manifest's parts map IS the partition
-      // listing (one fetch, zero data reads); dirs and row counts
-      // aggregate per value
+      // near-metadata-only: the manifest's parts map IS the partition
+      // listing (one fetch, zero data READS); num_files counts actual
+      // parquet part-files per dir — the same definition OPTIMIZE's
+      // files_before/files_after uses, so the two surfaces agree about
+      // one layout (a bulk-staged dir holds up to 8 part-files; counting
+      // dirs here used to under-report by that factor). The listing is
+      // driver-side over live dirs only — metadata-proportional.
+      def partFiles(d: String): Long =
+        Option(new File(new File(new File(dir, "data"), d).getPath).listFiles())
+          .getOrElse(Array.empty[File])
+          .count(_.getName.endsWith(".parquet")).toLong
       snap.parts.toSeq
+        .filter { case (d, _) => snap.live.contains(d) }
         .map { case (d, (c, pv)) =>
-          (c, pv, 1L, snap.nrows.get(d): Option[Long]) }
+          (c, pv, partFiles(d), snap.nrows.get(d): Option[Long]) }
         .groupBy(t => (t._1, t._2))
         .map { case ((c, pv), xs) =>
           val rows = if (xs.forall(_._4.isDefined)) Some(xs.flatMap(_._4).sum) else None
-          (c, pv, xs.size.toLong, rows)
+          (c, pv, xs.map(_._3).sum, rows)
         }.toSeq.sortBy(t => (t._1, t._2))
         .toDF("partition_column", "value", "num_files", "num_rows")
 

@@ -110,10 +110,19 @@ object GraftStreamSink {
     val appId = opt("txnAppId").getOrElse(opt("checkpointLocation") match {
       case Some(cp) =>
         // stable across restarts of the same query: the checkpoint path
-        // is what makes batchIds comparable in the first place
-        "ckpt" + Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(
-            new java.io.File(cp).getAbsolutePath))
+        // is what makes batchIds comparable in the first place. The
+        // derivation must be COLLISION-RESISTANT, not merely stable —
+        // two queries with different checkpoints writing the same
+        // destination landing on one appId would make TxnTable's
+        // idempotence silently SKIP a legitimate batch as a replay
+        // (data loss, not an error). A 32-bit hash collides at ~2^16
+        // checkpoints birthday-style; SHA-256 (truncated to 64 hex
+        // chars' first 16 = 64 bits would still birthday at 2^32, so
+        // keep 32 hex chars = 128 bits) does not.
+        val abs = new java.io.File(cp).getAbsolutePath
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        "ckpt" + sha.take(16).map(b => f"$b%02x").mkString
       case None => "run" + java.util.UUID.randomUUID().toString
     })
     val keys = opt("mergeKeys").map(_.split(",").map(_.trim).toSeq

@@ -58,10 +58,21 @@ final class GraftStreamSource(spark: SparkSession, tableDir: String,
     * micro-batch. With `maxVersionsPerTrigger = n`, each trigger
     * admits at most n commit windows; the engine drains the backlog in
     * bounded batches and each checkpoint covers bounded work. */
+  /** Rate-limit floor: with `startingVersion = sv` the cursor starts at
+    * sv-1, NOT -1 — otherwise a cap smaller than sv makes the first offer
+    * land BELOW sv, that empty batch checkpoints its end offset, and every
+    * later window feeds `changes(startV, …)` with versions the consumer
+    * declared it already holds (duplicate CDC rows under fresh batchIds,
+    * which sink-side txnId dedup cannot catch). Both the offer floor here
+    * and the window clamp in [[getBatch]] are needed: the floor keeps
+    * offers from starting below sv, the clamp protects replayed
+    * checkpoints written before a startingVersion change. */
+  private def cursorFloor: Long = startingVersion.map(_ - 1L).getOrElse(-1L)
+
   override def getOffset: Option[Offset] =
     TxnTable.latestVersion(tableDir).map { head =>
       VersionOffset(maxVersionsPerTrigger match {
-        case Some(n) => math.min(head, handedOut.getOrElse(-1L) + n)
+        case Some(n) => math.min(head, handedOut.getOrElse(cursorFloor) + n)
         case None    => head
       })
     }
@@ -69,7 +80,7 @@ final class GraftStreamSource(spark: SparkSession, tableDir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     handedOut = Some(math.max(handedOut.getOrElse(-1L), VersionOffset.versionOf(end)))
     val endV = VersionOffset.versionOf(end)
-    val feed = start.map(VersionOffset.versionOf) match {
+    val feed = start.map(VersionOffset.versionOf).map(v => math.max(v, cursorFloor)) match {
       case Some(startV) if startV >= endV =>
         // replay edge: an empty window re-plans to zero rows
         TxnTable.read(spark, tableDir, Some(endV)).limit(0)

@@ -80,7 +80,8 @@ object TxnTable {
                             fhwm: Int = 0,
                             nulls: Map[String, Seq[(String, Long)]] = Map.empty,
                             pthist: Map[String, String] = Map.empty,
-                            kmvs: Map[String, (String, Seq[Long])] = Map.empty)
+                            kmvs: Map[String, (String, Seq[Long])] = Map.empty,
+                            statKeys: Boolean = false)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -281,7 +282,8 @@ object TxnTable {
     // column-statistics path reads them from THIS one fetch instead of
     // k per-dir `.kmv` sidecar GETs (absent pre-r12: parse to empty,
     // consumers fall back to sidecars)
-    val kmvs = """"kmvs"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+    val kmvsKey = """"kmvs"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+    val kmvs = kmvsKey
       .map(_.group(1)).toSeq
       .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
       .flatMap(m => m.group(2).split(":", 2) match {
@@ -289,9 +291,15 @@ object TxnTable {
           Some(m.group(1) -> ((c, vs.split(",").toSeq.flatMap(_.trim.toLongOption))))
         case _ => None
       }).toMap
+    // presence of the nulls/kmvs KEYS (even empty) marks a post-upgrade
+    // manifest: absence means this manifest predates stat folding, so a
+    // publish must refold survivors from sidecars once instead of
+    // treating "absent in prev" as "this dir has no stats"
+    val statKeys = kmvsKey.isDefined ||
+      """"nulls"\s*:\s*\{""".r.findFirstMatchIn(s).isDefined
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
       stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans, eqs, gens,
-      fids, field("schema0"), fhwm, nulls, pthist, kmvs)
+      fids, field("schema0"), fhwm, nulls, pthist, kmvs, statKeys)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -1646,16 +1654,28 @@ object TxnTable {
       // re-folds every dir through era resolution instead (rare by
       // construction; the frequent ops all take the O(new-dirs) path)
       val evoUnchanged = v > 0 && fids == prev.fids && schema0 == prev.schema0
+      // upgrade refold: a PRE-round-12 manifest has no nulls/kmvs keys at
+      // all, so "absent in prev" is NOT authoritative for its survivors —
+      // carrying absence would permanently drop stat folding for every
+      // pre-upgrade dir (the scan's manifestCovers check then falls back
+      // to per-dir sidecar reads forever). When the previous manifest
+      // LACKS the stat keys (prev.statKeys = false), refold survivors
+      // from sidecars once, mirroring the evolution-commit refold branch.
+      // New manifests always EMIT the keys (even empty), so the refold is
+      // strictly one-shot: the next commit sees statKeys = true and takes
+      // the O(new-dirs) carry again.
+      val statUpgrade = v > 0 && !prev.statKeys
       val nullsJson = {
         val entries = live.flatMap { d =>
           val all =
-            (if (evoUnchanged && prevLiveSet.contains(d)) prev.nulls.getOrElse(d, Nil)
+            (if (evoUnchanged && !statUpgrade && prevLiveSet.contains(d))
+               prev.nulls.getOrElse(d, Nil)
              else nullsOf(tableDir, d)
                .flatMap { case (c, n) => resolveEra(d, c).map(_ -> n) })
           if (all.isEmpty) None
           else Some(s""""$d":"${all.map { case (c, n) => s"$c:$n" }.mkString(";")}"""")
         }
-        if (entries.isEmpty) "" else entries.mkString(""","nulls":{""", ",", "}")
+        entries.mkString(""","nulls":{""", ",", "}")
       }
       // fold each live dir's `.kmv` NDV sketch into the manifest (64
       // longs per sketched dir — KB-scale, the Delta-checkpoint
@@ -1664,12 +1684,12 @@ object TxnTable {
       // zero per-dir sidecar reads at thousand-dir scale
       val kmvsJson = {
         val entries = live.flatMap { d =>
-          (if (evoUnchanged && prevLiveSet.contains(d)) prev.kmvs.get(d)
+          (if (evoUnchanged && !statUpgrade && prevLiveSet.contains(d)) prev.kmvs.get(d)
            else kmvOf(tableDir, d).flatMap { case (c, hs) =>
              resolveEra(d, c).map(cur => (cur, hs.toSeq))
            }).map { case (c, hs) => s""""$d":"$c:${hs.mkString(",")}"""" }
         }
-        if (entries.isEmpty) "" else entries.mkString(""","kmvs":{""", ",", "}")
+        entries.mkString(""","kmvs":{""", ",", "}")
       }
       val fidsJson =
         if (fids.isEmpty) ""

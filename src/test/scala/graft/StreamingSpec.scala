@@ -608,6 +608,37 @@ class StreamingSpec extends SparkTestBase {
       s"post-restart capped stream wrong: ${batches2.toArray.toSeq}")
   }
 
+  test("readStream.format(\"graft\") startingVersion + maxVersionsPerTrigger: " +
+      "a cap SMALLER than startingVersion must not leak pre-start CDC rows " +
+      "— the offer floor starts at startingVersion-1") {
+    // regression: the rate-limit cursor used to seed at -1, so with
+    // startingVersion=3 and cap=1 the first offer landed at version 0;
+    // that empty batch checkpointed its end offset and every later
+    // window fed changes() rows for versions the consumer declared it
+    // already holds — duplicates under fresh batchIds that sink-side
+    // txnId dedup cannot catch.
+    import graft.sources.TxnTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-svcap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svcap-ck").toString
+    (0 until 5).foreach(i =>
+      TxnTable.append(Seq((i.toLong, s"r$i")).toDF("k", "v"), dir))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "3")
+      .option("maxVersionsPerTrigger", "1")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => out.add((r.getLong(0), r.getString(2)))): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = out.toArray(Array.empty[(Long, String)]).toSeq.sorted
+    // exactly the v3 and v4 windows; v0..v2 must NOT appear
+    assert(got == Seq((3L, "insert"), (4L, "insert")),
+      s"capped startingVersion feed leaked pre-start rows: $got")
+  }
+
   test("writeStream.format(\"graft\") Update mode + mergeKeys: each batch is " +
       "one keyed MERGE — the INCREMENTAL materialized view (only changed " +
       "groups rewrite, untouched groups keep their rows)") {
