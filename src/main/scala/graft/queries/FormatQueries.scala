@@ -2248,6 +2248,67 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q234: STRING min-max data skipping (round 13) — the q202
+    // story on the predicates real tables filter by most: status/date/
+    // category STRINGS, which integral bounds never served. The derived
+    // build lands orders as four date-range slices with
+    // `statsCol = o_date_s` (an ISO yyyy-MM-dd string — lexicographic
+    // order IS chronological order), so each dir's manifest carries
+    // base64(UTF-8-byte-truncated) string bounds. The query is a
+    // one-year range read: the build REQUIRES pruneLiveString to plan a
+    // strict subset (1 of 4 dirs — 1994 lives entirely in one slice),
+    // then aggregates through readRangeString. The oracle applies the
+    // same date-string range to the original parquet: a hash match
+    // proves the truncated byte bounds dropped no qualifying row. At
+    // 100 TB: "WHERE day BETWEEN x AND y" on an ingest-date-sliced
+    // corpus plans the handful of files those days live in — with the
+    // bounds served from the ONE manifest fetch the scan already pays.
+    Q("q234_txn_string_skipping",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders
+             |WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '1997-01-01' AND '1997-12-31'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_sskip")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date_s"),
+              col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          // four sorted date slices (the synthetic orders span
+          // 1995-01-01..2001-08-01 at every SF): each dir's string
+          // bounds cover a disjoint date range, with 1997 entirely
+          // inside one slice
+          Seq(("0000-00-00", "1996-06-30"), ("1996-07-01", "1997-12-31"),
+              ("1998-01-01", "1999-12-31"), ("2000-01-01", "9999-99-99"))
+            .zipWithIndex.foreach { case ((lo, hi), i) =>
+              TxnTable.append(
+                base.filter(col("o_date_s") >= lo && col("o_date_s") <= hi),
+                t.getPath, txnId = Some(s"dateslice-$i"),
+                statsCol = Some("o_date_s"))
+            }
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        val planned = TxnTable.pruneLiveString(snap, "o_date_s",
+          "1997-01-01", "1997-12-31")
+        require(planned.size == 1 && snap.live.size == 4,
+          s"string skipping regressed: planned ${planned.size} of ${snap.live.size} dirs")
+        TxnTable.readRangeString(s, t, "o_date_s", "1997-01-01", "1997-12-31")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

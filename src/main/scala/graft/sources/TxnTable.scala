@@ -81,7 +81,10 @@ object TxnTable {
                             nulls: Map[String, Seq[(String, Long)]] = Map.empty,
                             pthist: Map[String, String] = Map.empty,
                             kmvs: Map[String, (String, Seq[Long])] = Map.empty,
-                            statKeys: Boolean = false)
+                            statKeys: Boolean = false,
+                            base: Option[Long] = None,
+                            sstats: Map[String, Seq[(String, String, String)]] =
+                              Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -108,23 +111,52 @@ object TxnTable {
   private val reservedManifestKeys: Set[String] = Set(
     "version", "action", "ts", "live", "txnId", "stats", "parts", "nrows",
     "dvs", "schema", "constraints", "pta", "pte", "eqs", "gens",
-    "fids", "schema0", "fhwm", "nulls", "pth", "kmvs")
+    "fids", "schema0", "fhwm", "nulls", "pth", "kmvs",
+    "base", "add", "rm", "rmdvs", "sstats")
 
   private def logDir(tableDir: String) = new File(tableDir, "_log")
   private def dataDir(tableDir: String) = new File(tableDir, "data")
   private def manifestFile(tableDir: String, v: Long) =
     new File(logDir(tableDir), f"v$v%020d.json")
 
-  /** Committed versions, ascending. Full listing of `_log` — the
-    * HISTORY api (vacuum, findTxn, audits). The hot read/commit path
+  /** Committed versions, ascending — the RETAINED window. Full listing
+    * of `_log` minus anything below the retention floor: vacuum may keep
+    * sub-retention manifests alive purely as reconstruction-chain links
+    * for incremental manifests (their data dirs are reaped), and those
+    * must not surface as readable history. The hot read/commit path
     * never calls this on a checkpointed table: [[latestVersion]] probes
     * forward from `_last_checkpoint` instead, so resolving "latest" on
     * a table with a million retained commits costs O(commits since the
     * last checkpoint) existence checks, not a million-entry LIST. */
-  def versions(tableDir: String): Seq[Long] =
+  def versions(tableDir: String): Seq[Long] = {
+    val floor = retentionFloor(tableDir)
+    rawVersions(tableDir).filter(_ >= floor)
+  }
+
+  /** Every manifest file on disk, including chain-kept ones below the
+    * retention floor (vacuum bookkeeping only). */
+  private def rawVersions(tableDir: String): Seq[Long] =
     Option(logDir(tableDir).listFiles()).getOrElse(Array.empty[File])
       .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong).sorted.toSeq
+
+  /** The oldest version the table still serves (RetentionError below).
+    * Distinct from manifest-file presence: incremental-manifest chains
+    * can keep older manifest FILES for reconstruction while their
+    * versions are out of retention (data dirs reaped). */
+  private def floorFile(tableDir: String) = new File(logDir(tableDir), "_floor")
+  private def retentionFloor(tableDir: String): Long = {
+    val f = floorFile(tableDir)
+    if (!f.exists()) 0L
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.toLongOption.getOrElse(0L)
+  }
+  private def writeRetentionFloor(tableDir: String, v: Long): Unit =
+    if (v > retentionFloor(tableDir)) { // monotone
+      val tmp = new File(logDir(tableDir), s".tmp-floor-${UUID.randomUUID()}")
+      Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
+      Files.move(tmp.toPath, floorFile(tableDir).toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+    }
 
   /** Write a checkpoint pointer every this-many commits. Manifests here
     * are SELF-CONTAINED (each lists the full live set + stats), so the
@@ -163,10 +195,36 @@ object TxnTable {
   private def maybeCheckpoint(tableDir: String, v: Long): Unit =
     if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(tableDir, v)
 
-  /** Parse one manifest. The writer controls the format (dir names are
-    * UUIDs, actions are from a closed set), so a tiny extractor is safe —
-    * no JSON library exists in the dependency set by design.
-    */
+  /** In-JVM snapshot cache. Manifests are IMMUTABLE once published
+    * (put-if-absent link), so a parsed/reconstructed Snapshot for
+    * (table, version) never goes stale — the cache turns sequential
+    * incremental-manifest reads into one delta-apply each and makes the
+    * publisher's `prev` lookup free. Bounded LRU; entries for vacuumed
+    * versions are evicted by the existence check in [[snapshot]] (so a
+    * vacuumed version still surfaces as [[RetentionError]], cached or
+    * not). Keyed by absolute path: the worst a path alias could cause is
+    * a duplicate entry, never a wrong one. */
+  private val snapCacheMax = 48
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Long), Snapshot](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Snapshot]): Boolean =
+        size() > snapCacheMax
+    }
+  private def cacheKey(tableDir: String, v: Long): (String, Long) =
+    (new File(tableDir).getAbsolutePath, v)
+  private def cacheGet(tableDir: String, v: Long): Option[Snapshot] =
+    snapCache.synchronized(Option(snapCache.get(cacheKey(tableDir, v))))
+  private def cachePut(tableDir: String, sn: Snapshot): Unit =
+    snapCache.synchronized { snapCache.put(cacheKey(tableDir, sn.version), sn); () }
+  /** Test hook: force the next snapshot() onto the cold path
+    * (checkpoint-anchored reconstruction) instead of the cache. */
+  private[graft] def clearSnapshotCache(): Unit =
+    snapCache.synchronized { snapCache.clear() }
+
+  /** Read one version's snapshot: the self-contained parse for classic
+    * manifests, checkpoint-anchored reconstruction for incremental ones
+    * (see [[TxnCheckpoint]]), both behind the immutability cache. */
   def snapshot(tableDir: String, version: Long): Snapshot = {
     val f = manifestFile(tableDir, version)
     if (!f.exists()) {
@@ -181,7 +239,39 @@ object TxnTable {
         s"version $version does not exist at $tableDir" +
           vs.lastOption.map(l => s" (latest: $l)").getOrElse(" (no commits)"))
     }
-    val s = new String(Files.readAllBytes(f.toPath), "UTF-8")
+    cacheGet(tableDir, version) match {
+      case Some(sn) => sn
+      case None =>
+        // a manifest file kept only as a reconstruction-chain link is
+        // NOT a readable version — its data dirs were reaped (vacuum
+        // clears the snapshot cache, so this check cannot be shadowed
+        // by a pre-vacuum entry)
+        if (version < retentionFloor(tableDir))
+          throw new RetentionError(
+            s"version $version of $tableDir predates the retention window " +
+              s"(oldest retained: ${retentionFloor(tableDir)}); vacuum removed it")
+        val s = new String(Files.readAllBytes(f.toPath), "UTF-8")
+        val sn =
+          if (incBaseOf(s).isEmpty) parseManifest(s, version)
+          else reconstruct(tableDir, version, s)
+        cachePut(tableDir, sn)
+        sn
+    }
+  }
+
+  /** The `base` marker of an INCREMENTAL manifest (absent = classic
+    * self-contained manifest; an incremental one never carries `live`). */
+  private def incBaseOf(s: String): Option[Long] =
+    """"base"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      .filter(_ => """"live"\s*:\s*\[""".r.findFirstMatchIn(s).isEmpty)
+
+  /** Parse one SELF-CONTAINED manifest. The writer controls the format
+    * (dir names are UUIDs, actions are from a closed set), so a tiny
+    * extractor is safe — no JSON library exists in the dependency set by
+    * design. Also parses the shared fields of an incremental manifest
+    * (whose per-dir maps then hold only that commit's DELTA).
+    */
+  private def parseManifest(s: String, version: Long): Snapshot = {
     def field(k: String): Option[String] =
       s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
     val live = """"live"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(s)
@@ -297,9 +387,101 @@ object TxnTable {
     // treating "absent in prev" as "this dir has no stats"
     val statKeys = kmvsKey.isDefined ||
       """"nulls"\s*:\s*\{""".r.findFirstMatchIn(s).isDefined
+    // string/date min-max bounds (round 13): base64(UTF-8 bytes) per
+    // column, "c:<b64lo>:<b64hi>" — hi empty = unbounded above (the
+    // truncation-overflow case); see [[truncatedStringBounds]]
+    val sstats = """"sstats"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn)
+      .map(m => m.group(1) -> TxnCheckpoint.parseSstats(m.group(2)))
+      .filter(_._2.nonEmpty).toMap
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
       stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans, eqs, gens,
-      fids, field("schema0"), fhwm, nulls, pthist, kmvs, statKeys)
+      fids, field("schema0"), fhwm, nulls, pthist, kmvs, statKeys, incBaseOf(s),
+      sstats)
+  }
+
+  /** One incremental manifest's delta: `shell` is [[parseManifest]]'s
+    * read of the text (table-wide fields in full; per-dir maps holding
+    * ONLY this commit's new entries), plus the add/rm dir-list delta. */
+  private final case class IncDelta(shell: Snapshot, add: Seq[String],
+                                    rm: Set[String], rmdvs: Set[String])
+
+  private def parseIncrement(s: String, version: Long): IncDelta = {
+    def list(k: String): Seq[String] =
+      (s""""$k"""" + """\s*:\s*\[([^\]]*)\]""").r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    IncDelta(parseManifest(s, version), list("add"), list("rm").toSet,
+      list("rmdvs").toSet)
+  }
+
+  /** Fold one commit's delta over the previous version's state. The
+    * table-wide fields (schema, constraints, fids, spec history, …) come
+    * from the delta's own manifest — they are carried IN FULL by every
+    * incremental manifest because they are O(columns), so only the
+    * per-dir maps reconstruct. The restriction filters reproduce exactly
+    * what the self-contained writer serializes: per-dir stat entries for
+    * live dirs only, row counts for live ∪ dv dirs. */
+  private def applyIncrement(prev: Snapshot, inc: IncDelta): Snapshot = {
+    val sh = inc.shell
+    val live = prev.live.filterNot(inc.rm) ++ inc.add
+    val ls = live.toSet
+    val dvs = (prev.dvs ++ sh.dvs -- inc.rmdvs).filter { case (d, _) => ls(d) }
+    val dvDirs = dvs.values.toSet
+    val nrows = (prev.nrows ++ sh.nrows)
+      .filter { case (d, _) => ls(d) || dvDirs(d) }
+    Snapshot(sh.version, sh.action, live, sh.txnId,
+      (prev.stats ++ sh.stats).filter(e => ls(e._1)),
+      (prev.parts ++ sh.parts).filter(e => ls(e._1)),
+      sh.ts, nrows, dvs, sh.schema, sh.constraints, sh.ptrans, sh.eqs, sh.gens,
+      sh.fids, sh.schema0, sh.fhwm,
+      (prev.nulls ++ sh.nulls).filter(e => ls(e._1)),
+      sh.pthist,
+      (prev.kmvs ++ sh.kmvs).filter(e => ls(e._1)),
+      statKeys = true, base = sh.base,
+      sstats = (prev.sstats ++ sh.sstats).filter(e => ls(e._1)))
+  }
+
+  /** Reconstruct an INCREMENTAL version: walk back from `version`
+    * collecting deltas until an ANCHOR — a cached snapshot, a columnar
+    * dir-entry checkpoint, or a self-contained manifest — then fold
+    * forward. The walk is bounded by the writer's checkpoint cadence
+    * (≈ [[checkpointInterval]] small manifest reads on a cold cache; ONE
+    * delta-apply when version-1 is cached, the sequential-reader case).
+    * Vacuum preserves the anchor chain of every retained version, so a
+    * missing link is corruption, reported as such. */
+  private def reconstruct(tableDir: String, version: Long, text: String): Snapshot = {
+    var deltas = List(parseIncrement(text, version))
+    var state: Snapshot = null
+    var w = version - 1
+    while (state == null) {
+      cacheGet(tableDir, w) match {
+        case Some(sn) => state = sn
+        case None =>
+          TxnCheckpoint.read(tableDir, w) match {
+            case Some(ck) =>
+              // per-dir state only: the fold takes every table-wide
+              // field from the deltas' own manifests
+              state = Snapshot(w, "checkpoint", ck.live, None, ck.stats,
+                ck.parts, 0L, ck.nrows, ck.dvs, None, Map.empty, None,
+                Map.empty, Map.empty, Map.empty, None, 0, ck.nulls,
+                Map.empty, ck.kmvs, statKeys = true, sstats = ck.sstats)
+            case None =>
+              val pf = manifestFile(tableDir, w)
+              if (!pf.exists())
+                throw new IllegalStateException(
+                  s"manifest chain of $tableDir v$version is broken at v$w: " +
+                    "no manifest, no checkpoint — the log was vacuumed or " +
+                    "corrupted mid-chain")
+              val t = new String(Files.readAllBytes(pf.toPath), "UTF-8")
+              if (incBaseOf(t).isEmpty) state = parseManifest(t, w)
+              else { deltas ::= parseIncrement(t, w); w -= 1 }
+          }
+      }
+    }
+    deltas.foldLeft(state)(applyIncrement)
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -680,17 +862,58 @@ object TxnTable {
     * columns, which hash functions refuse). */
   private def stagePartitionsBulk(spark: SparkSession, tableDir: String,
                                   dfp: DataFrame, pcol: String, recordCol: String,
-                                  countKey: DataFrame => org.apache.spark.sql.Column,
                                   nullValueMsg: String): Seq[(String, String, Long)] = {
-    import org.apache.spark.sql.functions.{col, count, expr, lit, pmod, spark_partition_id, sum, when}
+    import org.apache.spark.sql.functions.{assert_true, col, expr, lit, pmod, spark_partition_id}
     val bulkRoot = new File(dataDir(tableDir), s".bulk-${UUID.randomUUID()}")
     try {
       require(!dfp.columns.contains("__graft_salt"),
         "column name __graft_salt is reserved by the partition writer")
-      dfp.withColumn("__graft_salt",
+      val snapG = latestVersion(tableDir).map(v => snapshot(tableDir, v))
+      val cons = snapG.map(_.constraints).getOrElse(Map.empty) ++
+        snapG.map(_.gens).getOrElse(Map.empty[String, String]).map {
+          case (c, e) => s"_gen_$c" -> s"($c) <=> ($e)"
+        }
+      // resolvability pre-flight (driver-side analysis, zero jobs): an
+      // unevaluable constraint is a typed rejection before any I/O
+      cons.foreach { case (nm, e) =>
+        try { dfp.selectExpr(s"coalesce(($e), true)"); () }
+        catch {
+          case t: Exception => throw new ConstraintViolation(
+            s"CHECK constraint $nm ($e) could not be evaluated against the " +
+              s"incoming schema: ${t.getMessage}")
+        }
+      }
+      // the write-time CHECK/generated-column gate, FUSED into the
+      // staging write itself (round 13 — was a full read-back of the
+      // batch, 2x I/O on the table's biggest write path): every row
+      // passes through assert_true inside the write job's projection; a
+      // violating row aborts the job, the staging root deletes in the
+      // finally, and a rejected write leaves no trace — [[stage]]'s
+      // contract at HALF the scan count. assert_true returns NULL on
+      // pass, so the guards ride as an always-true filter the optimizer
+      // cannot fold away (the expression is non-foldable by design).
+      val marker = "[graft-check]"
+      val gates = cons.toSeq.map { case (nm, e) =>
+        assert_true(expr(s"coalesce(($e), true)"),
+          lit(s"$marker CHECK constraint $nm ($e) violated by an incoming row"))
+          .isNull
+      }
+      val staged0 = dfp.withColumn("__graft_salt",
           pmod(spark_partition_id().cast("long"), lit(8L)))
         .repartition(col(pcol), col("__graft_salt")).drop("__graft_salt")
-        .write.partitionBy(pcol).parquet(bulkRoot.getPath)
+      val staged = gates.foldLeft(staged0)(_ filter _)
+      try staged.write.partitionBy(pcol).parquet(bulkRoot.getPath)
+      catch {
+        case t: Throwable =>
+          val msgs = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .flatMap(x => Option(x.getMessage)).toSeq
+          msgs.find(_.contains(marker)) match {
+            case Some(m) => throw new ConstraintViolation(
+              m.substring(m.indexOf(marker) + marker.length + 1)
+                .takeWhile(_ != '\n'))
+            case None => throw t
+          }
+      }
       val leaves = Option(bulkRoot.listFiles()).getOrElse(Array.empty[File])
         .filter(f => f.isDirectory && f.getName.startsWith(pcol + "="))
         .sortBy(_.getName)
@@ -705,45 +928,22 @@ object TxnTable {
         requirePartValueCharset(v)
         (f, v)
       }
-      // ONE read-back pass over the staged files: per-value row counts
-      // plus the write-time CHECK/generated-column gate ([[stage]]'s
-      // contract, evaluated once over the whole batch instead of once
-      // per partition). Output is partition-cardinality-sized.
-      val back = spark.read.parquet(byDir.map(_._1.getPath): _*)
-      val snapG = latestVersion(tableDir).map(v => snapshot(tableDir, v))
-      val cons = snapG.map(_.constraints).getOrElse(Map.empty) ++
-        snapG.map(_.gens).getOrElse(Map.empty[String, String]).map {
-          case (c, e) => s"_gen_$c" -> s"($c) <=> ($e)"
-        }
-      val consSeq = cons.toSeq
-      val aggs = count(lit(1)).as("_n") +: consSeq.map { case (_, e) =>
-        sum(when(expr(s"NOT coalesce(($e), true)"), 1L).otherwise(0L))
-      }
-      val rows =
-        try back.groupBy(countKey(back).as("_v")).agg(aggs.head, aggs.tail: _*).collect()
-        catch {
-          case t: Throwable => throw new ConstraintViolation(
-            s"CHECK constraint could not be evaluated against the incoming " +
-              s"schema: ${t.getMessage}")
-        }
-      consSeq.zipWithIndex.foreach { case ((nm, e), i) =>
-        val bad = rows.map(r => if (r.isNullAt(i + 2)) 0L else r.getLong(i + 2)).sum
-        if (bad > 0L) throw new ConstraintViolation(
-          s"CHECK constraint $nm ($e) violated by $bad incoming row(s)")
-      }
-      val nByValue = rows.map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1)).toMap
+      // per-value row counts from parquet FOOTERS (driver-side metadata
+      // reads, one per staged part-file — no second scan of the batch,
+      // no Spark job): partitionBy guarantees every row under a leaf
+      // carries that leaf's value
       // fids era sidecar content (same for every dir — one staged batch,
-      // one write-time schema); see [[stage]]
+      // one write-time schema, the staged files' columns = dfp minus the
+      // partition carrier); see [[stage]]
+      val fileSchema = dfp.drop(pcol).schema
       val fidsNow = snapG.map(_.fids).getOrElse(Map.empty)
       val colsSidecar =
-        if (fidsNow.nonEmpty && back.schema.fieldNames.forall(fidsNow.contains))
-          Some(back.schema.catalogString + "\n" +
-            back.schema.fieldNames.map(fidsNow).mkString(" "))
+        if (fidsNow.nonEmpty && fileSchema.fieldNames.forall(fidsNow.contains))
+          Some(fileSchema.catalogString + "\n" +
+            fileSchema.fieldNames.map(fidsNow).mkString(" "))
         else None
       byDir.map { case (leaf, v) =>
-        val n = nByValue.getOrElse(v, throw new IllegalStateException(
-          s"staged partition dir ${leaf.getName} has no read-back row count " +
-            s"for value '$v' — write/read value rendering diverged"))
+        val n = footerRowCount(leaf)
         val name = s"txn-${UUID.randomUUID()}"
         val dest = new File(dataDir(tableDir), name)
         Files.move(leaf.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
@@ -755,6 +955,21 @@ object TxnTable {
         (name, v, n)
       }
     } finally deleteRec(bulkRoot)
+  }
+
+  /** Sum of parquet-footer record counts under `dir` — a KB metadata
+    * read per part-file, never a row scan. */
+  private def footerRowCount(dir: File): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("fs.file.impl", classOf[org.apache.hadoop.fs.LocalFileSystem].getName)
+    Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** PARTITIONED atomic overwrite: replace exactly the partitions whose
@@ -776,11 +991,13 @@ object TxnTable {
     *
     * BACKFILL-SHAPED since round 12: the whole batch stages as ONE
     * shuffled write job regardless of partition cardinality (see
-    * [[stagePartitionsBulk]]) — a 1000-partition backfill is one job +
-    * one read-back aggregate, not 1000 scheduled jobs, and the
-    * per-value `distinct().collect()` is gone (values come from the
-    * staged dir listing, bounded by partition cardinality — the same
-    * discovery Spark's own dynamic partitionBy performs).
+    * [[stagePartitionsBulk]]) — a 1000-partition backfill is exactly one
+    * job (since round 13 the CHECK/generated gate fuses into the write
+    * and row counts come from parquet footers, so the round-12 read-back
+    * aggregate is gone too), not 1000 scheduled jobs, and the per-value
+    * `distinct().collect()` is gone (values come from the staged dir
+    * listing, bounded by partition cardinality — the same discovery
+    * Spark's own dynamic partitionBy performs).
     */
   def overwritePartitions(spark: SparkSession, tableDir: String, df: DataFrame,
                           partCol: String, txnId: Option[String] = None): Long = {
@@ -806,7 +1023,6 @@ object TxnTable {
     val dfp = df.withColumn(bulkPartCol,
       org.apache.spark.sql.functions.url_encode(col(partCol).cast("string")))
     val staged = stagePartitionsBulk(spark, tableDir, dfp, bulkPartCol, partCol,
-      back => back.col(partCol).cast("string"),
       s"null $partCol partition values unsupported")
     publishPartitionSwap(tableDir, staged.map(_._1), staged.map(_._2), partCol,
       txnId, None)
@@ -995,12 +1211,11 @@ object TxnTable {
     // the alias column is consumed by `partitionBy` itself — it lands
     // in dir names and NEVER in the data files (hidden means hidden);
     // url_encode keeps staged paths ASCII (see overwritePartitions);
-    // the read-back count key re-evaluates the transform, which is
-    // deterministic, so write-side and count-side values agree
+    // per-leaf row counts come from the staged files' own footers, so
+    // no count-side re-evaluation of the transform exists to diverge
     val withA = df.withColumn(alias,
       org.apache.spark.sql.functions.url_encode(expr(transformSql).cast("string")))
     val staged = stagePartitionsBulk(spark, tableDir, withA, alias, alias,
-      back => expr(transformSql).cast("string"),
       s"transform $transformSql evaluates to null for some rows")
     publishPartitionSwap(tableDir, staged.map(_._1), staged.map(_._2), alias, txnId,
       Some(Some((alias, transformSql))), oldEraAliases = oldAliases)
@@ -1127,6 +1342,17 @@ object TxnTable {
   private def isIntegral(df: DataFrame, c: String): Boolean =
     isIntegralType(df.schema(c).dataType)
 
+  /** String columns get their own bound family (`.sstats`, byte-order
+    * truncated — see [[truncatedStringBounds]]); every other
+    * non-integral type still rejects as a stats column. */
+  private def isStringCol(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType == org.apache.spark.sql.types.StringType
+
+  private def requireStatsable(df: DataFrame, c: String): Unit =
+    require(isIntegral(df, c) || isStringCol(df, c),
+      s"statsCol $c must be an integral or string type, got " +
+        df.schema(c).dataType.sql)
+
   private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
@@ -1157,14 +1383,42 @@ object TxnTable {
   private def stage(df: DataFrame, tableDir: String,
                     statsCol: Option[String],
                     fidsForSidecar: Option[Map[String, Int]] = None): String = {
-    statsCol.foreach(c => require(isIntegral(df, c),
-      s"statsCol $c must be an integral type, got ${df.schema(c).dataType.sql}"))
+    statsCol.foreach(requireStatsable(df, _))
     val staged = s"txn-${UUID.randomUUID()}"
     val dir = new File(dataDir(tableDir), staged)
     df.write.mode("overwrite").parquet(dir.getPath)
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val back = df.sparkSession.read.parquet(dir.getPath)
     val n = statsCol match {
+      case Some(c) if isStringCol(df, c) =>
+        // STRING bounds (round 13): min/max under Spark's own ordering
+        // (unsigned UTF-8 byte order), truncated byte-conservatively into
+        // the `.sstats` sidecar — the tier that lets status/date/category
+        // string predicates prune dirs, which integral bounds never
+        // could. Null counts and the KMV NDV sketch apply unchanged
+        // (xxhash64 is type-agnostic); the long-keyed bloom point index
+        // does not (readPoint is integral by contract).
+        val r = back.agg(count(lit(1)), min(col(c)), max(col(c)),
+          count(col(c))).head()
+        if (!r.isNullAt(1)) {
+          val (lo, hi) = truncatedStringBounds(r.getString(1), r.getString(2))
+          Files.write(new File(dir, ".sstats").toPath,
+            s"$c:$lo:$hi".getBytes("UTF-8")): Unit
+        }
+        Files.write(new File(dir, ".nulls").toPath,
+          s"$c:${r.getLong(0) - r.getLong(3)}".getBytes("UTF-8")): Unit
+        if (r.getLong(3) > 0L) {
+          import org.apache.spark.sql.functions.{shiftrightunsigned, transform, xxhash64}
+          val mins = back.where(col(c).isNotNull)
+            .select(shiftrightunsigned(xxhash64(col(c)), 16).as("hv"))
+            .distinct()
+            .agg(graft.functions.TopKLongs.topK(-col("hv"), col("hv"), 64).as("tk"))
+            .select(transform(col("tk"), x => x.getField("id")).as("ids"))
+            .head().getSeq[Long](0)
+          Files.write(new File(dir, ".kmv").toPath,
+            s"$c:${mins.mkString(",")}".getBytes("UTF-8")): Unit
+        }
+        r.getLong(0)
       case Some(c) =>
         val r = back.agg(count(lit(1)),
           min(col(c).cast("long")), max(col(c).cast("long")),
@@ -1398,6 +1652,113 @@ object TxnTable {
   def statsOf(tableDir: String, dataDirName: String): Option[(String, Long, Long)] =
     statsAllOf(tableDir, dataDirName).headOption
 
+  /** Every (col, b64min, b64maxOrEmpty) STRING bound in a data dir's
+    * `.sstats` sidecar — the string/date analogue of [[statsAllOf]].
+    * Bounds are base64 of (possibly truncated) UTF-8 bytes; an empty
+    * third field means "unbounded above" (the truncation-overflow
+    * case). See [[truncatedStringBounds]]. */
+  def sstatsAllOf(tableDir: String, dataDirName: String): Seq[(String, String, String)] = {
+    sidecarReads.incrementAndGet()
+    val f = new File(new File(dataDir(tableDir), dataDirName), ".sstats")
+    if (!f.exists()) Nil
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").linesIterator
+      .map(_.trim).filter(_.nonEmpty)
+      .flatMap(l => TxnCheckpoint.parseSstats(l)).toSeq
+  }
+
+  /** How many bytes a string bound keeps — the Delta/Iceberg 32-char
+    * truncation, applied to UTF-8 BYTES because Spark orders strings by
+    * unsigned byte comparison (UTF8String), not UTF-16 char order. */
+  private val sstatsTruncBytes = 32
+
+  /** Truncated (lo, hi) bounds for a dir's observed string [min, max]:
+    * the LOWER bound may be any byte prefix (a prefix is ≤ the full
+    * value byte-wise), the UPPER bound must DOMINATE every value with
+    * the kept prefix — increment the last kept byte, carrying past 0xFF
+    * (Iceberg's truncateStringMax); an all-0xFF prefix cannot be
+    * incremented → unbounded above (empty string). Returned base64ed,
+    * ready for the sidecar/manifest. */
+  private[graft] def truncatedStringBounds(min: String, max: String): (String, String) = {
+    val (lo, hi) = truncatedBoundsBytes(
+      min.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      max.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val b64 = java.util.Base64.getEncoder
+    (b64.encodeToString(lo), hi.map(b64.encodeToString).getOrElse(""))
+  }
+
+  /** Byte-level core of [[truncatedStringBounds]]. The all-0xFF overflow
+    * branch is unreachable for genuine UTF-8 (no UTF-8 byte is 0xFF) but
+    * the helper stays total over arbitrary bytes — bounds are opaque. */
+  private[graft] def truncatedBoundsBytes(minB: Array[Byte], maxB: Array[Byte])
+      : (Array[Byte], Option[Array[Byte]]) = {
+    val lo = minB.take(sstatsTruncBytes)
+    val hi: Option[Array[Byte]] =
+      if (maxB.length <= sstatsTruncBytes) Some(maxB)
+      else {
+        val p = maxB.take(sstatsTruncBytes)
+        // increment with carry: from the last byte, find one below 0xFF
+        val i = p.lastIndexWhere(b => (b & 0xFF) < 0xFF)
+        if (i < 0) None // every byte is 0xFF: no finite upper bound
+        else Some(p.take(i + 1).updated(i, (p(i) + 1).toByte))
+      }
+    (lo, hi)
+  }
+
+  /** Unsigned byte-wise comparison of base64ed bounds — the ordering
+    * Spark itself uses for strings. */
+  private[graft] def b64Compare(a: String, b: String): Int = {
+    val dec = java.util.Base64.getDecoder
+    val (x, y) = (dec.decode(a), dec.decode(b))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def b64OfString(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The live dirs a STRING range predicate `column ∈ [lo, hi]` can
+    * possibly touch, per the manifest's truncated string bounds — the
+    * [[pruneLive]] analogue for the predicates real tables filter by
+    * most (status/date/category strings). A dir with an empty (overflow)
+    * upper bound, or no recorded bound at all, must be planned. Bounds
+    * are truncated CONSERVATIVELY (lower bounds shrink, upper bounds
+    * grow), so pruning can only keep extra dirs, never drop a match. */
+  def pruneLiveString(snap: Snapshot, column: String,
+                      lo: String, hi: String): Seq[String] = {
+    val (loB, hiB) = (b64OfString(lo), b64OfString(hi))
+    snap.live.filter(d =>
+      snap.sstats.get(d).flatMap(_.find(_._1 == column)) match {
+        case Some((_, dLo, dHi)) =>
+          !((dHi.nonEmpty && b64Compare(dHi, loB) < 0) || b64Compare(dLo, hiB) > 0)
+        case _ => true
+      })
+  }
+
+  /** Filtered snapshot read with STRING data skipping — [[readRange]]
+    * for string/date columns: plans only [[pruneLiveString]]'s dirs,
+    * then applies the residual row filter (which also pushes into the
+    * parquet scan for row-group pruning). */
+  def readRangeString(spark: SparkSession, tableDir: String, column: String,
+                      lo: String, hi: String,
+                      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val v = version.orElse(latestVersion(tableDir))
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, v)
+    val planned = pruneLiveString(snap, column, lo, hi)
+    val df =
+      if (planned.isEmpty) read(spark, tableDir, Some(v)).limit(0)
+      else readDirsDV(spark, tableDir, snap, planned)
+    df.filter(df.col(column) >= lit(lo) && df.col(column) <= lit(hi))
+  }
+
   /** Every (col, nullCount) in a data dir's `.nulls` sidecar. */
   def nullsOf(tableDir: String, dataDirName: String): Seq[(String, Long)] = {
     sidecarReads.incrementAndGet()
@@ -1424,8 +1785,7 @@ object TxnTable {
                      statsCol: Option[String] = None): Long = {
     // validate BEFORE any side effect (a rejected commit must leave no
     // trace — not even a freshly-minted _schema)
-    statsCol.foreach(c => require(isIntegral(df, c),
-      s"statsCol $c must be an integral type, got ${df.schema(c).dataType.sql}"))
+    statsCol.foreach(requireStatsable(df, _))
     dataDir(tableDir).mkdirs(); logDir(tableDir).mkdirs()
     txnId.flatMap(findTxn(tableDir, _)) match {
       case Some(v) => return v // replayed commit — already in the log
@@ -1556,153 +1916,207 @@ object TxnTable {
     // only dv entries for dirs actually in this manifest's live set —
     // a rewritten dir's dv dies with it (the rewrite materialized it)
     val dvKept = dvs.filter { case (d, _) => live.contains(d) }
-    val json = {
-      val liveJson = live.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val txn = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
-      // fold each live dir's sidecar bounds into the manifest: the
-      // sidecar is the write-time source of truth (local to the dir the
-      // writer just staged or inherited), the manifest copy is what the
-      // READ path plans from — one fetch, no per-dir GETs.
-      //
-      // WRITE-path scaling (round 12): data dirs are IMMUTABLE, so a
-      // dir that was live in the PREVIOUS manifest already has its
-      // sidecar content folded there — SURVIVORS copy their entries
-      // from the prev manifest and never touch their sidecars again
-      // (absence in prev is equally authoritative: a statless dir is
-      // not re-probed every commit). Only NEWLY-STAGED dirs read
-      // sidecars, so a commit on a 10,000-dir table costs O(new dirs)
-      // sidecar GETs, not O(live) — the same reason Delta folds
-      // add-file stats into log entries instead of re-stat-ing files.
-      val prevLiveSet: Set[String] = if (v == 0) Set.empty else prev.live.toSet
-      def carried[T](d: String, prevMap: => Map[String, T],
-                     fresh: => Option[T]): Option[T] =
-        if (prevLiveSet.contains(d)) prevMap.get(d) else fresh
-      val statsJson = {
-        val entries = live.flatMap { d =>
-          val all = carried(d, prev.stats, Some(statsAllOf(tableDir, d)).filter(_.nonEmpty))
-            .getOrElse(Nil)
-          if (all.isEmpty) None
-          else Some(s""""$d":"${all.map { case (c, lo, hi) => s"$c:$lo:$hi" }.mkString(";")}"""")
-        }
-        if (entries.isEmpty) "" else entries.mkString(""","stats":{""", ",", "}")
+
+    // ------ per-dir state (maps first, serialization second) ------
+    // fold each live dir's sidecar bounds into the manifest: the
+    // sidecar is the write-time source of truth (local to the dir the
+    // writer just staged or inherited), the manifest copy is what the
+    // READ path plans from — one fetch, no per-dir GETs.
+    //
+    // WRITE-path scaling (round 12): data dirs are IMMUTABLE, so a
+    // dir that was live in the PREVIOUS manifest already has its
+    // sidecar content folded there — SURVIVORS copy their entries
+    // from the prev manifest and never touch their sidecars again
+    // (absence in prev is equally authoritative: a statless dir is
+    // not re-probed every commit). Only NEWLY-STAGED dirs read
+    // sidecars, so a commit on a 10,000-dir table costs O(new dirs)
+    // sidecar GETs, not O(live) — the same reason Delta folds
+    // add-file stats into log entries instead of re-stat-ing files.
+    val prevLiveSet: Set[String] = if (v == 0) Set.empty else prev.live.toSet
+    def carried[T](d: String, prevMap: => Map[String, T],
+                   fresh: => Option[T]): Option[T] =
+      if (prevLiveSet.contains(d)) prevMap.get(d) else fresh
+    val statsMap: Map[String, Seq[(String, Long, Long)]] = live.flatMap { d =>
+      carried(d, prev.stats, Some(statsAllOf(tableDir, d)).filter(_.nonEmpty))
+        .filter(_.nonEmpty).map(d -> _)
+    }.toMap
+    val sstatsMap: Map[String, Seq[(String, String, String)]] = live.flatMap { d =>
+      carried(d, prev.sstats, Some(sstatsAllOf(tableDir, d)).filter(_.nonEmpty))
+        .filter(_.nonEmpty).map(d -> _)
+    }.toMap
+    val partsMap: Map[String, (String, String)] =
+      live.flatMap(d => carried(d, prev.parts, partOf(tableDir, d)).map(d -> _)).toMap
+    // dv dirs' counts ride along (names are disjoint from live):
+    // history's effective row count = live rows - dv-deleted rows,
+    // still metadata-only. dv dirs are not in prev.live, so they
+    // carry through prev.nrows with a sidecar fallback.
+    val nrowsMap: Map[String, Long] =
+      (live ++ dvKept.values.toSeq.distinct).flatMap { d =>
+        (if (prevLiveSet.contains(d)) prev.nrows.get(d)
+         else if (v > 0 && prev.nrows.contains(d)) prev.nrows.get(d)
+         else nrowsOf(tableDir, d)).map(d -> _)
+      }.toMap
+    // on a fids (evolved) table a dir's `.nulls`/`.kmv` sidecar is
+    // PHYSICAL (write-time names): resolve each recorded name
+    // through the dir's era field ids to the CURRENT column of the
+    // same id — a renamed column's stat folds under its new name
+    // (pruning/NDV recovered), and a drop+re-add of the same name
+    // drops the stale entry instead of letting IS NULL prune dirs
+    // whose re-added column is entirely null-backfilled (silent row
+    // loss; range/bloom stats are null-silent so only these stats
+    // need the id check)
+    lazy val idToCur: Map[Int, String] = fids.map(_.swap)
+    def eraIds(d: String): Map[String, Int] = colsOf(tableDir, d) match {
+      case Some((ddl, ids)) => structOf(ddl).fieldNames.zip(ids).toMap
+      case None => schema0.map(ddl => structOf(ddl).fieldNames.zipWithIndex
+        .map { case (n, i) => n -> (i + 1) }.toMap).getOrElse(Map.empty)
+    }
+    def resolveEra(d: String, c: String): Option[String] =
+      if (fids.isEmpty) Some(c) else eraIds(d).get(c).flatMap(idToCur.get)
+    // nulls/kmvs manifest entries are stored under CURRENT column
+    // names, so the prev-manifest copy is valid only while the id
+    // mapping is unchanged — an EVOLUTION commit (rename/drop/mint)
+    // re-folds every dir through era resolution instead (rare by
+    // construction; the frequent ops all take the O(new-dirs) path)
+    val evoUnchanged = v > 0 && fids == prev.fids && schema0 == prev.schema0
+    // upgrade refold: a PRE-round-12 manifest has no nulls/kmvs keys at
+    // all, so "absent in prev" is NOT authoritative for its survivors —
+    // carrying absence would permanently drop stat folding for every
+    // pre-upgrade dir (the scan's manifestCovers check then falls back
+    // to per-dir sidecar reads forever). When the previous manifest
+    // LACKS the stat keys (prev.statKeys = false), refold survivors
+    // from sidecars once, mirroring the evolution-commit refold branch.
+    // New manifests always EMIT the keys (even empty), so the refold is
+    // strictly one-shot: the next commit sees statKeys = true and takes
+    // the O(new-dirs) carry again.
+    val statUpgrade = v > 0 && !prev.statKeys
+    val nullsMap: Map[String, Seq[(String, Long)]] = live.flatMap { d =>
+      val all =
+        (if (evoUnchanged && !statUpgrade && prevLiveSet.contains(d))
+           prev.nulls.getOrElse(d, Nil)
+         else nullsOf(tableDir, d)
+           .flatMap { case (c, n) => resolveEra(d, c).map(_ -> n) })
+      if (all.isEmpty) None else Some(d -> all)
+    }.toMap
+    // fold each live dir's `.kmv` NDV sketch into the manifest (64
+    // longs per sketched dir — KB-scale, the Delta-checkpoint
+    // stats-inlining trade): the DSv2 column-statistics path then
+    // serves CBO from the ONE manifest fetch it already paid, with
+    // zero per-dir sidecar reads at thousand-dir scale
+    val kmvsMap: Map[String, (String, Seq[Long])] = live.flatMap { d =>
+      (if (evoUnchanged && !statUpgrade && prevLiveSet.contains(d)) prev.kmvs.get(d)
+       else kmvOf(tableDir, d).flatMap { case (c, hs) =>
+         resolveEra(d, c).map(cur => (cur, hs.toSeq))
+       }).map(d -> _)
+    }.toMap
+    // id high-water mark: monotone across drops so ids never recycle
+    // (fhwmFloor imports a clone source's mark at v0)
+    val fhwm = math.max(fhwmFloor, math.max(if (v == 0) 0 else prev.fhwm,
+      if (fids.isEmpty) 0 else fids.values.max))
+    val now = System.currentTimeMillis
+
+    // ------ INCREMENTAL-vs-SELF-CONTAINED decision (round 13) ------
+    // A self-contained manifest re-lists every live dir with its folded
+    // stats — O(live dirs) bytes PER COMMIT, the last O(table) commit
+    // term on wide tables. Past a dir-count threshold, publish only the
+    // DELTA (add/rm dirs + their stat entries; table-wide metadata
+    // stays full — it is O(columns)), anchored on a columnar dir-entry
+    // checkpoint ([[TxnCheckpoint]]) that a writer materializes every
+    // [[checkpointInterval]] commits. Rare shapes that rewrite per-dir
+    // entries in place (evolution refolds, stat upgrades, equality
+    // deletes, a live order no prefix-preserving delta can express)
+    // fall back to self-contained manifests — correctness never depends
+    // on the delta form.
+    val ckptThreshold: Int = sys.props.get("graft.txn.ckptDirThreshold")
+      .flatMap(_.toIntOption).getOrElse(512)
+    val liveSet = live.toSet
+    val addDirs = if (v == 0) live else live.filterNot(prevLiveSet)
+    val orderPreserved =
+      v > 0 && (prev.live.filter(liveSet) ++ addDirs) == live
+    val baseV: Option[Long] =
+      if (v == 0 || live.size < ckptThreshold || !evoUnchanged || statUpgrade ||
+          eqsKept.nonEmpty || prev.eqs.nonEmpty || !orderPreserved) None
+      else prev.base match {
+        case None => Some(v - 1) // prev manifest is self-contained = anchor
+        case Some(pb) =>
+          // newest materialized checkpoint in (pb, v-1]; pb itself roots
+          // a chain ending at a real anchor even if its ckpt never landed
+          Some((pb to (v - 1)).reverse.find(TxnCheckpoint.exists(tableDir, _))
+            .getOrElse(pb))
       }
-      val partsJson = {
-        val entries = live.flatMap(d => carried(d, prev.parts, partOf(tableDir, d)).map {
-          case (c, pv) => s""""$d":"$c=$pv""""
-        })
-        if (entries.isEmpty) "" else entries.mkString(""","parts":{""", ",", "}")
-      }
-      val nrowsJson = {
-        // dv dirs' counts ride along (names are disjoint from live):
-        // history's effective row count = live rows - dv-deleted rows,
-        // still metadata-only. dv dirs are not in prev.live, so they
-        // carry through prev.nrows with a sidecar fallback.
-        val entries = (live ++ dvKept.values.toSeq.distinct).flatMap { d =>
-          (if (prevLiveSet.contains(d)) prev.nrows.get(d)
-           else if (v > 0 && prev.nrows.contains(d)) prev.nrows.get(d)
-           else nrowsOf(tableDir, d)).map(n => s""""$d":$n""")
-        }
-        if (entries.isEmpty) "" else entries.mkString(""","nrows":{""", ",", "}")
-      }
-      val dvsJson = {
-        val entries = dvKept.map { case (d, dv) => s""""$d":"$dv"""" }
-        if (entries.isEmpty) "" else entries.mkString(""","dvs":{""", ",", "}")
-      }
-      // evolved-schema DDL rides in the manifest itself (atomic with
-      // the commit) and is carried forward by every later commit —
-      // catalogString never contains '"', so the flat field is safe
+
+    // ------ serialization ------
+    def obj(key: String, entries: Iterable[String], alwaysEmit: Boolean = false): String =
+      if (entries.isEmpty && !alwaysEmit) ""
+      else entries.mkString(s""","$key":{""", ",", "}")
+    def arr(key: String, xs: Seq[String]): String =
+      s""","$key":${xs.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    def statsE(m: Map[String, Seq[(String, Long, Long)]], ds: Seq[String]) =
+      ds.flatMap(d => m.get(d).map(x => s""""$d":"${TxnCheckpoint.fmtStats(x)}""""))
+    def partsE(m: Map[String, (String, String)], ds: Seq[String]) =
+      ds.flatMap(d => m.get(d).map { case (c, pv) => s""""$d":"$c=$pv"""" })
+    def nrowsE(m: Map[String, Long], ds: Seq[String]) =
+      ds.flatMap(d => m.get(d).map(n => s""""$d":$n"""))
+    def nullsE(m: Map[String, Seq[(String, Long)]], ds: Seq[String]) =
+      ds.flatMap(d => m.get(d).map(x => s""""$d":"${TxnCheckpoint.fmtNulls(x)}""""))
+    def kmvsE(m: Map[String, (String, Seq[Long])], ds: Seq[String]) =
+      ds.flatMap(d => m.get(d).map(x => s""""$d":"${TxnCheckpoint.fmtKmv(x)}""""))
+    def sstatsE(m: Map[String, Seq[(String, String, String)]], ds: Seq[String]) =
+      ds.flatMap(d => m.get(d).map(x => s""""$d":"${TxnCheckpoint.fmtSstats(x)}""""))
+    val txn = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
+    // evolved-schema DDL rides in the manifest itself (atomic with
+    // the commit) and is carried forward by every later commit —
+    // catalogString never contains '"', so the flat field is safe
+    val tableWideJson = {
       val schemaJson = schema.map(s => s""","schema":"$s"""").getOrElse("")
-      val consJson =
-        if (cons.isEmpty) ""
-        else cons.map { case (n, e) => s""""$n":"$e"""" }
-          .mkString(""","constraints":{""", ",", "}")
+      val consJson = obj("constraints",
+        cons.map { case (n, e) => s""""$n":"$e"""" })
       val ptransJson = ptrans
         .map { case (a, e) => s""","pta":"$a","pte":"$e"""" }.getOrElse("")
-      val pthJson =
-        if (pthist.isEmpty) ""
-        else pthist.toSeq.sortBy(_._1).map { case (a, e) => s""""$a":"$e"""" }
-          .mkString(""","pth":{""", ",", "}")
-      val eqsJson =
-        if (eqsKept.isEmpty) ""
-        else eqsKept.map { case (e, (cols, ds)) =>
-          s""""$e":"${cols.mkString(",")}|${ds.mkString(",")}""""
-        }.mkString(""","eqs":{""", ",", "}")
-      val gensJson =
-        if (gens.isEmpty) ""
-        else gens.map { case (n, e) => s""""$n":"$e"""" }
-          .mkString(""","gens":{""", ",", "}")
-      // on a fids (evolved) table a dir's `.nulls`/`.kmv` sidecar is
-      // PHYSICAL (write-time names): resolve each recorded name
-      // through the dir's era field ids to the CURRENT column of the
-      // same id — a renamed column's stat folds under its new name
-      // (pruning/NDV recovered), and a drop+re-add of the same name
-      // drops the stale entry instead of letting IS NULL prune dirs
-      // whose re-added column is entirely null-backfilled (silent row
-      // loss; range/bloom stats are null-silent so only these stats
-      // need the id check)
-      lazy val idToCur: Map[Int, String] = fids.map(_.swap)
-      def eraIds(d: String): Map[String, Int] = colsOf(tableDir, d) match {
-        case Some((ddl, ids)) => structOf(ddl).fieldNames.zip(ids).toMap
-        case None => schema0.map(ddl => structOf(ddl).fieldNames.zipWithIndex
-          .map { case (n, i) => n -> (i + 1) }.toMap).getOrElse(Map.empty)
-      }
-      def resolveEra(d: String, c: String): Option[String] =
-        if (fids.isEmpty) Some(c) else eraIds(d).get(c).flatMap(idToCur.get)
-      // nulls/kmvs manifest entries are stored under CURRENT column
-      // names, so the prev-manifest copy is valid only while the id
-      // mapping is unchanged — an EVOLUTION commit (rename/drop/mint)
-      // re-folds every dir through era resolution instead (rare by
-      // construction; the frequent ops all take the O(new-dirs) path)
-      val evoUnchanged = v > 0 && fids == prev.fids && schema0 == prev.schema0
-      // upgrade refold: a PRE-round-12 manifest has no nulls/kmvs keys at
-      // all, so "absent in prev" is NOT authoritative for its survivors —
-      // carrying absence would permanently drop stat folding for every
-      // pre-upgrade dir (the scan's manifestCovers check then falls back
-      // to per-dir sidecar reads forever). When the previous manifest
-      // LACKS the stat keys (prev.statKeys = false), refold survivors
-      // from sidecars once, mirroring the evolution-commit refold branch.
-      // New manifests always EMIT the keys (even empty), so the refold is
-      // strictly one-shot: the next commit sees statKeys = true and takes
-      // the O(new-dirs) carry again.
-      val statUpgrade = v > 0 && !prev.statKeys
-      val nullsJson = {
-        val entries = live.flatMap { d =>
-          val all =
-            (if (evoUnchanged && !statUpgrade && prevLiveSet.contains(d))
-               prev.nulls.getOrElse(d, Nil)
-             else nullsOf(tableDir, d)
-               .flatMap { case (c, n) => resolveEra(d, c).map(_ -> n) })
-          if (all.isEmpty) None
-          else Some(s""""$d":"${all.map { case (c, n) => s"$c:$n" }.mkString(";")}"""")
-        }
-        entries.mkString(""","nulls":{""", ",", "}")
-      }
-      // fold each live dir's `.kmv` NDV sketch into the manifest (64
-      // longs per sketched dir — KB-scale, the Delta-checkpoint
-      // stats-inlining trade): the DSv2 column-statistics path then
-      // serves CBO from the ONE manifest fetch it already paid, with
-      // zero per-dir sidecar reads at thousand-dir scale
-      val kmvsJson = {
-        val entries = live.flatMap { d =>
-          (if (evoUnchanged && !statUpgrade && prevLiveSet.contains(d)) prev.kmvs.get(d)
-           else kmvOf(tableDir, d).flatMap { case (c, hs) =>
-             resolveEra(d, c).map(cur => (cur, hs.toSeq))
-           }).map { case (c, hs) => s""""$d":"$c:${hs.mkString(",")}"""" }
-        }
-        entries.mkString(""","kmvs":{""", ",", "}")
-      }
-      val fidsJson =
-        if (fids.isEmpty) ""
-        else fids.toSeq.sortBy(_._2).map { case (n, i) => s""""$n":$i""" }
-          .mkString(""","fids":{""", ",", "}")
+      val pthJson = obj("pth",
+        pthist.toSeq.sortBy(_._1).map { case (a, e) => s""""$a":"$e"""" })
+      val gensJson = obj("gens", gens.map { case (n, e) => s""""$n":"$e"""" })
+      val fidsJson = obj("fids",
+        fids.toSeq.sortBy(_._2).map { case (n, i) => s""""$n":$i""" })
       val schema0Json = schema0.map(s => s""","schema0":"$s"""").getOrElse("")
-      // id high-water mark: monotone across drops so ids never recycle
-      // (fhwmFloor imports a clone source's mark at v0)
-      val fhwm = math.max(fhwmFloor, math.max(if (v == 0) 0 else prev.fhwm,
-        if (fids.isEmpty) 0 else fids.values.max))
       val fhwmJson = if (fhwm > 0) s""","fhwm":$fhwm""" else ""
-      s"""{"version":$v,"action":"$action","ts":${System.currentTimeMillis},""" +
-        s""""live":$liveJson$txn$statsJson$partsJson$nrowsJson$dvsJson$schemaJson$consJson$ptransJson$pthJson$eqsJson$gensJson$fidsJson$schema0Json$fhwmJson$nullsJson$kmvsJson}"""
+      s"$schemaJson$consJson$ptransJson$pthJson$gensJson$fidsJson$schema0Json$fhwmJson"
+    }
+    val json = baseV match {
+      case None =>
+        val eqsJson = obj("eqs", eqsKept.map { case (e, (cols, ds)) =>
+          s""""$e":"${cols.mkString(",")}|${ds.mkString(",")}""""
+        })
+        val nrowsKeys = (live ++ dvKept.values.toSeq.distinct).distinct
+        s"""{"version":$v,"action":"$action","ts":$now,""" +
+          s""""live":${live.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+          txn + obj("stats", statsE(statsMap, live)) +
+          obj("parts", partsE(partsMap, live)) +
+          obj("nrows", nrowsE(nrowsMap, nrowsKeys)) +
+          obj("dvs", dvKept.map { case (d, dv) => s""""$d":"$dv"""" }) +
+          tableWideJson + eqsJson +
+          obj("sstats", sstatsE(sstatsMap, live)) +
+          obj("nulls", nullsE(nullsMap, live), alwaysEmit = true) +
+          obj("kmvs", kmvsE(kmvsMap, live), alwaysEmit = true) + "}"
+      case Some(b) =>
+        val rmDirs = prev.live.filterNot(liveSet)
+        // dv delta: entries that changed vs prev; removals that are NOT
+        // implied by a dir leaving the live set
+        val dvAdd = dvKept.filter { case (d, x) => !prev.dvs.get(d).contains(x) }
+        val dvRm = prev.dvs.keysIterator
+          .filter(d => liveSet(d) && !dvKept.contains(d)).toSeq.sorted
+        val newDvDirs = (dvAdd.values.toSet -- prev.nrows.keySet).toSeq.sorted
+        s"""{"version":$v,"action":"$action","ts":$now,"base":$b""" +
+          txn + arr("add", addDirs) + arr("rm", rmDirs) +
+          obj("stats", statsE(statsMap, addDirs)) +
+          obj("parts", partsE(partsMap, addDirs)) +
+          obj("nrows", nrowsE(nrowsMap, addDirs ++ newDvDirs)) +
+          obj("dvs", dvAdd.map { case (d, dv) => s""""$d":"$dv"""" }) +
+          (if (dvRm.isEmpty) "" else arr("rmdvs", dvRm)) +
+          tableWideJson +
+          obj("sstats", sstatsE(sstatsMap, addDirs)) +
+          obj("nulls", nullsE(nullsMap, addDirs)) +
+          obj("kmvs", kmvsE(kmvsMap, addDirs)) + "}"
     }
     val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
     Files.write(tmp.toPath, json.getBytes("UTF-8"))
@@ -1716,6 +2130,20 @@ object TxnTable {
           if (Files.exists(dest)) throw new java.nio.file.FileAlreadyExistsException(dest.toString)
           Files.move(tmp.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
       }
+      // the winner's in-hand state IS version v's snapshot — cache it so
+      // the next sequential commit/read never re-derives it, and
+      // materialize the columnar dir-entry checkpoint once the delta
+      // chain reaches the interval (write failures self-heal: the next
+      // commit still sees v - base >= interval and retries)
+      val committed = Snapshot(v, action, live, txnId, statsMap, partsMap,
+        now, nrowsMap, dvKept, schema, cons, ptrans, eqsKept, gens, fids,
+        schema0, fhwm, nullsMap, pthist, kmvsMap, statKeys = true, base = baseV,
+        sstats = sstatsMap)
+      cachePut(tableDir, committed)
+      if (baseV.exists(b => v - b >= checkpointInterval))
+        TxnCheckpoint.write(tableDir, v, TxnCheckpoint.DirState(
+          live, statsMap, partsMap, nrowsMap, dvKept, nullsMap, kmvsMap,
+          sstatsMap))
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
@@ -3395,7 +3823,23 @@ object TxnTable {
   def vacuumDryRun(tableDir: String, retain: Int = 1,
                    orphanGraceMs: Long = 0L): (Seq[Long], Seq[String]) = {
     val vs = versions(tableDir)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
+    val keep = vs.drop(math.max(0, vs.length - math.max(1, retain)))
+    // CHAIN GUARD (round 13): the oldest retained version may be an
+    // INCREMENTAL manifest whose reconstruction walks back to an anchor
+    // (a columnar checkpoint or a self-contained manifest) — every
+    // manifest on that walk must survive the vacuum even though its
+    // version is formally out of retention. Kept-for-chain manifests
+    // are log metadata only (the retention FLOOR hides them from
+    // versions()/snapshot()); their unreferenced DATA dirs still reap
+    // below, and they become deletable once a newer anchor supersedes
+    // them (rawVersions sweeps chain-kept files from earlier vacuums).
+    val drop = keep.headOption match {
+      case Some(r) =>
+        val (anchor, byCkpt) = anchorOf(tableDir, r)
+        val chainFloor = if (byCkpt) anchor + 1 else anchor
+        rawVersions(tableDir).filter(_ < chainFloor)
+      case None => Seq.empty[Long]
+    }
     val referenced = keep.flatMap { v =>
       val sn = snapshot(tableDir, v)
       sn.live ++ sn.dvs.values ++ sn.eqs.keys // dv/eq dirs are data too —
@@ -3417,13 +3861,55 @@ object TxnTable {
     * source dirs are inherently safe: only this table's own `data/`
     * children are ever listed. */
   def vacuum(tableDir: String, retain: Int = 1, orphanGraceMs: Long = 0L): Unit = {
+    val vs = versions(tableDir)
+    if (vs.isEmpty) return
     val (drop, reap) = vacuumDryRun(tableDir, retain, orphanGraceMs)
-    val keepHead = versions(tableDir).drop(drop.size).headOption
-    // move the checkpoint pointer into the retained window FIRST: a
-    // pointer naming a dropped manifest would break the forward probe
-    keepHead.foreach(writeCheckpoint(tableDir, _))
+    val keepHead = vs.drop(math.max(0, vs.length - math.max(1, retain))).headOption
+    keepHead.foreach { kh =>
+      // move the checkpoint pointer into the retained window FIRST: a
+      // pointer naming a dropped manifest would break the forward probe
+      writeCheckpoint(tableDir, kh)
+      // the retention FLOOR is the read-visibility boundary — manifests
+      // below it may survive as chain links, but their versions answer
+      // RetentionError like any vacuumed version
+      writeRetentionFloor(tableDir, kh)
+    }
     drop.foreach(v => Files.deleteIfExists(manifestFile(tableDir, v).toPath))
     reap.foreach(d => deleteRec(new File(dataDir(tableDir), d)))
+    // columnar dir-entry checkpoints below the kept window's anchor are
+    // unreachable (no retained reconstruction can start from them)
+    keepHead.foreach { kh =>
+      val (anchor, _) = anchorOf(tableDir, kh)
+      Option(logDir(tableDir).listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.getName.startsWith("ckpt-v") && f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          f.getName.stripPrefix("ckpt-v").stripSuffix(".parquet").toLongOption
+            .filter(_ < anchor).foreach(_ => Files.deleteIfExists(f.toPath))
+        }
+    }
+    // evict pre-vacuum snapshots so below-floor reads re-check the floor
+    clearSnapshotCache()
+  }
+
+  /** The reconstruction ANCHOR of version `v`: the version whose state
+    * is recoverable without walking further back — `v` itself for a
+    * self-contained manifest, else the nearest older version with a
+    * materialized [[TxnCheckpoint]] (`byCkpt = true`) or a
+    * self-contained manifest. Vacuum must retain manifests above (and,
+    * for a checkpoint anchor, the checkpoint file of) this floor. */
+  private def anchorOf(tableDir: String, v: Long): (Long, Boolean) = {
+    val f = manifestFile(tableDir, v)
+    if (!f.exists()) return (v, false)
+    var w = v
+    var t = new String(Files.readAllBytes(f.toPath), "UTF-8")
+    while (incBaseOf(t).isDefined) {
+      w -= 1
+      if (TxnCheckpoint.exists(tableDir, w)) return (w, true)
+      val mf = manifestFile(tableDir, w)
+      if (!mf.exists()) return (w, false) // chain already broken below
+      t = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+    }
+    (w, false)
   }
 
   private def deleteRec(f: File): Unit = {

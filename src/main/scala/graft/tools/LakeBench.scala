@@ -219,6 +219,54 @@ object LakeBench {
     }
     require(ndvManifest == ndvSidecar, s"NDV paths disagree: $ndvManifest/$ndvSidecar")
 
+    // ---- manifest checkpointing at 1k+ dirs (round 13): commit cost on
+    // a WIDE table. A self-contained manifest re-serializes every live
+    // dir's folded stats per commit — O(live) bytes; an incremental
+    // manifest carries one dir's entries — O(delta). Build 1024 dirs in
+    // one bulk job (v0 is the self-contained anchor), then time/size the
+    // same small appends in both modes. The bytes ratio is the 100 TB
+    // argument (a 10k-dir table pays ~10 MB/commit full-fat, ~KB delta);
+    // the wall ratio is the local signal. Cold reconstruction cost
+    // (checkpoint + ≤10 deltas) is reported against the full parse.
+    val wideParts = 1024
+    val wideDir = Files.createTempDirectory("graft-lakebench-wide").toString
+    val wide = spark.range(wideParts * 200L).toDF("id")
+      .withColumn("p", pmod(col("id"), lit(wideParts.toLong)).cast("int"))
+    val (_, tWideBuild) = timed(s"bulk build $wideParts-dir table")(
+      TxnTable.overwritePartitions(spark, wideDir, wide, "p"))
+    def manifestBytes(v: Long): Long =
+      new java.io.File(s"$wideDir/_log", f"v$v%020d.json").length()
+    val appendRows = () => spark.range(1L).toDF("id")
+      .withColumn("p", lit(-1).cast("int"))
+    val nCommits = 12
+    val thresholdKey = "graft.txn.ckptDirThreshold"
+    sys.props(thresholdKey) = Int.MaxValue.toString // force self-contained
+    val (_, tFullCommits) = timed(s"$nCommits appends, self-contained manifests") {
+      (0 until nCommits).foreach(_ => TxnTable.append(appendRows(), wideDir))
+    }
+    val fullBytes = manifestBytes(TxnTable.latestVersion(wideDir).get)
+    sys.props.remove(thresholdKey) // default: incremental past 512 dirs
+    val (_, tIncrCommits) = timed(s"$nCommits appends, incremental manifests") {
+      (0 until nCommits).foreach(_ => TxnTable.append(appendRows(), wideDir))
+    }
+    val headV = TxnTable.latestVersion(wideDir).get
+    val incrBytes = manifestBytes(headV)
+    val ckptFiles = Option(new java.io.File(wideDir, "_log").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.getName.startsWith("ckpt-v") && f.getName.endsWith(".parquet"))
+    require(ckptFiles > 0, "no columnar checkpoint materialized on the wide table")
+    val (_, tColdSnap) = timed("cold snapshot() (ckpt + deltas)") {
+      TxnTable.clearSnapshotCache()
+      TxnTable.snapshot(wideDir, headV)
+    }
+    val wideSnap = TxnTable.snapshot(wideDir, headV)
+    require(wideSnap.live.size == wideParts + 2 * nCommits,
+      s"wide table lost dirs: ${wideSnap.live.size}")
+    val ((wideCnt, _), _) = timed("wide-table full scan")(
+      agg(TxnTable.read(spark, wideDir)))
+    require(wideCnt == wideParts * 200L + 2L * nCommits,
+      s"wide table lost rows: $wideCnt")
+
     val json =
       s"""{"n":$n,"build_sec":$tBuild,""" +
         s""""append_slice_bare_sec":$tBare,"append_slice_indexed_sec":$tIdx,""" +
@@ -240,8 +288,15 @@ object LakeBench {
         s""""speedup":${if (tBulk > 0) tLoop / tBulk else -1.0}},""" +
         s""""colstats_$dirsN":{"build_sec":$tManyBuild,""" +
         s""""manifest_sec_100x":$tNdvManifest,"sidecar_sec_100x":$tNdvSidecar,""" +
-        s""""ndv":$ndvManifest}}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_LAKEBENCH_OUT", "lakebench_r12.json")
+        s""""ndv":$ndvManifest},""" +
+        s""""manifest_ckpt_$wideParts":{"build_sec":$tWideBuild,""" +
+        s""""commits":$nCommits,"full_commits_sec":$tFullCommits,""" +
+        s""""incr_commits_sec":$tIncrCommits,""" +
+        s""""commit_speedup":${if (tIncrCommits > 0) tFullCommits / tIncrCommits else -1.0},""" +
+        s""""full_manifest_bytes":$fullBytes,"incr_manifest_bytes":$incrBytes,""" +
+        s""""bytes_ratio":${if (incrBytes > 0) fullBytes.toDouble / incrBytes else -1.0},""" +
+        s""""ckpt_files":$ckptFiles,"cold_snapshot_sec":$tColdSnap}}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_LAKEBENCH_OUT", "lakebench_r13.json")
     Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     println(json)
     spark.stop()

@@ -46,10 +46,11 @@ class BulkPartitionSpec extends SparkTestBase {
     val jobs = jobsDuring {
       TxnTable.overwritePartitions(spark, dir, df, "p"): Unit
     }
-    // 1 partitionBy write + 1 read-back aggregate (+ small constant
-    // slack for file listing/schema probes) — the r11 loop was 2N+1,
-    // i.e. >=129 jobs here
-    assert(jobs <= 6, s"bulk partition staging ran $jobs jobs for 64 values")
+    // 1 partitionBy write, period (round 13 removed the read-back
+    // aggregate: the constraint gate fuses into the write, row counts
+    // come from parquet footers driver-side) + slack for a schema
+    // probe — the r11 loop was 2N+1, i.e. >=129 jobs here
+    assert(jobs <= 3, s"bulk partition staging ran $jobs jobs for 64 values")
     val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
     assert(snap.live.size == 64, s"expected 64 partition dirs, got ${snap.live.size}")
     assert(snap.parts.size == 64 && snap.nrows.values.sum == 6400L)
@@ -112,7 +113,7 @@ class BulkPartitionSpec extends SparkTestBase {
     val jobs = jobsDuring {
       TxnTable.overwritePartitionsHidden(spark, dir, df, "bkt", "pmod(ts, 3)"): Unit
     }
-    assert(jobs <= 6, s"hidden bulk staging ran $jobs jobs for 3 values")
+    assert(jobs <= 3, s"hidden bulk staging ran $jobs jobs for 3 values")
     val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
     assert(snap.ptrans.contains(("bkt", "pmod(ts, 3)")))
     assert(snap.live.size == 3 && !TxnTable.read(spark, dir).columns.contains("bkt"))

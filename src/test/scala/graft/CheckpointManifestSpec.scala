@@ -1,0 +1,228 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.sources.{TxnCheckpoint, TxnTable}
+
+/** Round-13 manifest checkpointing: past a dir-count threshold, commits
+  * publish INCREMENTAL manifests (O(new dirs) bytes) anchored on a
+  * columnar parquet checkpoint of dir entries, instead of re-listing
+  * every live dir per commit. These tests pin:
+  *   - byte-cost: an incremental manifest is a small constant, not
+  *     O(live dirs), and the threshold-crossing behavior is exact;
+  *   - equivalence: a COLD reconstruction (cache cleared, walking
+  *     checkpoint + deltas) equals the writer's in-hand snapshot
+  *     field-for-field, through appends / deletes / dv deletes /
+  *     compaction / restore / partition overwrites;
+  *   - the checkpoint parquet lands on the interval cadence and a
+  *     direct round trip of DirState is lossless;
+  *   - vacuum keeps the reconstruction chain alive, still answers
+  *     RetentionError below the floor, and sweeps superseded chain
+  *     manifests + checkpoints on later runs;
+  *   - small tables (< threshold) never change format.
+  */
+class CheckpointManifestSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ckptmani").toString
+
+  private def withThreshold[T](n: Int)(body: => T): T = {
+    val k = "graft.txn.ckptDirThreshold"
+    val old = sys.props.get(k)
+    sys.props(k) = n.toString
+    try body
+    finally { old match { case Some(o) => sys.props(k) = o; case None => sys.props.remove(k) }; () }
+  }
+
+  private def manifestBytes(dir: String, v: Long): Long =
+    new File(new File(dir, "_log"), f"v$v%020d.json").length()
+
+  private def manifestText(dir: String, v: Long): String =
+    new String(Files.readAllBytes(
+      new File(new File(dir, "_log"), f"v$v%020d.json").toPath), "UTF-8")
+
+  /** Cold-path snapshot must equal the (cached) writer-in-hand one. */
+  private def assertColdEquals(dir: String, v: Long, ctx: String): Unit = {
+    val hot = TxnTable.snapshot(dir, v)
+    TxnTable.clearSnapshotCache()
+    val cold = TxnTable.snapshot(dir, v)
+    assert(cold == hot, s"$ctx: cold reconstruction of v$v diverged\n" +
+      s"  hot  $hot\n  cold $cold")
+  }
+
+  test("incremental manifests: commit bytes are O(new dirs), not O(live); " +
+      "cold reconstruction equals the writer's snapshot at every version") {
+    withThreshold(4) {
+      val dir = tmp()
+      // grow past the threshold: each append adds one dir
+      (0 until 16).foreach { i =>
+        TxnTable.append(spark.range(i * 10L, (i + 1) * 10L).toDF("k")
+          .coalesce(1), dir, statsCol = Some("k"))
+        assertColdEquals(dir, i.toLong, s"append $i")
+      }
+      // v0..v2 self-contained (live < 4 at their publish); v3 carries 4
+      // live dirs and crosses the threshold
+      assert(!manifestText(dir, 0).contains("\"base\""), "v0 must be classic")
+      val head = TxnTable.latestVersion(dir).get
+      val selfContained = manifestText(dir, 2)
+      val incr = manifestText(dir, head)
+      assert(incr.contains("\"base\""), "wide-table commit not incremental")
+      assert(!incr.contains("\"live\""), "incremental manifest carries live")
+      // byte cost: the same 16 appends with checkpointing disabled produce
+      // an O(live)-sized head manifest; the incremental head must be a
+      // small fraction of it (it carries ONE dir's entries, not 16)
+      val full = withThreshold(1000000) {
+        val d2 = tmp()
+        (0 until 16).foreach(i =>
+          TxnTable.append(spark.range(i * 10L, (i + 1) * 10L).toDF("k")
+            .coalesce(1), d2, statsCol = Some("k")))
+        manifestBytes(d2, 15L)
+      }
+      assert(manifestBytes(dir, head) * 3 < full,
+        s"delta manifest (${manifestBytes(dir, head)} B) is not O(new dirs) " +
+          s"vs the self-contained form ($full B): $incr")
+      assert(selfContained.contains("\"live\""), "pre-threshold manifest changed form")
+      // the columnar checkpoint landed on the interval cadence
+      val ckpts = Option(new File(dir, "_log").listFiles()).get
+        .map(_.getName).filter(_.startsWith("ckpt-v")).sorted.toSeq
+      assert(ckpts.nonEmpty, "no columnar dir-entry checkpoint materialized")
+      // content: reads agree at head and via time travel
+      assert(TxnTable.read(spark, dir).count() == 160L)
+      assert(TxnTable.read(spark, dir, Some(7L)).count() == 80L)
+      // stats survived: manifest-folded bounds still prune (every dir has
+      // a disjoint k range, so a point read plans exactly one dir)
+      val snap = TxnTable.snapshot(dir, head)
+      assert(snap.live.size == 16 && snap.live.forall(snap.stats.contains) &&
+        snap.live.forall(snap.kmvs.contains) && snap.live.forall(snap.nrows.contains),
+        "incremental carry lost folded stats")
+    }
+  }
+
+  test("DML through incremental manifests: dv delete, CoW delete, compact, " +
+      "restore all reconstruct exactly; a dv-heavy read stays correct") {
+    withThreshold(3) {
+      val dir = tmp()
+      (0 until 8).foreach(i => TxnTable.append(
+        spark.range(i * 10L, (i + 1) * 10L).toDF("k").coalesce(1),
+        dir, statsCol = Some("k")))
+      // dv (merge-on-read) delete — dv map rides the delta
+      TxnTable.deleteRangeDV(spark, dir, "k", 15L, 17L)
+      var v = TxnTable.latestVersion(dir).get
+      assertColdEquals(dir, v, "dv delete")
+      assert(TxnTable.read(spark, dir).count() == 77L)
+      // CoW delete — live set shrinks/replaces (rm + add in one delta)
+      TxnTable.deleteRange(spark, dir, "k", 25L, 26L)
+      v = TxnTable.latestVersion(dir).get
+      assertColdEquals(dir, v, "cow delete")
+      assert(TxnTable.read(spark, dir).count() == 75L)
+      // compaction: live set collapses to one dir (a big rm list)
+      TxnTable.compact(spark, dir, targetFiles = 1)
+      v = TxnTable.latestVersion(dir).get
+      assertColdEquals(dir, v, "compact")
+      assert(TxnTable.read(spark, dir).count() == 75L)
+      assert(TxnTable.snapshot(dir, v).dvs.isEmpty, "compact left dv debt")
+      // restore: the old live set returns wholesale
+      TxnTable.restore(spark, dir, 8L)
+      v = TxnTable.latestVersion(dir).get
+      assertColdEquals(dir, v, "restore")
+      assert(TxnTable.read(spark, dir).count() == 77L)
+      // CDC across the incremental window
+      val ch = TxnTable.changes(spark, dir, 8L, 9L).collect()
+      assert(ch.count(_.getAs[String]("_change") == "delete") == 2L,
+        "CDC through incremental manifests wrong")
+    }
+  }
+
+  test("partitioned bulk writes go incremental too: overwritePartitions on a " +
+      "wide table swaps partitions through delta manifests") {
+    withThreshold(3) {
+      val dir = tmp()
+      val df = spark.range(300L).toDF("id")
+        .withColumn("p", (col("id") % 8L).cast("string"))
+      TxnTable.overwritePartitions(spark, dir, df, "p")
+      val v0 = TxnTable.latestVersion(dir).get
+      // re-deliver two partitions
+      val redo = spark.range(1000L, 1016L).toDF("id")
+        .withColumn("p", (col("id") % 2L).cast("string"))
+      TxnTable.overwritePartitions(spark, dir, redo, "p")
+      val v1 = TxnTable.latestVersion(dir).get
+      assert(manifestText(dir, v1).contains("\"base\""),
+        "partition swap on a wide table did not publish a delta")
+      assertColdEquals(dir, v1, "partition swap")
+      // ids 0..299 on id%8: partitions "0".."3" hold 38 rows, "4".."7"
+      // hold 37; the redo replaces "0" and "1" with 8 rows each
+      assert(TxnTable.read(spark, dir).count() == 300L - 38L - 38L + 16L)
+      // partitions 0/1 now hold only the redo rows; others untouched
+      assert(TxnTable.readPartition(spark, dir, "p", "2").count() == 38L)
+      assert(TxnTable.readPartition(spark, dir, "p", "0").count() == 8L)
+      assert(TxnTable.readPartition(spark, dir, "p", "1").count() == 8L)
+      assertColdEquals(dir, v0, "pre-swap version")
+    }
+  }
+
+  test("vacuum keeps the reconstruction chain, hides sub-floor versions as " +
+      "RetentionError, and sweeps superseded chain files later") {
+    withThreshold(2) {
+      val dir = tmp()
+      (0 until 14).foreach(i => TxnTable.append(
+        spark.range(i * 5L, (i + 1) * 5L).toDF("k").coalesce(1),
+        dir, statsCol = Some("k")))
+      val head = TxnTable.latestVersion(dir).get
+      TxnTable.vacuum(dir, retain = 2)
+      // the retained window still reads, cold
+      TxnTable.clearSnapshotCache()
+      assert(TxnTable.read(spark, dir).count() == 70L)
+      assert(TxnTable.read(spark, dir, Some(head - 1)).count() == 65L)
+      // versions() shows exactly the retained window
+      assert(TxnTable.versions(dir) == Seq(head - 1, head),
+        s"versions leaked chain-kept manifests: ${TxnTable.versions(dir)}")
+      // below the floor: the typed retention error, even though chain
+      // manifest FILES may survive for reconstruction
+      intercept[TxnTable.RetentionError] {
+        TxnTable.read(spark, dir, Some(head - 5))
+      }
+      // history stays within the window
+      assert(TxnTable.history(spark, dir).collect().length == 2)
+      // a later commit + vacuum supersedes the old chain: old ckpts and
+      // chain manifests eventually sweep
+      TxnTable.append(spark.range(100L, 105L).toDF("k").coalesce(1),
+        dir, statsCol = Some("k"))
+      TxnTable.vacuum(dir, retain = 1)
+      TxnTable.clearSnapshotCache()
+      assert(TxnTable.read(spark, dir).count() == 75L)
+    }
+  }
+
+  test("DirState round-trips the columnar checkpoint losslessly") {
+    val dir = tmp()
+    new File(dir, "_log").mkdirs()
+    val st = TxnCheckpoint.DirState(
+      live = Seq("d2", "d0", "d1"), // order is plan order — must survive
+      stats = Map("d0" -> Seq(("k", -5L, 9L), ("z", 0L, 3L)), "d2" -> Seq(("k", 10L, 19L))),
+      parts = Map("d1" -> (("p", "a=b=c")), "d2" -> (("p", ""))),
+      nrows = Map("d0" -> 10L, "d1" -> 7L, "d2" -> 3L, "dv-x" -> 2L),
+      dvs = Map("d0" -> "dv-x"),
+      nulls = Map("d1" -> Seq(("k", 0L), ("z", 4L))),
+      kmvs = Map("d0" -> (("k", Seq(1L, 99L, 12345678901L)))))
+    TxnCheckpoint.write(dir, 7L, st)
+    assert(TxnCheckpoint.exists(dir, 7L))
+    val back = TxnCheckpoint.read(dir, 7L).get
+    assert(back == st, s"round trip diverged:\n  in  $st\n  out $back")
+    assert(TxnCheckpoint.read(dir, 8L).isEmpty)
+  }
+
+  test("small tables are untouched: below the default threshold every " +
+      "manifest stays self-contained") {
+    val dir = tmp()
+    (0 until 5).foreach(i => TxnTable.append(
+      spark.range(i * 3L, (i + 1) * 3L).toDF("k").coalesce(1), dir))
+    (0L to 4L).foreach(v => assert(!manifestText(dir, v).contains("\"base\""),
+      s"small-table manifest v$v went incremental"))
+    assert(TxnTable.read(spark, dir).count() == 15L)
+  }
+}

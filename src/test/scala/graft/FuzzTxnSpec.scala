@@ -47,6 +47,28 @@ class FuzzTxnSpec extends SparkTestBase {
     (0 until nSeqs).foreach(runSequence)
   }
 
+  test("the same op sequences under INCREMENTAL manifests (dir-checkpoint " +
+      "threshold 1): every eligible commit publishes a delta, every read " +
+      "reconstructs — same model, same invariants") {
+    // round-13 manifest checkpointing: force the delta/checkpoint path for
+    // every commit (production threshold is high; the fuzz tables are a
+    // few dirs wide) and replay fresh seeds through the full op grammar —
+    // including the races, vacuum (chain guard + retention floor),
+    // restore, dv/eq deletes and schema evolution (which falls back to
+    // self-contained manifests mid-chain). Cache cleared per sequence so
+    // time-travel checks exercise COLD reconstruction, not the writer's
+    // in-hand snapshots.
+    val nSeqs = sys.env.get("SPARK_GRAFT_FUZZ_TXN_CKPT").map(_.toInt).getOrElse(60)
+    val k = "graft.txn.ckptDirThreshold"
+    val old = sys.props.get(k)
+    sys.props(k) = "1"
+    try (100000 until 100000 + nSeqs).foreach { seed =>
+      graft.sources.TxnTable.clearSnapshotCache()
+      runSequence(seed)
+    }
+    finally { old match { case Some(o) => sys.props(k) = o; case None => sys.props.remove(k) }; () }
+  }
+
   private def runSequence(seed: Int): Unit = {
     val rng = new scala.util.Random(seed * 7919 + 13)
     val dir = Files.createTempDirectory(s"graft-fuzztxn-$seed").toString
@@ -236,7 +258,10 @@ class FuzzTxnSpec extends SparkTestBase {
         s"$ctx step $i: version count diverged")
     }
 
-    // time travel: every retained, non-fuzzy version reads back exactly
+    // time travel: every retained, non-fuzzy version reads back exactly —
+    // on a COLD snapshot cache, so incremental manifests prove their
+    // checkpoint-anchored reconstruction, not the writer's in-hand state
+    TxnTable.clearSnapshotCache()
     (oldest until model.size).filterNot(fuzzy).foreach { v =>
       assert(counts(readAll(dir, Some(v.toLong))) == counts(model(v)),
         s"$ctx time travel to v$v diverged from model")

@@ -353,6 +353,9 @@ class TxnTableSpec extends SparkTestBase {
     val legacy = """{"version":0,"action":"append","live":[""" +
       TxnTable.snapshot(dir, 0L).live.map("\"" + _ + "\"").mkString(",") + "]}"
     Files.write(m.toPath, legacy.getBytes("UTF-8"))
+    // the rig rewrote a published manifest (legal only for a test
+    // simulating a legacy table) — drop the immutability cache
+    TxnTable.clearSnapshotCache()
     // the staged dir still has a .nrows sidecar; history reads MANIFESTS
     val h = TxnTable.history(spark, dir).collect()
     assert(h.length == 1 && h(0).isNullAt(5),
@@ -436,8 +439,11 @@ class TxnTableSpec extends SparkTestBase {
 
   test("stage rejects a non-integral statsCol; merge on a string key never prunes") {
     val dir = tmpTable()
+    // doubles are neither integral nor string: no sound bound family
+    // exists for them (round 13 made STRING columns statsable — see
+    // StringStatsSpec — so the old string-rejection pin moved there)
     intercept[IllegalArgumentException] {
-      TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir, statsCol = Some("v"))
+      TxnTable.append(Seq((1, 0.5)).toDF("id", "d"), dir, statsCol = Some("d"))
     }: Unit
     // a (legacy / hand-damaged) manifest claiming long bounds for a
     // STRING column must not let merge prune: only SOME values cast to
@@ -450,6 +456,8 @@ class TxnTableSpec extends SparkTestBase {
     val patched = new String(Files.readAllBytes(mf.toPath), "UTF-8")
       .stripSuffix("}") + s""","stats":{"$d0":"k:7:7"}}"""
     Files.write(mf.toPath, patched.getBytes("UTF-8"))
+    // the rig rewrote a published manifest — drop the immutability cache
+    TxnTable.clearSnapshotCache()
     assert(TxnTable.snapshot(dir, 0L).stats.contains(d0), "test rig: stats not injected")
     // update key "x7" is outside the bogus [7,7] long bounds; without the
     // gate the dir is kept "disjoint" and x7 double-inserts
