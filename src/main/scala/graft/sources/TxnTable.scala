@@ -119,6 +119,32 @@ object TxnTable {
   private def manifestFile(tableDir: String, v: Long) =
     new File(logDir(tableDir), f"v$v%020d.json")
 
+  /** The commit-I/O seam ([[LogStore]]): every byte of the commit
+    * protocol — manifest put-if-absent, pointer replaces, manifest
+    * GET/HEAD, log LIST, vacuum deletes — flows through here. Swap for a
+    * conditional-PUT-backed implementation on an object store; the
+    * [[ObjectStoreSimLogStore]] fuzz arm proves those semantics are all
+    * the protocol needs. */
+  @volatile private[graft] var logStore: LogStore = LocalLogStore
+
+  /** Per-table store overrides (tests; a deployment mixing stores).
+    * Keyed by absolute table path — one table must never see two store
+    * implementations concurrently (two racers through DIFFERENT
+    * atomicity mechanisms can both "win" a slot), which is exactly why
+    * the override is per-table rather than a global swap. */
+  private val storeOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, LogStore]()
+  private[graft] def installLogStore(tableDir: String, s: LogStore): Unit = {
+    storeOverrides.put(new File(tableDir).getAbsolutePath, s); ()
+  }
+  private[graft] def uninstallLogStore(tableDir: String): Unit = {
+    storeOverrides.remove(new File(tableDir).getAbsolutePath); ()
+  }
+  private def store(tableDir: String): LogStore =
+    if (storeOverrides.isEmpty) logStore // production fast path
+    else Option(storeOverrides.get(new File(tableDir).getAbsolutePath))
+      .getOrElse(logStore)
+
   /** Committed versions, ascending — the RETAINED window. Full listing
     * of `_log` minus anything below the retention floor: vacuum may keep
     * sub-retention manifests alive purely as reconstruction-chain links
@@ -130,33 +156,39 @@ object TxnTable {
     * last checkpoint) existence checks, not a million-entry LIST. */
   def versions(tableDir: String): Seq[Long] = {
     val floor = retentionFloor(tableDir)
-    rawVersions(tableDir).filter(_ >= floor)
+    val listed = rawVersions(tableDir).filter(_ >= floor)
+    // LIST lag tolerance (see LogStore): a lagged listing only hides the
+    // NEWEST keys (manifests are append-only; gaps below the head cannot
+    // appear inside the retained window) — probe forward with exists(),
+    // which is read-after-write consistent, to recover them. One extra
+    // exists() miss on a fresh listing; nothing on the hot read path,
+    // which never lists at all.
+    var v = listed.lastOption.map(_ + 1L).getOrElse(floor)
+    val extra = Seq.newBuilder[Long]
+    while (store(tableDir).exists(manifestFile(tableDir, v))) { extra += v; v += 1 }
+    listed ++ extra.result()
   }
 
   /** Every manifest file on disk, including chain-kept ones below the
-    * retention floor (vacuum bookkeeping only). */
+    * retention floor (vacuum bookkeeping only). LIST-consistency caveat:
+    * this may run behind on an object store (see [[LogStore]]) — every
+    * consumer tolerates staleness (the hot paths probe with exists). */
   private def rawVersions(tableDir: String): Seq[Long] =
-    Option(logDir(tableDir).listFiles()).getOrElse(Array.empty[File])
-      .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.substring(1, n.length - 5).toLong).sorted.toSeq
+    store(tableDir).list(logDir(tableDir))
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong).sorted
 
   /** The oldest version the table still serves (RetentionError below).
     * Distinct from manifest-file presence: incremental-manifest chains
     * can keep older manifest FILES for reconstruction while their
     * versions are out of retention (data dirs reaped). */
   private def floorFile(tableDir: String) = new File(logDir(tableDir), "_floor")
-  private def retentionFloor(tableDir: String): Long = {
-    val f = floorFile(tableDir)
-    if (!f.exists()) 0L
-    else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.toLongOption.getOrElse(0L)
-  }
+  private def retentionFloor(tableDir: String): Long =
+    store(tableDir).readBytes(floorFile(tableDir))
+      .flatMap(b => new String(b, "UTF-8").trim.toLongOption).getOrElse(0L)
   private def writeRetentionFloor(tableDir: String, v: Long): Unit =
-    if (v > retentionFloor(tableDir)) { // monotone
-      val tmp = new File(logDir(tableDir), s".tmp-floor-${UUID.randomUUID()}")
-      Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
-      Files.move(tmp.toPath, floorFile(tableDir).toPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
-    }
+    if (v > retentionFloor(tableDir)) // monotone
+      store(tableDir).putReplace(floorFile(tableDir), v.toString.getBytes("UTF-8"))
 
   /** Write a checkpoint pointer every this-many commits. Manifests here
     * are SELF-CONTAINED (each lists the full live set + stats), so the
@@ -170,22 +202,16 @@ object TxnTable {
   /** The checkpointed version, if any. A stale (too-old) pointer is
     * always SAFE — the forward probe walks past it — as long as it
     * never points past a vacuumed prefix, which [[vacuum]] maintains. */
-  def lastCheckpoint(tableDir: String): Option[Long] = {
-    val f = checkpointFile(tableDir)
-    if (!f.exists()) None
-    else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.toLongOption
-  }
+  def lastCheckpoint(tableDir: String): Option[Long] =
+    store(tableDir).readBytes(checkpointFile(tableDir))
+      .flatMap(b => new String(b, "UTF-8").trim.toLongOption)
 
   private def writeCheckpoint(tableDir: String, v: Long): Unit = {
     // monotone: never move the pointer backwards (a losing racer's lower
     // version must not shadow the winner's)
     if (lastCheckpoint(tableDir).forall(_ < v)) {
-      val tmp = new File(tableDir, s".ckpt-${UUID.randomUUID()}")
-      Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
-      try Files.move(tmp.toPath, checkpointFile(tableDir).toPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      try store(tableDir).putReplace(checkpointFile(tableDir), v.toString.getBytes("UTF-8"))
       catch { case _: Exception => () } // pointer is advisory; next commit retries
-      finally { Files.deleteIfExists(tmp.toPath); () }
     }
   }
 
@@ -227,7 +253,7 @@ object TxnTable {
     * (see [[TxnCheckpoint]]), both behind the immutability cache. */
   def snapshot(tableDir: String, version: Long): Snapshot = {
     val f = manifestFile(tableDir, version)
-    if (!f.exists()) {
+    if (!store(tableDir).exists(f)) {
       // distinguish "vacuumed past" (typed, catchable → caller falls
       // back to a full re-read) from "never existed"
       val vs = versions(tableDir)
@@ -250,7 +276,8 @@ object TxnTable {
           throw new RetentionError(
             s"version $version of $tableDir predates the retention window " +
               s"(oldest retained: ${retentionFloor(tableDir)}); vacuum removed it")
-        val s = new String(Files.readAllBytes(f.toPath), "UTF-8")
+        val s = new String(store(tableDir).readBytes(f).getOrElse(
+          throw new IllegalStateException(s"manifest $f vanished mid-read")), "UTF-8")
         val sn =
           if (incBaseOf(s).isEmpty) parseManifest(s, version)
           else reconstruct(tableDir, version, s)
@@ -470,12 +497,12 @@ object TxnTable {
                 Map.empty, ck.kmvs, statKeys = true, sstats = ck.sstats)
             case None =>
               val pf = manifestFile(tableDir, w)
-              if (!pf.exists())
+              val tb = store(tableDir).readBytes(pf).getOrElse(
                 throw new IllegalStateException(
                   s"manifest chain of $tableDir v$version is broken at v$w: " +
                     "no manifest, no checkpoint — the log was vacuumed or " +
-                    "corrupted mid-chain")
-              val t = new String(Files.readAllBytes(pf.toPath), "UTF-8")
+                    "corrupted mid-chain"))
+              val t = new String(tb, "UTF-8")
               if (incBaseOf(t).isEmpty) state = parseManifest(t, w)
               else { deltas ::= parseIncrement(t, w); w -= 1 }
           }
@@ -491,12 +518,15 @@ object TxnTable {
       // pointer can name a vacuumed manifest; trusting it blindly would
       // make every read/commit throw until a new checkpoint lands. A
       // missing checkpointed manifest falls back to the full listing.
-      case Some(cp) if manifestFile(tableDir, cp).exists() =>
+      case Some(cp) if store(tableDir).exists(manifestFile(tableDir, cp)) =>
         // bounded forward probe — no log listing on the hot path
         var v = cp
-        while (manifestFile(tableDir, v + 1).exists()) v += 1
+        while (store(tableDir).exists(manifestFile(tableDir, v + 1))) v += 1
         Some(v)
-      case _ => versions(tableDir).lastOption // cold / stale pointer
+      case _ =>
+        // cold / stale pointer: the listing (already forward-probed
+        // against LIST lag inside versions()) resolves the head
+        versions(tableDir).lastOption
     }
 
   /** Read a snapshot as a DataFrame — the latest by default, or any
@@ -2118,18 +2148,10 @@ object TxnTable {
           obj("nulls", nullsE(nullsMap, addDirs)) +
           obj("kmvs", kmvsE(kmvsMap, addDirs)) + "}"
     }
-    val tmp = new File(logDir(tableDir), s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp.toPath, json.getBytes("UTF-8"))
-    val dest = manifestFile(tableDir, v).toPath
-    try {
-      try Files.createLink(dest, tmp.toPath) // link(2): atomic EEXIST
-      catch {
-        case _: UnsupportedOperationException | _: SecurityException =>
-          // no-hard-link filesystem: existence check + atomic rename.
-          // Not race-free across hosts, but such filesystems are local.
-          if (Files.exists(dest)) throw new java.nio.file.FileAlreadyExistsException(dest.toString)
-          Files.move(tmp.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
-      }
+    // the COMMIT: atomic put-if-absent of the version slot, through the
+    // pluggable LogStore seam (POSIX hard-link EEXIST locally; a
+    // conditional PUT on an object store)
+    if (store(tableDir).putIfAbsent(manifestFile(tableDir, v), json.getBytes("UTF-8"))) {
       // the winner's in-hand state IS version v's snapshot — cache it so
       // the next sequential commit/read never re-derives it, and
       // materialize the columnar dir-entry checkpoint once the delta
@@ -2145,9 +2167,7 @@ object TxnTable {
           live, statsMap, partsMap, nrowsMap, dvKept, nullsMap, kmvsMap,
           sstatsMap))
       true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally { Files.deleteIfExists(tmp.toPath); () }
+    } else false
   }
 
   /** Row-level MERGE (upsert): rows of `updates` replace current rows
@@ -3874,17 +3894,18 @@ object TxnTable {
       // RetentionError like any vacuumed version
       writeRetentionFloor(tableDir, kh)
     }
-    drop.foreach(v => Files.deleteIfExists(manifestFile(tableDir, v).toPath))
+    drop.foreach(v => store(tableDir).delete(manifestFile(tableDir, v)))
     reap.foreach(d => deleteRec(new File(dataDir(tableDir), d)))
     // columnar dir-entry checkpoints below the kept window's anchor are
     // unreachable (no retained reconstruction can start from them)
     keepHead.foreach { kh =>
       val (anchor, _) = anchorOf(tableDir, kh)
-      Option(logDir(tableDir).listFiles()).getOrElse(Array.empty[File])
-        .filter(f => f.getName.startsWith("ckpt-v") && f.getName.endsWith(".parquet"))
-        .foreach { f =>
-          f.getName.stripPrefix("ckpt-v").stripSuffix(".parquet").toLongOption
-            .filter(_ < anchor).foreach(_ => Files.deleteIfExists(f.toPath))
+      store(tableDir).list(logDir(tableDir))
+        .filter(n => n.startsWith("ckpt-v") && n.endsWith(".parquet"))
+        .foreach { n =>
+          n.stripPrefix("ckpt-v").stripSuffix(".parquet").toLongOption
+            .filter(_ < anchor)
+            .foreach(_ => store(tableDir).delete(new File(logDir(tableDir), n)))
         }
     }
     // evict pre-vacuum snapshots so below-floor reads re-check the floor
@@ -3898,16 +3919,18 @@ object TxnTable {
     * self-contained manifest. Vacuum must retain manifests above (and,
     * for a checkpoint anchor, the checkpoint file of) this floor. */
   private def anchorOf(tableDir: String, v: Long): (Long, Boolean) = {
-    val f = manifestFile(tableDir, v)
-    if (!f.exists()) return (v, false)
     var w = v
-    var t = new String(Files.readAllBytes(f.toPath), "UTF-8")
+    var t = store(tableDir).readBytes(manifestFile(tableDir, v)) match {
+      case Some(b) => new String(b, "UTF-8")
+      case None    => return (v, false)
+    }
     while (incBaseOf(t).isDefined) {
       w -= 1
       if (TxnCheckpoint.exists(tableDir, w)) return (w, true)
-      val mf = manifestFile(tableDir, w)
-      if (!mf.exists()) return (w, false) // chain already broken below
-      t = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+      store(tableDir).readBytes(manifestFile(tableDir, w)) match {
+        case Some(b) => t = new String(b, "UTF-8")
+        case None    => return (w, false) // chain already broken below
+      }
     }
     (w, false)
   }

@@ -44,7 +44,7 @@ class FuzzTxnSpec extends SparkTestBase {
 
   test("seeded op sequences (append/overwrite/merge/compact/vacuum + races) match the model") {
     val nSeqs = sys.env.get("SPARK_GRAFT_FUZZ_TXN").map(_.toInt).getOrElse(200)
-    (0 until nSeqs).foreach(runSequence)
+    (0 until nSeqs).foreach(runSequence(_))
   }
 
   test("the same op sequences under INCREMENTAL manifests (dir-checkpoint " +
@@ -69,9 +69,38 @@ class FuzzTxnSpec extends SparkTestBase {
     finally { old match { case Some(o) => sys.props(k) = o; case None => sys.props.remove(k) }; () }
   }
 
-  private def runSequence(seed: Int): Unit = {
-    val rng = new scala.util.Random(seed * 7919 + 13)
+  test("the same op sequences over the OBJECT-STORE simulator: no atomic " +
+      "rename, conditional-PUT commits, lagged listings — races, vacuum, " +
+      "restore and CDC all hold") {
+    // round-13 LogStore seam: the protocol's one atomicity claim — POSIX
+    // hard-link EEXIST ≡ object-store conditional PUT — exercised against
+    // a store that actually BEHAVES like one: direct single-object
+    // writes (rename does not exist), put-if-absent through a global
+    // lock (the server-side If-None-Match), and listings that run 40 ms
+    // behind (the list-after-write hazard). The racing arms are the
+    // point: two appends and append-vs-compact land through conditional
+    // PUTs while the listing is stale; the forward exists()-probe, not
+    // the LIST, resolves "latest".
+    val nSeqs = sys.env.get("SPARK_GRAFT_FUZZ_TXN_STORE").map(_.toInt).getOrElse(50)
+    val sim = new graft.sources.ObjectStoreSimLogStore(40L)
+    (200000 until 200000 + nSeqs).foreach { seed =>
+      graft.sources.TxnTable.clearSnapshotCache()
+      runSequence(seed, store = Some(sim))
+    }
+  }
+
+  private def runSequence(seed: Int,
+                          store: Option[graft.sources.LogStore] = None): Unit = {
     val dir = Files.createTempDirectory(s"graft-fuzztxn-$seed").toString
+    // per-TABLE store override: a global swap would race concurrently
+    // running suites through two different atomicity mechanisms
+    store.foreach(TxnTable.installLogStore(dir, _))
+    try runSequenceOn(seed, dir)
+    finally store.foreach(_ => TxnTable.uninstallLogStore(dir))
+  }
+
+  private def runSequenceOn(seed: Int, dir: String): Unit = {
+    val rng = new scala.util.Random(seed * 7919 + 13)
     val ctx = s"[seed=$seed]"
 
     var model = Vector.empty[Seq[Row3]] // index = version → expected multiset
