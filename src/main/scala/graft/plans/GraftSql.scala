@@ -132,10 +132,15 @@ object GraftSql {
         Option(new File(new File(new File(dir, "data"), d).getPath).listFiles())
           .getOrElse(Array.empty[File])
           .count(_.getName.endsWith(".parquet")).toLong
-      snap.parts.toSeq
-        .filter { case (d, _) => snap.live.contains(d) }
-        .map { case (d, (c, pv)) =>
-          (c, pv, partFiles(d), snap.nrows.get(d): Option[Long]) }
+      // multi-column layouts (round 13) render each level-vector as
+      // "c1/c2" + "v1/v2" — one row per distinct tuple
+      def vecOf(d: String): Seq[(String, String)] =
+        snap.partsN.getOrElse(d, snap.parts.get(d).toSeq)
+      snap.live.filter(d => vecOf(d).nonEmpty)
+        .map { d =>
+          val vec = vecOf(d)
+          (vec.map(_._1).mkString("/"), vec.map(_._2).mkString("/"),
+            partFiles(d), snap.nrows.get(d): Option[Long]) }
         .groupBy(t => (t._1, t._2))
         .map { case ((c, pv), xs) =>
           val rows = if (xs.forall(_._4.isDefined)) Some(xs.flatMap(_._4).sum) else None

@@ -2309,6 +2309,67 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q235: NATIVE MULTI-COLUMN partition specs (round 13) — the
+    // two-level layout a real lake table runs (status / year), composed
+    // with partition-scoped maintenance, without detouring through a
+    // composite hidden transform. The derived build lands orders
+    // partitioned by (o_orderstatus, o_year) in ONE bulk job (the
+    // levels ride as a '|'-joined url-encoded carrier; each staged dir's
+    // manifest entry is an ordered value vector), then compacts the F
+    // SUBTREE via a partial spec — Map(status -> F) rewrites only F's
+    // year-dirs into one packed dir carrying the exact common level
+    // (status=F; the year level widens conservatively). The query reads
+    // the exact tuple (F, 1997): the packed dir plans (its widened year
+    // cannot contradict) and the in-data year residual filters rows,
+    // while every other status's dirs prune by level 1 — REQUIRED to be
+    // 1 of the live set each run. The oracle applies the same two
+    // equality predicates to the original parquet: a hash match proves
+    // tuple pruning dropped no qualifying row AND subtree compaction
+    // moved every F row exactly once. At 100 TB: day-grain loads under a
+    // coarser first level, maintenance scoped to a subtree, reads
+    // planned from one manifest fetch.
+    Q("q235_txn_multicol_partitions",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders
+             |WHERE o_orderstatus = 'F' AND strftime(o_orderdate, '%Y') = '1997'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.TxnTable
+        val dir = derivedDir(d, "orders_txn_mpart")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderstatus"),
+              date_format(col("o_orderdate"), "yyyy").as("o_year"),
+              cents(col("o_totalprice")).as("price_c"))
+          TxnTable.overwritePartitions(s, t.getPath, base,
+            Seq("o_orderstatus", "o_year"), txnId = Some("load0"))
+          // partition-scoped maintenance on a PARTIAL spec: pack the F
+          // subtree; other statuses' dirs stay byte-identical
+          TxnTable.compactPartition(s, t.getPath,
+            Map("o_orderstatus" -> "F"), targetFiles = 1): Unit
+          ()
+        }
+        val t = s"$dir/t"
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        val planned = TxnTable.prunePartitionSpec(snap,
+          Map("o_orderstatus" -> "F", "o_year" -> "1997"))
+        require(planned.size == 1 && snap.live.size > 4,
+          s"tuple pruning regressed: planned ${planned.size} of ${snap.live.size} dirs")
+        require(snap.partsN.nonEmpty, "manifest lost the multi-col vectors")
+        TxnTable.readPartition(s, t,
+            Map("o_orderstatus" -> "F", "o_year" -> "1997"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

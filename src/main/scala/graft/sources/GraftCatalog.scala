@@ -2,8 +2,9 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -42,7 +43,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * schema changes are TxnTable evolution commits. The catalog is a
   * RESOLVER, not a metastore.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catName: String = "graft"
 
@@ -119,11 +120,151 @@ final class GraftCatalog extends TableCatalog {
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rec)
         f.delete(): Unit
       }
-      rec(dir); true
+      rec(dir)
+      TxnTable.invalidateSnapshotCache(dir.getPath) // a recreated table
+      true                                          // must not see ghosts
     }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "a graft table IS its directory; move the directory to rename it")
+
+  // ------- ATOMIC CTAS (round 13): StagingTableCatalog -------
+  // With the staging hooks implemented, Spark routes CREATE TABLE … AS
+  // SELECT through AtomicCreateTableAsSelectExec: the query writes into
+  // a HIDDEN SIBLING graft table (`<dest>.ctas-staging-<uuid>`), and
+  // only commitStagedChanges makes it visible — ONE atomic directory
+  // rename into the destination path. A failing CTAS (write error,
+  // constraint rejection, kill) aborts: the staging dir deletes and the
+  // destination path was never touched — no createTable+append window
+  // in which a racing reader sees a half-written table, and no
+  // drop-then-recreate cleanup. Losing a creation race surfaces as the
+  // rename's EEXIST, mapped to a typed conflict.
+
+  private def stagingFor(dest: String): String =
+    s"$dest.ctas-staging-${java.util.UUID.randomUUID()}"
+
+  /** A staged graft table: reads/writes delegate to an ordinary
+    * [[GraftTable]] over the staging dir; commit is the atomic rename. */
+  private final class StagedGraftTable(stagingDir: String, destDir: String,
+                                       inner: GraftTable)
+      extends StagedTable with SupportsWrite {
+    override def name(): String = s"graft.`$destDir` (staged)"
+    override def schema(): StructType = inner.schema()
+    override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      inner.newWriteBuilder(info)
+    override def commitStagedChanges(): Unit = {
+      val dest = new java.io.File(destDir)
+      Option(dest.getParentFile).foreach(_.mkdirs())
+      // the swap replaces a whole table under an unchanged path — purge
+      // any per-version snapshot cache entries for the destination
+      TxnTable.invalidateSnapshotCache(destDir)
+      try java.nio.file.Files.move(new java.io.File(stagingDir).toPath,
+        dest.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          abortStagedChanges()
+          throw new TxnTable.CommitConflict(
+            s"CTAS lost the creation race for $destDir (or the move failed): " +
+              s"${e.getMessage}")
+      }
+    }
+    override def abortStagedChanges(): Unit = {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rec)
+        f.delete(): Unit
+      }
+      rec(new java.io.File(stagingDir))
+    }
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    require(info.partitions().isEmpty,
+      "graft DDL takes no PARTITIONED BY — partition layout is a write-time " +
+        "decision (overwritePartitions / hidden transforms); see SURVEY L171/L188")
+    val dest = dirOf(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(ident.name()))
+    val staging = stagingFor(dest)
+    TxnTable.create(staging, info.schema())
+    new StagedGraftTable(staging, dest, new GraftTable(staging, 0L, info.schema()))
+  }
+
+  /** RTAS: stage like CTAS; commit swaps the old directory out and the
+    * staged one in (two renames — the read-visible gap is the pair of
+    * metadata ops, not the query's whole write as in the non-staging
+    * protocol; a reader in the gap sees a missing table, never a torn
+    * one). The displaced table is deleted after the swap lands. */
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    require(info.partitions().isEmpty,
+      "graft DDL takes no PARTITIONED BY — partition layout is a write-time " +
+        "decision (overwritePartitions / hidden transforms)")
+    val dest = dirOf(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(ident.name()))
+    stageSwap(dest, info)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    require(info.partitions().isEmpty,
+      "graft DDL takes no PARTITIONED BY — partition layout is a write-time " +
+        "decision (overwritePartitions / hidden transforms)")
+    stageSwap(dirOf(ident), info)
+  }
+
+  private def stageSwap(dest: String, info: TableInfo): StagedTable = {
+    val staging = stagingFor(dest)
+    TxnTable.create(staging, info.schema())
+    // swap-on-commit variant: displace any existing dir, then rename in
+    new StagedTable with SupportsWrite {
+      private val inner = new GraftTable(staging, 0L, info.schema())
+      override def name(): String = s"graft.`$dest` (staged replace)"
+      override def schema(): StructType = inner.schema()
+      override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+      override def newWriteBuilder(i: LogicalWriteInfo): WriteBuilder =
+        inner.newWriteBuilder(i)
+      override def commitStagedChanges(): Unit = {
+        val destF = new java.io.File(dest)
+        Option(destF.getParentFile).foreach(_.mkdirs())
+        // same-path whole-table replacement: purge the snapshot cache
+        TxnTable.invalidateSnapshotCache(dest)
+        val displaced = new java.io.File(s"$dest.rtas-old-${java.util.UUID.randomUUID()}")
+        val hadOld = destF.isDirectory &&
+          new java.io.File(destF, "_log").isDirectory
+        if (hadOld)
+          java.nio.file.Files.move(destF.toPath, displaced.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        try java.nio.file.Files.move(new java.io.File(staging).toPath,
+          destF.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        catch {
+          case e: java.nio.file.FileSystemException =>
+            // restore the displaced table before surfacing the conflict
+            if (hadOld)
+              java.nio.file.Files.move(displaced.toPath, destF.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+            abortStagedChanges()
+            throw new TxnTable.CommitConflict(
+              s"RTAS swap for $dest failed: ${e.getMessage}")
+        }
+        if (hadOld) {
+          def rec(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rec)
+            f.delete(): Unit
+          }
+          rec(displaced)
+        }
+      }
+      override def abortStagedChanges(): Unit = {
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rec)
+          f.delete(): Unit
+        }
+        rec(new java.io.File(staging))
+      }
+    }
+  }
 }

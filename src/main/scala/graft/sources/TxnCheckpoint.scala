@@ -66,10 +66,12 @@ private[graft] object TxnCheckpoint {
   def exists(tableDir: String, v: Long): Boolean = file(tableDir, v).exists()
 
   /** Per-dir state reconstructed from (or destined for) a checkpoint —
-    * exactly the Snapshot fields that scale with the dir count. */
+    * exactly the Snapshot fields that scale with the dir count. `parts`
+    * is the ORDERED partition-value vector per dir (round 13 multi-col
+    * specs; single-col dirs hold a one-element vector). */
   final case class DirState(live: Seq[String],
                             stats: Map[String, Seq[(String, Long, Long)]],
-                            parts: Map[String, (String, String)],
+                            parts: Map[String, Seq[(String, String)]],
                             nrows: Map[String, Long],
                             dvs: Map[String, String],
                             nulls: Map[String, Seq[(String, Long)]],
@@ -99,6 +101,26 @@ private[graft] object TxnCheckpoint {
         Some((c, vs.split(",").toSeq.flatMap(_.trim.toLongOption)))
       case _ => None
     }
+  // partition-value vectors: single-col dirs keep the historical "c=v"
+  // form; multi-col dirs (round 13) serialize "&c1=v1|c2=v2" — the '&'
+  // sentinel makes the forms unambiguous (partition COLUMN names are
+  // barred from starting with '&'; multi VALUES are barred from '|'),
+  // and '=' stays legal inside single-col values as it always was
+  def fmtParts(vec: Seq[(String, String)]): String = vec match {
+    case Seq((c, v)) => s"$c=$v"
+    case many => "&" + many.map { case (c, v) => s"$c=$v" }.mkString("|")
+  }
+  def parseParts(s: String): Seq[(String, String)] =
+    if (s.startsWith("&"))
+      s.drop(1).split("\\|", -1).toSeq.flatMap(_.split("=", 2) match {
+        case Array(c, v) => Some((c, v))
+        case _           => None
+      })
+    else s.split("=", 2) match {
+      case Array(c, v) => Seq((c, v))
+      case _           => Nil
+    }
+
   // string/date bounds ride as base64(UTF-8 bytes) — charset-safe in the
   // JSON manifest AND byte-order-faithful (Spark compares strings by
   // unsigned UTF-8 byte order; see TxnTable.truncatedStringBounds). The
@@ -133,7 +155,7 @@ private[graft] object TxnCheckpoint {
         g.append("dir", d).append("live", live)
         if (live) {
           st.stats.get(d).filter(_.nonEmpty).foreach(x => g.append("stats", fmtStats(x)))
-          st.parts.get(d).foreach { case (c, pv) => g.append("part", s"$c=$pv") }
+          st.parts.get(d).filter(_.nonEmpty).foreach(v => g.append("part", fmtParts(v)))
           st.dvs.get(d).foreach(g.append("dv", _))
           st.nulls.get(d).filter(_.nonEmpty).foreach(x => g.append("nulls", fmtNulls(x)))
           st.kmvs.get(d).foreach(x => g.append("kmv", fmtKmv(x)))
@@ -163,7 +185,7 @@ private[graft] object TxnCheckpoint {
         .withConf(conf).build()
       val live = Seq.newBuilder[String]
       var stats = Map.empty[String, Seq[(String, Long, Long)]]
-      var parts = Map.empty[String, (String, String)]
+      var parts = Map.empty[String, Seq[(String, String)]]
       var nrows = Map.empty[String, Long]
       var dvs = Map.empty[String, String]
       var nulls = Map.empty[String, Seq[(String, Long)]]
@@ -177,9 +199,9 @@ private[graft] object TxnCheckpoint {
           if (g.getBoolean("live", 0)) {
             live += d
             if (has("stats")) stats += d -> parseStats(g.getString("stats", 0))
-            if (has("part")) g.getString("part", 0).split("=", 2) match {
-              case Array(c, pv) => parts += d -> ((c, pv))
-              case _            => ()
+            if (has("part")) {
+              val vec = parseParts(g.getString("part", 0))
+              if (vec.nonEmpty) parts += d -> vec
             }
             if (has("dv")) dvs += d -> g.getString("dv", 0)
             if (has("nulls")) nulls += d -> parseNulls(g.getString("nulls", 0))

@@ -84,6 +84,8 @@ object TxnTable {
                             statKeys: Boolean = false,
                             base: Option[Long] = None,
                             sstats: Map[String, Seq[(String, String, String)]] =
+                              Map.empty,
+                            partsN: Map[String, Seq[(String, String)]] =
                               Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
@@ -248,6 +250,18 @@ object TxnTable {
   private[graft] def clearSnapshotCache(): Unit =
     snapCache.synchronized { snapCache.clear() }
 
+  /** Drop every cached snapshot of ONE table. Required by operations
+    * that replace a whole table under an unchanged path with unchanged
+    * version numbers — atomic CTAS/RTAS directory swaps, DROP TABLE —
+    * where the per-version immutability the cache is keyed on does not
+    * hold (ordinary commits self-heal by re-putting their version). */
+  private[graft] def invalidateSnapshotCache(tableDir: String): Unit = {
+    val p = new File(tableDir).getAbsolutePath
+    snapCache.synchronized {
+      snapCache.keySet().removeIf(k => k._1 == p); ()
+    }
+  }
+
   /** Read one version's snapshot: the self-contained parse for classic
     * manifests, checkpoint-anchored reconstruction for incremental ones
     * (see [[TxnCheckpoint]]), both behind the immutability cache. */
@@ -315,13 +329,20 @@ object TxnTable {
           case _                => None
         })
       }.filter(_._2.nonEmpty).toMap
-    val parts = """"parts"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+    // partition-value vectors ("c=v" single, "&c1=v1|c2=v2" multi —
+    // round 13): `parts` exposes the FIRST level for every dir (all
+    // level-1 consumers stay sound: equality pruning on level 1 is
+    // exact, other-column probes conservatively plan), `partsN` the
+    // full ordered vector for multi-col dirs only
+    val partsVec = """"parts"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
       .map(_.group(1)).toSeq
       .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
-      .flatMap(m => m.group(2).split("=", 2) match {
-        case Array(c, v) => Some(m.group(1) -> ((c, v)))
-        case _           => None
-      }).toMap
+      .flatMap { m =>
+        val vec = TxnCheckpoint.parseParts(m.group(2))
+        if (vec.isEmpty) None else Some(m.group(1) -> vec)
+      }.toMap
+    val parts = partsVec.map { case (d, vec) => d -> vec.head }
+    val partsN = partsVec.filter(_._2.size > 1)
     // commit timestamp + per-dir row counts: absent in old manifests
     // (parse to 0 / empty — every consumer treats those as "unknown")
     val ts = """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
@@ -425,7 +446,7 @@ object TxnTable {
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
       stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans, eqs, gens,
       fids, field("schema0"), fhwm, nulls, pthist, kmvs, statKeys, incBaseOf(s),
-      sstats)
+      sstats, partsN)
   }
 
   /** One incremental manifest's delta: `shell` is [[parseManifest]]'s
@@ -468,7 +489,8 @@ object TxnTable {
       sh.pthist,
       (prev.kmvs ++ sh.kmvs).filter(e => ls(e._1)),
       statKeys = true, base = sh.base,
-      sstats = (prev.sstats ++ sh.sstats).filter(e => ls(e._1)))
+      sstats = (prev.sstats ++ sh.sstats).filter(e => ls(e._1)),
+      partsN = (prev.partsN ++ sh.partsN).filter(e => ls(e._1)))
   }
 
   /** Reconstruct an INCREMENTAL version: walk back from `version`
@@ -492,9 +514,11 @@ object TxnTable {
               // per-dir state only: the fold takes every table-wide
               // field from the deltas' own manifests
               state = Snapshot(w, "checkpoint", ck.live, None, ck.stats,
-                ck.parts, 0L, ck.nrows, ck.dvs, None, Map.empty, None,
+                ck.parts.map { case (d, vec) => d -> vec.head }, 0L,
+                ck.nrows, ck.dvs, None, Map.empty, None,
                 Map.empty, Map.empty, Map.empty, None, 0, ck.nulls,
-                Map.empty, ck.kmvs, statKeys = true, sstats = ck.sstats)
+                Map.empty, ck.kmvs, statKeys = true, sstats = ck.sstats,
+                partsN = ck.parts.filter(_._2.size > 1))
             case None =>
               val pf = manifestFile(tableDir, w)
               val tb = store(tableDir).readBytes(pf).getOrElse(
@@ -891,8 +915,9 @@ object TxnTable {
     * hazard) and type-agnostic (a row-hash salt would reject map-typed
     * columns, which hash functions refuse). */
   private def stagePartitionsBulk(spark: SparkSession, tableDir: String,
-                                  dfp: DataFrame, pcol: String, recordCol: String,
-                                  nullValueMsg: String): Seq[(String, String, Long)] = {
+                                  dfp: DataFrame, pcol: String,
+                                  recordCols: Seq[String],
+                                  nullValueMsg: String): Seq[(String, Seq[String], Long)] = {
     import org.apache.spark.sql.functions.{assert_true, col, expr, lit, pmod, spark_partition_id}
     val bulkRoot = new File(dataDir(tableDir), s".bulk-${UUID.randomUUID()}")
     try {
@@ -948,15 +973,27 @@ object TxnTable {
         .filter(f => f.isDirectory && f.getName.startsWith(pcol + "="))
         .sortBy(_.getName)
       require(leaves.nonEmpty, "input has no rows — nothing to overwrite")
-      val byDir: Seq[(File, String)] = leaves.toSeq.map { f =>
+      val byDir: Seq[(File, Seq[String])] = leaves.toSeq.map { f =>
         require(f.getName != s"$pcol=__HIVE_DEFAULT_PARTITION__", nullValueMsg)
-        // dir name = hive_escape(url_encode(value)): undo both layers —
-        // the URL layer is ours (see the caller's url_encode), keeping
-        // staged paths pure-ASCII on any filesystem locale
-        val v = java.net.URLDecoder.decode(
-          unescapePathName(f.getName.substring(pcol.length + 1)), "UTF-8")
-        requirePartValueCharset(v)
-        (f, v)
+        // dir name = hive_escape('|'.join(url_encode(value_i))): undo
+        // both layers — the URL layer is ours (see the callers'
+        // url_encode), keeping staged paths pure-ASCII on any filesystem
+        // locale. url_encode escapes '|' itself, so the join separator
+        // is unambiguous; a single-level carrier simply yields one
+        // segment.
+        val vs = unescapePathName(f.getName.substring(pcol.length + 1))
+          .split("\\|", -1).toSeq
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))
+        require(vs.size == recordCols.size,
+          s"staged dir ${f.getName} decoded ${vs.size} partition values " +
+            s"for ${recordCols.size} columns")
+        vs.foreach(requirePartValueCharset)
+        // multi-level manifest entries join levels with '|' — values at
+        // depth >= 2 tables must not contain it (single-level tables
+        // keep the historical full charset)
+        if (recordCols.size > 1) vs.foreach(v => require(!v.contains("|"),
+          s"'|' is unsupported in multi-column partition values: '$v'"))
+        (f, vs)
       }
       // per-value row counts from parquet FOOTERS (driver-side metadata
       // reads, one per staged part-file — no second scan of the batch,
@@ -972,17 +1009,18 @@ object TxnTable {
           Some(fileSchema.catalogString + "\n" +
             fileSchema.fieldNames.map(fidsNow).mkString(" "))
         else None
-      byDir.map { case (leaf, v) =>
+      byDir.map { case (leaf, vs) =>
         val n = footerRowCount(leaf)
         val name = s"txn-${UUID.randomUUID()}"
         val dest = new File(dataDir(tableDir), name)
         Files.move(leaf.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
         Files.write(new File(dest, ".part").toPath,
-          s"$recordCol=$v".getBytes("UTF-8"))
+          recordCols.zip(vs).map { case (c, v) => s"$c=$v" }
+            .mkString("\n").getBytes("UTF-8"))
         Files.write(new File(dest, ".nrows").toPath, n.toString.getBytes("UTF-8"))
         colsSidecar.foreach(c => Files.write(new File(dest, ".cols").toPath,
           c.getBytes("UTF-8")))
-        (name, v, n)
+        (name, vs, n)
       }
     } finally deleteRec(bulkRoot)
   }
@@ -1052,10 +1090,140 @@ object TxnTable {
     // path must not regress non-ASCII partition values)
     val dfp = df.withColumn(bulkPartCol,
       org.apache.spark.sql.functions.url_encode(col(partCol).cast("string")))
-    val staged = stagePartitionsBulk(spark, tableDir, dfp, bulkPartCol, partCol,
-      s"null $partCol partition values unsupported")
-    publishPartitionSwap(tableDir, staged.map(_._1), staged.map(_._2), partCol,
-      txnId, None)
+    val staged = stagePartitionsBulk(spark, tableDir, dfp, bulkPartCol,
+      Seq(partCol), s"null $partCol partition values unsupported")
+    publishPartitionSwap(tableDir, staged.map(_._1), staged.map(_._2),
+      Seq(partCol), txnId, None)
+  }
+
+  /** MULTI-COLUMN partitioned atomic overwrite (round 13): the
+    * [[overwritePartitions]] semantics on an ORDERED column vector —
+    * replace exactly the partitions whose `(partCols…)` value TUPLES
+    * appear in `df`, one staged dir per tuple, each carrying a
+    * multi-line `.part` sidecar folded into the manifest as an ordered
+    * value vector (`&c1=v1|c2=v2`). Still ONE shuffled staging job for
+    * any tuple cardinality: the levels ride to `partitionBy` as a single
+    * '|'-joined url-encoded carrier (url_encode escapes '|' itself, so
+    * the join is unambiguous), and per-leaf row counts come from parquet
+    * footers. Level-1 consumers of the manifest stay sound — `parts`
+    * exposes the first level; `partsN` carries the full vector for
+    * [[readPartition]]'s spec overload, multi-column SHOW PARTITIONS and
+    * tuple-scoped conflict detection. The hidden-transform path is
+    * untouched: compose a transform when the level is DERIVED, a column
+    * vector when it is real data. */
+  def overwritePartitions(spark: SparkSession, tableDir: String, df: DataFrame,
+                          partCols: Seq[String],
+                          txnId: Option[String]): Long = {
+    import org.apache.spark.sql.functions.{col, concat, lit, url_encode}
+    if (partCols.size == 1)
+      return overwritePartitions(spark, tableDir, df, partCols.head, txnId)
+    require(partCols.nonEmpty && partCols.size == partCols.distinct.size,
+      s"partition columns must be non-empty and distinct: $partCols")
+    partCols.foreach(c => require(
+      !c.contains("=") && !c.contains("\"") && !c.contains("}") &&
+        !c.contains("|") && !c.startsWith("&"),
+      s"unsupported characters in partition column name '$c'"))
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed commit
+      case None    =>
+    }
+    dataDir(tableDir).mkdirs(); logDir(tableDir).mkdirs()
+    enforceSchema(df, tableDir)
+    require(!df.columns.contains(bulkPartCol),
+      s"column name $bulkPartCol is reserved by the partition writer")
+    // one carrier column = '|'-joined url-encoded levels; concat (not
+    // concat_ws) propagates NULLs so a null level lands in the Hive
+    // default partition and rejects with a typed message
+    val carrier = concat(partCols.flatMap(c =>
+      Seq(url_encode(col(c).cast("string")), lit("|"))).dropRight(1): _*)
+    val dfp = df.withColumn(bulkPartCol, carrier)
+    val staged = stagePartitionsBulk(spark, tableDir, dfp, bulkPartCol,
+      partCols, s"null values in (${partCols.mkString(", ")}) partition " +
+        "tuples unsupported")
+    publishPartitionSwap(tableDir, staged.map(_._1), staged.map(_._2),
+      partCols, txnId, None)
+  }
+
+  /** The live dirs that can hold rows matching every `spec` entry: a dir
+    * whose recorded vector CONTRADICTS any pinned level is pruned; dirs
+    * with missing or other-column info must be planned. Partial specs
+    * prune partially (pin only level 1 of a two-level layout and every
+    * level-2 dir under it plans) — the Hive-style subtree read. */
+  def prunePartitionSpec(snap: Snapshot, spec: Map[String, String]): Seq[String] =
+    snap.live.filter { d =>
+      val vec = snap.partsN.getOrElse(d, snap.parts.get(d).toSeq)
+      spec.forall { case (c, v) =>
+        vec.find(_._1 == c).forall(_._2 == v) // absent level: must plan
+      }
+    }
+
+  /** Multi-column partition read: plans [[prunePartitionSpec]]'s dirs
+    * from one manifest fetch, then applies residual equality filters for
+    * every spec column present in the data (hidden levels require
+    * partition-exact dirs, as in the single-column read). */
+  def readPartition(spark: SparkSession, tableDir: String,
+                    spec: Map[String, String],
+                    version: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(spec.nonEmpty, "empty partition spec — use read() for a full scan")
+    val v = version.orElse(latestVersion(tableDir))
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, v)
+    val planned = prunePartitionSpec(snap, spec)
+    val df =
+      if (planned.isEmpty) read(spark, tableDir, Some(v)).limit(0)
+      else readDirsDV(spark, tableDir, snap, planned)
+    spec.foldLeft(df) { case (acc, (c, pv)) =>
+      if (acc.columns.contains(c))
+        acc.filter(acc.col(c) === lit(pv).cast(acc.schema(c).dataType))
+      else {
+        require(planned.forall(d =>
+          snap.partsN.getOrElse(d, snap.parts.get(d).toSeq)
+            .exists { case (cc, vv) => cc == c && vv == pv }),
+          s"column $c is not in the data and a planned dir carries no " +
+            s"exact $c=$pv partition value — unsound hidden read")
+        acc
+      }
+    }
+  }
+
+  def readPartition(spark: SparkSession, tableDir: String,
+                    spec: Map[String, String]): DataFrame =
+    readPartition(spark, tableDir, spec, None)
+
+  /** Partition-scoped compaction on a (possibly partial) multi-column
+    * spec: rewrite ONLY [[prunePartitionSpec]]'s dirs into one bin-packed
+    * dir; every other partition keeps its dirs byte-untouched. The packed
+    * dir records the levels that are EXACT across everything it merged —
+    * compacting a full tuple keeps the full vector; compacting a level-1
+    * subtree keeps level 1 and widens deeper levels (later spec reads
+    * for those levels still plan the packed dir, conservatively). */
+  def compactPartition(spark: SparkSession, tableDir: String,
+                       spec: Map[String, String], targetFiles: Int): Long = {
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    val snap = snapshot(tableDir, base)
+    val targets = prunePartitionSpec(snap, spec)
+    if (targets.isEmpty || (targets.size == 1 && !snap.dvs.contains(targets.head)))
+      return base // metadata no-op: nothing to pack
+    def vecOf(d: String): Seq[(String, String)] =
+      snap.partsN.getOrElse(d, snap.parts.get(d).toSeq)
+    // levels exact across every merged dir survive on the packed dir
+    val common = targets.map(vecOf).reduce { (a, b) =>
+      a.filter { case (c, v) => b.contains((c, v)) }
+    }
+    val kept = snap.live.filterNot(targets.contains)
+    val packed = readDirsDV(spark, tableDir, snap, targets).coalesce(targetFiles)
+    val stagedName = stage(packed, tableDir, None)
+    if (common.nonEmpty)
+      Files.write(new File(new File(dataDir(tableDir), stagedName), ".part").toPath,
+        common.map { case (c, v) => s"$c=$v" }.mkString("\n").getBytes("UTF-8")): Unit
+    if (!tryPublish(tableDir, base + 1L, "compact", kept :+ stagedName, None,
+        dvs = snap.dvs, schema = snap.schema))
+      throw new CommitConflict(
+        s"concurrent commit at version ${base + 1}; re-read and retry the compaction")
+    maybeCheckpoint(tableDir, base + 1L)
+    base + 1L
   }
 
   /** Reserved dir-name carrier column for [[overwritePartitions]]'
@@ -1073,10 +1241,14 @@ object TxnTable {
     * change. `ptrans` is the hidden-partition spec to publish (None =
     * inherit the previous manifest's). */
   private def publishPartitionSwap(tableDir: String, staged: Seq[String],
-                                   byValue: Seq[String], partCol: String,
+                                   byValue: Seq[Seq[String]], partCols: Seq[String],
                                    txnId: Option[String],
                                    ptrans: Option[Option[(String, String)]],
                                    oldEraAliases: Set[String] = Set.empty): Long = {
+    // a dir's full ordered partition vector (partsN for multi-col dirs,
+    // parts for the historical single-col form)
+    def vecOf(snap: Snapshot, d: String): Option[Seq[(String, String)]] =
+      snap.partsN.get(d).orElse(snap.parts.get(d).map(Seq(_)))
     latestVersion(tableDir) match {
       case None =>
         if (!tryPublish(tableDir, 0L, "overwritePartitions", staged, txnId,
@@ -1088,16 +1260,18 @@ object TxnTable {
         while (true) {
           val snap = snapshot(tableDir, attempt)
           val kept = snap.live.flatMap { d =>
-            snap.parts.get(d) match {
-              case Some((c, pv)) if c == partCol =>
-                if (byValue.contains(pv)) None else Some(d)
+            vecOf(snap, d) match {
+              case Some(vec) if vec.map(_._1) == partCols =>
+                if (byValue.contains(vec.map(_._2))) None else Some(d)
               // a PREVIOUS spec era's dir (hidden-partition evolution):
               // always kept — this write replaces only same-spec
               // partitions; old-era dirs stay until rewritten
-              case Some((c, _)) if oldEraAliases.contains(c) => Some(d)
+              case Some(vec) if vec.size == 1 && oldEraAliases.contains(vec.head._1) =>
+                Some(d)
               case _ => throw new IllegalStateException(
-                s"live dir $d carries no partition value on $partCol — " +
-                  s"not a $partCol-partitioned table; overwrite fully instead")
+                s"live dir $d carries no partition vector on " +
+                  s"(${partCols.mkString(", ")}) — not a table partitioned on " +
+                  "these columns; overwrite fully instead")
             }
           }
           if (tryPublish(tableDir, attempt + 1L, "overwritePartitions",
@@ -1107,17 +1281,18 @@ object TxnTable {
             return attempt + 1L
           }
           // slot taken — inspect the winner: which partitions did it
-          // touch? (added dirs ∪ removed dirs, values from the parts
+          // touch? (added dirs ∪ removed dirs, vectors from the parts
           // maps). Overlap with ours → genuine conflict (Delta's
           // ConcurrentAppendException); disjoint → rebase past it.
           val winner = snapshot(tableDir, attempt + 1L)
           val safeAction = winner.action == "append" ||
             winner.action == "overwritePartitions"
-          val touched = (winner.live.diff(snap.live).map(d => winner.parts.get(d)) ++
-            snap.live.diff(winner.live).map(d => snap.parts.get(d)))
+          val touched = (winner.live.diff(snap.live).map(d => vecOf(winner, d)) ++
+            snap.live.diff(winner.live).map(d => vecOf(snap, d)))
           val overlap = touched.exists {
-            case Some((c, pv)) => c == partCol && byValue.contains(pv)
-            case None          => true // unpartitioned dir: can't prove disjoint
+            case Some(vec) =>
+              vec.map(_._1) == partCols && byValue.contains(vec.map(_._2))
+            case None => true // unpartitioned dir: can't prove disjoint
           }
           if (!safeAction || overlap)
             throw new CommitConflict(
@@ -1245,10 +1420,10 @@ object TxnTable {
     // no count-side re-evaluation of the transform exists to diverge
     val withA = df.withColumn(alias,
       org.apache.spark.sql.functions.url_encode(expr(transformSql).cast("string")))
-    val staged = stagePartitionsBulk(spark, tableDir, withA, alias, alias,
+    val staged = stagePartitionsBulk(spark, tableDir, withA, alias, Seq(alias),
       s"transform $transformSql evaluates to null for some rows")
-    publishPartitionSwap(tableDir, staged.map(_._1), staged.map(_._2), alias, txnId,
-      Some(Some((alias, transformSql))), oldEraAliases = oldAliases)
+    publishPartitionSwap(tableDir, staged.map(_._1), staged.map(_._2), Seq(alias),
+      txnId, Some(Some((alias, transformSql))), oldEraAliases = oldAliases)
   }
 
   /** Query a hidden-partitioned table by SOURCE-column equality — the
@@ -1654,14 +1829,21 @@ object TxnTable {
   /** (col, value) from a data dir's partition sidecar, if present. Like
     * `.stats`, the sidecar is the write-time record; the manifest copy
     * (`parts`) is what the read path plans from. */
-  def partOf(tableDir: String, dataDirName: String): Option[(String, String)] = {
+  def partOf(tableDir: String, dataDirName: String): Option[(String, String)] =
+    mpartOf(tableDir, dataDirName).headOption
+
+  /** The dir's FULL ordered partition-value vector — one `c=v` line per
+    * level in the `.part` sidecar (single-col dirs keep their one
+    * historical line; [[partOf]] is its level-1 view). */
+  def mpartOf(tableDir: String, dataDirName: String): Seq[(String, String)] = {
     sidecarReads.incrementAndGet()
     val f = new File(new File(dataDir(tableDir), dataDirName), ".part")
-    if (!f.exists()) None
-    else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.split("=", 2) match {
-      case Array(c, v) => Some((c, v))
-      case _           => None
-    }
+    if (!f.exists()) Nil
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").linesIterator
+      .map(_.trim).filter(_.nonEmpty).flatMap(_.split("=", 2) match {
+        case Array(c, v) => Some((c, v))
+        case _           => None
+      }).toSeq
   }
 
   /** Every (col, min, max) bound in a data dir's stats sidecar — one
@@ -1974,8 +2156,15 @@ object TxnTable {
       carried(d, prev.sstats, Some(sstatsAllOf(tableDir, d)).filter(_.nonEmpty))
         .filter(_.nonEmpty).map(d -> _)
     }.toMap
-    val partsMap: Map[String, (String, String)] =
-      live.flatMap(d => carried(d, prev.parts, partOf(tableDir, d)).map(d -> _)).toMap
+    // full ordered partition vectors (multi-col specs, round 13):
+    // survivors carry from prev (partsN holds multis, parts the
+    // singles), new dirs read their .part sidecar's every line
+    def prevVec(d: String): Option[Seq[(String, String)]] =
+      prev.partsN.get(d).orElse(prev.parts.get(d).map(Seq(_)))
+    val partsVecMap: Map[String, Seq[(String, String)]] = live.flatMap { d =>
+      (if (prevLiveSet.contains(d)) prevVec(d)
+       else Some(mpartOf(tableDir, d)).filter(_.nonEmpty)).map(d -> _)
+    }.toMap
     // dv dirs' counts ride along (names are disjoint from live):
     // history's effective row count = live rows - dv-deleted rows,
     // still metadata-only. dv dirs are not in prev.live, so they
@@ -2083,8 +2272,8 @@ object TxnTable {
       s""","$key":${xs.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     def statsE(m: Map[String, Seq[(String, Long, Long)]], ds: Seq[String]) =
       ds.flatMap(d => m.get(d).map(x => s""""$d":"${TxnCheckpoint.fmtStats(x)}""""))
-    def partsE(m: Map[String, (String, String)], ds: Seq[String]) =
-      ds.flatMap(d => m.get(d).map { case (c, pv) => s""""$d":"$c=$pv"""" })
+    def partsE(m: Map[String, Seq[(String, String)]], ds: Seq[String]) =
+      ds.flatMap(d => m.get(d).map(v => s""""$d":"${TxnCheckpoint.fmtParts(v)}""""))
     def nrowsE(m: Map[String, Long], ds: Seq[String]) =
       ds.flatMap(d => m.get(d).map(n => s""""$d":$n"""))
     def nullsE(m: Map[String, Seq[(String, Long)]], ds: Seq[String]) =
@@ -2121,7 +2310,7 @@ object TxnTable {
         s"""{"version":$v,"action":"$action","ts":$now,""" +
           s""""live":${live.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
           txn + obj("stats", statsE(statsMap, live)) +
-          obj("parts", partsE(partsMap, live)) +
+          obj("parts", partsE(partsVecMap, live)) +
           obj("nrows", nrowsE(nrowsMap, nrowsKeys)) +
           obj("dvs", dvKept.map { case (d, dv) => s""""$d":"$dv"""" }) +
           tableWideJson + eqsJson +
@@ -2139,7 +2328,7 @@ object TxnTable {
         s"""{"version":$v,"action":"$action","ts":$now,"base":$b""" +
           txn + arr("add", addDirs) + arr("rm", rmDirs) +
           obj("stats", statsE(statsMap, addDirs)) +
-          obj("parts", partsE(partsMap, addDirs)) +
+          obj("parts", partsE(partsVecMap, addDirs)) +
           obj("nrows", nrowsE(nrowsMap, addDirs ++ newDvDirs)) +
           obj("dvs", dvAdd.map { case (d, dv) => s""""$d":"$dv"""" }) +
           (if (dvRm.isEmpty) "" else arr("rmdvs", dvRm)) +
@@ -2157,14 +2346,15 @@ object TxnTable {
       // materialize the columnar dir-entry checkpoint once the delta
       // chain reaches the interval (write failures self-heal: the next
       // commit still sees v - base >= interval and retries)
-      val committed = Snapshot(v, action, live, txnId, statsMap, partsMap,
+      val committed = Snapshot(v, action, live, txnId, statsMap,
+        partsVecMap.map { case (d, vec) => d -> vec.head },
         now, nrowsMap, dvKept, schema, cons, ptrans, eqsKept, gens, fids,
         schema0, fhwm, nullsMap, pthist, kmvsMap, statKeys = true, base = baseV,
-        sstats = sstatsMap)
+        sstats = sstatsMap, partsN = partsVecMap.filter(_._2.size > 1))
       cachePut(tableDir, committed)
       if (baseV.exists(b => v - b >= checkpointInterval))
         TxnCheckpoint.write(tableDir, v, TxnCheckpoint.DirState(
-          live, statsMap, partsMap, nrowsMap, dvKept, nullsMap, kmvsMap,
+          live, statsMap, partsVecMap, nrowsMap, dvKept, nullsMap, kmvsMap,
           sstatsMap))
       true
     } else false

@@ -204,11 +204,15 @@ class CheckpointManifestSpec extends SparkTestBase {
     val st = TxnCheckpoint.DirState(
       live = Seq("d2", "d0", "d1"), // order is plan order — must survive
       stats = Map("d0" -> Seq(("k", -5L, 9L), ("z", 0L, 3L)), "d2" -> Seq(("k", 10L, 19L))),
-      parts = Map("d1" -> (("p", "a=b=c")), "d2" -> (("p", ""))),
+      // d1: single-col value containing '=' (historical charset);
+      // d2: a two-level vector (round-13 multi-col specs)
+      parts = Map("d1" -> Seq(("p", "a=b=c")),
+                  "d2" -> Seq(("p", ""), ("q", "x"))),
       nrows = Map("d0" -> 10L, "d1" -> 7L, "d2" -> 3L, "dv-x" -> 2L),
       dvs = Map("d0" -> "dv-x"),
       nulls = Map("d1" -> Seq(("k", 0L), ("z", 4L))),
-      kmvs = Map("d0" -> (("k", Seq(1L, 99L, 12345678901L)))))
+      kmvs = Map("d0" -> (("k", Seq(1L, 99L, 12345678901L)))),
+      sstats = Map("d0" -> Seq(("s", "YQ==", ""), ("t", "YQ==", "Yg=="))))
     TxnCheckpoint.write(dir, 7L, st)
     assert(TxnCheckpoint.exists(dir, 7L))
     val back = TxnCheckpoint.read(dir, 7L).get

@@ -429,4 +429,46 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(spark.sql("SHOW TABLES IN graft").collect().isEmpty,
       "path tables must not enumerate from a metastore")
   }
+
+  test("ATOMIC CTAS (StagingTableCatalog): a failing CTAS leaves NO table; " +
+      "success is one rename — no createTable+append window; RTAS swaps") {
+    graft.plans.GraftDml.install(spark)
+    val root = tmpTable()
+    val src = s"$root/src"
+    spark.sql(s"CREATE TABLE graft.`$src` (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO graft.`$src` VALUES (1, 'a'), (2, 'b')")
+    // FAILING CTAS: the query body throws mid-write → the destination
+    // path must not exist at all (the staged dir aborted), and no
+    // staging residue is left behind
+    val dst = s"$root/ctas_fail"
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dst` AS " +
+        s"SELECT k, assert_true(k < 2, 'boom') AS x FROM graft.`$src`")
+    }
+    assert(!new java.io.File(dst).exists(),
+      "failed CTAS left a (half-written) table at the destination")
+    val residue = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.contains("ctas-staging"))
+    assert(residue.isEmpty, s"failed CTAS left staging residue: ${residue.toSeq}")
+    // SUCCESSFUL CTAS: lands atomically; content + schema right
+    val ok = s"$root/ctas_ok"
+    spark.sql(s"CREATE TABLE graft.`$ok` AS SELECT k, v FROM graft.`$src` WHERE k = 1")
+    assert(spark.sql(s"SELECT * FROM graft.`$ok`").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    // CTAS over an existing table rejects and the old table is intact
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$ok` AS SELECT k, v FROM graft.`$src`")
+    }
+    assert(spark.sql(s"SELECT * FROM graft.`$ok`").count() == 1L)
+    // RTAS: REPLACE swaps content wholesale; a failing RTAS keeps the old
+    spark.sql(s"REPLACE TABLE graft.`$ok` AS SELECT k, v FROM graft.`$src`")
+    assert(spark.sql(s"SELECT * FROM graft.`$ok`").count() == 2L)
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE graft.`$ok` AS " +
+        s"SELECT k, assert_true(false, 'boom2') AS x FROM graft.`$src`")
+    }
+    assert(spark.sql(s"SELECT * FROM graft.`$ok`").count() == 2L,
+      "failed RTAS damaged the existing table")
+  }
 }
