@@ -639,6 +639,54 @@ class StreamingSpec extends SparkTestBase {
       s"capped startingVersion feed leaked pre-start rows: $got")
   }
 
+  test("graft -> graft bounded catch-up: a 10-commit backlog drains through " +
+      "the composed source+sink in capped batches, stops, and the " +
+      "destination equals the source byte-for-byte") {
+    // the Trigger.AvailableNow shape for the graft pipeline: the SOURCE
+    // caps admission (maxVersionsPerTrigger) so each checkpointed batch
+    // covers bounded work; the SINK commits each batch exactly-once
+    // under <appId>-<batchId>. The assertions pin: bounded batch count
+    // (backlog/cap, plus the bootstrap), one destination commit per
+    // batch, and a final fold identical to the source snapshot.
+    import graft.sources.TxnTable
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-drain-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-drain-dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drain-ck").toString
+    (0 until 10).foreach(i =>
+      TxnTable.append(Seq((i.toLong, s"r$i")).toDF("k", "v"), src))
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "3")
+      .load(src)
+      .drop("_change") // append-only source: the feed is inserts
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try q.processAllAvailable() finally q.stop()
+    // 10 commits at 3 windows/trigger: bootstrap(+v1,v2) then 3 capped
+    // batches — 4 destination commits, each a bounded append
+    val dstVersions = TxnTable.versions(dst)
+    assert(dstVersions.size == 4,
+      s"backlog did not drain in bounded batches: ${dstVersions.size} commits")
+    val got = TxnTable.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val want = TxnTable.read(spark, src).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got == want, s"drained destination diverged: $got vs $want")
+    // the drain STOPPED: no further batches are pending on restart with
+    // nothing new — and a replayed restart commits nothing (txnId dedup)
+    val q2 = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "3")
+      .load(src)
+      .drop("_change")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxnTable.versions(dst).size == 4,
+      "an idle restart committed phantom batches")
+  }
+
   test("writeStream.format(\"graft\") Update mode + mergeKeys: each batch is " +
       "one keyed MERGE — the INCREMENTAL materialized view (only changed " +
       "groups rewrite, untouched groups keep their rows)") {
