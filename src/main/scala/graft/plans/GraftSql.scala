@@ -86,12 +86,17 @@ object GraftSql {
         if (snap.live.forall(snap.nrows.contains) && dvDirs.forall(snap.nrows.contains))
           Some(snap.live.map(snap.nrows).sum - dvDirs.map(snap.nrows).sum)
         else None
-      val sizeBytes = snap.live.map(d =>
+      // num_files/size_bytes from ONE walk of the live dirs' parquet
+      // part-files — the same definition OPTIMIZE and SHOW PARTITIONS
+      // use (round 13: all three surfaces agree about one layout)
+      val partFiles = snap.live.map(d =>
         Option(new File(new File(new File(dir, "data"), d).getPath).listFiles())
           .getOrElse(Array.empty[File])
-          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum).sum
+          .filter(_.getName.endsWith(".parquet")))
+      val numFiles = partFiles.map(_.length.toLong).sum
+      val sizeBytes = partFiles.map(_.map(_.length()).sum).sum
       Seq((
-        "graft", dir, v, snap.action, snap.live.size.toLong, numRows, sizeBytes,
+        "graft", dir, v, snap.action, numFiles, numRows, sizeBytes,
         snap.dvs.size.toLong, snap.constraints.keys.toSeq.sorted.mkString(","),
         snap.ptrans.map { case (a, e) => s"$a = $e" }.getOrElse(""),
         snap.schema.orElse {

@@ -147,6 +147,25 @@ object TxnTable {
     else Option(storeOverrides.get(new File(tableDir).getAbsolutePath))
       .getOrElse(logStore)
 
+  /** Per-table incremental-manifest threshold overrides (tests). The
+    * process default is the `graft.txn.ckptDirThreshold` system
+    * property — but a test mutating THAT races concurrently-running
+    * suites (same hazard as a global store swap), so test arms pin the
+    * threshold to their own table dirs instead. */
+  private val ckptThresholdOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private[graft] def installCkptThreshold(tableDir: String, n: Int): Unit = {
+    ckptThresholdOverrides.put(new File(tableDir).getAbsolutePath, n); ()
+  }
+  private[graft] def uninstallCkptThreshold(tableDir: String): Unit = {
+    ckptThresholdOverrides.remove(new File(tableDir).getAbsolutePath); ()
+  }
+  private def ckptThresholdFor(tableDir: String): Int =
+    (if (ckptThresholdOverrides.isEmpty) None
+     else Option(ckptThresholdOverrides.get(new File(tableDir).getAbsolutePath)))
+      .getOrElse(sys.props.get("graft.txn.ckptDirThreshold")
+        .flatMap(_.toIntOption).getOrElse(512))
+
   /** Committed versions, ascending — the RETAINED window. Full listing
     * of `_log` minus anything below the retention floor: vacuum may keep
     * sub-retention manifests alive purely as reconstruction-chain links
@@ -1009,8 +1028,21 @@ object TxnTable {
           Some(fileSchema.catalogString + "\n" +
             fileSchema.fieldNames.map(fidsNow).mkString(" "))
         else None
-      byDir.map { case (leaf, vs) =>
-        val n = footerRowCount(leaf)
+      // footer reads in a bounded driver pool: ParquetFileReader.open is
+      // ~ms each and a wide backfill has partitions x files of them —
+      // sequential, that re-grows into seconds of driver time the fused
+      // gate just saved (measured: 128 dirs x 8 files ~ 6 s serial,
+      // sub-second at 16 threads)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, byDir.size max 1))
+      val counts: Seq[Long] =
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(byDir.map { case (leaf, _) =>
+            (() => footerRowCount(leaf)): java.util.concurrent.Callable[Long]
+          }.asJava).asScala.toSeq.map(_.get())
+        } finally { pool.shutdown(); () }
+      byDir.zip(counts).map { case ((leaf, vs), n) =>
         val name = s"txn-${UUID.randomUUID()}"
         val dest = new File(dataDir(tableDir), name)
         Files.move(leaf.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
@@ -2246,8 +2278,7 @@ object TxnTable {
     // deletes, a live order no prefix-preserving delta can express)
     // fall back to self-contained manifests — correctness never depends
     // on the delta form.
-    val ckptThreshold: Int = sys.props.get("graft.txn.ckptDirThreshold")
-      .flatMap(_.toIntOption).getOrElse(512)
+    val ckptThreshold: Int = ckptThresholdFor(tableDir)
     val liveSet = live.toSet
     val addDirs = if (v == 0) live else live.filterNot(prevLiveSet)
     val orderPreserved =

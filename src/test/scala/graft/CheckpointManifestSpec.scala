@@ -31,12 +31,11 @@ class CheckpointManifestSpec extends SparkTestBase {
   private def tmp(): String =
     Files.createTempDirectory("graft-ckptmani").toString
 
-  private def withThreshold[T](n: Int)(body: => T): T = {
-    val k = "graft.txn.ckptDirThreshold"
-    val old = sys.props.get(k)
-    sys.props(k) = n.toString
-    try body
-    finally { old match { case Some(o) => sys.props(k) = o; case None => sys.props.remove(k) }; () }
+  /** Per-TABLE threshold pin: mutating the global sys prop would race
+    * concurrently running suites (see TxnTable.installCkptThreshold). */
+  private def withThreshold[T](dir: String, n: Int)(body: => T): T = {
+    TxnTable.installCkptThreshold(dir, n)
+    try body finally TxnTable.uninstallCkptThreshold(dir)
   }
 
   private def manifestBytes(dir: String, v: Long): Long =
@@ -57,8 +56,8 @@ class CheckpointManifestSpec extends SparkTestBase {
 
   test("incremental manifests: commit bytes are O(new dirs), not O(live); " +
       "cold reconstruction equals the writer's snapshot at every version") {
-    withThreshold(4) {
-      val dir = tmp()
+    val dir = tmp()
+    withThreshold(dir, 4) {
       // grow past the threshold: each append adds one dir
       (0 until 16).foreach { i =>
         TxnTable.append(spark.range(i * 10L, (i + 1) * 10L).toDF("k")
@@ -76,8 +75,9 @@ class CheckpointManifestSpec extends SparkTestBase {
       // byte cost: the same 16 appends with checkpointing disabled produce
       // an O(live)-sized head manifest; the incremental head must be a
       // small fraction of it (it carries ONE dir's entries, not 16)
-      val full = withThreshold(1000000) {
+      val full = {
         val d2 = tmp()
+        TxnTable.installCkptThreshold(d2, 1000000)
         (0 until 16).foreach(i =>
           TxnTable.append(spark.range(i * 10L, (i + 1) * 10L).toDF("k")
             .coalesce(1), d2, statsCol = Some("k")))
@@ -105,8 +105,8 @@ class CheckpointManifestSpec extends SparkTestBase {
 
   test("DML through incremental manifests: dv delete, CoW delete, compact, " +
       "restore all reconstruct exactly; a dv-heavy read stays correct") {
-    withThreshold(3) {
-      val dir = tmp()
+    val dir = tmp()
+    withThreshold(dir, 3) {
       (0 until 8).foreach(i => TxnTable.append(
         spark.range(i * 10L, (i + 1) * 10L).toDF("k").coalesce(1),
         dir, statsCol = Some("k")))
@@ -140,8 +140,8 @@ class CheckpointManifestSpec extends SparkTestBase {
 
   test("partitioned bulk writes go incremental too: overwritePartitions on a " +
       "wide table swaps partitions through delta manifests") {
-    withThreshold(3) {
-      val dir = tmp()
+    val dir = tmp()
+    withThreshold(dir, 3) {
       val df = spark.range(300L).toDF("id")
         .withColumn("p", (col("id") % 8L).cast("string"))
       TxnTable.overwritePartitions(spark, dir, df, "p")
@@ -167,8 +167,8 @@ class CheckpointManifestSpec extends SparkTestBase {
 
   test("vacuum keeps the reconstruction chain, hides sub-floor versions as " +
       "RetentionError, and sweeps superseded chain files later") {
-    withThreshold(2) {
-      val dir = tmp()
+    val dir = tmp()
+    withThreshold(dir, 2) {
       (0 until 14).foreach(i => TxnTable.append(
         spark.range(i * 5L, (i + 1) * 5L).toDF("k").coalesce(1),
         dir, statsCol = Some("k")))

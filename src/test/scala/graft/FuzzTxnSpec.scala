@@ -59,14 +59,10 @@ class FuzzTxnSpec extends SparkTestBase {
     // time-travel checks exercise COLD reconstruction, not the writer's
     // in-hand snapshots.
     val nSeqs = sys.env.get("SPARK_GRAFT_FUZZ_TXN_CKPT").map(_.toInt).getOrElse(60)
-    val k = "graft.txn.ckptDirThreshold"
-    val old = sys.props.get(k)
-    sys.props(k) = "1"
-    try (100000 until 100000 + nSeqs).foreach { seed =>
+    (100000 until 100000 + nSeqs).foreach { seed =>
       graft.sources.TxnTable.clearSnapshotCache()
-      runSequence(seed)
+      runSequence(seed, ckptThreshold = Some(1))
     }
-    finally { old match { case Some(o) => sys.props(k) = o; case None => sys.props.remove(k) }; () }
   }
 
   test("the same op sequences over the OBJECT-STORE simulator: no atomic " +
@@ -90,13 +86,18 @@ class FuzzTxnSpec extends SparkTestBase {
   }
 
   private def runSequence(seed: Int,
-                          store: Option[graft.sources.LogStore] = None): Unit = {
+                          store: Option[graft.sources.LogStore] = None,
+                          ckptThreshold: Option[Int] = None): Unit = {
     val dir = Files.createTempDirectory(s"graft-fuzztxn-$seed").toString
-    // per-TABLE store override: a global swap would race concurrently
-    // running suites through two different atomicity mechanisms
+    // per-TABLE overrides: a global swap (store OR threshold sys prop)
+    // would race concurrently running suites
     store.foreach(TxnTable.installLogStore(dir, _))
+    ckptThreshold.foreach(TxnTable.installCkptThreshold(dir, _))
     try runSequenceOn(seed, dir)
-    finally store.foreach(_ => TxnTable.uninstallLogStore(dir))
+    finally {
+      store.foreach(_ => TxnTable.uninstallLogStore(dir))
+      ckptThreshold.foreach(_ => TxnTable.uninstallCkptThreshold(dir))
+    }
   }
 
   private def runSequenceOn(seed: Int, dir: String): Unit = {

@@ -244,7 +244,14 @@ class GraftDmlSpec extends SparkTestBase {
       val det = GraftSql.sql(spark, s"DESCRIBE DETAIL graft.`$dir`").head()
       assert(det.getString(0) == "graft" && det.getString(1) == dir)
       assert(det.getLong(2) == 3L, s"version wrong: $det")          // v3: addConstraint
-      assert(det.getLong(4) == 1L, s"num_files wrong: $det")        // one staged dir
+      // num_files counts parquet PART-FILES (the OPTIMIZE / SHOW
+      // PARTITIONS definition, round 13) — compare against the layout
+      val actualFiles = TxnTable.snapshot(dir, 3L).live.map(d =>
+        Option(new java.io.File(s"$dir/data/$d").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .count(_.getName.endsWith(".parquet"))).sum.toLong
+      assert(det.getLong(4) == actualFiles && actualFiles >= 1L,
+        s"num_files wrong: $det (layout has $actualFiles)")
       assert(det.getLong(5) == 3L, s"num_rows wrong: $det")
       assert(det.getLong(6) > 0L, "size_bytes must be positive")
       assert(det.getString(8) == "amt_pos", s"constraints wrong: $det")

@@ -110,11 +110,9 @@ class MultiPartitionSpec extends SparkTestBase {
 
   test("multi-col vectors survive incremental manifests and cold " +
       "checkpoint reconstruction") {
-    val k = "graft.txn.ckptDirThreshold"
-    val old = sys.props.get(k)
-    sys.props(k) = "2"
+    val dir = tmp()
+    TxnTable.installCkptThreshold(dir, 2) // per-table: no global races
     try {
-      val dir = tmp()
       seed(dir)
       (0 until 12).foreach(i =>
         TxnTable.overwritePartitions(spark, dir,
@@ -126,6 +124,6 @@ class MultiPartitionSpec extends SparkTestBase {
       assert(TxnTable.readPartition(spark, dir, Map("p" -> "c", "q" -> "z7"))
         .collect().map(_.getInt(0)).toSeq == Seq(107))
       assert(TxnTable.prunePartitionSpec(snap, Map("p" -> "c")).size == 12)
-    } finally { old match { case Some(o) => sys.props(k) = o; case None => sys.props.remove(k) }; () }
+    } finally TxnTable.uninstallCkptThreshold(dir)
   }
 }

@@ -452,6 +452,44 @@ class PlanAuditSpec extends SparkTestBase {
       "residual partition equality not pushed to the parquet scan")
   }
 
+  test("q234: the STRING range read plans 1 of 4 live dirs via truncated " +
+      "byte bounds; the residual string range pushes to parquet") {
+    val df = SparkEntry.queries("q234_txn_string_skipping")(spark, sf)
+    val t = "/tmp/graft_derived/sf0.001/orders_txn_sskip/t"
+    val snap = graft.sources.TxnTable.snapshot(t,
+      graft.sources.TxnTable.latestVersion(t).get)
+    val planned = graft.sources.TxnTable.pruneLiveString(snap, "o_date_s",
+      "1997-01-01", "1997-12-31")
+    assert(snap.live.size == 4 && planned.size == 1,
+      s"string skipping regressed: ${planned.size} of ${snap.live.size} dirs planned")
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains(planned.head)),
+      s"scan planned files outside the pruned dir: $files")
+    val p = plan("q234_txn_string_skipping")
+    assert(p.contains("GreaterThanOrEqual(o_date_s,1997-01-01)") &&
+      p.contains("LessThanOrEqual(o_date_s,1997-12-31)"),
+      "residual string range not pushed to the parquet scan")
+  }
+
+  test("q235: the exact-tuple read plans 1 dir (the packed F subtree) from " +
+      "the manifest's value vectors; residual equalities pushed") {
+    val df = SparkEntry.queries("q235_txn_multicol_partitions")(spark, sf)
+    val t = "/tmp/graft_derived/sf0.001/orders_txn_mpart/t"
+    val snap = graft.sources.TxnTable.snapshot(t,
+      graft.sources.TxnTable.latestVersion(t).get)
+    val planned = graft.sources.TxnTable.prunePartitionSpec(snap,
+      Map("o_orderstatus" -> "F", "o_year" -> "1997"))
+    assert(planned.size == 1 && snap.live.size > 4,
+      s"tuple pruning regressed: ${planned.size} of ${snap.live.size} dirs planned")
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains(planned.head)),
+      s"scan planned files outside the tuple's dir: $files")
+    val p = plan("q235_txn_multicol_partitions")
+    assert(p.contains("EqualTo(o_orderstatus,F)") &&
+      p.contains("EqualTo(o_year,1997)"),
+      "residual tuple equalities not pushed to the parquet scan")
+  }
+
   test("q205: after clustering, the range read plans 1 of 4 dirs; residual pushed") {
     val df = SparkEntry.queries("q205_txn_clustered_compact")(spark, sf)
     val t = "/tmp/graft_derived/sf0.001/orders_txn_cluster/t"

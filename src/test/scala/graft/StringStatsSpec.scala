@@ -147,11 +147,9 @@ class StringStatsSpec extends SparkTestBase {
   }
 
   test("sstats ride incremental manifests and the columnar checkpoint") {
-    val k = "graft.txn.ckptDirThreshold"
-    val old = sys.props.get(k)
-    sys.props(k) = "2"
+    val dir = tmp()
+    TxnTable.installCkptThreshold(dir, 2) // per-table: no global races
     try {
-      val dir = tmp()
       (0 until 14).foreach { i =>
         val v = f"key-$i%03d" // zero-padded: byte order == numeric order
         TxnTable.append(Seq((i, v)).toDF("id", "s").coalesce(1), dir,
@@ -164,7 +162,7 @@ class StringStatsSpec extends SparkTestBase {
       assert(planned.size == 2, s"cold sstats pruning kept ${planned.size} of 14")
       assert(TxnTable.readRangeString(spark, dir, "s", "key-005", "key-006")
         .count() == 2L)
-    } finally { old match { case Some(o) => sys.props(k) = o; case None => sys.props.remove(k) }; () }
+    } finally TxnTable.uninstallCkptThreshold(dir)
   }
 
   test("doubles still reject as statsCol: no sound bound family exists") {
