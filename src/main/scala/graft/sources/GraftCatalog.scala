@@ -98,6 +98,7 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
       "graft DDL takes no PARTITIONED BY — partition layout is a write-time " +
         "decision (overwritePartitions / hidden transforms); see SURVEY L171/L188")
     val dir = dirOf(ident)
+    GraftCatalog.requireNoRecoverableOrphan(dir)
     TxnTable.create(dir, schema)
     new GraftTable(dir, 0L, schema)
   }
@@ -188,6 +189,11 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(ident.name()))
+    // a stranded `.rtas-old-*` sibling means a previous RTAS crashed in
+    // its two-rename window: the REAL table data sits displaced beside
+    // an empty destination. Creating fresh here would silently shadow
+    // it — refuse toward recovery instead.
+    GraftCatalog.requireNoRecoverableOrphan(dest)
     val staging = stagingFor(dest)
     TxnTable.create(staging, info.schema())
     new StagedGraftTable(staging, dest, new GraftTable(staging, 0L, info.schema()))
@@ -197,7 +203,15 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * staged one in (two renames — the read-visible gap is the pair of
     * metadata ops, not the query's whole write as in the non-staging
     * protocol; a reader in the gap sees a missing table, never a torn
-    * one). The displaced table is deleted after the swap lands. */
+    * one). The displaced table is deleted after the swap lands.
+    *
+    * CRASH WINDOW (documented contract): a crash BETWEEN the two
+    * renames leaves the destination path missing with the original
+    * table stranded under `<dest>.rtas-old-<uuid>` (and the staged
+    * result under `<dest>.ctas-staging-<uuid>`). Nothing is torn or
+    * lost — [[GraftCatalog.recoverOrphans]] restores the displaced
+    * table and reaps staging leftovers, and the create paths refuse to
+    * shadow a recoverable orphan ([[GraftCatalog.requireNoRecoverableOrphan]]). */
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
     require(info.partitions().isEmpty,
       "graft DDL takes no PARTITIONED BY — partition layout is a write-time " +
@@ -266,5 +280,79 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
         rec(new java.io.File(staging))
       }
     }
+  }
+}
+
+/** RTAS/CTAS orphan bookkeeping — the recovery side of the staged-swap
+  * crash window documented on [[GraftCatalog.stageReplace]]. */
+object GraftCatalog {
+
+  private def isGraftTable(f: java.io.File): Boolean =
+    new java.io.File(f, "_log").isDirectory
+
+  /** Siblings of `dest` stranded by a crashed staged swap:
+    * (`.rtas-old-*` displaced tables, `.ctas-staging-*` staging dirs). */
+  private[sources] def orphansOf(dest: String): (Seq[java.io.File], Seq[java.io.File]) = {
+    val f = new java.io.File(dest)
+    val sibs = Option(f.getParentFile).flatMap(p => Option(p.listFiles()))
+      .getOrElse(Array.empty[java.io.File])
+    (sibs.filter(_.getName.startsWith(s"${f.getName}.rtas-old-")).toSeq,
+     sibs.filter(_.getName.startsWith(s"${f.getName}.ctas-staging-")).toSeq)
+  }
+
+  /** True iff `dest` is currently NOT a graft table while a displaced
+    * `.rtas-old-*` sibling IS one — the state a crash between the RTAS
+    * swap's two renames leaves behind. Creating over it would shadow
+    * the real data; [[recoverOrphans]] restores it. */
+  private[sources] def hasRecoverableOrphan(dest: String): Boolean =
+    !isGraftTable(new java.io.File(dest)) && orphansOf(dest)._1.exists(isGraftTable)
+
+  private[sources] def requireNoRecoverableOrphan(dest: String): Unit =
+    if (hasRecoverableOrphan(dest))
+      throw new IllegalStateException(
+        s"$dest has a displaced table stranded by an interrupted REPLACE " +
+          s"(${orphansOf(dest)._1.map(_.getName).mkString(", ")}) — run " +
+          "GraftCatalog.recoverOrphans(dest) before creating over this path")
+
+  /** MAINTENANCE: repair the staged-swap crash window at `dest`.
+    *
+    *  - destination missing + exactly one displaced `.rtas-old-*` graft
+    *    table → move it back (the RTAS never committed; its result, if
+    *    staged, is deleted as garbage);
+    *  - destination present → any `.rtas-old-*` siblings are leftovers
+    *    of a swap that LANDED but crashed before its cleanup → deleted;
+    *  - `.ctas-staging-*` siblings are reaped unconditionally.
+    *
+    * Caller contract: no CTAS/RTAS on `dest` may be in flight (a live
+    * staging dir is indistinguishable from a crashed one — this is an
+    * explicit maintenance call, not an automatic sweep, for exactly
+    * that reason). Returns a human-readable action summary. */
+  def recoverOrphans(dest: String): String = {
+    val (rtasOld, staging) = orphansOf(dest)
+    val destF = new java.io.File(dest)
+    val actions = Seq.newBuilder[String]
+    if (!isGraftTable(destF)) {
+      rtasOld.filter(isGraftTable) match {
+        case Seq(one) =>
+          TxnTable.invalidateSnapshotCache(dest)
+          java.nio.file.Files.move(one.toPath, destF.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+          actions += s"restored ${one.getName} -> $dest"
+        case Seq() => ()
+        case many => throw new IllegalStateException(
+          s"$dest has ${many.size} displaced candidates " +
+            s"(${many.map(_.getName).mkString(", ")}) — restore manually")
+      }
+    }
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rec)
+      f.delete(): Unit
+    }
+    // after a restore (or with dest live) every remaining sibling is garbage
+    orphansOf(dest) match { case (ro, st) =>
+      (ro ++ st).foreach { f => rec(f); actions += s"reaped ${f.getName}" }
+    }
+    val done = actions.result()
+    if (done.isEmpty) "no orphans" else done.mkString("; ")
   }
 }

@@ -57,10 +57,23 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 final class GraftStreamSink(tableDir: String, mode: OutputMode, appId: String,
                             mergeKeys: Seq[String],
-                            partCol: Option[String] = None)
+                            partCol: Option[String] = None,
+                            legacyAppId: Option[String] = None)
     extends Sink {
 
+  private val probedLegacy = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // Migration probe: the checkpoint-derived appId changed from
+    // murmur32 to SHA-256 — a checkpoint predating that change replays
+    // its last committed-but-unacked batch under the NEW appId, so the
+    // table-side findTxn would miss and the batch would land twice.
+    // Replay only ever re-delivers the FIRST batch after a restart, so
+    // one legacy-txnId lookup per sink instance (not per batch) closes
+    // the window; any later batch is genuinely new.
+    if (legacyAppId.exists(la => !probedLegacy.getAndSet(true) &&
+        TxnTable.txnApplied(tableDir, s"$la-$batchId")))
+      return // already applied by a pre-upgrade run — skip, don't duplicate
     // Re-wrap the micro-batch output on the executed-RDD boundary (the
     // ForeachBatchSink pattern): the incoming handle is bound to the
     // stream's IncrementalExecution and must not be re-planned through
@@ -107,6 +120,17 @@ object GraftStreamSink {
     val dir = GraftDataSource.dirOf(parameters)
     def opt(k: String): Option[String] =
       parameters.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+    // the pre-upgrade checkpoint-derived appId (murmur32 of the same
+    // absolute path) — probed once per restart so checkpoints created
+    // before the SHA-256 derivation don't double-apply their replayed
+    // batch (see addBatch). Only meaningful when the appId is
+    // checkpoint-derived: an explicit txnAppId never changed shape.
+    val legacy = opt("txnAppId") match {
+      case Some(_) => None
+      case None => opt("checkpointLocation").map(cp =>
+        "ckpt" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+          new java.io.File(cp).getAbsolutePath)))
+    }
     val appId = opt("txnAppId").getOrElse(opt("checkpointLocation") match {
       case Some(cp) =>
         // stable across restarts of the same query: the checkpoint path
@@ -136,11 +160,11 @@ object GraftStreamSink {
     val partCol = opt("overwritePartitions")
     outputMode match {
       case m if m == OutputMode.Append() && partCol.isDefined =>
-        new GraftStreamSink(dir, m, appId, Nil, partCol)
+        new GraftStreamSink(dir, m, appId, Nil, partCol, legacy)
       case m if m == OutputMode.Append() || m == OutputMode.Complete() =>
-        new GraftStreamSink(dir, m, appId, Nil)
+        new GraftStreamSink(dir, m, appId, Nil, None, legacy)
       case m if m == OutputMode.Update() && keys.nonEmpty =>
-        new GraftStreamSink(dir, m, appId, keys)
+        new GraftStreamSink(dir, m, appId, keys, None, legacy)
       case other => throw new UnsupportedOperationException(
         s"graft streaming sink: output mode $other needs upsert keys — " +
           "pass .option(\"mergeKeys\", \"c1[,c2]\") for per-batch MERGE " +

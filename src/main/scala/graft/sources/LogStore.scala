@@ -139,10 +139,16 @@ final class ObjectStoreSimLogStore(listLagMs: Long = 40L) extends LogStore {
       putTimes.put(dest.getAbsolutePath, System.currentTimeMillis()): Unit
     }
 
-  override def readBytes(f: File): Option[Array[Byte]] =
+  // Reads take the same lock as writes: the real conditional-PUT server
+  // is read-after-write consistent on WHOLE objects (a GET never sees a
+  // partial PUT), but this simulator's direct Files.write is not — an
+  // unlocked concurrent readBytes could observe a torn manifest, which
+  // would make the fuzz arms prove LESS than the simulator claims.
+  override def readBytes(f: File): Option[Array[Byte]] = lock.synchronized {
     if (f.exists()) Some(Files.readAllBytes(f.toPath)) else None
+  }
 
-  override def exists(f: File): Boolean = f.exists()
+  override def exists(f: File): Boolean = lock.synchronized(f.exists())
 
   override def list(dir: File): Seq[String] = {
     val cutoff = System.currentTimeMillis() - listLagMs

@@ -299,7 +299,18 @@ object TxnTable {
           vs.lastOption.map(l => s" (latest: $l)").getOrElse(" (no commits)"))
     }
     cacheGet(tableDir, version) match {
-      case Some(sn) => sn
+      case Some(sn) =>
+        // validate hits against the retention floor too: ANOTHER JVM's
+        // vacuum advances `_floor` and reaps data dirs without touching
+        // this process's cache — serving the stale entry would surface
+        // as missing-file scan errors instead of the typed
+        // RetentionError callers are told to catch. One pointer read,
+        // the same cost the miss path already pays.
+        if (version < retentionFloor(tableDir))
+          throw new RetentionError(
+            s"version $version of $tableDir predates the retention window " +
+              s"(oldest retained: ${retentionFloor(tableDir)}); vacuum removed it")
+        sn
       case None =>
         // a manifest file kept only as a reconstruction-chain link is
         // NOT a readable version — its data dirs were reaped (vacuum
@@ -1300,6 +1311,28 @@ object TxnTable {
               // partitions; old-era dirs stay until rewritten
               case Some(vec) if vec.size == 1 && oldEraAliases.contains(vec.head._1) =>
                 Some(d)
+              // a PARTIAL vector: compactPartition on a partial spec
+              // packs several deep-level partitions into one dir that
+              // records only the levels exact across everything merged
+              // (e.g. [(status,F)] on a (status,year) table). Keepable
+              // iff provably DISJOINT from every incoming tuple at its
+              // recorded levels — then it cannot hold rows of any
+              // partition this write replaces. Overlap is a genuine
+              // conflict (dir-granular replacement cannot carve the
+              // overlapping partition out of the packed dir), reported
+              // with a recovery path instead of bricking the writer.
+              case Some(vec) if vec.nonEmpty && vec.map(_._1).forall(partCols.contains) =>
+                val overlaps = byValue.exists(tuple =>
+                  vec.forall { case (c, pv) => tuple(partCols.indexOf(c)) == pv })
+                if (overlaps) throw new CommitConflict(
+                  s"live dir $d is a partial-spec compaction over " +
+                    s"(${vec.map { case (c, pv) => s"$c=$pv" }.mkString(", ")}) " +
+                    "overlapping an incoming partition — its deep levels " +
+                    "were merged and cannot be carved back out; rewrite the " +
+                    "affected subtree (read it, full-table overwrite or " +
+                    "reload onto a fresh table), or keep tuple-overwritten " +
+                    "partitions out of partial-spec compactions")
+                Some(d)
               case _ => throw new IllegalStateException(
                 s"live dir $d carries no partition vector on " +
                   s"(${partCols.mkString(", ")}) — not a table partitioned on " +
@@ -2107,6 +2140,12 @@ object TxnTable {
     }
     throw new CommitConflict(s"gave up after $attempt conflicts at $tableDir")
   }
+
+  /** Whether any RETAINED commit carries `txnId` — the migration probe
+    * the streaming sink uses to recognize a batch already applied under
+    * a LEGACY appId derivation (see [[GraftStreamSink]]). */
+  private[sources] def txnApplied(tableDir: String, txnId: String): Boolean =
+    latestVersion(tableDir).isDefined && findTxn(tableDir, txnId).isDefined
 
   /** Version whose manifest carries `txnId`, if any retained one does. */
   private def findTxn(tableDir: String, txnId: String): Option[Long] =

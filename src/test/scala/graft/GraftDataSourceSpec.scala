@@ -471,4 +471,45 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT * FROM graft.`$ok`").count() == 2L,
       "failed RTAS damaged the existing table")
   }
+
+  test("RTAS crash-window recovery: a stranded .rtas-old sibling blocks " +
+      "shadowing creates and recoverOrphans restores the displaced table") {
+    graft.plans.GraftDml.install(spark)
+    import spark.implicits._
+    val root = tmpTable()
+    val t = s"$root/t"
+    spark.sql(s"CREATE TABLE graft.`$t` (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (1, 'a'), (2, 'b')")
+    // simulate a crash BETWEEN the RTAS swap's two renames: the real
+    // table displaced to .rtas-old-*, destination missing, the staged
+    // RTAS result stranded under .ctas-staging-*
+    val displaced = new java.io.File(s"$t.rtas-old-deadbeef")
+    graft.sources.TxnTable.invalidateSnapshotCache(t)
+    java.nio.file.Files.move(new java.io.File(t).toPath, displaced.toPath)
+    val staging = s"$t.ctas-staging-cafe"
+    graft.sources.TxnTable.append(Seq((9L, "z")).toDF("k", "v"), staging)
+    // creating over the path would shadow the stranded data → typed refuse
+    val e = intercept[Exception] { spark.sql(s"CREATE TABLE graft.`$t` (x INT)") }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("recoverOrphans")),
+      s"create over a recoverable orphan must direct to recovery: ${chain(e)}")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$t` AS SELECT 1L AS k, 'x' AS v")
+    }
+    // maintenance recovery: displaced table restored, staging reaped
+    val report = graft.sources.GraftCatalog.recoverOrphans(t)
+    assert(report.contains("restored") && report.contains("reaped"),
+      s"recovery report wrong: $report")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted ==
+      Seq((1L, "a"), (2L, "b")), "recovered table content wrong")
+    assert(!displaced.exists() && !new java.io.File(staging).exists(),
+      "recovery left orphan siblings behind")
+    // with the destination live, leftover siblings are plain garbage
+    graft.sources.TxnTable.append(Seq((7L, "g")).toDF("k", "v"),
+      s"$t.ctas-staging-feed")
+    assert(graft.sources.GraftCatalog.recoverOrphans(t).contains("reaped"))
+    assert(graft.sources.GraftCatalog.recoverOrphans(t) == "no orphans")
+  }
 }

@@ -126,4 +126,34 @@ class MultiPartitionSpec extends SparkTestBase {
       assert(TxnTable.prunePartitionSpec(snap, Map("p" -> "c")).size == 12)
     } finally TxnTable.uninstallCkptThreshold(dir)
   }
+
+  test("compact-then-overwrite: a partial-spec packed dir survives DISJOINT " +
+      "tuple overwrites and conflicts typed (not bricked) on overlap") {
+    val dir = tmp()
+    seed(dir)
+    // pack the p=b subtree: the packed dir records only [(p,b)]
+    TxnTable.compactPartition(spark, dir, Map("p" -> "b"), targetFiles = 1)
+    // disjoint tuple (a,x): the packed dir's recorded level (p=b) is
+    // disjoint from the incoming tuple — must land, packed dir kept
+    TxnTable.overwritePartitions(spark, dir,
+      Seq((9, "a", "x", 9L)).toDF("id", "p", "q", "v"), Seq("p", "q"), None)
+    assert(TxnTable.readPartition(spark, dir, Map("p" -> "a", "q" -> "x"))
+      .collect().map(_.getInt(0)).toSeq == Seq(9), "disjoint overwrite lost")
+    assert(TxnTable.readPartition(spark, dir, Map("p" -> "b")).count() == 3L,
+      "packed subtree was disturbed by a disjoint overwrite")
+    // overlapping tuple (b,x): the packed dir mixes b's deep levels and
+    // cannot be carved dir-granularly — a typed conflict with guidance,
+    // not a permanent IllegalStateException on the write path
+    intercept[TxnTable.CommitConflict] {
+      TxnTable.overwritePartitions(spark, dir,
+        Seq((8, "b", "x", 8L)).toDF("id", "p", "q", "v"), Seq("p", "q"), None)
+    }
+    assert(TxnTable.read(spark, dir).count() == 5L,
+      "rejected overlapping overwrite left a trace")
+    // and the table is NOT bricked: further disjoint tuples still land
+    TxnTable.overwritePartitions(spark, dir,
+      Seq((10, "a", "y", 10L)).toDF("id", "p", "q", "v"), Seq("p", "q"), None)
+    assert(TxnTable.readPartition(spark, dir, Map("p" -> "a", "q" -> "y"))
+      .collect().map(_.getInt(0)).toSeq == Seq(10))
+  }
 }

@@ -717,4 +717,43 @@ class StreamingSpec extends SparkTestBase {
       assert(actions == Seq("append", "merge"), s"lineage wrong: $actions")
     } finally q.stop()
   }
+
+  test("appId migration: a batch committed under the LEGACY murmur-derived " +
+      "appId is not double-applied after the SHA-256 derivation change") {
+    import graft.sources.TxnTable
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dst = java.nio.file.Files.createTempDirectory("graft-legacy-dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-legacy-ck").toString
+    // a pre-upgrade run committed batch 0 under the murmur32 appId and
+    // crashed before advancing the checkpoint — the replayed batch 0
+    // arrives under the NEW appId after the upgrade
+    val legacyAppId = "ckpt" + Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(ckpt).getAbsolutePath))
+    TxnTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dst,
+      txnId = Some(s"$legacyAppId-0"))
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("k", "v").writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      // batch 0 replays the SAME rows the legacy run already committed —
+      // the sink must recognize the legacy txnId and skip, not duplicate
+      ms.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      val after0 = TxnTable.read(spark, dst).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(after0 == Seq((1L, "a"), (2L, "b")),
+        s"legacy-committed batch was double-applied: $after0")
+      assert(TxnTable.versions(dst).size == 1,
+        "the replayed batch minted a second commit")
+      // later batches are genuinely new — the probe must not keep
+      // skipping (it fires once per restart, for the replay window only)
+      ms.addData((3L, "c")); q.processAllAvailable()
+      val after1 = TxnTable.read(spark, dst).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(after1 == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"post-migration batch lost: $after1")
+    } finally q.stop()
+  }
 }

@@ -1947,4 +1947,23 @@ class TxnTableSpec extends SparkTestBase {
       TxnTable.deleteRangeDV(spark, dir, "v", 0L, 1L)
     }
   }
+
+  test("snapshot cache re-checks the retention floor: a floor advanced by " +
+      "ANOTHER process invalidates cached below-floor snapshots typed") {
+    val dir = tmpTable()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
+    TxnTable.append(Seq((2, "b")).toDF("id", "v"), dir)
+    // populate this JVM's cache with v0
+    assert(TxnTable.snapshot(dir, 0L).version == 0L)
+    // another JVM's vacuum: advance `_floor` directly — this process's
+    // snapshot cache is NOT cleared (the cross-JVM scenario)
+    java.nio.file.Files.write(
+      new java.io.File(new java.io.File(dir, "_log"), "_floor").toPath,
+      "1".getBytes("UTF-8"))
+    // the cached entry must not be served: typed RetentionError, not a
+    // missing-file scan error later
+    intercept[TxnTable.RetentionError] { TxnTable.snapshot(dir, 0L) }
+    // the retained head still reads fine
+    assert(TxnTable.snapshot(dir, 1L).version == 1L)
+  }
 }
