@@ -2370,6 +2370,85 @@ object FormatQueries {
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- q236: DATE data skipping through the PLAIN DSv2 reader (round
+    // 14) — the round-13 bounds machinery promoted from an expert API to
+    // engine behavior every user gets. The derived build appends orders
+    // in four date slices with `statsCol = o_orderdate` — a DATE column,
+    // whose bounds now ride the integral `.stats` tier as epoch days
+    // (TxnTable.longProj). The query is exactly what a BI tool or naive
+    // notebook issues: `spark.read.format("graft").load(t).filter(date
+    // between …)` — no readRange, no readRangeString, no knowledge the
+    // table format exists. GraftScan translates the pushed Date values
+    // through Spark's own DateTimeUtils (the exact inverse of the
+    // write-side unix_date projection — both sides engine-controlled, so
+    // the rendering-drift hazard that excludes dates from PARTITION
+    // pruning cannot arise) and must plan 1 of the 4 dirs, REQUIRED each
+    // run via the keyed ScanMeta record and pinned equal to the explicit
+    // pruneLive plan. The oracle applies the same date window to the
+    // original parquet — a hash match proves dir skipping dropped no
+    // qualifying row. At 100 TB: a date range is THE most common fact-
+    // table predicate; this is the difference between scanning a year
+    // and scanning the table, with zero API opt-in.
+    Q("q236_dsv2_date_skipping",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.{GraftScanMeta, TxnTable}
+        val dir = derivedDir(d, "orders_txn_dateskip")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          // the synthetic o_orderdate is a (midnight) TIMESTAMP_NTZ —
+          // land it as a true DATE column, the type this query verifies
+          val base = Tables.orders(s, d)
+            .select(to_date(col("o_orderdate")).as("o_orderdate"),
+              col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          // four date slices (synthetic orders span 1995-01-01..
+          // 2001-08-01 at every SF), 1997 entirely inside one — the
+          // sorted-ingest layout a daily-loaded fact table has naturally
+          Seq(("1900-01-01", "1996-06-30"), ("1996-07-01", "1997-12-31"),
+              ("1998-01-01", "1999-12-31"), ("2000-01-01", "2099-12-31"))
+            .zipWithIndex.foreach { case ((lo, hi), i) =>
+              TxnTable.append(
+                base.filter(col("o_orderdate") >= lit(java.sql.Date.valueOf(lo)) &&
+                  col("o_orderdate") <= lit(java.sql.Date.valueOf(hi))),
+                t.getPath, txnId = Some(s"dslice-$i"),
+                statsCol = Some("o_orderdate"))
+            }
+          ()
+        }
+        val t = s"$dir/t"
+        val out = s.read.format("graft").load(t)
+          .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+            col("o_orderdate") <= lit(java.sql.Date.valueOf("1997-12-31")))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+        // force planning, then pin the dir-level skip through the PLAIN
+        // reader: same keyed-record audit as q224, and the planned set
+        // must equal the explicit epoch-day pruneLive plan
+        out.queryExecution.executedPlan: Unit
+        val meta = GraftScanMeta.forTable(t).getOrElse(
+          sys.error("DSv2 scan never planned"))
+        require(meta.live.size == 4 && meta.planned.size == 1,
+          s"DSv2 date skipping regressed: planned ${meta.planned.size} " +
+            s"of ${meta.live.size} dirs (pushed=${meta.pushed})")
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(meta.planned == TxnTable.pruneLive(snap, "o_orderdate",
+            java.time.LocalDate.parse("1997-01-01").toEpochDay,
+            java.time.LocalDate.parse("1997-12-31").toEpochDay),
+          "DSv2 planned a different dir set than the epoch-day pruneLive")
+        out
       })
   )
 }

@@ -416,24 +416,50 @@ object GraftScan {
     filters.flatMap(conjuncts).foreach {
       case EqualTo(a, v) =>
         longOf(v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
+        stringOf(v).foreach(s => narrow(TxnTable.pruneLiveString(snap, a, s, s)))
         stableRender(v).foreach(s => narrow(TxnTable.prunePartition(snap, a, s)))
       case EqualNullSafe(a, v) if v != null =>
         longOf(v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
+        stringOf(v).foreach(s => narrow(TxnTable.pruneLiveString(snap, a, s, s)))
         stableRender(v).foreach(s => narrow(TxnTable.prunePartition(snap, a, s)))
       case GreaterThan(a, v) =>
         longOf(v).filter(_ < Long.MaxValue)
           .foreach(x => narrow(TxnTable.pruneLive(snap, a, x + 1L, Long.MaxValue)))
+        // strict string bound prunes via the inclusive one: a dir whose
+        // recorded range tops out below s cannot hold anything > s (a
+        // dir with max == s survives — kept extra, sound)
+        stringOf(v).foreach(s =>
+          narrow(TxnTable.pruneLiveStringBounds(snap, a, Some(s), None)))
       case GreaterThanOrEqual(a, v) =>
         longOf(v).foreach(x => narrow(TxnTable.pruneLive(snap, a, x, Long.MaxValue)))
+        stringOf(v).foreach(s =>
+          narrow(TxnTable.pruneLiveStringBounds(snap, a, Some(s), None)))
       case LessThan(a, v) =>
         longOf(v).filter(_ > Long.MinValue)
           .foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x - 1L)))
+        stringOf(v).foreach(s =>
+          narrow(TxnTable.pruneLiveStringBounds(snap, a, None, Some(s))))
       case LessThanOrEqual(a, v) =>
         longOf(v).foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x)))
+        stringOf(v).foreach(s =>
+          narrow(TxnTable.pruneLiveStringBounds(snap, a, None, Some(s))))
+      case StringStartsWith(a, p) =>
+        // any string with prefix p is >= p under the byte order the
+        // `.sstats` bounds use — the lower bound alone prunes dirs
+        // entirely below the prefix (an exclusive upper would need raw
+        // byte bounds; kept-extra dirs are sound)
+        narrow(TxnTable.pruneLiveStringBounds(snap, a, Some(p), None))
       case In(a, vs) if vs.nonEmpty =>
         val ls = vs.flatMap(longOf)
         if (ls.length == vs.length) // all values integral → bounds prune
           narrow(TxnTable.pruneLive(snap, a, ls.min, ls.max))
+        // string IN: union of per-value prunes against the `.sstats`
+        // bounds — a dir survives if ANY value could live in it
+        val ss = vs.flatMap(stringOf)
+        if (ss.length == vs.length) {
+          val perString = ss.map(s => TxnTable.pruneLiveString(snap, a, s, s))
+          narrow(dirs.filter(d => perString.exists(_.contains(d))))
+        }
         // partition prune: keep dirs whose recorded value is IN the set
         // (union of per-value prunes — a dir survives if ANY value
         // matches); only when EVERY value has a rendering proven equal
@@ -475,12 +501,35 @@ object GraftScan {
     case _          => None
   }
 
+  /** Pushed filter values the integral `.stats` bounds cover. DATE and
+    * TIMESTAMP values translate through Spark's OWN external↔internal
+    * converters (DateTimeUtils — the exact inverse of the `unix_date`/
+    * `unix_micros` projections the write side records bounds with, see
+    * TxnTable.longProj, including the Julian↔Gregorian rebase), so the
+    * comparison is engine-controlled on BOTH sides. Which external
+    * class arrives depends on `spark.sql.datetime.java8API.enabled` —
+    * all four are handled. */
   private def longOf(v: Any): Option[Long] = v match {
     case i: Int   => Some(i.toLong)
     case l: Long  => Some(l)
     case s: Short => Some(s.toLong)
     case b: Byte  => Some(b.toLong)
-    case _        => None
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong)
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
+  /** String filter values — the `.sstats` truncated-bounds tier
+    * (byte-order comparison, exactly pruneLiveString's contract). */
+  private def stringOf(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case _         => None
   }
 
   /** Translate a source filter back to a Column for the INNER read —

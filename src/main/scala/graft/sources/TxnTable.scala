@@ -4,7 +4,7 @@ import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Transactional parquet table — ACID-ish semantics over plain parquet,
   * no Delta/Iceberg jars (none ship in this environment; see SURVEY
@@ -1618,9 +1618,43 @@ object TxnTable {
   private def isStringCol(df: DataFrame, c: String): Boolean =
     df.schema(c).dataType == org.apache.spark.sql.types.StringType
 
+  /** DATE/TIMESTAMP stats columns ride the INTEGRAL `.stats` tier
+    * (round 14): bounds are recorded as epoch days / epoch micros via
+    * [[longProj]], and the DSv2 prune tier translates pushed
+    * Date/Timestamp filter values identically (GraftScan.longOf through
+    * Spark's own DateTimeUtils). Both sides engine-controlled — the
+    * rendering-drift hazard that keeps dates out of PARTITION pruning
+    * ([[GraftScan.stableRender]]) cannot arise for bounds. */
+  private def isDatelike(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+
+  /** A column the long-bounds `.stats` family soundly covers. */
+  private def longStatsable(df: DataFrame, c: String): Boolean =
+    isIntegral(df, c) || isDatelike(df.schema(c).dataType)
+
+  /** The engine-canonical long projection of a stats column: integrals
+    * cast (identity); DATE → epoch days (`unix_date`), TIMESTAMP →
+    * epoch micros (`unix_micros`). Total functions — every value maps,
+    * so dir bounds cover every row (the partial-cast hazard that bars
+    * string/double columns from this tier does not apply). */
+  private def longProj(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
+    df.schema(c).dataType match {
+      // unix_date yields INT — normalize to LONG so the bloom/stats
+      // tier sees the exact type the probe side compares with
+      case org.apache.spark.sql.types.DateType      => unix_date(col(c)).cast("long")
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _                                        => col(c).cast("long")
+    }
+  }
+
   private def requireStatsable(df: DataFrame, c: String): Unit =
-    require(isIntegral(df, c) || isStringCol(df, c),
-      s"statsCol $c must be an integral or string type, got " +
+    require(longStatsable(df, c) || isStringCol(df, c),
+      s"statsCol $c must be an integral, string, date or timestamp type, got " +
         df.schema(c).dataType.sql)
 
   private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -1690,9 +1724,8 @@ object TxnTable {
         }
         r.getLong(0)
       case Some(c) =>
-        val r = back.agg(count(lit(1)),
-          min(col(c).cast("long")), max(col(c).cast("long")),
-          count(col(c))).head()
+        val lp = longProj(back, c) // identity for integrals; epoch days/micros for dates
+        val r = back.agg(count(lit(1)), min(lp), max(lp), count(col(c))).head()
         if (!r.isNullAt(1))
           Files.write(new File(dir, ".stats").toPath,
             s"$c:${r.getLong(1)}:${r.getLong(2)}".getBytes("UTF-8")): Unit
@@ -1708,7 +1741,7 @@ object TxnTable {
         // Gated on the NON-NULL count: an all-null column has no keys
         // to index and Spark's bloomFilter NPEs on the empty buffer.
         if (r.getLong(3) > 0L) {
-          val bf = back.stat.bloomFilter(col(c).cast("long"),
+          val bf = back.stat.bloomFilter(lp,
             math.max(r.getLong(0), 1L), 0.01)
           val os = new java.io.FileOutputStream(new File(dir, ".bloom"))
           try bf.writeTo(os) finally os.close()
@@ -2008,12 +2041,24 @@ object TxnTable {
     * are truncated CONSERVATIVELY (lower bounds shrink, upper bounds
     * grow), so pruning can only keep extra dirs, never drop a match. */
   def pruneLiveString(snap: Snapshot, column: String,
-                      lo: String, hi: String): Seq[String] = {
-    val (loB, hiB) = (b64OfString(lo), b64OfString(hi))
+                      lo: String, hi: String): Seq[String] =
+    pruneLiveStringBounds(snap, column, Some(lo), Some(hi))
+
+  /** [[pruneLiveString]] with OPEN-ENDED bounds (None = unbounded on
+    * that side) — what the DSv2 prune tier needs for one-sided string
+    * predicates (`status >= 'N'`, `url < 'https:'`). Same conservative
+    * contract: truncated lower bounds only shrink and upper bounds only
+    * grow, so a kept-extra dir is possible, a dropped match is not. */
+  def pruneLiveStringBounds(snap: Snapshot, column: String,
+                            lo: Option[String], hi: Option[String]): Seq[String] = {
+    val loB = lo.map(b64OfString)
+    val hiB = hi.map(b64OfString)
     snap.live.filter(d =>
       snap.sstats.get(d).flatMap(_.find(_._1 == column)) match {
         case Some((_, dLo, dHi)) =>
-          !((dHi.nonEmpty && b64Compare(dHi, loB) < 0) || b64Compare(dLo, hiB) > 0)
+          val belowRange = loB.exists(l => dHi.nonEmpty && b64Compare(dHi, l) < 0)
+          val aboveRange = hiB.exists(h => b64Compare(dLo, h) > 0)
+          !(belowRange || aboveRange)
         case _ => true
       })
   }
@@ -3731,7 +3776,7 @@ object TxnTable {
     val df = read(spark, tableDir, Some(base)).coalesce(targetFiles)
     val statsCol = snap.live.flatMap(statsOf(tableDir, _)).map(_._1).distinct match {
       case Seq(c) if snap.live.forall(d => statsOf(tableDir, d).isDefined) &&
-                     df.columns.contains(c) && isIntegral(df, c) => Some(c)
+                     df.columns.contains(c) && longStatsable(df, c) => Some(c)
       case _ => None
     }
     val staged = stage(df, tableDir, statsCol)
@@ -3815,14 +3860,14 @@ object TxnTable {
       if (df.isEmpty) None // fully-doomed dir: drops from the live set
       else {
         val statCols = statsAllOf(tableDir, d).map(_._1)
-          .filter(c => df.columns.contains(c) && isIntegral(df, c))
+          .filter(c => df.columns.contains(c) && longStatsable(df, c))
         val s = stage(df, tableDir, statCols.headOption)
         // re-derive the REMAINING stats columns (Z-ordered dirs carry
         // two) so clustering's pruning power survives the purge
         if (statCols.size > 1) {
           val back = spark.read.parquet(new File(dataDir(tableDir), s).getPath)
           val aggs = statCols.tail.flatMap(c =>
-            Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+            Seq(min(longProj(back, c)), max(longProj(back, c))))
           val r = back.agg(aggs.head, aggs.tail: _*).head()
           val extra = statCols.tail.zipWithIndex.collect {
             case (c, i) if !r.isNullAt(2 * i) =>

@@ -583,6 +583,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("o_orderdate"), "column pruning failed through DSv2")
   }
 
+  test("q236: the DSv2 DATE read plans the SAME 1-of-4 dirs as the epoch-day " +
+      "pruneLive; Date filters pushed through to the scan node") {
+    val df = SparkEntry.queries("q236_dsv2_date_skipping")(spark, sf)
+    df.queryExecution.executedPlan: Unit // plan (and record ScanMeta)
+    val t = "/tmp/graft_derived/sf0.001/orders_txn_dateskip/t"
+    val snap = graft.sources.TxnTable.snapshot(t,
+      graft.sources.TxnTable.latestVersion(t).get)
+    val expect = graft.sources.TxnTable.pruneLive(snap, "o_orderdate",
+      java.time.LocalDate.parse("1997-01-01").toEpochDay,
+      java.time.LocalDate.parse("1997-12-31").toEpochDay)
+    assert(snap.live.size == 4 && expect.size == 1,
+      s"date-slice build wrong: ${snap.live.size} live, ${expect.size} expected")
+    val meta = graft.sources.GraftScanMeta.forTable(t).get
+    assert(meta.planned == expect,
+      s"DSv2 planned ${meta.planned} but epoch-day pruneLive plans $expect")
+    // Spark pushed the Date range to the DSv2 scan builder (shows in the
+    // scan node's pushed-filter record), and both bounds arrived
+    val p = plan("q236_dsv2_date_skipping")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThanOrEqual(o_orderdate"),
+      "Date range filter not pushed through SupportsPushDownFilters:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("q206: Z-order gives the SECOND column a pruned plan (at most half the dirs)") {
     val df = SparkEntry.queries("q206_txn_zorder")(spark, sf)
     val t = "/tmp/graft_derived/sf0.001/orders_txn_zorder/t"

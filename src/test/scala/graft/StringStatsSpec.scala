@@ -165,6 +165,116 @@ class StringStatsSpec extends SparkTestBase {
     } finally TxnTable.uninstallCkptThreshold(dir)
   }
 
+  test("DSv2 route (round 14): plain .filter() string predicates prune dirs " +
+      "through the sstats tier — sound on the seeded corpus, exact results") {
+    val rng = new scala.util.Random(41)
+    val alphabet = "abzAB01-_/=é漢ÿ"
+    def randStr(): String = {
+      val base = (0 until (1 + rng.nextInt(6))).map(_ =>
+        alphabet(rng.nextInt(alphabet.length))).mkString
+      if (rng.nextBoolean()) ("prefix/" * 6) + base else base
+    }
+    val dir = tmp()
+    val dirsRows: Seq[Seq[String]] =
+      (0 until 5).map(_ => (0 until (2 + rng.nextInt(4))).map(_ => randStr()))
+    dirsRows.zipWithIndex.foreach { case (vs, i) =>
+      TxnTable.append(vs.zipWithIndex.map { case (v, j) => (i * 100 + j, v) }
+        .toDF("id", "s").coalesce(1), dir, statsCol = Some("s"))
+    }
+    val utf8 = (s: String) => s.getBytes("UTF-8")
+    def leq(a: Array[Byte], b: Array[Byte]): Boolean = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xFF) - (b(i) & 0xFF)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length <= b.length
+    }
+    import org.apache.spark.sql.functions.col
+    def viaDsv2(f: org.apache.spark.sql.Column): (Seq[String], Int) = {
+      val df = spark.read.format("graft").load(dir).filter(f)
+      df.queryExecution.executedPlan: Unit // force planning for the audit
+      val meta = graft.sources.GraftScanMeta.forTable(dir).get
+      (df.collect().map(_.getString(1)).sorted.toSeq, meta.planned.size)
+    }
+    val flat = dirsRows.flatten
+    (0 until 25).foreach { _ =>
+      val (a, b) = (randStr(), randStr())
+      val (lo, hi) = if (leq(utf8(a), utf8(b))) (a, b) else (b, a)
+      val (got, planned) = viaDsv2(col("s") >= lo && col("s") <= hi)
+      val brute = flat.filter(v => leq(utf8(lo), utf8(v)) && leq(utf8(v), utf8(hi)))
+        .sorted
+      assert(got == brute, s"DSv2 string range ['$lo','$hi'] wrong: $got vs $brute")
+      assert(planned <= 5)
+    }
+    // point equality: must prune to the dirs that can hold the value
+    // and still answer exactly (also through the residual row filter)
+    val probe = flat(rng.nextInt(flat.length))
+    val (eqGot, eqPlanned) = viaDsv2(col("s") === probe)
+    assert(eqGot == flat.filter(_ == probe).sorted, s"DSv2 equality wrong: $eqGot")
+    assert(eqPlanned <= 5)
+    // a disjoint range plans ZERO dirs (the strongest observable skip)
+    val (zGot, zPlanned) = viaDsv2(col("s") >= "\uffff\uffff" && col("s") <= "\uffff\uffffz")
+    assert(zGot.isEmpty && zPlanned == 0,
+      s"disjoint DSv2 string range planned $zPlanned dirs")
+    // IN and startsWith prune soundly too
+    val ins = Seq(flat.head, flat.last)
+    val (inGot, _) = viaDsv2(col("s").isin(ins: _*))
+    assert(inGot == flat.filter(ins.contains).sorted, s"DSv2 IN wrong: $inGot")
+    val (swGot, _) = viaDsv2(col("s").startsWith("prefix/"))
+    assert(swGot == flat.filter(_.startsWith("prefix/")).sorted,
+      s"DSv2 startsWith wrong: $swGot")
+  }
+
+  test("DSv2 route (round 14): DATE and TIMESTAMP statsCols record epoch-day/" +
+      "micros bounds; plain .filter() date predicates plan a strict subset") {
+    import org.apache.spark.sql.functions.{col, lit, to_date, to_timestamp}
+    // DATE: four half-year slices
+    val dDir = tmp()
+    val days = Seq("2021-01-15", "2021-08-20", "2022-02-10", "2022-09-05")
+    days.zipWithIndex.foreach { case (d0, i) =>
+      TxnTable.append(
+        Seq((i, d0), (i + 10, d0.take(8) + "28")).toDF("id", "ds")
+          .select(col("id"), to_date(col("ds")).as("d")).coalesce(1),
+        dDir, statsCol = Some("d"))
+    }
+    val dSnap = TxnTable.snapshot(dDir, TxnTable.latestVersion(dDir).get)
+    assert(dSnap.stats.size == 4, s"date bounds not in .stats tier: ${dSnap.stats}")
+    val dDf = spark.read.format("graft").load(dDir)
+      .filter(col("d") >= lit(java.sql.Date.valueOf("2022-01-01")) &&
+        col("d") <= lit(java.sql.Date.valueOf("2022-06-30")))
+    dDf.queryExecution.executedPlan: Unit
+    val dMeta = graft.sources.GraftScanMeta.forTable(dDir).get
+    assert(dMeta.live.size == 4 && dMeta.planned.size == 1,
+      s"date DSv2 skip planned ${dMeta.planned.size} of ${dMeta.live.size}")
+    assert(dDf.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 12),
+      "date-filtered DSv2 read wrong")
+    // date point equality consults the bloom tier (epoch-day keyed)
+    val dPoint = spark.read.format("graft").load(dDir)
+      .filter(col("d") === lit(java.sql.Date.valueOf("2021-08-20")))
+    assert(dPoint.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // TIMESTAMP: micros bounds through the same tier
+    val tDir = tmp()
+    Seq("2023-01-01 00:00:00", "2023-06-01 12:30:00", "2024-01-01 00:00:00")
+      .zipWithIndex.foreach { case (ts, i) =>
+        TxnTable.append(
+          Seq((i, ts)).toDF("id", "tss")
+            .select(col("id"), to_timestamp(col("tss")).as("t")).coalesce(1),
+          tDir, statsCol = Some("t"))
+      }
+    val tDf = spark.read.format("graft").load(tDir)
+      .filter(col("t") >= lit(java.sql.Timestamp.valueOf("2023-05-01 00:00:00")) &&
+        col("t") <= lit(java.sql.Timestamp.valueOf("2023-12-31 00:00:00")))
+    tDf.queryExecution.executedPlan: Unit
+    val tMeta = graft.sources.GraftScanMeta.forTable(tDir).get
+    assert(tMeta.live.size == 3 && tMeta.planned.size == 1,
+      s"timestamp DSv2 skip planned ${tMeta.planned.size} of ${tMeta.live.size}")
+    assert(tDf.collect().map(_.getInt(0)).toSeq == Seq(1),
+      "timestamp-filtered DSv2 read wrong")
+  }
+
   test("doubles still reject as statsCol: no sound bound family exists") {
     val dir = tmp()
     intercept[IllegalArgumentException] {
