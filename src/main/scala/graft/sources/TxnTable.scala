@@ -101,6 +101,14 @@ object TxnTable {
     * raw filesystem error a missing manifest used to surface as. */
   final class RetentionError(msg: String) extends RuntimeException(msg)
 
+  /** Thrown when a manifest's BYTES fail their integrity check — a torn
+    * write, bit rot, or out-of-band truncation. Distinct from a parse
+    * error: "corruption detected" is actionable (restore the file /
+    * re-replicate), "regex found nothing" is not. The commit protocol
+    * itself never produces torn manifests (putIfAbsent is atomic); this
+    * is the safety net UNDER the protocol, for the storage layer. */
+  final class ManifestCorruption(msg: String) extends RuntimeException(msg)
+
   /** Every top-level manifest key, present or future-reserved. Constraint
     * and generated-column NAMES become manifest keys inside their own
     * objects, but [[snapshot]]'s flat-field regex (`field("schema")`,
@@ -120,6 +128,60 @@ object TxnTable {
   private def dataDir(tableDir: String) = new File(tableDir, "data")
   private def manifestFile(tableDir: String, v: Long) =
     new File(logDir(tableDir), f"v$v%020d.json")
+
+  // ---- manifest byte integrity (round 14) ----
+  // Every new manifest carries a one-line header BEFORE the JSON body:
+  //   @graft-manifest crc32:<8 hex> len:<bytes>\n{...json...}
+  // The header travels INSIDE the single putIfAbsent object (atomic with
+  // the body — no sidecar crash window, unlike Delta's advisory .crc
+  // files), declares the body's exact length (truncation detection) and
+  // its CRC32 (flip detection). Readers verify-then-strip; a legacy
+  // pre-checksum manifest (first byte '{') parses unverified; anything
+  // else is a typed [[ManifestCorruption]], never a silent misparse.
+  // Residual risk, documented: a flip of byte 0 to exactly '{' routes a
+  // checksummed file down the legacy path (~2⁻⁸ of single-flip space ×
+  // one position); every other single flip and every truncation of a
+  // new-format manifest is caught.
+  private val manifestMagic = "@graft-manifest "
+
+  /** Wrap a manifest JSON body with its integrity header. */
+  private def encodeManifest(json: String): Array[Byte] = {
+    val body = json.getBytes("UTF-8")
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    (f"$manifestMagic%scrc32:${crc.getValue}%08x len:${body.length}%d\n"
+      .getBytes("UTF-8")) ++ body
+  }
+
+  /** Verify and strip the integrity header; pass legacy manifests
+    * through. `f` names the file in the typed error only. */
+  private def decodeManifest(f: File, bytes: Array[Byte]): String = {
+    val magic = manifestMagic.getBytes("UTF-8")
+    if (bytes.length >= magic.length &&
+        java.util.Arrays.equals(bytes, 0, magic.length, magic, 0, magic.length)) {
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 0) throw new ManifestCorruption(
+        s"$f: manifest truncated inside its integrity header")
+      val hdr = new String(bytes, 0, nl, "UTF-8")
+      val m = """crc32:([0-9a-f]{8}) len:(\d+)""".r.findFirstMatchIn(hdr)
+        .getOrElse(throw new ManifestCorruption(
+          s"$f: malformed manifest integrity header '$hdr'"))
+      val body = java.util.Arrays.copyOfRange(bytes, nl + 1, bytes.length)
+      if (body.length != m.group(2).toInt) throw new ManifestCorruption(
+        s"$f: manifest truncated or padded — header declares " +
+          s"len=${m.group(2)}, found ${body.length} bytes")
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      if (f"${crc.getValue}%08x" != m.group(1)) throw new ManifestCorruption(
+        s"$f: manifest checksum mismatch (expected crc32:${m.group(1)}) — " +
+          "bytes corrupted in storage")
+      new String(body, "UTF-8")
+    } else if (bytes.nonEmpty && bytes(0) == '{'.toByte)
+      new String(bytes, "UTF-8") // legacy pre-checksum manifest
+    else throw new ManifestCorruption(
+      s"$f: not a graft manifest (no integrity header, no JSON object) — " +
+        "bytes corrupted in storage")
+  }
 
   /** The commit-I/O seam ([[LogStore]]): every byte of the commit
     * protocol — manifest put-if-absent, pointer replaces, manifest
@@ -320,8 +382,8 @@ object TxnTable {
           throw new RetentionError(
             s"version $version of $tableDir predates the retention window " +
               s"(oldest retained: ${retentionFloor(tableDir)}); vacuum removed it")
-        val s = new String(store(tableDir).readBytes(f).getOrElse(
-          throw new IllegalStateException(s"manifest $f vanished mid-read")), "UTF-8")
+        val s = decodeManifest(f, store(tableDir).readBytes(f).getOrElse(
+          throw new IllegalStateException(s"manifest $f vanished mid-read")))
         val sn =
           if (incBaseOf(s).isEmpty) parseManifest(s, version)
           else reconstruct(tableDir, version, s)
@@ -556,7 +618,7 @@ object TxnTable {
                   s"manifest chain of $tableDir v$version is broken at v$w: " +
                     "no manifest, no checkpoint — the log was vacuumed or " +
                     "corrupted mid-chain"))
-              val t = new String(tb, "UTF-8")
+              val t = decodeManifest(pf, tb)
               if (incBaseOf(t).isEmpty) state = parseManifest(t, w)
               else { deltas ::= parseIncrement(t, w); w -= 1 }
           }
@@ -2455,7 +2517,7 @@ object TxnTable {
     // the COMMIT: atomic put-if-absent of the version slot, through the
     // pluggable LogStore seam (POSIX hard-link EEXIST locally; a
     // conditional PUT on an object store)
-    if (store(tableDir).putIfAbsent(manifestFile(tableDir, v), json.getBytes("UTF-8"))) {
+    if (store(tableDir).putIfAbsent(manifestFile(tableDir, v), encodeManifest(json))) {
       // the winner's in-hand state IS version v's snapshot — cache it so
       // the next sequential commit/read never re-derives it, and
       // materialize the columnar dir-entry checkpoint once the delta
@@ -4226,14 +4288,14 @@ object TxnTable {
   private def anchorOf(tableDir: String, v: Long): (Long, Boolean) = {
     var w = v
     var t = store(tableDir).readBytes(manifestFile(tableDir, v)) match {
-      case Some(b) => new String(b, "UTF-8")
+      case Some(b) => decodeManifest(manifestFile(tableDir, v), b)
       case None    => return (v, false)
     }
     while (incBaseOf(t).isDefined) {
       w -= 1
       if (TxnCheckpoint.exists(tableDir, w)) return (w, true)
       store(tableDir).readBytes(manifestFile(tableDir, w)) match {
-        case Some(b) => t = new String(b, "UTF-8")
+        case Some(b) => t = decodeManifest(manifestFile(tableDir, w), b)
         case None    => return (w, false) // chain already broken below
       }
     }

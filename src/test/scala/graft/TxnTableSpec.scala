@@ -453,8 +453,11 @@ class TxnTableSpec extends SparkTestBase {
     TxnTable.append(Seq(("7", "a"), ("x7", "b")).toDF("k", "v"), dir)
     val d0 = TxnTable.snapshot(dir, 0L).live.head
     val mf = new File(s"$dir/_log", f"v${0L}%020d.json")
-    val patched = new String(Files.readAllBytes(mf.toPath), "UTF-8")
-      .stripSuffix("}") + s""","stats":{"$d0":"k:7:7"}}"""
+    val raw = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+    // strip the round-14 integrity header: the rig writes back a LEGACY
+    // (headerless) manifest — exactly the hand-damaged shape it models
+    val body = raw.substring(raw.indexOf('\n') + 1)
+    val patched = body.stripSuffix("}") + s""","stats":{"$d0":"k:7:7"}}"""
     Files.write(mf.toPath, patched.getBytes("UTF-8"))
     // the rig rewrote a published manifest — drop the immutability cache
     TxnTable.clearSnapshotCache()
