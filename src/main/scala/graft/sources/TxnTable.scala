@@ -214,6 +214,30 @@ object TxnTable {
     * property — but a test mutating THAT races concurrently-running
     * suites (same hazard as a global store swap), so test arms pin the
     * threshold to their own table dirs instead. */
+  // ---- in-place data publication (round 14) ----
+  // The OBJECT-STORE data path: multi-dir staging writes (bulk partition
+  // loads, clustered compaction) normally rename each Spark-written leaf
+  // into `data/txn-<uuid>` — a metadata no-op on POSIX, but an O(bytes)
+  // copy+delete on a rename-less blob store. In-place mode skips the
+  // rename entirely: leaves stay where Spark wrote them and the manifest
+  // references them by RELATIVE PATH (`.bulk-<uuid>/<leaf>`), the same
+  // nested-reference shape shallow clone already publishes. Data dirs
+  // were always invisible until referenced, so publication-by-reference
+  // changes cost, not atomicity. Per-table override (tests/deployments),
+  // or globally via -Dgraft.txn.inPlaceData=true.
+  private val inPlaceDataOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def installInPlaceData(tableDir: String): Unit = {
+    inPlaceDataOverrides.put(new File(tableDir).getAbsolutePath, true); ()
+  }
+  private[graft] def uninstallInPlaceData(tableDir: String): Unit = {
+    inPlaceDataOverrides.remove(new File(tableDir).getAbsolutePath); ()
+  }
+  private def inPlaceData(tableDir: String): Boolean =
+    Option(inPlaceDataOverrides.get(new File(tableDir).getAbsolutePath))
+      .exists(_.booleanValue) ||
+      sys.props.get("graft.txn.inPlaceData").contains("true")
+
   private val ckptThresholdOverrides =
     new java.util.concurrent.ConcurrentHashMap[String, Int]()
   private[graft] def installCkptThreshold(tableDir: String, n: Int): Unit = {
@@ -1012,6 +1036,7 @@ object TxnTable {
                                   nullValueMsg: String): Seq[(String, Seq[String], Long)] = {
     import org.apache.spark.sql.functions.{assert_true, col, expr, lit, pmod, spark_partition_id}
     val bulkRoot = new File(dataDir(tableDir), s".bulk-${UUID.randomUUID()}")
+    var ok = false
     try {
       require(!dfp.columns.contains("__graft_salt"),
         "column name __graft_salt is reserved by the partition writer")
@@ -1115,10 +1140,19 @@ object TxnTable {
             (() => footerRowCount(leaf)): java.util.concurrent.Callable[Long]
           }.asJava).asScala.toSeq.map(_.get())
         } finally { pool.shutdown(); () }
-      byDir.zip(counts).map { case ((leaf, vs), n) =>
-        val name = s"txn-${UUID.randomUUID()}"
-        val dest = new File(dataDir(tableDir), name)
-        Files.move(leaf.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
+      val published = byDir.zip(counts).map { case ((leaf, vs), n) =>
+        // in-place mode (object stores): no rename — the manifest
+        // references the leaf by relative path where Spark wrote it
+        // (leaf names are URLEncoder output: manifest-charset-safe)
+        val (name, dest) =
+          if (inPlaceData(tableDir))
+            (s"${bulkRoot.getName}/${leaf.getName}", leaf)
+          else {
+            val nm = s"txn-${UUID.randomUUID()}"
+            val d = new File(dataDir(tableDir), nm)
+            Files.move(leaf.toPath, d.toPath, StandardCopyOption.ATOMIC_MOVE)
+            (nm, d)
+          }
         Files.write(new File(dest, ".part").toPath,
           recordCols.zip(vs).map { case (c, v) => s"$c=$v" }
             .mkString("\n").getBytes("UTF-8"))
@@ -1127,7 +1161,15 @@ object TxnTable {
           c.getBytes("UTF-8")))
         (name, vs, n)
       }
-    } finally deleteRec(bulkRoot)
+      ok = true
+      published
+    } finally {
+      // in-place success keeps the root — its leaves ARE the staged
+      // data; everything else (rename mode, or any failure) cleans up.
+      // A publish that later loses its commit race leaves the leaves
+      // unreferenced — vacuum's orphan sweep reaps the root wholesale.
+      if (!(ok && inPlaceData(tableDir))) deleteRec(bulkRoot)
+    }
   }
 
   /** Sum of parquet-footer record counts under `dir` — a KB metadata
@@ -4041,9 +4083,16 @@ object TxnTable {
       .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
       .sortBy(_.getName.stripPrefix("_bucket=").toInt)
       .map { b =>
-        val name = s"txn-${UUID.randomUUID()}"
-        val dest = new File(dataDir(tableDir), name)
-        Files.move(b.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
+        // in-place mode (object stores): publish the bucket leaf by
+        // relative reference instead of renaming it into data/
+        val (name, dest) =
+          if (inPlaceData(tableDir)) (s"${tmp.getName}/${b.getName}", b)
+          else {
+            val nm = s"txn-${UUID.randomUUID()}"
+            val d = new File(dataDir(tableDir), nm)
+            Files.move(b.toPath, d.toPath, StandardCopyOption.ATOMIC_MOVE)
+            (nm, d)
+          }
         val packed = spark.read.parquet(dest.getPath)
         import org.apache.spark.sql.functions.{count, lit}
         val aggs = count(lit(1)) +: clusterCols.flatMap(c =>
@@ -4069,7 +4118,13 @@ object TxnTable {
         }
         name
       }.toSeq
-    deleteRec(tmp)
+    // in-place mode keeps the tmp root: its bucket leaves are the
+    // published data (Spark's root-level _SUCCESS marker is removed so
+    // only data leaves remain; a lost commit race below leaves them
+    // unreferenced for vacuum's orphan sweep)
+    if (inPlaceData(tableDir)) {
+      new File(tmp, "_SUCCESS").delete(): Unit
+    } else deleteRec(tmp)
     // an empty table (a delete removed every row) clusters to an empty
     // live set — content-identical, like any compaction
     if (!tryPublish(tableDir, base + 1L, "compact", staged, None,
@@ -4232,8 +4287,15 @@ object TxnTable {
       sn.live ++ sn.dvs.values ++ sn.eqs.keys // dv/eq dirs are data too —
     }.toSet                                   // retained reads depend on them
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
+    // nested in-place references (`.bulk-x/leaf`, round 14) guard their
+    // top-level ROOT: reaping is root-granular, so a root with ANY
+    // referenced leaf survives whole (conservative — unreferenced
+    // sibling leaves under it are reclaimed only when the last
+    // reference goes). Clone's `../` references never match a listed
+    // child, as before.
+    val refRoots = referenced.map(_.split("/")(0))
     val reap = Option(dataDir(tableDir).listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && !referenced.contains(f.getName) &&
+      .filter(f => f.isDirectory && !refRoots.contains(f.getName) &&
         f.lastModified() <= cutoff) // grace: an in-flight writer's fresh
       .map(_.getName).toSeq.sorted  // staging dir is NOT an orphan yet
     (drop, reap)

@@ -29,9 +29,25 @@ class BulkPartitionFuzzSpec extends SparkTestBase {
   test("seeded bulk partition-overwrite sequences match the model " +
       "(values, counts, partition reads, time travel)") {
     val seeds = sys.env.getOrElse("SPARK_GRAFT_FUZZ_BULK", "20").toInt
-    (1 to seeds).foreach { seed =>
+    (1 to seeds).foreach(runSeed(_, inPlace = false))
+  }
+
+  test("the same sequences under IN-PLACE data publication (round 14): no " +
+      "leaf renames — manifests reference nested staged paths; same model") {
+    val seeds = sys.env.getOrElse("SPARK_GRAFT_FUZZ_BULK_INPLACE", "12").toInt
+    (500 to 500 + seeds).foreach(runSeed(_, inPlace = true))
+  }
+
+  private def runSeed(seed: Int, inPlace: Boolean): Unit = {
       val rnd = new Random(seed)
       val dir = Files.createTempDirectory(s"graft-bulkfuzz-$seed").toString
+      if (inPlace) TxnTable.installInPlaceData(dir)
+      try runSeedOn(seed, rnd, dir, inPlace)
+      finally { if (inPlace) TxnTable.uninstallInPlaceData(dir) }
+  }
+
+  private def runSeedOn(seed: Int, rnd: Random, dir: String,
+                        inPlace: Boolean): Unit = {
       var model = Map.empty[String, Seq[(Long, String)]]
       var prevModel = model
       val steps = 2 + rnd.nextInt(3)
@@ -77,7 +93,11 @@ class BulkPartitionFuzzSpec extends SparkTestBase {
             .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sorted.toSeq }
           assert(tt == prevModel, s"$clue: time travel to v$pv diverged")
         }
+        // in-place mode: every bulk-staged dir is a NESTED reference —
+        // nothing was renamed into a flat data/txn-* name
+        if (inPlace)
+          assert(snap.live.forall(_.contains("/")),
+            s"$clue: in-place mode renamed a leaf: ${snap.live}")
       }
-    }
   }
 }

@@ -85,18 +85,38 @@ class FuzzTxnSpec extends SparkTestBase {
     }
   }
 
+  test("the same op sequences with IN-PLACE DATA publication over the " +
+      "object-store simulator: no graft-level rename on the log OR the " +
+      "data side — clustered compactions publish nested leaf references " +
+      "through the full op grammar, races and vacuum included") {
+    // round-14 object-store DATA path: compactClustered (both 1-D and
+    // Z-order forms are in the grammar, racing appends included)
+    // publishes `.cluster-<uuid>/_bucket=N` references instead of
+    // renaming leaves into data/; vacuum's root-granular orphan sweep
+    // and the retention floor must hold with nested live names.
+    val nSeqs = sys.env.get("SPARK_GRAFT_FUZZ_TXN_INPLACE").map(_.toInt).getOrElse(30)
+    val sim = new graft.sources.ObjectStoreSimLogStore(40L)
+    (300000 until 300000 + nSeqs).foreach { seed =>
+      graft.sources.TxnTable.clearSnapshotCache()
+      runSequence(seed, store = Some(sim), inPlaceData = true)
+    }
+  }
+
   private def runSequence(seed: Int,
                           store: Option[graft.sources.LogStore] = None,
-                          ckptThreshold: Option[Int] = None): Unit = {
+                          ckptThreshold: Option[Int] = None,
+                          inPlaceData: Boolean = false): Unit = {
     val dir = Files.createTempDirectory(s"graft-fuzztxn-$seed").toString
     // per-TABLE overrides: a global swap (store OR threshold sys prop)
     // would race concurrently running suites
     store.foreach(TxnTable.installLogStore(dir, _))
     ckptThreshold.foreach(TxnTable.installCkptThreshold(dir, _))
+    if (inPlaceData) TxnTable.installInPlaceData(dir)
     try runSequenceOn(seed, dir)
     finally {
       store.foreach(_ => TxnTable.uninstallLogStore(dir))
       ckptThreshold.foreach(_ => TxnTable.uninstallCkptThreshold(dir))
+      if (inPlaceData) TxnTable.uninstallInPlaceData(dir)
     }
   }
 
