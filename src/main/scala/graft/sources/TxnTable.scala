@@ -238,6 +238,50 @@ object TxnTable {
       .exists(_.booleanValue) ||
       sys.props.get("graft.txn.inPlaceData").contains("true")
 
+  // ---- async checkpoint offload (round 14) ----
+  // The columnar dir-entry checkpoint is normally written INLINE by
+  // whichever committer's delta chain reaches the interval — at very
+  // high dir counts that one writer pays a latency tail the others
+  // don't. Offload mode skips the inline write; a maintenance process
+  // calls [[checkpoint]] instead (OPTIMIZE-adjacent). Correctness never
+  // depends on checkpoints (they are reconstruction ANCHORS — without
+  // new ones, delta chains just walk further back to the last anchor),
+  // so a missed maintenance window costs read latency, not data.
+  private val ckptOffloadOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def installCkptOffload(tableDir: String): Unit = {
+    ckptOffloadOverrides.put(new File(tableDir).getAbsolutePath, true); ()
+  }
+  private[graft] def uninstallCkptOffload(tableDir: String): Unit = {
+    ckptOffloadOverrides.remove(new File(tableDir).getAbsolutePath); ()
+  }
+  private def ckptOffload(tableDir: String): Boolean =
+    Option(ckptOffloadOverrides.get(new File(tableDir).getAbsolutePath))
+      .exists(_.booleanValue) ||
+      sys.props.get("graft.txn.ckptOffload").contains("true")
+
+  /** MAINTENANCE: materialize the columnar dir-entry checkpoint at the
+    * table's current head — the offload-mode counterpart of the inline
+    * write (and a way to pre-warm an anchor before a read burst on any
+    * table). Subsequent incremental commits anchor on it, so cold
+    * reconstruction is one checkpoint load + the commits since. Returns
+    * the checkpointed version, or None if the head already has one (or
+    * the table has no commits). Safe to run concurrently with writers:
+    * the checkpoint is advisory and keyed by version. */
+  def checkpoint(tableDir: String): Option[Long] =
+    latestVersion(tableDir).flatMap { v =>
+      if (TxnCheckpoint.exists(tableDir, v)) None
+      else {
+        val sn = snapshot(tableDir, v)
+        val partsVec: Map[String, Seq[(String, String)]] =
+          sn.parts.map { case (d, kv) => d -> Seq(kv) } ++ sn.partsN
+        TxnCheckpoint.write(tableDir, v, TxnCheckpoint.DirState(
+          sn.live, sn.stats, partsVec, sn.nrows, sn.dvs, sn.nulls,
+          sn.kmvs, sn.sstats))
+        Some(v)
+      }
+    }
+
   private val ckptThresholdOverrides =
     new java.util.concurrent.ConcurrentHashMap[String, Int]()
   private[graft] def installCkptThreshold(tableDir: String, n: Int): Unit = {
@@ -2571,7 +2615,9 @@ object TxnTable {
         schema0, fhwm, nullsMap, pthist, kmvsMap, statKeys = true, base = baseV,
         sstats = sstatsMap, partsN = partsVecMap.filter(_._2.size > 1))
       cachePut(tableDir, committed)
-      if (baseV.exists(b => v - b >= checkpointInterval))
+      // offload mode defers this to the [[checkpoint]] maintenance call,
+      // keeping every committer's latency flat at high dir counts
+      if (!ckptOffload(tableDir) && baseV.exists(b => v - b >= checkpointInterval))
         TxnCheckpoint.write(tableDir, v, TxnCheckpoint.DirState(
           live, statsMap, partsVecMap, nrowsMap, dvKept, nullsMap, kmvsMap,
           sstatsMap))

@@ -251,6 +251,26 @@ object LakeBench {
     }
     val headV = TxnTable.latestVersion(wideDir).get
     val incrBytes = manifestBytes(headV)
+    // round-14 async checkpoint OFFLOAD: per-commit latency with the
+    // inline columnar-checkpoint write vs offload mode (maintenance
+    // call pays it instead). The figure that matters is the committer
+    // TAIL — inline mode's max commit absorbs the checkpoint write
+    // every interval; offload mode's stays flat at any dir count.
+    def perCommitMax(n: Int): Double =
+      (0 until n).map { _ =>
+        val t0 = System.nanoTime()
+        TxnTable.append(appendRows(), wideDir)
+        (System.nanoTime() - t0) / 1e9
+      }.max
+    val inlineMax = perCommitMax(nCommits)
+    TxnTable.installCkptOffload(wideDir)
+    val offloadMax =
+      try perCommitMax(nCommits)
+      finally () // uninstall after the maintenance measurement below
+    val (ckptV, tMaint) = timed("maintenance checkpoint (offload mode)")(
+      TxnTable.checkpoint(wideDir))
+    TxnTable.uninstallCkptOffload(wideDir)
+    require(ckptV.isDefined, "maintenance checkpoint wrote nothing")
     val ckptFiles = Option(new java.io.File(wideDir, "_log").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .count(f => f.getName.startsWith("ckpt-v") && f.getName.endsWith(".parquet"))
@@ -264,7 +284,8 @@ object LakeBench {
       s"wide table lost dirs: ${wideSnap.live.size}")
     val ((wideCnt, _), _) = timed("wide-table full scan")(
       agg(TxnTable.read(spark, wideDir)))
-    require(wideCnt == wideParts * 200L + 2L * nCommits,
+    // 2n self-contained+incremental commits + 2n offload-leg commits
+    require(wideCnt == wideParts * 200L + 4L * nCommits,
       s"wide table lost rows: $wideCnt")
 
     val json =
@@ -295,8 +316,11 @@ object LakeBench {
         s""""commit_speedup":${if (tIncrCommits > 0) tFullCommits / tIncrCommits else -1.0},""" +
         s""""full_manifest_bytes":$fullBytes,"incr_manifest_bytes":$incrBytes,""" +
         s""""bytes_ratio":${if (incrBytes > 0) fullBytes.toDouble / incrBytes else -1.0},""" +
-        s""""ckpt_files":$ckptFiles,"cold_snapshot_sec":$tColdSnap}}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_LAKEBENCH_OUT", "lakebench_r13.json")
+        s""""ckpt_files":$ckptFiles,"cold_snapshot_sec":$tColdSnap,""" +
+        s""""ckpt_offload":{"inline_commit_max_sec":$inlineMax,""" +
+        s""""offload_commit_max_sec":$offloadMax,""" +
+        s""""maintenance_ckpt_sec":$tMaint}}}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_LAKEBENCH_OUT", "lakebench_r14.json")
     Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     println(json)
     spark.stop()

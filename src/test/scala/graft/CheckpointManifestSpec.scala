@@ -229,4 +229,44 @@ class CheckpointManifestSpec extends SparkTestBase {
       s"small-table manifest v$v went incremental"))
     assert(TxnTable.read(spark, dir).count() == 15L)
   }
+
+  test("checkpoint OFFLOAD (round 14): committers never write the columnar " +
+      "checkpoint inline; the maintenance call materializes it, later " +
+      "commits anchor on it, cold reconstruction stays exact") {
+    val dir = tmp()
+    def ckptFiles(): Seq[String] =
+      Option(new File(dir, "_log").listFiles()).getOrElse(Array.empty[File])
+        .map(_.getName).filter(n => n.startsWith("ckpt-v")).toSeq.sorted
+    withThreshold(dir, 1) {
+      TxnTable.installCkptOffload(dir)
+      try {
+        import spark.implicits._
+        // far past the interval (10): inline mode would have written
+        // checkpoints; offload mode must write none
+        (0 until 16).foreach(i =>
+          TxnTable.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), dir,
+            statsCol = Some("id")))
+        assert(ckptFiles().isEmpty,
+          s"offload mode wrote inline checkpoints: ${ckptFiles()}")
+        // reads are correct without any anchor (longer chain walk)
+        assertColdEquals(dir, 15L, "offload, pre-maintenance")
+        // the maintenance call materializes exactly one, at the head
+        val v = TxnTable.checkpoint(dir)
+        assert(v.contains(15L), s"maintenance checkpoint at $v, expected head 15")
+        assert(ckptFiles().size == 1)
+        assert(TxnTable.checkpoint(dir).isEmpty, "re-checkpointing the head")
+        // cold reconstruction THROUGH the maintenance checkpoint is exact
+        assertColdEquals(dir, 15L, "offload, post-maintenance")
+        // later commits anchor on it: delta chains restart from v15
+        (16 until 19).foreach(i =>
+          TxnTable.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), dir,
+            statsCol = Some("id")))
+        assertColdEquals(dir, 18L, "offload, post-maintenance commits")
+        assert(TxnTable.read(spark, dir).count() == 19L)
+        // a new maintenance pass checkpoints the new head
+        assert(TxnTable.checkpoint(dir).contains(18L))
+        assertColdEquals(dir, 18L, "second maintenance pass")
+      } finally TxnTable.uninstallCkptOffload(dir)
+    }
+  }
 }
