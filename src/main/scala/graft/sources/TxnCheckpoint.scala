@@ -57,6 +57,7 @@ private[graft] object TxnCheckpoint {
       |  optional binary nulls (STRING);
       |  optional binary kmv (STRING);
       |  optional binary sstats (STRING);
+      |  optional binary eq (STRING);
       |}""".stripMargin
   private lazy val messageType = MessageTypeParser.parseMessageType(schemaDdl)
 
@@ -77,6 +78,8 @@ private[graft] object TxnCheckpoint {
                             nulls: Map[String, Seq[(String, Long)]],
                             kmvs: Map[String, (String, Seq[Long])],
                             sstats: Map[String, Seq[(String, String, String)]] =
+                              Map.empty,
+                            eqs: Map[String, (Seq[String], Seq[String])] =
                               Map.empty)
 
   // --- the manifest string encodings, shared by both carriers ---
@@ -167,6 +170,15 @@ private[graft] object TxnCheckpoint {
       st.live.foreach(d => w.write(row(d, live = true)))
       // row-count carriers outside the live set (deletion-vector dirs)
       (st.nrows.keySet -- liveSet).toSeq.sorted.foreach(d => w.write(row(d, live = false)))
+      // equality-delete entries (round 14 — anchors must carry them now
+      // that eq debt no longer forces self-contained manifests): one
+      // non-live row per eq dir, the manifest "cols|applies" encoding
+      st.eqs.toSeq.sortBy(_._1).foreach { case (e, (cols, ds)) =>
+        val g = fac.newGroup()
+        g.append("dir", e).append("live", false)
+          .append("eq", s"${cols.mkString(",")}|${ds.mkString(",")}")
+        w.write(g)
+      }
     } finally w.close()
     try Files.move(tmp.toPath, file(tableDir, v).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -191,11 +203,15 @@ private[graft] object TxnCheckpoint {
       var nulls = Map.empty[String, Seq[(String, Long)]]
       var kmvs = Map.empty[String, (String, Seq[Long])]
       var sstats = Map.empty[String, Seq[(String, String, String)]]
+      var eqs = Map.empty[String, (Seq[String], Seq[String])]
       try {
         var g: Group = r.read()
         while (g != null) {
           val d = g.getString("dir", 0)
-          def has(fld: String): Boolean = g.getFieldRepetitionCount(fld) > 0
+          // pre-round-14 checkpoints lack the eq column entirely — guard
+          // by schema membership, not just repetition count
+          def has(fld: String): Boolean =
+            g.getType.containsField(fld) && g.getFieldRepetitionCount(fld) > 0
           if (g.getBoolean("live", 0)) {
             live += d
             if (has("stats")) stats += d -> parseStats(g.getString("stats", 0))
@@ -209,10 +225,16 @@ private[graft] object TxnCheckpoint {
             if (has("sstats")) sstats += d -> parseSstats(g.getString("sstats", 0))
           }
           if (has("nrows")) nrows += d -> g.getLong("nrows", 0)
+          if (has("eq")) g.getString("eq", 0).split("\\|", 2) match {
+            case Array(cols, ds) => eqs += d ->
+              ((cols.split(",").toSeq, ds.split(",").filter(_.nonEmpty).toSeq))
+            case _ => ()
+          }
           g = r.read()
         }
       } finally r.close()
-      Some(DirState(live.result(), stats, parts, nrows, dvs, nulls, kmvs, sstats))
+      Some(DirState(live.result(), stats, parts, nrows, dvs, nulls, kmvs,
+        sstats, eqs))
     } catch { case _: Exception => None }
   }
 }

@@ -122,7 +122,7 @@ object TxnTable {
     "version", "action", "ts", "live", "txnId", "stats", "parts", "nrows",
     "dvs", "schema", "constraints", "pta", "pte", "eqs", "gens",
     "fids", "schema0", "fhwm", "nulls", "pth", "kmvs",
-    "base", "add", "rm", "rmdvs", "sstats")
+    "base", "add", "rm", "rmdvs", "sstats", "eqadd", "eqrm")
 
   private def logDir(tableDir: String) = new File(tableDir, "_log")
   private def dataDir(tableDir: String) = new File(tableDir, "data")
@@ -277,7 +277,7 @@ object TxnTable {
           sn.parts.map { case (d, kv) => d -> Seq(kv) } ++ sn.partsN
         TxnCheckpoint.write(tableDir, v, TxnCheckpoint.DirState(
           sn.live, sn.stats, partsVec, sn.nrows, sn.dvs, sn.nulls,
-          sn.kmvs, sn.sstats))
+          sn.kmvs, sn.sstats, sn.eqs))
         Some(v)
       }
     }
@@ -530,14 +530,7 @@ object TxnTable {
     }
     // equality-delete map: eq dir -> "keyCol1,keyCol2|dataDir1,dataDir2"
     // (identifier key cols and UUID/relative dir names — no ','/'|')
-    val eqs = """"eqs"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
-      .map(_.group(1)).toSeq
-      .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
-      .flatMap(m => m.group(2).split("\\|", 2) match {
-        case Array(cols, ds) => Some(m.group(1) ->
-          ((cols.split(",").toSeq, ds.split(",").filter(_.nonEmpty).toSeq)))
-        case _ => None
-      }).toMap
+    val eqs = parseEqMap(s, "eqs")
     // generated-column specs: name -> SQL expression (same charset rules
     // as constraints)
     val gens = """"gens"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
@@ -612,8 +605,24 @@ object TxnTable {
   /** One incremental manifest's delta: `shell` is [[parseManifest]]'s
     * read of the text (table-wide fields in full; per-dir maps holding
     * ONLY this commit's new entries), plus the add/rm dir-list delta. */
+  /** Shared parse for the `"<key>":{...}` equality-delete object shape —
+    * the full `eqs` map of self-contained manifests and the `eqadd`
+    * delta of incremental ones. */
+  private def parseEqMap(s: String,
+                         key: String): Map[String, (Seq[String], Seq[String])] =
+    (s""""$key"""" + """\s*:\s*\{([^}]*)\}""").r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn)
+      .flatMap(m => m.group(2).split("\\|", 2) match {
+        case Array(cols, ds) => Some(m.group(1) ->
+          ((cols.split(",").toSeq, ds.split(",").filter(_.nonEmpty).toSeq)))
+        case _ => None
+      }).toMap
+
   private final case class IncDelta(shell: Snapshot, add: Seq[String],
-                                    rm: Set[String], rmdvs: Set[String])
+                                    rm: Set[String], rmdvs: Set[String],
+                                    eqAdd: Map[String, (Seq[String], Seq[String])],
+                                    eqRm: Set[String])
 
   private def parseIncrement(s: String, version: Long): IncDelta = {
     def list(k: String): Seq[String] =
@@ -622,7 +631,7 @@ object TxnTable {
         .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty).toSeq
     IncDelta(parseManifest(s, version), list("add"), list("rm").toSet,
-      list("rmdvs").toSet)
+      list("rmdvs").toSet, parseEqMap(s, "eqadd"), list("eqrm").toSet)
   }
 
   /** Fold one commit's delta over the previous version's state. The
@@ -640,10 +649,16 @@ object TxnTable {
     val dvDirs = dvs.values.toSet
     val nrows = (prev.nrows ++ sh.nrows)
       .filter { case (d, _) => ls(d) || dvDirs(d) }
+    // equality deletes fold as a DELTA (round 14): entries added or
+    // changed ride in `eqadd` (full form, emitted only when they
+    // change), dropped keys in `eqrm` — so outstanding eq-delete debt
+    // no longer forces self-contained manifests, and the steady state
+    // (appends while debt is outstanding) stays O(new dirs)
+    val eqs = (prev.eqs -- inc.eqRm) ++ inc.eqAdd
     Snapshot(sh.version, sh.action, live, sh.txnId,
       (prev.stats ++ sh.stats).filter(e => ls(e._1)),
       (prev.parts ++ sh.parts).filter(e => ls(e._1)),
-      sh.ts, nrows, dvs, sh.schema, sh.constraints, sh.ptrans, sh.eqs, sh.gens,
+      sh.ts, nrows, dvs, sh.schema, sh.constraints, sh.ptrans, eqs, sh.gens,
       sh.fids, sh.schema0, sh.fhwm,
       (prev.nulls ++ sh.nulls).filter(e => ls(e._1)),
       sh.pthist,
@@ -676,7 +691,7 @@ object TxnTable {
               state = Snapshot(w, "checkpoint", ck.live, None, ck.stats,
                 ck.parts.map { case (d, vec) => d -> vec.head }, 0L,
                 ck.nrows, ck.dvs, None, Map.empty, None,
-                Map.empty, Map.empty, Map.empty, None, 0, ck.nulls,
+                ck.eqs, Map.empty, Map.empty, None, 0, ck.nulls,
                 Map.empty, ck.kmvs, statKeys = true, sstats = ck.sstats,
                 partsN = ck.parts.filter(_._2.size > 1))
             case None =>
@@ -2517,7 +2532,7 @@ object TxnTable {
       v > 0 && (prev.live.filter(liveSet) ++ addDirs) == live
     val baseV: Option[Long] =
       if (v == 0 || live.size < ckptThreshold || !evoUnchanged || statUpgrade ||
-          eqsKept.nonEmpty || prev.eqs.nonEmpty || !orderPreserved) None
+          !orderPreserved) None
       else prev.base match {
         case None => Some(v - 1) // prev manifest is self-contained = anchor
         case Some(pb) =>
@@ -2588,6 +2603,12 @@ object TxnTable {
         val dvRm = prev.dvs.keysIterator
           .filter(d => liveSet(d) && !dvKept.contains(d)).toSeq.sorted
         val newDvDirs = (dvAdd.values.toSet -- prev.nrows.keySet).toSeq.sorted
+        // equality-delete DELTA (round 14): an entry rides in `eqadd`
+        // only when new or changed (its applies-set shrank via the live
+        // filter), dropped keys in `eqrm` — appends while eq debt is
+        // outstanding emit NEITHER, keeping commits O(new dirs)
+        val eqAdd = eqsKept.filter { case (e, x) => !prev.eqs.get(e).contains(x) }
+        val eqRm = prev.eqs.keysIterator.filterNot(eqsKept.contains).toSeq.sorted
         s"""{"version":$v,"action":"$action","ts":$now,"base":$b""" +
           txn + arr("add", addDirs) + arr("rm", rmDirs) +
           obj("stats", statsE(statsMap, addDirs)) +
@@ -2596,6 +2617,10 @@ object TxnTable {
           obj("dvs", dvAdd.map { case (d, dv) => s""""$d":"$dv"""" }) +
           (if (dvRm.isEmpty) "" else arr("rmdvs", dvRm)) +
           tableWideJson +
+          obj("eqadd", eqAdd.map { case (e, (cols, ds)) =>
+            s""""$e":"${cols.mkString(",")}|${ds.mkString(",")}""""
+          }) +
+          (if (eqRm.isEmpty) "" else arr("eqrm", eqRm)) +
           obj("sstats", sstatsE(sstatsMap, addDirs)) +
           obj("nulls", nullsE(nullsMap, addDirs)) +
           obj("kmvs", kmvsE(kmvsMap, addDirs)) + "}"
@@ -2620,7 +2645,7 @@ object TxnTable {
       if (!ckptOffload(tableDir) && baseV.exists(b => v - b >= checkpointInterval))
         TxnCheckpoint.write(tableDir, v, TxnCheckpoint.DirState(
           live, statsMap, partsVecMap, nrowsMap, dvKept, nullsMap, kmvsMap,
-          sstatsMap))
+          sstatsMap, eqsKept))
       true
     } else false
   }

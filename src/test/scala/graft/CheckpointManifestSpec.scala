@@ -230,6 +230,60 @@ class CheckpointManifestSpec extends SparkTestBase {
     assert(TxnTable.read(spark, dir).count() == 15L)
   }
 
+  test("eq-delete DELTA encoding (round 14): outstanding equality-delete " +
+      "debt no longer forces self-contained manifests — commits stay " +
+      "incremental, reads and cold reconstruction identical") {
+    import spark.implicits._
+    val dir = tmp()
+    withThreshold(dir, 1) {
+      (0 until 4).foreach(i =>
+        TxnTable.append(Seq((i * 10, s"v$i"), (i * 10 + 1, s"w$i"))
+          .toDF("id", "v").coalesce(1), dir, statsCol = Some("id")))
+      // equality delete: key set {10, 21} — debt now outstanding
+      TxnTable.deleteKeysEq(spark, dir, Seq(10, 21).toDF("id"))
+      val vDel = TxnTable.latestVersion(dir).get
+      assert(manifestText(dir, vDel).contains("\"base\"") &&
+        manifestText(dir, vDel).contains("\"eqadd\""),
+        "the eq-delete commit itself fell back to self-contained")
+      assertColdEquals(dir, vDel, "eq-delete commit")
+      // appends WHILE debt is outstanding: incremental, and the delta
+      // carries NO eq field at all — O(new dirs), the whole point
+      (0 until 3).foreach(i =>
+        TxnTable.append(Seq((100 + i, s"x$i")).toDF("id", "v").coalesce(1),
+          dir, statsCol = Some("id")))
+      val head = TxnTable.latestVersion(dir).get
+      ((vDel + 1) to head).foreach { v =>
+        val t = manifestText(dir, v)
+        assert(t.contains("\"base\""), s"v$v fell back to self-contained")
+        assert(!t.contains("\"eqadd\"") && !t.contains("\"eqrm\"") &&
+          !t.contains("\"eqs\""),
+          s"v$v re-serialized unchanged eq state: $t")
+      }
+      assertColdEquals(dir, head, "appends over outstanding eq debt")
+      // the deleted keys stay deleted through reconstruction (cold read)
+      TxnTable.clearSnapshotCache()
+      val ids = TxnTable.read(spark, dir).collect().map(_.getInt(0)).sorted.toSeq
+      assert(!ids.contains(10) && !ids.contains(21) && ids.size == 9,
+        s"eq delete lost through incremental reconstruction: $ids")
+      // a compaction materializes the deletes away → eqrm rides the delta
+      TxnTable.compact(spark, dir, targetFiles = 1)
+      val vc = TxnTable.latestVersion(dir).get
+      assert(manifestText(dir, vc).contains("\"eqrm\""),
+        "materializing compaction did not emit the eqrm delta")
+      assertColdEquals(dir, vc, "post-compaction")
+      assert(TxnTable.snapshot(dir, vc).eqs.isEmpty, "eq debt not cleared")
+      // and the checkpoint anchor carries eq state: force one mid-debt
+      TxnTable.deleteKeysEq(spark, dir, Seq(100).toDF("id"))
+      assert(TxnTable.checkpoint(dir).isDefined)
+      TxnTable.append(Seq((200, "y")).toDF("id", "v").coalesce(1), dir,
+        statsCol = Some("id"))
+      TxnTable.clearSnapshotCache() // reconstruct THROUGH the eq-carrying anchor
+      val ids2 = TxnTable.read(spark, dir).collect().map(_.getInt(0)).sorted.toSeq
+      assert(!ids2.contains(100) && ids2.contains(200),
+        s"checkpoint anchor lost eq state: $ids2")
+    }
+  }
+
   test("checkpoint OFFLOAD (round 14): committers never write the columnar " +
       "checkpoint inline; the maintenance call materializes it, later " +
       "commits anchor on it, cold reconstruction stays exact") {
