@@ -200,6 +200,33 @@ object Bench {
         System.err.println(f"[bench]   $n: ${m}%.2fs vs ${b}%.2fs = ${r}%.2fx")
       }
     }
+    // Round-14 CANARY NORMALIZATION: r12 and r13 both had to prove by
+    // hand that a uniform bench shift was host noise (untouched
+    // plain-parquet queries moving identically to everything else).
+    // Make that analysis a printed number: a fixed set of trivial
+    // queries whose code has not changed since the r6 baseline acts as
+    // a host-speed probe — their ratio vs baseline estimates the
+    // machine factor, and the canary-normalized overall ratio is the
+    // code-attributable residual. canary≈raw ⇒ host noise; canary≈1
+    // with raw high ⇒ a real regression.
+    val canaryNames = Seq("q01_scan_project", "q02_filter_pred", "q17_agg_sum")
+    val canaryRatio: Double = {
+      val pairs = canaryNames.flatMap(n =>
+        for { m <- medians.toMap.get(n).filter(_ >= 0)
+              b <- baseline.get(n).filter(_ > 0) } yield (m, b))
+      if (pairs.isEmpty) -1.0 else pairs.map(_._1).sum / pairs.map(_._2).sum
+    }
+    val rawVsBaseline: Double =
+      if (ratios.isEmpty) -1.0
+      else ratios.map(_._2).sum / ratios.map(_._3).sum
+    val normalizedVsBaseline: Double =
+      if (canaryRatio > 0 && rawVsBaseline > 0) rawVsBaseline / canaryRatio
+      else -1.0
+    if (canaryRatio > 0)
+      System.err.println(f"[bench] canary ratio ${canaryRatio}%.3fx (host-speed " +
+        f"probe), raw vs baseline ${rawVsBaseline}%.3fx, canary-normalized " +
+        f"${normalizedVsBaseline}%.3fx")
+
     val errJson = errors.distinct.take(8).map(e =>
       "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"").takeWhile(_ >= ' ').take(160) + "\"")
       .mkString("[", ",", "]")
@@ -220,8 +247,12 @@ object Bench {
     val vsBaselineJson = ratios.map { case (n, m, b, r) =>
       "\"" + n + "\":{\"sec\":" + fmt(m) + ",\"base\":" + fmt(b) + ",\"ratio\":" + fmt(r) + "}"
     }.mkString("{", ",", "}")
+    val canaryJson =
+      s"""{"queries":[${canaryNames.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""ratio":${fmt(canaryRatio)},"raw_vs_baseline":${fmt(rawVsBaseline)},""" +
+        s""""normalized_vs_baseline":${fmt(normalizedVsBaseline)}}"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qJson,"mins":$minJson,"baseline":"$baselinePath","vs_baseline":$vsBaselineJson,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qJson,"mins":$minJson,"baseline":"$baselinePath","vs_baseline":$vsBaselineJson,"canary":$canaryJson,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), fullJson + "\n")
     catch { case _: Throwable => () }
@@ -229,7 +260,7 @@ object Bench {
     // Compact final line — MUST stay well under 2,000 chars so it survives
     // the driver's tail capture; per-query detail lives in bench_out.json.
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"nqueries":${names.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"nqueries":${names.size},"canary":${fmt(canaryRatio)},"vs_base":${fmt(rawVsBaseline)},"vs_base_norm":${fmt(normalizedVsBaseline)},"errors":$errJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE the final print so executor/session teardown logging
     // can't land after the metric line: the driver parses the LAST line of
     // output as JSON (build.sbt silences sbt's own epilogue via
