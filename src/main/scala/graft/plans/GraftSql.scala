@@ -47,6 +47,11 @@ import graft.sources.TxnTable
   *   RESTORE [TABLE] <tbl> TO VERSION [AS OF] <n>   -- metadata-only undo
   *   DESCRIBE DETAIL <tbl>                          -- one-row table profile
   * }}}
+  * Round-14 addition:
+  * {{{
+  *   CHECKPOINT <tbl>   -- materialize the columnar dir-entry checkpoint
+  *                      -- at the head (async-offload maintenance verb)
+  * }}}
   * `RESTORE` re-commits the target version's live set
   * ([[TxnTable.restore]] — one manifest write, the 3am-bad-job
   * recovery; the bad versions stay auditable until vacuumed).
@@ -66,6 +71,8 @@ object GraftSql {
     """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*'([^']*)')?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+TARGET\s+(\d+)\s+FILES?)?\s*;?\s*""".r
   private val restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*;?\s*""".r
+  private val checkpointTbl =
+    """(?is)\s*CHECKPOINT\s+(.+?)\s*;?\s*""".r
   private val showPartitions =
     """(?is)\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*""".r
 
@@ -116,6 +123,17 @@ object GraftSql {
       val dir = locate(spark, ref)
       val v = TxnTable.restore(spark, dir, version.toLong)
       Seq((v, version.toLong)).toDF("version", "restored_to")
+
+    // round-14 async-offload maintenance verb: materialize the columnar
+    // dir-entry checkpoint at the current head (the counterpart of
+    // -Dgraft.txn.ckptOffload=true; also a read-burst pre-warm on any
+    // table). Metadata-only — one snapshot read, one parquet write.
+    case checkpointTbl(ref) if locateIfGraft(spark, ref).isDefined =>
+      import spark.implicits._
+      val dir = locateIfGraft(spark, ref).get
+      val v = TxnTable.checkpoint(dir)
+      Seq((v.isDefined, v.getOrElse(TxnTable.latestVersion(dir).getOrElse(-1L))))
+        .toDF("written", "version")
 
     // SHOW PARTITIONS is ALSO valid Spark grammar (hive-partitioned
     // tables) — only graft tables are intercepted; everything else

@@ -2449,6 +2449,74 @@ object FormatQueries {
             java.time.LocalDate.parse("1997-12-31").toEpochDay),
           "DSv2 planned a different dir set than the epoch-day pruneLive")
         out
+      }),
+
+    // ---- q237: DECIMAL data skipping through the PLAIN DSv2 reader
+    // (round 14) — the last predicate family the dir tier excluded.
+    // The derived build lands orders in four price bands with
+    // `statsCol = price_d`, a DECIMAL(18,2) column constructed EXACTLY
+    // from integer cents (price_c / 100 — no float rounding anywhere),
+    // whose bounds ride the integral `.stats` tier as UNSCALED longs
+    // (value × 10^2 == the cents, TxnTable.longProj). The query filters
+    // a price band through the plain reader; GraftScan translates the
+    // pushed BigDecimal values to the same unscaled form using the
+    // column's schema scale (exact-or-nothing — a value needing
+    // rounding prunes nothing, sound) and must plan 1 of 4 dirs,
+    // REQUIRED each run and pinned equal to the explicit cents-range
+    // pruneLive plan. The oracle applies the equivalent integer-cents
+    // band to the raw parquet — band ↔ cents range is exact by
+    // construction, so a hash match proves no qualifying row was
+    // skipped. At 100 TB: amount/price range scans are the second most
+    // common fact-table predicate after dates.
+    Q("q237_dsv2_decimal_skipping",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM orders
+             |WHERE CAST(round(o_totalprice * 100) AS BIGINT) BETWEEN 10000000 AND 19999999
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.{GraftScanMeta, TxnTable}
+        val dir = derivedDir(d, "orders_txn_decskip")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select(col("o_orderstatus"), cents(col("o_totalprice")).as("price_c"))
+            .withColumn("price_d",
+              (col("price_c").cast("decimal(18,2)") / lit(100))
+                .cast("decimal(18,2)"))
+          // four price bands (cents): <100k$, 100-200k$, 200-300k$, ≥300k$
+          Seq((Long.MinValue, 9999999L), (10000000L, 19999999L),
+              (20000000L, 29999999L), (30000000L, Long.MaxValue))
+            .zipWithIndex.foreach { case ((lo, hi), i) =>
+              TxnTable.append(
+                base.filter(col("price_c") >= lo && col("price_c") <= hi),
+                t.getPath, txnId = Some(s"band-$i"), statsCol = Some("price_d"))
+            }
+          ()
+        }
+        val t = s"$dir/t"
+        val out = s.read.format("graft").load(t)
+          .filter(col("price_d") >= lit("100000.00").cast("decimal(18,2)") &&
+            col("price_d") <= lit("199999.99").cast("decimal(18,2)"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
+        out.queryExecution.executedPlan: Unit
+        val meta = GraftScanMeta.forTable(t).getOrElse(
+          sys.error("DSv2 scan never planned"))
+        require(meta.live.size == 4 && meta.planned.size == 1,
+          s"DSv2 decimal skipping regressed: planned ${meta.planned.size} " +
+            s"of ${meta.live.size} dirs (pushed=${meta.pushed})")
+        val snap = TxnTable.snapshot(t, TxnTable.latestVersion(t).get)
+        require(meta.planned ==
+            TxnTable.pruneLive(snap, "price_d", 10000000L, 19999999L),
+          "DSv2 planned a different dir set than the unscaled-cents pruneLive")
+        out
       })
   )
 }

@@ -312,7 +312,8 @@ final class GraftScan(dir: String, version: Long, tableSchema: StructType,
     extends V1Scan with SupportsReportStatistics {
 
   private lazy val snap = TxnTable.snapshot(dir, version)
-  private lazy val planned: Seq[String] = GraftScan.prune(dir, snap, pushed)
+  private lazy val planned: Seq[String] =
+    GraftScan.prune(dir, snap, pushed, tableSchema)
 
   override def readSchema(): StructType = required
 
@@ -410,20 +411,28 @@ object GraftScan {
     * the INTERSECTION of what each predicate proves. Sound by
     * construction — each prune keeps every dir it cannot disprove. */
   private[sources] def prune(dir: String, snap: TxnTable.Snapshot,
-                             filters: Array[Filter]): Seq[String] = {
+                             filters: Array[Filter],
+                             schema: StructType = new StructType()): Seq[String] = {
     var dirs = snap.live
     def narrow(kept: Seq[String]): Unit = dirs = dirs.filter(kept.contains)
+    // integral/date/timestamp values translate from the VALUE alone
+    // (longOf); decimals additionally need the column's schema scale —
+    // the unscaled-long translation mirroring TxnTable.longProj's
+    // write-side projection
+    def boundOf(a: String, v: Any): Option[Long] =
+      longOf(v).orElse(schema.find(_.name == a).map(_.dataType)
+        .flatMap(scaledLongOf(v, _)))
     filters.flatMap(conjuncts).foreach {
       case EqualTo(a, v) =>
-        longOf(v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
+        boundOf(a, v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
         stringOf(v).foreach(s => narrow(TxnTable.pruneLiveString(snap, a, s, s)))
         stableRender(v).foreach(s => narrow(TxnTable.prunePartition(snap, a, s)))
       case EqualNullSafe(a, v) if v != null =>
-        longOf(v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
+        boundOf(a, v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
         stringOf(v).foreach(s => narrow(TxnTable.pruneLiveString(snap, a, s, s)))
         stableRender(v).foreach(s => narrow(TxnTable.prunePartition(snap, a, s)))
       case GreaterThan(a, v) =>
-        longOf(v).filter(_ < Long.MaxValue)
+        boundOf(a, v).filter(_ < Long.MaxValue)
           .foreach(x => narrow(TxnTable.pruneLive(snap, a, x + 1L, Long.MaxValue)))
         // strict string bound prunes via the inclusive one: a dir whose
         // recorded range tops out below s cannot hold anything > s (a
@@ -431,16 +440,16 @@ object GraftScan {
         stringOf(v).foreach(s =>
           narrow(TxnTable.pruneLiveStringBounds(snap, a, Some(s), None)))
       case GreaterThanOrEqual(a, v) =>
-        longOf(v).foreach(x => narrow(TxnTable.pruneLive(snap, a, x, Long.MaxValue)))
+        boundOf(a, v).foreach(x => narrow(TxnTable.pruneLive(snap, a, x, Long.MaxValue)))
         stringOf(v).foreach(s =>
           narrow(TxnTable.pruneLiveStringBounds(snap, a, Some(s), None)))
       case LessThan(a, v) =>
-        longOf(v).filter(_ > Long.MinValue)
+        boundOf(a, v).filter(_ > Long.MinValue)
           .foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x - 1L)))
         stringOf(v).foreach(s =>
           narrow(TxnTable.pruneLiveStringBounds(snap, a, None, Some(s))))
       case LessThanOrEqual(a, v) =>
-        longOf(v).foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x)))
+        boundOf(a, v).foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x)))
         stringOf(v).foreach(s =>
           narrow(TxnTable.pruneLiveStringBounds(snap, a, None, Some(s))))
       case StringStartsWith(a, p) =>
@@ -450,8 +459,8 @@ object GraftScan {
         // byte bounds; kept-extra dirs are sound)
         narrow(TxnTable.pruneLiveStringBounds(snap, a, Some(p), None))
       case In(a, vs) if vs.nonEmpty =>
-        val ls = vs.flatMap(longOf)
-        if (ls.length == vs.length) // all values integral → bounds prune
+        val ls = vs.flatMap(boundOf(a, _))
+        if (ls.length == vs.length) // all values long-translatable → bounds prune
           narrow(TxnTable.pruneLive(snap, a, ls.min, ls.max))
         // string IN: union of per-value prunes against the `.sstats`
         // bounds — a dir survives if ANY value could live in it
@@ -530,6 +539,26 @@ object GraftScan {
   private def stringOf(v: Any): Option[String] = v match {
     case s: String => Some(s)
     case _         => None
+  }
+
+  /** DECIMAL filter values → the unscaled long the write side records
+    * bounds with (value × 10^scale, see TxnTable.longProj). Translation
+    * requires the COLUMN's scale — exact-or-nothing: a value that needs
+    * rounding at that scale, or a column wider than 18 digits, returns
+    * None and the predicate simply prunes nothing (sound). */
+  private def scaledLongOf(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Long] = {
+    def unscaled(b: java.math.BigDecimal, scale: Int): Option[Long] =
+      try Some(b.setScale(scale).unscaledValue().longValueExact())
+      catch { case _: ArithmeticException => None }
+    dt match {
+      case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
+        v match {
+          case b: java.math.BigDecimal  => unscaled(b, d.scale)
+          case b: scala.math.BigDecimal => unscaled(b.underlying, d.scale)
+          case _                        => None
+        }
+      case _ => None
+    }
   }
 
   /** Translate a source filter back to a Column for the INNER read —

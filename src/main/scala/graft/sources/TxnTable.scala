@@ -1795,9 +1795,23 @@ object TxnTable {
       case _ => false
     }
 
+  /** DECIMAL stats columns (round 14) also ride the integral tier:
+    * bounds are recorded as the UNSCALED long (value × 10^scale — exact
+    * by definition for DecimalType, no float rounding), gated on
+    * precision ≤ 18 so the unscaled value always fits a long. The DSv2
+    * prune tier translates pushed BigDecimal filter values to the same
+    * unscaled form using the column's schema scale (GraftScan), so both
+    * sides stay engine-controlled. */
+  private def isScaledDecimal(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+      case _ => false
+    }
+
   /** A column the long-bounds `.stats` family soundly covers. */
   private def longStatsable(df: DataFrame, c: String): Boolean =
-    isIntegral(df, c) || isDatelike(df.schema(c).dataType)
+    isIntegral(df, c) || isDatelike(df.schema(c).dataType) ||
+      isScaledDecimal(df.schema(c).dataType)
 
   /** The engine-canonical long projection of a stats column: integrals
     * cast (identity); DATE → epoch days (`unix_date`), TIMESTAMP →
@@ -1811,14 +1825,21 @@ object TxnTable {
       // tier sees the exact type the probe side compares with
       case org.apache.spark.sql.types.DateType      => unix_date(col(c)).cast("long")
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      // decimal → UNSCALED long: value × 10^scale is integral by
+      // definition, so the decimal product (precision p+20 ≤ 38 under
+      // the p ≤ 18 gate) casts to long exactly
+      case d: org.apache.spark.sql.types.DecimalType =>
+        import org.apache.spark.sql.functions.lit
+        val pow10 = (1 to d.scale).foldLeft(1L)((a, _) => a * 10L)
+        (col(c) * lit(pow10)).cast("long")
       case _                                        => col(c).cast("long")
     }
   }
 
   private def requireStatsable(df: DataFrame, c: String): Unit =
     require(longStatsable(df, c) || isStringCol(df, c),
-      s"statsCol $c must be an integral, string, date or timestamp type, got " +
-        df.schema(c).dataType.sql)
+      s"statsCol $c must be an integral, string, date, timestamp or " +
+        s"decimal(≤18) type, got " + df.schema(c).dataType.sql)
 
   private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {

@@ -317,8 +317,12 @@ class CheckpointManifestSpec extends SparkTestBase {
             statsCol = Some("id")))
         assertColdEquals(dir, 18L, "offload, post-maintenance commits")
         assert(TxnTable.read(spark, dir).count() == 19L)
-        // a new maintenance pass checkpoints the new head
-        assert(TxnTable.checkpoint(dir).contains(18L))
+        // a new maintenance pass checkpoints the new head — through the
+        // SQL verb this time (the OPTIMIZE-adjacent surface)
+        val row = graft.plans.GraftSql.sql(spark,
+          s"CHECKPOINT graft.`$dir`").collect().head
+        assert(row.getBoolean(0) && row.getLong(1) == 18L,
+          s"SQL CHECKPOINT wrong: $row")
         assertColdEquals(dir, 18L, "second maintenance pass")
       } finally TxnTable.uninstallCkptOffload(dir)
     }

@@ -607,6 +607,27 @@ class PlanAuditSpec extends SparkTestBase {
         p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("q237: the DSv2 DECIMAL read plans the SAME 1-of-4 dirs as the " +
+      "unscaled-cents pruneLive; BigDecimal filters pushed to the scan") {
+    val df = SparkEntry.queries("q237_dsv2_decimal_skipping")(spark, sf)
+    df.queryExecution.executedPlan: Unit
+    val t = "/tmp/graft_derived/sf0.001/orders_txn_decskip/t"
+    val snap = graft.sources.TxnTable.snapshot(t,
+      graft.sources.TxnTable.latestVersion(t).get)
+    val expect = graft.sources.TxnTable.pruneLive(snap, "price_d",
+      10000000L, 19999999L)
+    assert(snap.live.size == 4 && expect.size == 1,
+      s"price-band build wrong: ${snap.live.size} live, ${expect.size} expected")
+    val meta = graft.sources.GraftScanMeta.forTable(t).get
+    assert(meta.planned == expect,
+      s"DSv2 planned ${meta.planned} but unscaled pruneLive plans $expect")
+    val p = plan("q237_dsv2_decimal_skipping")
+    assert(p.contains("GreaterThanOrEqual(price_d") &&
+      p.contains("LessThanOrEqual(price_d"),
+      "decimal range filter not pushed through SupportsPushDownFilters:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("q206: Z-order gives the SECOND column a pruned plan (at most half the dirs)") {
     val df = SparkEntry.queries("q206_txn_zorder")(spark, sf)
     val t = "/tmp/graft_derived/sf0.001/orders_txn_zorder/t"
