@@ -410,46 +410,73 @@ object GraftScan {
     * conjunct independently narrows the planned set, so the result is
     * the INTERSECTION of what each predicate proves. Sound by
     * construction — each prune keeps every dir it cannot disprove. */
-  private[sources] def prune(dir: String, snap: TxnTable.Snapshot,
-                             filters: Array[Filter],
-                             schema: StructType = new StructType()): Seq[String] = {
+  private[graft] def prune(dir: String, snap: TxnTable.Snapshot,
+                           filters: Array[Filter],
+                           schema: StructType = new StructType()): Seq[String] = {
     var dirs = snap.live
     def narrow(kept: Seq[String]): Unit = dirs = dirs.filter(kept.contains)
     // integral/date/timestamp values translate from the VALUE alone
     // (longOf); decimals additionally need the column's schema scale —
     // the unscaled-long translation mirroring TxnTable.longProj's
-    // write-side projection
-    def boundOf(a: String, v: Any): Option[Long] =
-      longOf(v).orElse(schema.find(_.name == a).map(_.dataType)
-        .flatMap(scaledLongOf(v, _)))
+    // write-side projection, with direction-aware rounding for literals
+    // the scale cannot represent (x <= 9.995 prunes as x <= 9.99 on a
+    // scale-2 column; x > 9.995 as x >= 10.00 — INCLUSIVE, the strict
+    // +1 applies only to exactly-representable values)
+    def typeOf(a: String): Option[org.apache.spark.sql.types.DataType] =
+      schema.find(_.name == a).map(_.dataType)
+    def eqOf(a: String, v: Any): Option[Long] =
+      longOf(v).orElse(typeOf(a).flatMap(scaledLongOf(v, _)))
+    // lower bound as an inclusive [x, ∞) start; strict handled per-arm
+    def lowerOf(a: String, v: Any, strict: Boolean): Option[Long] =
+      longOf(v).map(x => if (strict) math.min(x, Long.MaxValue - 1) + 1L else x)
+        .orElse(typeOf(a).flatMap { dt =>
+          scaledLongOf(v, dt) match {
+            case Some(x) => Some(if (strict) math.min(x, Long.MaxValue - 1) + 1L else x)
+            case None    => scaledLongOf(v, dt, DecMode.Ceil) // non-repr: > and >= coincide
+          }
+        })
+    def upperOf(a: String, v: Any, strict: Boolean): Option[Long] =
+      longOf(v).map(x => if (strict) math.max(x, Long.MinValue + 1) - 1L else x)
+        .orElse(typeOf(a).flatMap { dt =>
+          scaledLongOf(v, dt) match {
+            case Some(x) => Some(if (strict) math.max(x, Long.MinValue + 1) - 1L else x)
+            case None    => scaledLongOf(v, dt, DecMode.Floor) // non-repr: < and <= coincide
+          }
+        })
     filters.flatMap(conjuncts).foreach {
       case EqualTo(a, v) =>
-        boundOf(a, v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
+        eqOf(a, v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
+        if (typeOf(a).exists(decimalNeverEqual(v, _)))
+          narrow(Nil) // no scale-s value equals this literal: zero dirs
         stringOf(v).foreach(s => narrow(TxnTable.pruneLiveString(snap, a, s, s)))
         stableRender(v).foreach(s => narrow(TxnTable.prunePartition(snap, a, s)))
       case EqualNullSafe(a, v) if v != null =>
-        boundOf(a, v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
+        eqOf(a, v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
+        if (typeOf(a).exists(decimalNeverEqual(v, _)))
+          narrow(Nil)
         stringOf(v).foreach(s => narrow(TxnTable.pruneLiveString(snap, a, s, s)))
         stableRender(v).foreach(s => narrow(TxnTable.prunePartition(snap, a, s)))
       case GreaterThan(a, v) =>
-        boundOf(a, v).filter(_ < Long.MaxValue)
-          .foreach(x => narrow(TxnTable.pruneLive(snap, a, x + 1L, Long.MaxValue)))
+        lowerOf(a, v, strict = true)
+          .foreach(x => narrow(TxnTable.pruneLive(snap, a, x, Long.MaxValue)))
         // strict string bound prunes via the inclusive one: a dir whose
         // recorded range tops out below s cannot hold anything > s (a
         // dir with max == s survives — kept extra, sound)
         stringOf(v).foreach(s =>
           narrow(TxnTable.pruneLiveStringBounds(snap, a, Some(s), None)))
       case GreaterThanOrEqual(a, v) =>
-        boundOf(a, v).foreach(x => narrow(TxnTable.pruneLive(snap, a, x, Long.MaxValue)))
+        lowerOf(a, v, strict = false)
+          .foreach(x => narrow(TxnTable.pruneLive(snap, a, x, Long.MaxValue)))
         stringOf(v).foreach(s =>
           narrow(TxnTable.pruneLiveStringBounds(snap, a, Some(s), None)))
       case LessThan(a, v) =>
-        boundOf(a, v).filter(_ > Long.MinValue)
-          .foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x - 1L)))
+        upperOf(a, v, strict = true)
+          .foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x)))
         stringOf(v).foreach(s =>
           narrow(TxnTable.pruneLiveStringBounds(snap, a, None, Some(s))))
       case LessThanOrEqual(a, v) =>
-        boundOf(a, v).foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x)))
+        upperOf(a, v, strict = false)
+          .foreach(x => narrow(TxnTable.pruneLive(snap, a, Long.MinValue, x)))
         stringOf(v).foreach(s =>
           narrow(TxnTable.pruneLiveStringBounds(snap, a, None, Some(s))))
       case StringStartsWith(a, p) =>
@@ -459,9 +486,15 @@ object GraftScan {
         // byte bounds; kept-extra dirs are sound)
         narrow(TxnTable.pruneLiveStringBounds(snap, a, Some(p), None))
       case In(a, vs) if vs.nonEmpty =>
-        val ls = vs.flatMap(boundOf(a, _))
-        if (ls.length == vs.length) // all values long-translatable → bounds prune
-          narrow(TxnTable.pruneLive(snap, a, ls.min, ls.max))
+        // values a decimal scale cannot represent match no row — drop
+        // them from the translated set (all dropped ⇒ zero dirs)
+        val candidates = vs.filterNot(v => typeOf(a).exists(decimalNeverEqual(v, _)))
+        if (candidates.isEmpty) narrow(Nil)
+        else {
+          val ls = candidates.flatMap(eqOf(a, _))
+          if (ls.length == candidates.length) // all translatable → bounds prune
+            narrow(TxnTable.pruneLive(snap, a, ls.min, ls.max))
+        }
         // string IN: union of per-value prunes against the `.sstats`
         // bounds — a dir survives if ANY value could live in it
         val ss = vs.flatMap(stringOf)
@@ -531,6 +564,11 @@ object GraftScan {
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
     case i: java.time.Instant =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    // TIMESTAMP_NTZ literals arrive as LocalDateTime — the exact inverse
+    // of the identity reinterpret the write side records bounds with
+    // (graft.functions.NtzMicros): both sides timezone-free local micros
+    case l: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l))
     case _ => None
   }
 
@@ -543,13 +581,28 @@ object GraftScan {
 
   /** DECIMAL filter values → the unscaled long the write side records
     * bounds with (value × 10^scale, see TxnTable.longProj). Translation
-    * requires the COLUMN's scale — exact-or-nothing: a value that needs
-    * rounding at that scale, or a column wider than 18 digits, returns
-    * None and the predicate simply prunes nothing (sound). */
-  private def scaledLongOf(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Long] = {
+    * requires the COLUMN's scale. `mode` picks the sound direction for
+    * a literal that is NOT representable at that scale:
+    *  - Exact (equality/IN): None — but note the CALLER may instead
+    *    conclude "no column value can equal this" (see prune's arms);
+    *  - Floor (upper bounds): round DOWN — `x <= 9.995` over a scale-2
+    *    column is exactly `x <= 9.99`;
+    *  - Ceil (lower bounds): round UP — `x >= 9.995` is exactly
+    *    `x >= 10.00`.
+    * Overflow past a long (or a column wider than 18 digits) returns
+    * None: the predicate prunes nothing, sound. */
+  private object DecMode extends Enumeration { val Exact, Floor, Ceil = Value }
+  private def scaledLongOf(v: Any, dt: org.apache.spark.sql.types.DataType,
+                           mode: DecMode.Value = DecMode.Exact): Option[Long] = {
     def unscaled(b: java.math.BigDecimal, scale: Int): Option[Long] =
-      try Some(b.setScale(scale).unscaledValue().longValueExact())
-      catch { case _: ArithmeticException => None }
+      try {
+        val r = mode match {
+          case DecMode.Exact => b.setScale(scale)
+          case DecMode.Floor => b.setScale(scale, java.math.RoundingMode.FLOOR)
+          case DecMode.Ceil  => b.setScale(scale, java.math.RoundingMode.CEILING)
+        }
+        Some(r.unscaledValue().longValueExact())
+      } catch { case _: ArithmeticException => None }
     dt match {
       case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
         v match {
@@ -560,6 +613,24 @@ object GraftScan {
       case _ => None
     }
   }
+
+  /** True iff `v` is a decimal value for a decimal column that CANNOT
+    * be represented at the column's scale — no column value can ever
+    * equal it, so an equality on it matches zero rows (the caller may
+    * plan zero dirs; the residual filter agrees). */
+  private def decimalNeverEqual(v: Any, dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        val b = v match {
+          case x: java.math.BigDecimal  => Some(x)
+          case x: scala.math.BigDecimal => Some(x.underlying)
+          case _                        => None
+        }
+        b.exists(x =>
+          try { x.setScale(d.scale); false }
+          catch { case _: ArithmeticException => true })
+      case _ => false
+    }
 
   /** Translate a source filter back to a Column for the INNER read —
     * this is what lets parquet row-group skipping fire inside the V1

@@ -1791,7 +1791,8 @@ object TxnTable {
   private def isDatelike(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.DateType |
-           org.apache.spark.sql.types.TimestampType => true
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
       case _ => false
     }
 
@@ -1825,6 +1826,11 @@ object TxnTable {
       // tier sees the exact type the probe side compares with
       case org.apache.spark.sql.types.DateType      => unix_date(col(c)).cast("long")
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      // NTZ has no session-timezone-free SQL projection — the native
+      // identity reinterpret is the engine-controlled one (the internal
+      // long IS the local micros the pushed LocalDateTime translates to)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        graft.functions.TimeKernels.ntzMicros(col(c))
       // decimal → UNSCALED long: value × 10^scale is integral by
       // definition, so the decimal product (precision p+20 ≤ 38 under
       // the p ≤ 18 gate) casts to long exactly
@@ -4380,16 +4386,26 @@ object TxnTable {
     }.toSet                                   // retained reads depend on them
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
     // nested in-place references (`.bulk-x/leaf`, round 14) guard their
-    // top-level ROOT: reaping is root-granular, so a root with ANY
-    // referenced leaf survives whole (conservative — unreferenced
-    // sibling leaves under it are reclaimed only when the last
-    // reference goes). Clone's `../` references never match a listed
-    // child, as before.
+    // top-level ROOT; inside a root that still holds a referenced leaf,
+    // reaping drops to LEAF granularity — a replaced partition's old
+    // leaf reclaims without waiting for its siblings, and a root whose
+    // last referenced leaf goes is reaped whole on the next pass (only
+    // its `_SUCCESS` marker remains by then). Clone's `../` references
+    // never match a listed child, as before. The mtime grace protects
+    // an in-flight writer's fresh staging dirs at either granularity.
     val refRoots = referenced.map(_.split("/")(0))
     val reap = Option(dataDir(tableDir).listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && !refRoots.contains(f.getName) &&
-        f.lastModified() <= cutoff) // grace: an in-flight writer's fresh
-      .map(_.getName).toSeq.sorted  // staging dir is NOT an orphan yet
+      .filter(_.isDirectory).flatMap { f =>
+        if (!refRoots.contains(f.getName)) {
+          if (f.lastModified() <= cutoff) Seq(f.getName) else Nil
+        } else if (referenced.contains(f.getName)) Nil // flat live dir
+        else // in-place root with referenced leaves: reap stale siblings
+          Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq
+            .filter(c => c.isDirectory &&
+              !referenced.contains(s"${f.getName}/${c.getName}") &&
+              c.lastModified() <= cutoff)
+            .map(c => s"${f.getName}/${c.getName}")
+      }.toSeq.sorted
     (drop, reap)
   }
 

@@ -100,21 +100,40 @@ class InPlaceDataSpec extends SparkTestBase {
     }
   }
 
-  test("a root stays whole while ANY leaf is referenced: partially-replaced " +
-      "partitions keep the shared bulk root (conservative, documented)") {
+  test("leaf-granular vacuum: inside a root with referenced leaves, a " +
+      "replaced partition's stale leaf reaps individually; the root " +
+      "follows whole once its last reference goes") {
     val dir = tmp()
     withInPlace(dir) {
       TxnTable.overwritePartitions(spark, dir,
         Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "p", "v"), "p")
       val root0 = topLevel(dir)
+      assert(root0.size == 1)
+      def leavesUnder(root: String): Set[String] =
+        Option(new File(new File(new File(dir, "data"), root).getPath)
+          .listFiles()).getOrElse(Array.empty[File])
+          .filter(_.isDirectory).map(_.getName).toSet
+      assert(leavesUnder(root0.head).size == 2)
       // replace only partition a — b's leaf under root0 stays referenced
       TxnTable.overwritePartitions(spark, dir,
         Seq((5, "a", 50L)).toDF("id", "p", "v"), "p")
       TxnTable.vacuum(dir, retain = 1)
       assert(root0.subsetOf(topLevel(dir)),
         "vacuum reaped a root that still holds a referenced leaf")
+      assert(leavesUnder(root0.head).size == 1,
+        "the replaced partition's stale leaf did not reap leaf-granularly")
       assert(TxnTable.read(spark, dir).collect().map(_.getInt(0)).sorted.toSeq ==
         Seq(2, 5))
+      // replace b too: root0's last reference goes — next vacuum reaps
+      // the (now leafless) root wholesale
+      TxnTable.overwritePartitions(spark, dir,
+        Seq((7, "b", 70L)).toDF("id", "p", "v"), "p")
+      TxnTable.vacuum(dir, retain = 1)
+      TxnTable.vacuum(dir, retain = 1) // second pass: empty root reaps whole
+      assert((topLevel(dir) & root0).isEmpty,
+        s"fully-unreferenced root survived two vacuums: ${topLevel(dir) & root0}")
+      assert(TxnTable.read(spark, dir).collect().map(_.getInt(0)).sorted.toSeq ==
+        Seq(5, 7))
     }
   }
 }

@@ -273,6 +273,74 @@ class StringStatsSpec extends SparkTestBase {
       s"timestamp DSv2 skip planned ${tMeta.planned.size} of ${tMeta.live.size}")
     assert(tDf.collect().map(_.getInt(0)).toSeq == Seq(1),
       "timestamp-filtered DSv2 read wrong")
+    // TIMESTAMP_NTZ: the native identity-reinterpret projection
+    // (NtzMicros) must agree with the pushed LocalDateTime translation —
+    // timezone-free on both sides, so the skip is exact regardless of
+    // the session timezone
+    import org.apache.spark.sql.functions.to_timestamp_ntz
+    val nDir = tmp()
+    Seq("2023-01-01 00:00:00", "2023-06-01 12:30:00", "2024-01-01 00:00:00")
+      .zipWithIndex.foreach { case (ts, i) =>
+        TxnTable.append(
+          Seq((i, ts)).toDF("id", "tss")
+            .select(col("id"), to_timestamp_ntz(col("tss")).as("t")).coalesce(1),
+          nDir, statsCol = Some("t"))
+      }
+    val nDf = spark.read.format("graft").load(nDir)
+      .filter(col("t") >= lit(java.time.LocalDateTime.parse("2023-05-01T00:00:00")) &&
+        col("t") <= lit(java.time.LocalDateTime.parse("2023-12-31T00:00:00")))
+    nDf.queryExecution.executedPlan: Unit
+    val nMeta = graft.sources.GraftScanMeta.forTable(nDir).get
+    assert(nMeta.live.size == 3 && nMeta.planned.size == 1,
+      s"NTZ DSv2 skip planned ${nMeta.planned.size} of ${nMeta.live.size}")
+    assert(nDf.collect().map(_.getInt(0)).toSeq == Seq(1),
+      "NTZ-filtered DSv2 read wrong")
+  }
+
+  test("DSv2 route (round 14): DECIMAL statsCols record unscaled-long bounds; " +
+      "plain .filter() prunes; non-representable literals round in the sound " +
+      "direction and never-equal literals plan zero dirs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmp()
+    // three disjoint price bands at scale 2
+    Seq((1, "1.00", "2.00"), (2, "3.00", "4.00"), (3, "5.00", "6.00"))
+      .foreach { case (i, lo, hi) =>
+        TxnTable.append(
+          Seq((i, lo), (i + 10, hi)).toDF("id", "ps")
+            .select(col("id"), col("ps").cast("decimal(18,2)").as("price"))
+            .coalesce(1),
+          dir, statsCol = Some("price"))
+      }
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.stats.size == 3, s"decimal bounds not folded: ${snap.stats}")
+    // end-to-end: plain DSv2 read with a representable band
+    val df = spark.read.format("graft").load(dir)
+      .filter(col("price") >= lit("3.00").cast("decimal(18,2)") &&
+        col("price") <= lit("4.00").cast("decimal(18,2)"))
+    df.queryExecution.executedPlan: Unit
+    val meta = graft.sources.GraftScanMeta.forTable(dir).get
+    assert(meta.live.size == 3 && meta.planned.size == 1,
+      s"decimal DSv2 skip planned ${meta.planned.size} of ${meta.live.size}")
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 12))
+    // direction-aware rounding, pinned at the prune tier directly (Spark
+    // usually casts the ATTRIBUTE on scale mismatch so such literals
+    // rarely push — these arms are the defensive floor):
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThanOrEqual}
+    val schema = spark.read.format("graft").load(dir).schema
+    def planOf(f: org.apache.spark.sql.sources.Filter): Seq[String] =
+      graft.sources.GraftScan.prune(dir, snap, Array(f), schema)
+    // price <= 4.005 ≡ price <= 4.00 at scale 2: plans bands 1+2, not 3
+    assert(planOf(LessThanOrEqual("price", new java.math.BigDecimal("4.005")))
+      .size == 2, "Floor rounding on a non-representable upper bound")
+    // price > 4.995 ≡ price >= 5.00: plans band 3 only (INCLUSIVE — a
+    // strict +1 on the ceiling would unsoundly skip 5.00)
+    assert(planOf(GreaterThan("price", new java.math.BigDecimal("4.995")))
+      .size == 1, "Ceil rounding on a non-representable strict lower bound")
+    // no scale-2 value equals 3.505: zero dirs planned
+    assert(planOf(EqualTo("price", new java.math.BigDecimal("3.505"))).isEmpty,
+      "never-equal decimal literal must plan zero dirs")
+    // representable equality still goes through bounds + bloom
+    assert(planOf(EqualTo("price", new java.math.BigDecimal("3.00"))).size == 1)
   }
 
   test("doubles still reject as statsCol: no sound bound family exists") {
