@@ -1753,12 +1753,27 @@ object TxnTable {
     // post-evolution the latest manifest's carried DDL is the table
     // schema (atomic with the addColumn commit); `_schema` is the
     // pre-evolution fallback and the first-commit record
+    // the empty-filter guards a RACING first commit: Files.write is not
+    // atomic, so a concurrent appender could read `_schema` created but
+    // not yet filled — an empty record is "absent", never a schema
     val expected = latestVersion(tableDir)
       .flatMap(v => snapshot(tableDir, v).schema)
       .orElse(if (f.exists())
-        Some(new String(Files.readAllBytes(f.toPath), "UTF-8")) else None)
+        Some(new String(Files.readAllBytes(f.toPath), "UTF-8"))
+          .filter(_.nonEmpty)
+        else None)
     expected match {
-      case None => Files.write(f.toPath, ddl.getBytes("UTF-8")): Unit
+      case None =>
+        // atomic publish (tmp + move): racing first committers carry
+        // the SAME ddl (both passed the None check against the same
+        // absent state), so last-writer-wins replace is contention-safe
+        // and a reader never observes a torn/empty record
+        f.getParentFile.mkdirs()
+        val tmp = new File(f.getParentFile, s".tmp-schema-${UUID.randomUUID()}")
+        Files.write(tmp.toPath, ddl.getBytes("UTF-8"))
+        try Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING): Unit
+        finally { Files.deleteIfExists(tmp.toPath); () }
       case Some(exp) if exp != ddl =>
         throw new SchemaMismatch(
           s"commit schema $ddl does not match the table's $exp; " +
