@@ -2692,6 +2692,143 @@ object TxnTable {
     } else false
   }
 
+  // ---- logical conflict re-check (round 15) ----
+  // Row-level DML and maintenance are read-modify-write: their output
+  // is a function of ONE base snapshot, so a publish can only land at
+  // base+1 — blindly rebasing onto a newer head (the append path's
+  // retry) would silently drop the winners' effects. Through round 14
+  // that meant ANY concurrent winner threw [[CommitConflict]] and the
+  // caller re-ran the whole op — under steady append traffic (the
+  // streaming sink commits every few seconds) a 10-minute MERGE or
+  // OPTIMIZE could starve forever, re-staging its full write set each
+  // retry. The fix is the Delta-ConflictChecker idea re-derived over
+  // manifests: on a taken slot, re-read the head snapshot and PROVE,
+  // structurally, that every winner in (base, head] left the loser's
+  // logical read set untouched — then the loser's already-staged dirs
+  // republish on the new base without re-running anything. The proof
+  // obligations, checked base-vs-head (winners compose):
+  //   1. table-wide metadata unchanged — schema, constraints, generated
+  //      columns, field ids, hidden-partition spec (a schema winner
+  //      invalidates the staged rewrite bytes themselves);
+  //   2. every dir the op READ is still live with an identical deletion
+  //      vector and identical applied equality deletes (a winner that
+  //      rewrote, dv'd, or eq-deleted into a read dir changed content
+  //      the op's output was computed from — the round-8 compaction
+  //      lost-update shape, still a hard conflict);
+  //   3. winner-ADDED dirs are judged by the op's own semantics
+  //      ([[WinnerAddCheck]]): content-preserving maintenance ignores
+  //      them (they survive the rebase untouched); keyed DML accepts
+  //      them only when manifest key stats PROVE they hold no matchable
+  //      row; arbitrary-predicate DML can prove nothing and conflicts.
+  // The rebased history stays serializable in commit order: winners
+  // applied their deltas to states without the loser, and the loser's
+  // matched-row set is provably identical at base and head.
+
+  /** How [[publishRebasing]] judges dirs a concurrent winner ADDED. */
+  sealed private trait WinnerAddCheck
+  /** Content-preserving maintenance (compaction): winner-added dirs
+    * simply survive the rebase — the op claims nothing about them. */
+  private case object AddsIgnored extends WinnerAddCheck
+  /** Arbitrary-predicate DML: nothing can prove a winner-added dir
+    * holds no matching row — any added dir is a conflict. */
+  private case object AddsUnprovable extends WinnerAddCheck
+  /** Keyed DML whose matched rows all lie in `col` ∈ [lo, hi]: a
+    * winner-added dir is acceptable iff its manifest stats PROVE its
+    * key range disjoint (missing stats = unprovable = conflict). */
+  private final case class AddsKeyDisjoint(col: String, lo: Long, hi: Long)
+    extends WinnerAddCheck
+
+  /** Equality-delete state restricted to `dirs`: the set of
+    * (eq-dir, key-cols, applied-dir) triples touching any of them. */
+  private def eqStateOn(sn: Snapshot, dirs: Set[String]): Set[(String, String, String)] =
+    sn.eqs.toSeq.flatMap { case (e, (cols, ds)) =>
+      ds.filter(dirs.contains).map(d => (e, cols.mkString(","), d))
+    }.toSet
+
+  /** Throw a reasoned [[CommitConflict]] unless every winner between
+    * `s0` (the op's base) and `h` (the current head) is rebasable past,
+    * per the proof obligations above. */
+  private def requireRebasable(s0: Snapshot, h: Snapshot,
+                               readDirs: Set[String],
+                               addCheck: WinnerAddCheck): Unit = {
+    def fail(why: String): Nothing = throw new CommitConflict(
+      s"concurrent commit(s) through version ${h.version} cannot be " +
+        s"rebased past ($why); re-read and retry the operation")
+    if (h.schema != s0.schema || h.schema0 != s0.schema0 ||
+        h.fids != s0.fids || h.constraints != s0.constraints ||
+        h.gens != s0.gens || h.ptrans != s0.ptrans)
+      fail("table metadata changed: schema/constraints/generated/spec")
+    val hLive = h.live.toSet
+    readDirs.find(!hLive.contains(_)).foreach(d =>
+      fail(s"dir $d this operation read was rewritten or removed"))
+    readDirs.find(d => h.dvs.get(d) != s0.dvs.get(d)).foreach(d =>
+      fail(s"deletion vector changed on read dir $d"))
+    if (eqStateOn(h, readDirs) != eqStateOn(s0, readDirs))
+      fail("equality-delete state changed on a read dir")
+    lazy val added = h.live.filterNot(s0.live.toSet)
+    addCheck match {
+      case AddsIgnored => ()
+      case AddsUnprovable =>
+        if (added.nonEmpty) fail(
+          s"winner added dir(s) ${added.take(3).mkString(", ")} and this " +
+            "operation's predicate cannot prove them unmatched")
+      case AddsKeyDisjoint(col, lo, hi) =>
+        added.find { d =>
+          !h.stats.get(d).flatMap(_.find(_._1 == col))
+            .exists { case (_, dLo, dHi) => dHi < lo || dLo > hi }
+        }.foreach(d => fail(
+          s"winner-added dir $d may hold rows with $col in [$lo, $hi] " +
+            "(no disjoint manifest stats)"))
+    }
+  }
+
+  /** Publish a read-modify-write op's outcome — expressed as a DELTA
+    * against the base snapshot it read (`removed` dirs dropped from
+    * live, `added` staged dirs appended, `dvUpdates` per-dir deletion
+    * vectors, `eqAdd` a new equality-delete entry) — rebasing past
+    * provably-disjoint winners instead of throwing (see the section
+    * note). Staged data is written ONCE by the caller; only the
+    * manifest recomputes per attempt. Winner state (their added dirs,
+    * their dvs on unread dirs, their eq entries) carries through the
+    * head snapshot into the rebased manifest untouched; the loser's dv
+    * targets and eq applies-sets are all read dirs, which obligation 2
+    * pins byte-identical, so composing them onto the head is exact. */
+  private def publishRebasing(tableDir: String, snap0: Snapshot,
+                              action: String, removed: Set[String],
+                              added: Seq[String], readDirs: Set[String],
+                              addCheck: WinnerAddCheck,
+                              txnId: Option[String],
+                              dvUpdates: Map[String, String] = Map.empty,
+                              eqAdd: Option[(String, (Seq[String], Seq[String]))] = None): Long = {
+    var cur = snap0
+    var attempt = 0
+    while (attempt < 64) {
+      txnId.flatMap(findTxn(tableDir, _)) match {
+        case Some(v) => return v // lost the race to our own retry twin
+        case None    =>
+      }
+      val v = cur.version + 1
+      if (tryPublish(tableDir, v, action, cur.live.filterNot(removed) ++ added,
+          txnId, dvs = cur.dvs ++ dvUpdates, schema = cur.schema,
+          eqsOverride = eqAdd.map(cur.eqs + _))) {
+        maybeCheckpoint(tableDir, v)
+        return v
+      }
+      // slot taken: find the new head and decide whether every winner
+      // in (cur.version, head] is rebasable past — base-vs-head checks
+      // compose across multiple winners, so only the head is re-read
+      val head = latestVersion(tableDir).getOrElse(
+        throw new CommitConflict(s"commit log vanished under $tableDir"))
+      if (head < v) throw new CommitConflict(
+        s"version $v at $tableDir lost its slot to an unobservable winner")
+      val hSnap = snapshot(tableDir, head)
+      requireRebasable(snap0, hSnap, readDirs, addCheck)
+      cur = hSnap
+      attempt += 1
+    }
+    throw new CommitConflict(s"gave up after $attempt conflicts at $tableDir")
+  }
+
   /** Row-level MERGE (upsert): rows of `updates` replace current rows
     * with the same `keyCols` value; unmatched update rows insert. One
     * atomic commit — copy-on-write, the Delta/Iceberg MERGE strategy,
@@ -2706,13 +2843,17 @@ object TxnTable {
     * update keys would both insert — the same ambiguity Delta's MERGE
     * rejects with "multiple source rows matched"); dedup upstream.
     *
-    * Conflict semantics: merge is read-modify-write, so a concurrent
-    * commit between the read and the publish would make the rebase
-    * silently drop that writer's rows — the merge therefore publishes
-    * ONLY at base+1 and throws [[CommitConflict]] if the slot is taken
-    * (the caller re-reads and retries the whole merge; Delta's
-    * ConcurrentAppendException semantics). Readers of prior versions
-    * are unaffected; time travel still sees the pre-merge rows.
+    * Conflict semantics (round 15): merge is read-modify-write, so it
+    * cannot blind-rebase like append — but a LOGICAL re-check
+    * ([[publishRebasing]], Delta's ConflictChecker re-derived) lets it
+    * land past winners that provably did not touch its read set:
+    * appends whose manifest key stats are disjoint from the update
+    * keys' bounds rebase through without re-running the merge; genuine
+    * overlap, dv/eq changes on rewritten dirs, schema/constraint
+    * winners, and unprovable cases still throw [[CommitConflict]] (the
+    * caller re-reads and retries the whole merge). Readers of prior
+    * versions are unaffected; time travel still sees the pre-merge
+    * rows.
     */
   /** Enforce the key-unique-source precondition merge/mergeInto document:
     * duplicate source key tuples would fan matched target rows out
@@ -2761,19 +2902,25 @@ object TxnTable {
     // sound (see [[isIntegral]]), so such merges rewrite everything.
     val hasStats = isIntegral(updates, key) &&
       snap.live.exists(d => snap.stats.get(d).exists(_.exists(_._1 == key)))
-    val (kept, touched) =
-      if (hasStats) {
+    // the update keys' bounds do double duty: rewrite-set pruning here,
+    // and the winner-added-dir disjointness proof if the publish races
+    val bounds: Option[(Long, Long)] =
+      if (!hasStats) None
+      else {
         val r = updates.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-        if (r.isNullAt(0)) (Seq.empty[String], snap.live)
-        else {
-          val (lo, hi) = (r.getLong(0), r.getLong(1))
-          snap.live.partition(d =>
-            snap.stats.get(d).flatMap(_.find(_._1 == key)) match {
-              case Some((_, dLo, dHi)) => dHi < lo || dLo > hi // disjoint → keep
-              case _                   => false
-            })
-        }
-      } else (Seq.empty[String], snap.live)
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      }
+    // kept dirs need no binding here: the live set recomputes per
+    // publish attempt as head.live minus `touched` (rebase-safe)
+    val touched = bounds match {
+      case Some((lo, hi)) =>
+        snap.live.filterNot(d =>
+          snap.stats.get(d).flatMap(_.find(_._1 == key)) match {
+            case Some((_, dLo, dHi)) => dHi < lo || dLo > hi // disjoint → keep
+            case _                   => false
+          })
+      case None => snap.live
+    }
     val current =
       if (touched.isEmpty) updates.limit(0)
       else readDirsDV(spark, tableDir, snap, touched) // rewrite THROUGH dvs
@@ -2781,13 +2928,10 @@ object TxnTable {
         keyCols, "left_anti")
       .unionByName(updates)
     val staged = stage(merged, tableDir, Some(key).filter(_ => hasStats))
-    if (!tryPublish(tableDir, base + 1L, "merge", kept :+ staged, txnId,
-        schema = snap.schema,
-        dvs = snap.dvs))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry the merge")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    publishRebasing(tableDir, snap, "merge", touched.toSet, Seq(staged),
+      touched.toSet,
+      bounds.map { case (lo, hi) => AddsKeyDisjoint(key, lo, hi) }
+        .getOrElse(AddsUnprovable), txnId)
   }
 
   /** MERGE / upsert as MERGE-ON-READ (the Delta low-shuffle-merge +
@@ -2830,31 +2974,34 @@ object TxnTable {
     // bounds miss every update key cannot hold a matched row
     val hasStats = isIntegral(updates, key) &&
       snap.live.exists(d => snap.stats.get(d).exists(_.exists(_._1 == key)))
-    val touched =
-      if (hasStats) {
+    val bounds: Option[(Long, Long)] =
+      if (!hasStats) None
+      else {
         val r = updates.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-        if (r.isNullAt(0)) Seq.empty[String] // no non-null keys → no matches
-        else {
-          val (lo, hi) = (r.getLong(0), r.getLong(1))
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      }
+    val touched =
+      if (hasStats && bounds.isEmpty) Seq.empty[String] // no non-null keys
+      else bounds match {
+        case Some((lo, hi)) =>
           snap.live.filterNot(d =>
             snap.stats.get(d).flatMap(_.find(_._1 == key)) match {
               case Some((_, dLo, dHi)) => dHi < lo || dLo > hi // disjoint
               case _                   => false
             })
-        }
-      } else snap.live
+        case None => snap.live
+      }
     val keys = updates.select(keyCols.map(updates.col): _*).distinct()
     val updated = touched.flatMap(d =>
       stageDVMatch(spark, tableDir, snap, d, keys, keyCols).map(d -> _)).toMap
     val staged =
       if (updates.isEmpty) None
       else Some(stage(updates, tableDir, Some(key).filter(_ => hasStats)))
-    if (!tryPublish(tableDir, base + 1L, "merge", snap.live ++ staged, txnId,
-        dvs = snap.dvs ++ updated, schema = snap.schema))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry the merge")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    publishRebasing(tableDir, snap, "merge", Set.empty, staged.toSeq,
+      touched.toSet,
+      bounds.map { case (lo, hi) => AddsKeyDisjoint(key, lo, hi) }
+        .getOrElse(if (hasStats) AddsIgnored else AddsUnprovable),
+      txnId, dvUpdates = updated)
   }
 
   /** One WHEN MATCHED clause of [[mergeInto]] — evaluated in the given
@@ -2932,19 +3079,23 @@ object TxnTable {
     // rows: then every live dir is touched
     val hasStats = whenNotMatchedBySource.isEmpty && isIntegral(source, key) &&
       snap.live.exists(d => snap.stats.get(d).exists(_.exists(_._1 == key)))
-    val (kept, touched) =
-      if (hasStats) {
+    // source-key bounds serve both rewrite pruning and the rebase-time
+    // winner-added-dir disjointness proof (see [[publishRebasing]])
+    val bounds: Option[(Long, Long)] =
+      if (!hasStats) None
+      else {
         val r = source.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-        if (r.isNullAt(0)) (Seq.empty[String], snap.live)
-        else {
-          val (lo, hi) = (r.getLong(0), r.getLong(1))
-          snap.live.partition(d =>
-            snap.stats.get(d).flatMap(_.find(_._1 == key)) match {
-              case Some((_, dLo, dHi)) => dHi < lo || dLo > hi // disjoint → keep
-              case _                   => false
-            })
-        }
-      } else (Seq.empty[String], snap.live)
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      }
+    val touched = bounds match {
+      case Some((lo, hi)) =>
+        snap.live.filterNot(d =>
+          snap.stats.get(d).flatMap(_.find(_._1 == key)) match {
+            case Some((_, dLo, dHi)) => dHi < lo || dLo > hi // disjoint → keep
+            case _                   => false
+          })
+      case None => snap.live
+    }
     val current =
       if (touched.isEmpty) source.limit(0)
       else readDirsDV(spark, tableDir, snap, touched) // rewrite THROUGH dvs
@@ -3002,12 +3153,10 @@ object TxnTable {
            else col(s"_src_$c").cast(current.schema(c).dataType)).as(c)): _*)
     val rewritten = matchedKept.unionByName(unmatchedTgt).unionByName(inserts)
     val staged = stage(rewritten, tableDir, Some(key).filter(_ => hasStats))
-    if (!tryPublish(tableDir, base + 1L, "merge", kept :+ staged, txnId,
-        schema = snap.schema, dvs = snap.dvs))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry the merge")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    publishRebasing(tableDir, snap, "merge", touched.toSet, Seq(staged),
+      touched.toSet,
+      bounds.map { case (lo, hi) => AddsKeyDisjoint(key, lo, hi) }
+        .getOrElse(AddsUnprovable), txnId)
   }
 
   /** Row-level DELETE of a key range (copy-on-write): removes every row
@@ -3043,23 +3192,17 @@ object TxnTable {
     // bounds — pruneLive keeps possibly-overlapping dirs, so the
     // complement is exactly the untouched set
     val touched = pruneLive(snap, column, lo, hi)
-    val kept = snap.live.filterNot(touched.contains)
-    if (touched.isEmpty) { // nothing can match: a no-op delete commit
-      if (!tryPublish(tableDir, base + 1L, "delete", kept, txnId,
-          dvs = snap.dvs, schema = snap.schema))
-        throw new CommitConflict(
-          s"concurrent commit at version ${base + 1}; re-read and retry")
-      maybeCheckpoint(tableDir, base + 1L)
-      return base + 1L
-    }
+    if (touched.isEmpty) // nothing can match: a no-op delete commit
+      return publishRebasing(tableDir, snap, "delete", Set.empty, Nil,
+        Set.empty, AddsKeyDisjoint(column, lo, hi), txnId)
     val df = readDirsDV(spark, tableDir, snap, touched)
     require(df.columns.contains(column), s"no column $column")
     require(isIntegral(df, column),
       s"deleteRange column $column must be an integral type; use deleteWhere")
     val remaining = df.filter(
       col(column).isNull || col(column) < lo || col(column) > hi)
-    commitRewrite(tableDir, base, "delete", kept, remaining, Some(column), txnId,
-      dvs = snap.dvs, schema = snap.schema)
+    commitRewrite(tableDir, snap, "delete", touched, remaining, Some(column),
+      txnId, AddsKeyDisjoint(column, lo, hi))
   }
 
   /** Row-level DELETE by arbitrary predicate (copy-on-write): removes
@@ -3078,18 +3221,13 @@ object TxnTable {
     val base = latestVersion(tableDir)
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, base)
-    if (snap.live.isEmpty) { // empty table: a no-op delete commit
-      if (!tryPublish(tableDir, base + 1L, "delete", Nil, txnId,
-          schema = snap.schema))
-        throw new CommitConflict(
-          s"concurrent commit at version ${base + 1}; re-read and retry")
-      maybeCheckpoint(tableDir, base + 1L)
-      return base + 1L
-    }
+    if (snap.live.isEmpty) // empty table: a no-op delete commit
+      return publishRebasing(tableDir, snap, "delete", Set.empty, Nil,
+        Set.empty, AddsUnprovable, txnId)
     val df = readDirsDV(spark, tableDir, snap, snap.live)
     val remaining = df.filter(not(coalesce(predicate, lit(false))))
-    commitRewrite(tableDir, base, "delete", Nil, remaining, None, txnId,
-      schema = snap.schema)
+    commitRewrite(tableDir, snap, "delete", snap.live, remaining, None, txnId,
+      AddsUnprovable)
   }
 
   /** Row-level UPDATE ... SET as one atomic copy-on-write commit (the
@@ -3140,23 +3278,17 @@ object TxnTable {
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, base)
     val touched = pruneLive(snap, column, lo, hi)
-    val kept = snap.live.filterNot(touched.contains)
-    if (touched.isEmpty) { // provably no row can match: metadata-only commit
-      if (!tryPublish(tableDir, base + 1L, "update", kept, txnId,
-          dvs = snap.dvs, schema = snap.schema))
-        throw new CommitConflict(
-          s"concurrent commit at version ${base + 1}; re-read and retry")
-      maybeCheckpoint(tableDir, base + 1L)
-      return base + 1L
-    }
+    if (touched.isEmpty) // provably no row can match: metadata-only commit
+      return publishRebasing(tableDir, snap, "update", Set.empty, Nil,
+        Set.empty, AddsKeyDisjoint(column, lo, hi), txnId)
     val df = readDirsDV(spark, tableDir, snap, touched)
     require(df.columns.contains(column), s"no column $column")
     require(isIntegral(df, column),
       s"updateRange column $column must be an integral type; use updateWhere")
     val cond = col(column).isNotNull && col(column) >= lo && col(column) <= hi
     val rewritten = applySet(df, cond, set)
-    commitRewrite(tableDir, base, "update", kept, rewritten, Some(column), txnId,
-      dvs = snap.dvs, schema = snap.schema)
+    commitRewrite(tableDir, snap, "update", touched, rewritten, Some(column),
+      txnId, AddsKeyDisjoint(column, lo, hi))
   }
 
   /** Predicate form of [[updateRange]]: no bounds can be proven from an
@@ -3175,18 +3307,13 @@ object TxnTable {
     val base = latestVersion(tableDir)
       .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
     val snap = snapshot(tableDir, base)
-    if (snap.live.isEmpty) { // empty table: a no-op update commit
-      if (!tryPublish(tableDir, base + 1L, "update", Nil, txnId,
-          schema = snap.schema))
-        throw new CommitConflict(
-          s"concurrent commit at version ${base + 1}; re-read and retry")
-      maybeCheckpoint(tableDir, base + 1L)
-      return base + 1L
-    }
+    if (snap.live.isEmpty) // empty table: a no-op update commit
+      return publishRebasing(tableDir, snap, "update", Set.empty, Nil,
+        Set.empty, AddsUnprovable, txnId)
     val df = readDirsDV(spark, tableDir, snap, snap.live)
     val rewritten = applySet(df, coalesce(predicate, lit(false)), set)
-    commitRewrite(tableDir, base, "update", Nil, rewritten, None, txnId,
-      schema = snap.schema)
+    commitRewrite(tableDir, snap, "update", snap.live, rewritten, None, txnId,
+      AddsUnprovable)
   }
 
   /** Metadata-only ADD COLUMN (Delta/Iceberg schema evolution): the new
@@ -3536,21 +3663,21 @@ object TxnTable {
     * just leaves the live set), publish at base+1 or throw. `dvs`
     * carries surviving kept-dir deletion vectors forward (tryPublish
     * drops entries for rewritten dirs automatically). */
-  private def commitRewrite(tableDir: String, base: Long, action: String,
-                            kept: Seq[String], remaining: DataFrame,
+  /** Stage-and-publish tail shared by the copy-on-write DELETE/UPDATE
+    * forms: `removed` dirs (the op's read-and-rewritten set) drop from
+    * live, `remaining` lands as one staged dir, and the publish rebases
+    * past provably-disjoint winners ([[publishRebasing]]). Kept dirs
+    * and their dvs carry through whatever head the publish lands on. */
+  private def commitRewrite(tableDir: String, snap: Snapshot, action: String,
+                            removed: Seq[String], remaining: DataFrame,
                             statsCol: Option[String],
                             txnId: Option[String],
-                            dvs: Map[String, String] = Map.empty,
-                            schema: Option[String] = None): Long = {
-    val live =
-      if (remaining.isEmpty) kept
-      else kept :+ stage(remaining, tableDir, statsCol)
-    if (!tryPublish(tableDir, base + 1L, action, live, txnId, dvs = dvs,
-        schema = schema))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+                            addCheck: WinnerAddCheck): Long = {
+    val added =
+      if (remaining.isEmpty) Nil
+      else Seq(stage(remaining, tableDir, statsCol))
+    publishRebasing(tableDir, snap, action, removed.toSet, added,
+      removed.toSet, addCheck, txnId)
   }
 
   /** Stage a CUMULATIVE deletion vector for one live dir: the positions
@@ -3656,12 +3783,8 @@ object TxnTable {
       stageDV(spark, tableDir, snap, d,
         df => df.col(column) >= lit(lo) && df.col(column) <= lit(hi)).map(d -> _)
     }.toMap
-    if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
-        dvs = snap.dvs ++ updated, schema = snap.schema))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    publishRebasing(tableDir, snap, "delete", Set.empty, Nil, touched.toSet,
+      AddsKeyDisjoint(column, lo, hi), txnId, dvUpdates = updated)
   }
 
   /** Predicate form of [[deleteRangeDV]]: every live dir is scanned for
@@ -3680,12 +3803,8 @@ object TxnTable {
     val snap = snapshot(tableDir, base)
     val updated = snap.live.flatMap(d =>
       stageDV(spark, tableDir, snap, d, _ => predicate).map(d -> _)).toMap
-    if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
-        dvs = snap.dvs ++ updated, schema = snap.schema))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    publishRebasing(tableDir, snap, "delete", Set.empty, Nil, snap.live.toSet,
+      AddsUnprovable, txnId, dvUpdates = updated)
   }
 
   /** EQUALITY delete (Iceberg's second delete flavor, completing the
@@ -3741,21 +3860,31 @@ object TxnTable {
     // when provable — ONE aggregate over the (tiny) key set, zero table
     // data read
     val key = keyCols.head
-    val applies =
-      if (isIntegral(keys, key) &&
-          snap.live.exists(d => snap.stats.get(d).exists(_.exists(_._1 == key)))) {
+    val hasStats = isIntegral(keys, key) &&
+      snap.live.exists(d => snap.stats.get(d).exists(_.exists(_._1 == key)))
+    val bounds: Option[(Long, Long)] =
+      if (!hasStats) None
+      else {
         val r = keys.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-        if (r.isNullAt(0)) Seq.empty[String]
-        else pruneLive(snap, key, r.getLong(0), r.getLong(1))
-      } else snap.live
-    if (applies.isEmpty) { // provably no effect: metadata-only commit
-      if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
-          dvs = snap.dvs, schema = snap.schema))
-        throw new CommitConflict(
-          s"concurrent commit at version ${base + 1}; re-read and retry")
-      maybeCheckpoint(tableDir, base + 1L)
-      return base + 1L
-    }
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      }
+    val applies =
+      if (hasStats && bounds.isEmpty) Seq.empty[String] // no non-null keys
+      else bounds match {
+        case Some((lo, hi)) => pruneLive(snap, key, lo, hi)
+        case None           => snap.live
+      }
+    // the applies-set is the op's logical READ set: an eq delete claims
+    // it covers every dir that may hold a matching key — a winner that
+    // rewrote one of those dirs (compaction) would carry the doomed rows
+    // into a dir the entry does not apply to (a lost delete), so the
+    // rebase check pins them; provable key bounds let the publish ride
+    // past stats-disjoint appends
+    val addCheck = bounds.map { case (lo, hi) => AddsKeyDisjoint(key, lo, hi) }
+      .getOrElse(if (hasStats) AddsIgnored else AddsUnprovable)
+    if (applies.isEmpty) // provably no effect: metadata-only commit
+      return publishRebasing(tableDir, snap, "delete", Set.empty, Nil,
+        Set.empty, addCheck, txnId)
     // the key set is DELETE metadata, not table data: written directly
     // (no constraint gate — a delete cannot violate a CHECK, and the
     // key projection may not even resolve the constraint's columns)
@@ -3765,13 +3894,8 @@ object TxnTable {
       .write.parquet(dest.getPath)
     val n = spark.read.parquet(dest.getPath).count()
     Files.write(new File(dest, ".nrows").toPath, n.toString.getBytes("UTF-8"))
-    if (!tryPublish(tableDir, base + 1L, "delete", snap.live, txnId,
-        dvs = snap.dvs, schema = snap.schema,
-        eqsOverride = Some(snap.eqs + (eqName -> ((keyCols, applies))))))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    publishRebasing(tableDir, snap, "delete", Set.empty, Nil, applies.toSet,
+      addCheck, txnId, eqAdd = Some(eqName -> ((keyCols, applies))))
   }
 
   /** Row-level UPDATE as MERGE-ON-READ (the Delta DV-update shape):
@@ -3823,12 +3947,9 @@ object TxnTable {
       stageDV(spark, tableDir, snap, d,
         df => df.col(column) >= lit(lo) && df.col(column) <= lit(hi)).map(d -> _)
     }.toMap
-    if (!tryPublish(tableDir, base + 1L, "update", snap.live ++ staged, txnId,
-        dvs = snap.dvs ++ updated, schema = snap.schema))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    publishRebasing(tableDir, snap, "update", Set.empty, staged.toSeq,
+      touched.toSet, AddsKeyDisjoint(column, lo, hi), txnId,
+      dvUpdates = updated)
   }
 
   /** Predicate form of [[updateRangeDV]]: no bounds can be proven from
@@ -3856,12 +3977,8 @@ object TxnTable {
     }
     val updated = snap.live.flatMap(d =>
       stageDV(spark, tableDir, snap, d, _ => predicate).map(d -> _)).toMap
-    if (!tryPublish(tableDir, base + 1L, "update", snap.live ++ staged, txnId,
-        dvs = snap.dvs ++ updated, schema = snap.schema))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    publishRebasing(tableDir, snap, "update", Set.empty, staged.toSeq,
+      snap.live.toSet, AddsUnprovable, txnId, dvUpdates = updated)
   }
 
   /** Change-data feed between two snapshots: every row inserted or
@@ -3970,15 +4087,20 @@ object TxnTable {
     * output file count. Readers of prior versions still see the old dirs
     * until [[vacuum]].
     *
-    * Conflict semantics: compaction is read-modify-write — its output is
-    * a copy of ONE specific snapshot, so it must publish at `base + 1`
-    * and throw [[CommitConflict]] if that slot is taken (same contract
-    * as [[merge]]; Delta's OPTIMIZE behaves likewise). Delegating to
-    * `commit(..., "overwrite")` would be a LOST UPDATE: the rebasing
-    * retry publishes the stale packed copy over a concurrent append,
-    * silently dropping that writer's rows. The caller re-reads and
-    * retries the whole compaction on conflict — compaction is
-    * maintenance, losing the race to real writes is the cheap outcome.
+    * Conflict semantics (round 15): compaction is read-modify-write —
+    * its output is a copy of ONE specific snapshot — but it is also
+    * content-PRESERVING, so the logical re-check ([[publishRebasing]])
+    * lets it land past winners that only ADDED dirs: the packed dir
+    * replaces exactly the dirs it read, the winners' new dirs stay
+    * live next to it (Delta's OPTIMIZE-past-appends). A winner that
+    * removed, rewrote, dv'd, or eq-deleted into a dir the compaction
+    * read still throws [[CommitConflict]] — a blind `commit(...,
+    * "overwrite")` rebase there would be a LOST UPDATE, publishing the
+    * stale packed copy over that writer's effect. On a genuine
+    * conflict the caller re-reads and retries the whole compaction —
+    * compaction is maintenance, losing to real rewrites is the cheap
+    * outcome; under steady APPEND traffic (the streaming-sink shape)
+    * it now always lands.
     *
     * If every live dir carries a stats sidecar on the same column, the
     * packed dir re-derives that sidecar so merge/read pruning survives
@@ -3997,12 +4119,10 @@ object TxnTable {
       case _ => None
     }
     val staged = stage(df, tableDir, statsCol)
-    if (!tryPublish(tableDir, base + 1L, "compact", Seq(staged), None,
-        schema = snap.schema))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry the compaction")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    // content-preserving maintenance rebases past pure appends: the
+    // winners' new dirs simply stay live next to the packed dir
+    publishRebasing(tableDir, snap, "compact", snap.live.toSet, Seq(staged),
+      snap.live.toSet, AddsIgnored, None)
   }
 
   /** PARTITION-SCOPED compaction (Delta's `OPTIMIZE … WHERE`): rewrite
@@ -4030,13 +4150,8 @@ object TxnTable {
     requirePartValueCharset(value)
     Files.write(new File(dest, ".part").toPath,
       s"$partCol=$value".getBytes("UTF-8"))
-    if (!tryPublish(tableDir, base + 1L, "compactPartition",
-        snap.live.filterNot(targets.contains) :+ staged, None,
-        dvs = snap.dvs, schema = snap.schema))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry the compaction")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    publishRebasing(tableDir, snap, "compactPartition", targets.toSet,
+      Seq(staged), targets.toSet, AddsIgnored, None)
   }
 
   /** INCREMENTAL compaction targeting deletion-vector debt (the Delta
@@ -4105,13 +4220,10 @@ object TxnTable {
         Some(s)
       }
     }
-    val live2 = snap.live.filterNot(dirty.contains) ++ staged
-    if (!tryPublish(tableDir, base + 1L, "compact", live2, None,
-        dvs = snap.dvs -- dirty, schema = snap.schema))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry the compaction")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    // the dirty dirs' dvs die with them automatically: tryPublish keeps
+    // only dv entries whose dir is still live
+    publishRebasing(tableDir, snap, "compact", dirty.toSet, staged,
+      dirty.toSet, AddsIgnored, None)
   }
 
   /** CLUSTERED compaction: rewrite the latest snapshot into up to
@@ -4240,12 +4352,8 @@ object TxnTable {
     } else deleteRec(tmp)
     // an empty table (a delete removed every row) clusters to an empty
     // live set — content-identical, like any compaction
-    if (!tryPublish(tableDir, base + 1L, "compact", staged, None,
-        schema = baseSnap.schema))
-      throw new CommitConflict(
-        s"concurrent commit at version ${base + 1}; re-read and retry the clustering")
-    maybeCheckpoint(tableDir, base + 1L)
-    base + 1L
+    publishRebasing(tableDir, baseSnap, "compact", baseSnap.live.toSet,
+      staged, baseSnap.live.toSet, AddsIgnored, None)
   }
 
   /** SHALLOW CLONE (Delta CREATE TABLE ... SHALLOW CLONE): spin up a
