@@ -52,6 +52,13 @@ import graft.sources.TxnTable
   *   CHECKPOINT <tbl>   -- materialize the columnar dir-entry checkpoint
   *                      -- at the head (async-offload maintenance verb)
   * }}}
+  * Round-15 additions (manifest-carried TBLPROPERTIES — see
+  * [[TxnTable.setProperties]] for the engine-honored keys):
+  * {{{
+  *   ALTER TABLE <tbl> SET TBLPROPERTIES('k'='v'[, ...])
+  *   ALTER TABLE <tbl> UNSET TBLPROPERTIES('k'[, ...])
+  *   SHOW TBLPROPERTIES <tbl>
+  * }}}
   * `RESTORE` re-commits the target version's live set
   * ([[TxnTable.restore]] — one manifest write, the 3am-bad-job
   * recovery; the bad versions stay auditable until vacuumed).
@@ -75,6 +82,12 @@ object GraftSql {
     """(?is)\s*CHECKPOINT\s+(.+?)\s*;?\s*""".r
   private val showPartitions =
     """(?is)\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*""".r
+  private val setTblProps =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+SET\s+TBLPROPERTIES\s*\((.+?)\)\s*;?\s*""".r
+  private val unsetTblProps =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+UNSET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*;?\s*""".r
+  private val showTblProps =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+(.+?)\s*;?\s*""".r
 
   /** Run `text`: graft maintenance statements execute against the
     * table's TxnTable log; anything else delegates to `spark.sql`. */
@@ -113,10 +126,12 @@ object GraftSql {
           if (f.exists())
             Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
           else None
-        }.getOrElse("")))
+        }.getOrElse(""),
+        snap.props.toSeq.sortBy(_._1)
+          .map { case (k, pv) => s"$k=$pv" }.mkString(",")))
         .toDF("format", "location", "version", "last_action", "num_files",
           "num_rows", "size_bytes", "num_dvs", "constraints",
-          "partition_spec", "schema_ddl")
+          "partition_spec", "schema_ddl", "properties")
 
     case restore(ref, version) =>
       import spark.implicits._
@@ -134,6 +149,36 @@ object GraftSql {
       val v = TxnTable.checkpoint(dir)
       Seq((v.isDefined, v.getOrElse(TxnTable.latestVersion(dir).getOrElse(-1L))))
         .toDF("written", "version")
+
+    // round-15 TBLPROPERTIES verbs: properties persist IN the manifest
+    // (TxnTable.setProperties — inherited forward like constraints, so
+    // two writer JVMs can never disagree about a table's object-store
+    // mode). ALTER/SHOW TBLPROPERTIES are ALSO Spark grammar — only
+    // graft tables are intercepted, everything else passes through.
+    case setTblProps(ref, kvs) if locateIfGraft(spark, ref).isDefined =>
+      import spark.implicits._
+      val dir = locateIfGraft(spark, ref).get
+      val props = """'([^']+)'\s*=\s*'([^']*)'""".r.findAllMatchIn(kvs)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      require(props.nonEmpty,
+        s"SET TBLPROPERTIES needs 'key'='value' pairs, got: $kvs")
+      val v = TxnTable.setProperties(dir, props)
+      Seq((v, props.size)).toDF("version", "properties_set")
+
+    case unsetTblProps(ref, ks) if locateIfGraft(spark, ref).isDefined =>
+      import spark.implicits._
+      val dir = locateIfGraft(spark, ref).get
+      val keys = """'([^']+)'""".r.findAllMatchIn(ks).map(_.group(1)).toSeq
+      require(keys.nonEmpty, s"UNSET TBLPROPERTIES needs 'key' names, got: $ks")
+      val v = TxnTable.unsetProperties(dir, keys)
+      Seq((v, keys.size)).toDF("version", "properties_unset")
+
+    case showTblProps(ref) if locateIfGraft(spark, ref).isDefined =>
+      import spark.implicits._
+      val dir = locateIfGraft(spark, ref).get
+      val v = TxnTable.latestVersion(dir)
+        .getOrElse(throw new IllegalStateException(s"no commits at $dir"))
+      TxnTable.snapshot(dir, v).props.toSeq.sortBy(_._1).toDF("key", "value")
 
     // SHOW PARTITIONS is ALSO valid Spark grammar (hive-partitioned
     // tables) — only graft tables are intercepted; everything else

@@ -2517,6 +2517,120 @@ object FormatQueries {
             TxnTable.pruneLive(snap, "price_d", 10000000L, 19999999L),
           "DSv2 planned a different dir set than the unscaled-cents pruneLive")
         out
+      }),
+
+    // ---- q238: CONCURRENT blind append vs stats-disjoint DELETE, both
+    // committing (round 15) — the logical conflict re-check as a
+    // declared, oracle-hashed behavior, not just a spec. The derived
+    // build lands orders in four yyyymmdd key bands (`okey`, stats
+    // sidecars on every dir), then races a deleteRange of the 1997 band
+    // against a blind append of those same rows re-keyed +30000000
+    // (synthetic "2097" — provably disjoint by manifest stats): a
+    // LogStore trip lands the append right before the delete's first
+    // publish attempt, so the delete ALWAYS loses its base+1 slot and
+    // must rebase through the winner (build-time requires pin v(append)
+    // = 4, v(delete) = 5 — one attempt, no re-run). The oracle computes
+    // the SERIAL result (delete's snapshot minus the band, plus the
+    // appended rows) from the raw parquet, so a hash match proves the
+    // rebase dropped neither the winner's rows nor the delete's effect.
+    // In-query requires re-pin the committed shape every execution:
+    // head = 5, append-then-delete actions, and the delete's live set
+    // is exactly the append head's minus the one band dir it removed.
+    // At 100 TB this IS the starvation fix: a streaming sink appending
+    // every few seconds no longer wedges retention DELETEs or OPTIMIZE
+    // (VERDICT r14 top-next; TxnTable.publishRebasing).
+    Q("q238_txn_rebase_race",
+      Some("""WITH o AS (SELECT CAST(year(o_orderdate)*10000 +
+             |                      month(o_orderdate)*100 +
+             |                      day(o_orderdate) AS BIGINT) AS okey,
+             |                 o_orderstatus,
+             |                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |          FROM orders)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+             |FROM (
+             |  SELECT okey, o_orderstatus, price_c FROM o
+             |  WHERE okey NOT BETWEEN 19970101 AND 19971231
+             |  UNION ALL
+             |  SELECT okey + 30000000, o_orderstatus, price_c FROM o
+             |  WHERE okey BETWEEN 19970101 AND 19971231
+             |)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.{LocalLogStore, LogStore, TxnTable}
+        val dir = derivedDir(d, "orders_txn_rebase")
+        Derived.ensure(dir, Derived.fingerprint(d, Seq("orders"))) {
+          val t = new java.io.File(dir, "t")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(wipe)
+            f.delete(): Unit
+          }
+          wipe(t)
+          val base = Tables.orders(s, d)
+            .select((year(col("o_orderdate")) * 10000 +
+                month(col("o_orderdate")) * 100 +
+                dayofmonth(col("o_orderdate"))).cast("long").as("okey"),
+              col("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_c"))
+          // four yyyymmdd bands (orders span 1995-01-01..2001-08-01 at
+          // every SF, so each band is non-empty and gets real stats)
+          Seq((0L, 19961231L), (19970101L, 19971231L),
+              (19980101L, 19991231L), (20000101L, 99999999L))
+            .zipWithIndex.foreach { case ((lo, hi), i) =>
+              TxnTable.append(base.filter(col("okey") >= lo && col("okey") <= hi),
+                t.getPath, txnId = Some(s"kband-$i"), statsCol = Some("okey"))
+            }
+          // the RACE: a trip store lands the blind append (1997 rows
+          // re-keyed to 2097 — stats-disjoint from the delete range) on
+          // this thread immediately before the delete's first manifest
+          // put, so the delete provably loses its base+1 slot
+          val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val vAppend = new java.util.concurrent.atomic.AtomicLong(-1L)
+          TxnTable.installLogStore(t.getPath, new LogStore {
+            override def putIfAbsent(dest: java.io.File, bytes: Array[Byte]): Boolean = {
+              if (dest.getName.startsWith("v") && dest.getName.endsWith(".json") &&
+                  fired.compareAndSet(false, true))
+                vAppend.set(TxnTable.append(
+                  base.filter(col("okey").between(19970101L, 19971231L))
+                    .withColumn("okey", col("okey") + 30000000L),
+                  t.getPath, txnId = Some("kband-2097"), statsCol = Some("okey")))
+              LocalLogStore.putIfAbsent(dest, bytes)
+            }
+            override def putReplace(dest: java.io.File, bytes: Array[Byte]): Unit =
+              LocalLogStore.putReplace(dest, bytes)
+            override def readBytes(f: java.io.File): Option[Array[Byte]] =
+              LocalLogStore.readBytes(f)
+            override def exists(f: java.io.File): Boolean = LocalLogStore.exists(f)
+            override def list(d0: java.io.File): Seq[String] = LocalLogStore.list(d0)
+            override def delete(f: java.io.File): Unit = LocalLogStore.delete(f)
+          })
+          val vDelete =
+            try TxnTable.deleteRange(s, t.getPath, "okey", 19970101L, 19971231L)
+            finally TxnTable.uninstallLogStore(t.getPath)
+          require(vAppend.get() == 4L && vDelete == 5L,
+            s"rebase race did not land as append=4/delete=5 " +
+              s"(got append=${vAppend.get()}, delete=$vDelete)")
+          ()
+        }
+        val t = s"$dir/t"
+        // re-pin the committed shape on EVERY execution: the append won
+        // version 4, the delete rebased onto it at 5, and the delete's
+        // live set is the append head's minus exactly the 1997 band dir
+        require(TxnTable.latestVersion(t).contains(5L),
+          "rebase-race table must head at version 5")
+        val sApp = TxnTable.snapshot(t, 4L)
+        val sDel = TxnTable.snapshot(t, 5L)
+        require(sApp.action == "append" && sDel.action == "delete",
+          s"expected append@4/delete@5, got ${sApp.action}@4/${sDel.action}@5")
+        val bandDirs = TxnTable.pruneLive(sApp, "okey", 19970101L, 19971231L)
+        require(bandDirs.size == 1 &&
+            sDel.live.toSet == sApp.live.toSet -- bandDirs,
+          "the rebased delete must remove exactly the 1997 band dir and " +
+            "keep the winner's appended dir")
+        s.read.format("graft").load(t)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderstatus")
       })
   )
 }

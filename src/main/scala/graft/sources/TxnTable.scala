@@ -86,7 +86,8 @@ object TxnTable {
                             sstats: Map[String, Seq[(String, String, String)]] =
                               Map.empty,
                             partsN: Map[String, Seq[(String, String)]] =
-                              Map.empty)
+                              Map.empty,
+                            props: Map[String, String] = Map.empty)
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -122,7 +123,7 @@ object TxnTable {
     "version", "action", "ts", "live", "txnId", "stats", "parts", "nrows",
     "dvs", "schema", "constraints", "pta", "pte", "eqs", "gens",
     "fids", "schema0", "fhwm", "nulls", "pth", "kmvs",
-    "base", "add", "rm", "rmdvs", "sstats", "eqadd", "eqrm")
+    "base", "add", "rm", "rmdvs", "sstats", "eqadd", "eqrm", "props")
 
   private def logDir(tableDir: String) = new File(tableDir, "_log")
   private def dataDir(tableDir: String) = new File(tableDir, "data")
@@ -235,8 +236,9 @@ object TxnTable {
   }
   private def inPlaceData(tableDir: String): Boolean =
     Option(inPlaceDataOverrides.get(new File(tableDir).getAbsolutePath))
-      .exists(_.booleanValue) ||
-      sys.props.get("graft.txn.inPlaceData").contains("true")
+      .map(_.booleanValue)
+      .orElse(tableProperty(tableDir, "graft.inPlaceData").map(_ == "true"))
+      .getOrElse(sys.props.get("graft.txn.inPlaceData").contains("true"))
 
   // ---- async checkpoint offload (round 14) ----
   // The columnar dir-entry checkpoint is normally written INLINE by
@@ -255,10 +257,14 @@ object TxnTable {
   private[graft] def uninstallCkptOffload(tableDir: String): Unit = {
     ckptOffloadOverrides.remove(new File(tableDir).getAbsolutePath); ()
   }
-  private def ckptOffload(tableDir: String): Boolean =
+  /** `props` is the head manifest's property map, passed by the caller
+    * (tryPublish already holds it) so the mode probe costs no extra
+    * snapshot read on the commit hot path. */
+  private def ckptOffload(tableDir: String, props: Map[String, String]): Boolean =
     Option(ckptOffloadOverrides.get(new File(tableDir).getAbsolutePath))
-      .exists(_.booleanValue) ||
-      sys.props.get("graft.txn.ckptOffload").contains("true")
+      .map(_.booleanValue)
+      .orElse(props.get("graft.ckptOffload").map(_ == "true"))
+      .getOrElse(sys.props.get("graft.txn.ckptOffload").contains("true"))
 
   /** MAINTENANCE: materialize the columnar dir-entry checkpoint at the
     * table's current head — the offload-mode counterpart of the inline
@@ -282,17 +288,23 @@ object TxnTable {
       }
     }
 
+  // java.lang.Integer, NOT Int: a CHM[String, Int] unboxes a missing
+  // key's null to 0, so any install would silently zero every OTHER
+  // table's threshold (Some(0)) — Integer keeps absent = None
   private val ckptThresholdOverrides =
-    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
   private[graft] def installCkptThreshold(tableDir: String, n: Int): Unit = {
     ckptThresholdOverrides.put(new File(tableDir).getAbsolutePath, n); ()
   }
   private[graft] def uninstallCkptThreshold(tableDir: String): Unit = {
     ckptThresholdOverrides.remove(new File(tableDir).getAbsolutePath); ()
   }
-  private def ckptThresholdFor(tableDir: String): Int =
+  private def ckptThresholdFor(tableDir: String,
+                               props: Map[String, String]): Int =
     (if (ckptThresholdOverrides.isEmpty) None
      else Option(ckptThresholdOverrides.get(new File(tableDir).getAbsolutePath)))
+      .map(_.intValue)
+      .orElse(props.get("graft.ckptDirThreshold").flatMap(_.toIntOption))
       .getOrElse(sys.props.get("graft.txn.ckptDirThreshold")
         .flatMap(_.toIntOption).getOrElse(512))
 
@@ -596,10 +608,18 @@ object TxnTable {
       .flatMap(""""([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn)
       .map(m => m.group(1) -> TxnCheckpoint.parseSstats(m.group(2)))
       .filter(_._2.nonEmpty).toMap
+    // manifest-carried table properties (round 15): layout/maintenance
+    // policy that must be one-per-TABLE, not one-per-JVM — carried
+    // forward by every commit like constraints, so two writer JVMs can
+    // never disagree about a table's object-store mode
+    val props = """"props"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn)
+      .map(m => m.group(1) -> m.group(2)).toMap
     Snapshot(version, field("action").getOrElse("append"), live, field("txnId"),
       stats, parts, ts, nrows, dvs, field("schema"), constraints, ptrans, eqs, gens,
       fids, field("schema0"), fhwm, nulls, pthist, kmvs, statKeys, incBaseOf(s),
-      sstats, partsN)
+      sstats, partsN, props)
   }
 
   /** One incremental manifest's delta: `shell` is [[parseManifest]]'s
@@ -665,7 +685,8 @@ object TxnTable {
       (prev.kmvs ++ sh.kmvs).filter(e => ls(e._1)),
       statKeys = true, base = sh.base,
       sstats = (prev.sstats ++ sh.sstats).filter(e => ls(e._1)),
-      partsN = (prev.partsN ++ sh.partsN).filter(e => ls(e._1)))
+      partsN = (prev.partsN ++ sh.partsN).filter(e => ls(e._1)),
+      props = sh.props)
   }
 
   /** Reconstruct an INCREMENTAL version: walk back from `version`
@@ -2414,7 +2435,8 @@ object TxnTable {
                          gensOverride: Option[Map[String, String]] = None,
                          fidsOverride: Option[Map[String, Int]] = None,
                          schema0Override: Option[Option[String]] = None,
-                         fhwmFloor: Int = 0): Boolean = {
+                         fhwmFloor: Int = 0,
+                         propsOverride: Option[Map[String, String]] = None): Boolean = {
     // CHECK constraints carry forward AUTOMATICALLY from the previous
     // manifest (the publisher at v just read v-1 as its base, so v-1 is
     // retained) — no call site can accidentally drop table-level
@@ -2438,6 +2460,10 @@ object TxnTable {
     // generated-column specs inherit like constraints
     val gens = gensOverride.getOrElse(
       if (v == 0) Map.empty[String, String] else prev.gens)
+    // table properties inherit like constraints: only set/unsetProperties
+    // (and clone's import) override the carried map
+    val props = propsOverride.getOrElse(
+      if (v == 0) Map.empty[String, String] else prev.props)
     // field ids + the minting-era DDL inherit like schema
     val fids = fidsOverride.getOrElse(
       if (v == 0) Map.empty[String, Int] else prev.fids)
@@ -2567,7 +2593,7 @@ object TxnTable {
     // deletes, a live order no prefix-preserving delta can express)
     // fall back to self-contained manifests — correctness never depends
     // on the delta form.
-    val ckptThreshold: Int = ckptThresholdFor(tableDir)
+    val ckptThreshold: Int = ckptThresholdFor(tableDir, props)
     val liveSet = live.toSet
     val addDirs = if (v == 0) live else live.filterNot(prevLiveSet)
     val orderPreserved =
@@ -2619,7 +2645,9 @@ object TxnTable {
         fids.toSeq.sortBy(_._2).map { case (n, i) => s""""$n":$i""" })
       val schema0Json = schema0.map(s => s""","schema0":"$s"""").getOrElse("")
       val fhwmJson = if (fhwm > 0) s""","fhwm":$fhwm""" else ""
-      s"$schemaJson$consJson$ptransJson$pthJson$gensJson$fidsJson$schema0Json$fhwmJson"
+      val propsJson = obj("props",
+        props.toSeq.sortBy(_._1).map { case (k, pv) => s""""$k":"$pv"""" })
+      s"$schemaJson$consJson$ptransJson$pthJson$gensJson$fidsJson$schema0Json$fhwmJson$propsJson"
     }
     val json = baseV match {
       case None =>
@@ -2680,11 +2708,12 @@ object TxnTable {
         partsVecMap.map { case (d, vec) => d -> vec.head },
         now, nrowsMap, dvKept, schema, cons, ptrans, eqsKept, gens, fids,
         schema0, fhwm, nullsMap, pthist, kmvsMap, statKeys = true, base = baseV,
-        sstats = sstatsMap, partsN = partsVecMap.filter(_._2.size > 1))
+        sstats = sstatsMap, partsN = partsVecMap.filter(_._2.size > 1),
+        props = props)
       cachePut(tableDir, committed)
       // offload mode defers this to the [[checkpoint]] maintenance call,
       // keeping every committer's latency flat at high dir counts
-      if (!ckptOffload(tableDir) && baseV.exists(b => v - b >= checkpointInterval))
+      if (!ckptOffload(tableDir, props) && baseV.exists(b => v - b >= checkpointInterval))
         TxnCheckpoint.write(tableDir, v, TxnCheckpoint.DirState(
           live, statsMap, partsVecMap, nrowsMap, dvKept, nullsMap, kmvsMap,
           sstatsMap, eqsKept))
@@ -2799,7 +2828,9 @@ object TxnTable {
                               addCheck: WinnerAddCheck,
                               txnId: Option[String],
                               dvUpdates: Map[String, String] = Map.empty,
-                              eqAdd: Option[(String, (Seq[String], Seq[String]))] = None): Long = {
+                              eqAdd: Option[(String, (Seq[String], Seq[String]))] = None,
+                              propsSet: Map[String, String] = Map.empty,
+                              propsUnset: Set[String] = Set.empty): Long = {
     var cur = snap0
     var attempt = 0
     while (attempt < 64) {
@@ -2810,7 +2841,10 @@ object TxnTable {
       val v = cur.version + 1
       if (tryPublish(tableDir, v, action, cur.live.filterNot(removed) ++ added,
           txnId, dvs = cur.dvs ++ dvUpdates, schema = cur.schema,
-          eqsOverride = eqAdd.map(cur.eqs + _))) {
+          eqsOverride = eqAdd.map(cur.eqs + _),
+          propsOverride =
+            if (propsSet.isEmpty && propsUnset.isEmpty) None
+            else Some(cur.props -- propsUnset ++ propsSet))) {
         maybeCheckpoint(tableDir, v)
         return v
       }
@@ -3535,6 +3569,66 @@ object TxnTable {
     * Delta). Names and exprs are manifest-safe by construction: names
     * are identifier-shaped and non-reserved, exprs exclude `"`, `}`
     * and newlines. */
+  /** SET TBLPROPERTIES (round 15): persist table properties IN the
+    * manifest, inherited forward by every commit exactly like
+    * constraints — so layout/maintenance policy is one-per-TABLE, not
+    * one-per-JVM. The keys the engine itself honors (per-table install
+    * > manifest property > `-D` process default):
+    *  - `graft.inPlaceData`      ("true"/"false"): object-store data
+    *    publication by reference ([[installInPlaceData]]'s durable form)
+    *  - `graft.ckptOffload`      ("true"/"false"): async checkpoint
+    *    offload ([[installCkptOffload]]'s durable form)
+    *  - `graft.ckptDirThreshold` (int): incremental-manifest cutover
+    *  - `graft.minRetainVersions` (int): a floor every [[vacuum]] call
+    *    honors regardless of its `retain` argument (fat-finger guard)
+    * Anything else is a free-form user property (Delta TBLPROPERTIES).
+    * One metadata-only commit; racing writers rebase past it and it
+    * rebases past them ([[publishRebasing]] — a property set conflicts
+    * only with schema/constraint winners). Properties survive clone and
+    * restore; DESCRIBE DETAIL and SHOW TBLPROPERTIES surface them. */
+  def setProperties(tableDir: String, props: Map[String, String],
+                    txnId: Option[String] = None): Long = {
+    require(props.nonEmpty, "setProperties needs at least one property")
+    props.foreach { case (k, pv) =>
+      require(k.matches("[A-Za-z_][A-Za-z0-9._-]*"),
+        s"property key '$k' must be identifier-shaped ([A-Za-z0-9._-])")
+      require(!reservedManifestKeys.contains(k), s"property key '$k' is reserved")
+      require(!pv.exists(c => c == '"' || c == '}' || c == '\n' || c == '\\'),
+        s"property value for '$k' must not contain '\"', '}', '\\' or newlines")
+    }
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v // replayed — already committed
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    publishRebasing(tableDir, snapshot(tableDir, base), "setProperties",
+      Set.empty, Nil, Set.empty, AddsIgnored, txnId, propsSet = props)
+  }
+
+  /** UNSET TBLPROPERTIES: drop `keys` from the manifest-carried map
+    * (absent keys are a no-op, like Delta). Same commit semantics as
+    * [[setProperties]]. */
+  def unsetProperties(tableDir: String, keys: Seq[String],
+                      txnId: Option[String] = None): Long = {
+    require(keys.nonEmpty, "unsetProperties needs at least one key")
+    txnId.flatMap(findTxn(tableDir, _)) match {
+      case Some(v) => return v
+      case None    =>
+    }
+    val base = latestVersion(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no commits at $tableDir"))
+    publishRebasing(tableDir, snapshot(tableDir, base), "setProperties",
+      Set.empty, Nil, Set.empty, AddsIgnored, txnId, propsUnset = keys.toSet)
+  }
+
+  /** One manifest-carried property of the table's head version, or None
+    * (no commits / no such key). The durable middle layer of every mode
+    * lookup: per-table JVM install > THIS > process `-D` default. */
+  def tableProperty(tableDir: String, key: String): Option[String] =
+    try latestVersion(tableDir).flatMap(v => snapshot(tableDir, v).props.get(key))
+    catch { case _: Exception => None } // mode probes never fail a write
+
   def addConstraint(spark: SparkSession, tableDir: String, name: String,
                     exprSql: String, txnId: Option[String] = None): Long = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
@@ -4410,7 +4504,11 @@ object TxnTable {
         // dirs' .cols sidecars resolve through the relative refs)
         fidsOverride = Some(snap.fids),
         schema0Override = Some(snap.schema0),
-        fhwmFloor = snap.fhwm))
+        fhwmFloor = snap.fhwm,
+        // table properties ride into the clone like constraints — the
+        // fork keeps the source's layout/maintenance policy until its
+        // own ALTER overrides it
+        propsOverride = Some(snap.props)))
       throw new CommitConflict(s"concurrent commit at version 0 of $destDir")
     0L
   }
@@ -4483,10 +4581,21 @@ object TxnTable {
     * 100 TB nobody deletes files without reviewing the list first
     * (Delta's VACUUM ... DRY RUN). Metadata-only: retained manifests +
     * one directory listing, zero data reads. */
+  /** The retain count a vacuum actually uses: the caller's argument,
+    * floored at 1 and at the manifest-carried `graft.minRetainVersions`
+    * property (round 15) — the fat-finger guard Delta ships as
+    * `delta.deletedFileRetentionDuration`: an operator's `VACUUM t
+    * RETAIN 0 HOURS` cannot strip a table whose policy says keep 48. */
+  private def effectiveRetain(tableDir: String, retain: Int): Int =
+    math.max(math.max(1, retain),
+      tableProperty(tableDir, "graft.minRetainVersions")
+        .flatMap(_.toIntOption).getOrElse(1))
+
   def vacuumDryRun(tableDir: String, retain: Int = 1,
                    orphanGraceMs: Long = 0L): (Seq[Long], Seq[String]) = {
     val vs = versions(tableDir)
-    val keep = vs.drop(math.max(0, vs.length - math.max(1, retain)))
+    val eff = effectiveRetain(tableDir, retain)
+    val keep = vs.drop(math.max(0, vs.length - eff))
     // CHAIN GUARD (round 13): the oldest retained version may be an
     // INCREMENTAL manifest whose reconstruction walks back to an anchor
     // (a columnar checkpoint or a self-contained manifest) — every
@@ -4544,7 +4653,8 @@ object TxnTable {
     val vs = versions(tableDir)
     if (vs.isEmpty) return
     val (drop, reap) = vacuumDryRun(tableDir, retain, orphanGraceMs)
-    val keepHead = vs.drop(math.max(0, vs.length - math.max(1, retain))).headOption
+    val keepHead =
+      vs.drop(math.max(0, vs.length - effectiveRetain(tableDir, retain))).headOption
     keepHead.foreach { kh =>
       // move the checkpoint pointer into the retained window FIRST: a
       // pointer naming a dropped manifest would break the forward probe
