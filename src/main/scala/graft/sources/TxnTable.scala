@@ -110,6 +110,37 @@ object TxnTable {
     * is the safety net UNDER the protocol, for the storage layer. */
   final class ManifestCorruption(msg: String) extends RuntimeException(msg)
 
+  /** Thrown when a manifest REQUIRES a reader feature this build does
+    * not implement (round 15 — the Delta minReaderVersion / Iceberg
+    * format-version idea as named feature gates): a typed refusal
+    * instead of a silent misread. Without the gate, a reader missing,
+    * say, deletion-vector support would list the live dirs, ignore the
+    * unknown `dvs` key, and RESURRECT every deleted row. */
+  final class UnsupportedProtocol(msg: String) extends RuntimeException(msg)
+
+  /** Reader features THIS build implements. A manifest's `rf` key names
+    * the features required to read it CORRECTLY — auto-derived by the
+    * writer from what the commit actually carries, so a table using
+    * none of them stays readable by any legacy reader (no `rf` key at
+    * all, gate 0). */
+  private val readerFeatures: Set[String] = Set("dv", "eq", "inc", "fids")
+
+  /** The read-side gate, applied at the decode chokepoint (every
+    * manifest read funnels through [[decodeManifest]]): unknown
+    * required features raise the typed error naming them. */
+  private def checkProtocol(f: File, json: String): String = {
+    """"rf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).foreach { m =>
+      val missing = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+        .filterNot(readerFeatures)
+      if (missing.nonEmpty) throw new UnsupportedProtocol(
+        s"$f requires reader feature(s) [${missing.mkString(", ")}] this " +
+          s"build does not implement (supported: " +
+          s"${readerFeatures.toSeq.sorted.mkString(", ")}) — upgrade the " +
+          "reader; ignoring a required feature could misread the table")
+    }
+    json
+  }
+
   /** Every top-level manifest key, present or future-reserved. Constraint
     * and generated-column NAMES become manifest keys inside their own
     * objects, but [[snapshot]]'s flat-field regex (`field("schema")`,
@@ -123,7 +154,7 @@ object TxnTable {
     "version", "action", "ts", "live", "txnId", "stats", "parts", "nrows",
     "dvs", "schema", "constraints", "pta", "pte", "eqs", "gens",
     "fids", "schema0", "fhwm", "nulls", "pth", "kmvs",
-    "base", "add", "rm", "rmdvs", "sstats", "eqadd", "eqrm", "props")
+    "base", "add", "rm", "rmdvs", "sstats", "eqadd", "eqrm", "props", "rf")
 
   private def logDir(tableDir: String) = new File(tableDir, "_log")
   private def dataDir(tableDir: String) = new File(tableDir, "data")
@@ -139,11 +170,37 @@ object TxnTable {
   // its CRC32 (flip detection). Readers verify-then-strip; a legacy
   // pre-checksum manifest (first byte '{') parses unverified; anything
   // else is a typed [[ManifestCorruption]], never a silent misparse.
-  // Residual risk, documented: a flip of byte 0 to exactly '{' routes a
-  // checksummed file down the legacy path (~2⁻⁸ of single-flip space ×
-  // one position); every other single flip and every truncation of a
-  // new-format manifest is caught.
+  // The round-14 residual risk — a flip of byte 0 to exactly '{' routed
+  // a checksummed file down the legacy path (~2⁻⁸ of single-flip space
+  // × one position) — is CLOSED in round 15 by the integrity floor: the
+  // first header-carrying commit records its version in
+  // `_log/_integrity` (put-if-absent, once per table), and any manifest
+  // AT OR ABOVE that floor presenting without a header is a typed
+  // [[ManifestCorruption]], never a legacy parse. Genuine pre-upgrade
+  // manifests live below the floor and still read unverified.
   private val manifestMagic = "@graft-manifest "
+
+  private def integrityFile(tableDir: String) =
+    new File(logDir(tableDir), "_integrity")
+  /** In-JVM once-per-table latch for the floor write (one exists probe
+    * per table per process lifetime, not per commit). */
+  private val integrityEnsured =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Record — once, ever — the first checksummed version: every later
+    * manifest must present its header or be declared corrupt. */
+  private def ensureIntegrityFloor(tableDir: String, v: Long): Unit =
+    if (integrityEnsured.add(new File(tableDir).getAbsolutePath) &&
+        !store(tableDir).exists(integrityFile(tableDir))) {
+      try store(tableDir).putIfAbsent(integrityFile(tableDir),
+        v.toString.getBytes("UTF-8")): Unit
+      catch { case _: Exception => () } // advisory; next JVM retries
+    }
+  /** The integrity floor, or Long.MaxValue when the marker is absent
+    * (pre-upgrade table: every headerless manifest is legacy-legal). */
+  private def integrityFloor(tableDir: String): Long =
+    store(tableDir).readBytes(integrityFile(tableDir))
+      .flatMap(b => new String(b, "UTF-8").trim.toLongOption)
+      .getOrElse(Long.MaxValue)
 
   /** Wrap a manifest JSON body with its integrity header. */
   private def encodeManifest(json: String): Array[Byte] = {
@@ -176,10 +233,20 @@ object TxnTable {
       if (f"${crc.getValue}%08x" != m.group(1)) throw new ManifestCorruption(
         s"$f: manifest checksum mismatch (expected crc32:${m.group(1)}) — " +
           "bytes corrupted in storage")
-      new String(body, "UTF-8")
-    } else if (bytes.nonEmpty && bytes(0) == '{'.toByte)
-      new String(bytes, "UTF-8") // legacy pre-checksum manifest
-    else throw new ManifestCorruption(
+      checkProtocol(f, new String(body, "UTF-8"))
+    } else if (bytes.nonEmpty && bytes(0) == '{'.toByte) {
+      // legacy pre-checksum manifest — legal ONLY below the table's
+      // integrity floor; at or above it, a missing header IS corruption
+      // (closes the byte-0-flips-to-'{' misroute)
+      val v = f.getName.stripPrefix("v").stripSuffix(".json").toLongOption
+      val tableDir = f.getParentFile.getParentFile
+      if (v.exists(_ >= integrityFloor(tableDir.getPath)))
+        throw new ManifestCorruption(
+          s"$f: manifest lacks its integrity header but the table's " +
+            s"integrity floor (v${integrityFloor(tableDir.getPath)}) says " +
+            "it was written with one — bytes corrupted in storage")
+      checkProtocol(f, new String(bytes, "UTF-8"))
+    } else throw new ManifestCorruption(
       s"$f: not a graft manifest (no integrity header, no JSON object) — " +
         "bytes corrupted in storage")
   }
@@ -2647,7 +2714,17 @@ object TxnTable {
       val fhwmJson = if (fhwm > 0) s""","fhwm":$fhwm""" else ""
       val propsJson = obj("props",
         props.toSeq.sortBy(_._1).map { case (k, pv) => s""""$k":"$pv"""" })
-      s"$schemaJson$consJson$ptransJson$pthJson$gensJson$fidsJson$schema0Json$fhwmJson$propsJson"
+      // required READER features (round 15), auto-derived from what this
+      // manifest actually carries — a reader missing one would misread
+      // (resurrect dv'd/eq'd rows, see an incremental's live as empty,
+      // resolve renamed columns wrong). A manifest using none emits no
+      // `rf` at all, so plain tables stay readable by any legacy reader.
+      val rf = (if (dvKept.nonEmpty) Seq("dv") else Nil) ++
+        (if (eqsKept.nonEmpty) Seq("eq") else Nil) ++
+        (if (baseV.isDefined) Seq("inc") else Nil) ++
+        (if (fids.nonEmpty) Seq("fids") else Nil)
+      val rfJson = if (rf.isEmpty) "" else s""","rf":"${rf.mkString(",")}""""
+      s"$schemaJson$consJson$ptransJson$pthJson$gensJson$fidsJson$schema0Json$fhwmJson$propsJson$rfJson"
     }
     val json = baseV match {
       case None =>
@@ -2699,6 +2776,9 @@ object TxnTable {
     // pluggable LogStore seam (POSIX hard-link EEXIST locally; a
     // conditional PUT on an object store)
     if (store(tableDir).putIfAbsent(manifestFile(tableDir, v), encodeManifest(json))) {
+      // first checksummed commit records the integrity floor (once per
+      // table — an in-JVM latch keeps this off the steady-state path)
+      ensureIntegrityFloor(tableDir, v)
       // the winner's in-hand state IS version v's snapshot — cache it so
       // the next sequential commit/read never re-derives it, and
       // materialize the columnar dir-entry checkpoint once the delta

@@ -44,14 +44,13 @@ class ManifestIntegritySpec extends SparkTestBase {
         val f = manifest(dir, v)
         val orig = Files.readAllBytes(f.toPath)
         val mutated: Array[Byte] =
-          if (round % 2 == 0) { // single byte flip
+          if (round % 2 == 0) { // single byte flip — ANY flip, including
+            // byte 0 → '{' (the round-14 residual misroute, closed in
+            // round 15 by the integrity floor: post-floor headerless
+            // manifests are corrupt by definition)
             val b = orig.clone()
             val pos = rng.nextInt(b.length)
-            val flipped = (b(pos) ^ (1 << rng.nextInt(8))).toByte
-            // byte 0 flipping to exactly '{' is the documented residual
-            // legacy-misroute — steer the fuzz off it (2^-11 of space)
-            b(pos) = if (pos == 0 && flipped == '{'.toByte)
-              (flipped ^ 0x40).toByte else flipped
+            b(pos) = (b(pos) ^ (1 << rng.nextInt(8))).toByte
             b
           } else // truncation (possibly to zero bytes)
             java.util.Arrays.copyOf(orig, rng.nextInt(orig.length))
@@ -77,8 +76,9 @@ class ManifestIntegritySpec extends SparkTestBase {
     } finally TxnTable.uninstallCkptThreshold(dir)
   }
 
-  test("legacy headerless manifests parse unverified (upgrade path), and " +
-      "the header is atomic with the body (single object, no sidecar)") {
+  test("legacy headerless manifests parse unverified (upgrade path), the " +
+      "integrity floor rejects post-floor headerless bytes, and the header " +
+      "is atomic with the body (single object, no sidecar)") {
     val (dir, vs) = build()
     try {
       val head = vs.last
@@ -94,6 +94,16 @@ class ManifestIntegritySpec extends SparkTestBase {
         Files.write(f.toPath,
           java.util.Arrays.copyOfRange(bytes, nl + 1, bytes.length))
       }
+      // the table's `_integrity` floor says these versions WERE written
+      // with headers — headerless bytes at/above it are corruption
+      // (round 15: the byte-0→'{' misroute is closed), NOT legacy
+      TxnTable.clearSnapshotCache()
+      intercept[TxnTable.ManifestCorruption] {
+        TxnTable.snapshot(dir, head): Unit
+      }
+      // a GENUINE pre-upgrade log has no `_integrity` marker at all —
+      // remove it and the same bytes parse as legacy, unverified
+      Files.delete(new File(new File(dir, "_log"), "_integrity").toPath)
       TxnTable.clearSnapshotCache()
       assert(TxnTable.snapshot(dir, head).version == head)
       val after = TxnTable.read(spark, dir).collect()
@@ -106,5 +116,78 @@ class ManifestIntegritySpec extends SparkTestBase {
       assert(new String(nb, 0, 16, "UTF-8") == "@graft-manifest ",
         "post-upgrade commit missing the integrity header")
     } finally TxnTable.uninstallCkptThreshold(dir)
+  }
+
+  test("byte 0 flipped to exactly '{' raises the typed error on a " +
+      "post-floor manifest (the round-14 residual misroute, closed)") {
+    val dir = tmp()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
+    val f = manifest(dir, 0L)
+    val orig = Files.readAllBytes(f.toPath)
+    val b = orig.clone()
+    assert(b(0) == '@'.toByte)
+    b(0) = '{'.toByte // "{graft-manifest …" — starts like legacy JSON
+    Files.write(f.toPath, b)
+    TxnTable.clearSnapshotCache()
+    intercept[TxnTable.ManifestCorruption] {
+      TxnTable.snapshot(dir, 0L): Unit
+    }
+    Files.write(f.toPath, orig) // restore heals
+    TxnTable.clearSnapshotCache()
+    assert(TxnTable.read(spark, dir).count() == 1L)
+  }
+
+  test("protocol feature gates: a manifest requiring an unknown reader " +
+      "feature raises typed UnsupportedProtocol, not a silent misread") {
+    val dir = tmp()
+    TxnTable.append(Seq((1, "a")).toDF("id", "v"), dir)
+    val f = manifest(dir, 0L)
+    val orig = Files.readAllBytes(f.toPath)
+    // synthesize a FUTURE-feature manifest: splice `rf` into the body
+    // and re-encode the integrity header (public format)
+    val nl = orig.indexOf('\n'.toByte)
+    val body = new String(orig, nl + 1, orig.length - nl - 1, "UTF-8")
+    val future = body.replaceFirst("\\{",
+      java.util.regex.Matcher.quoteReplacement("""{"rf":"dv,timetravel2","""))
+    val fb = future.getBytes("UTF-8")
+    val crc = new java.util.zip.CRC32(); crc.update(fb)
+    Files.write(f.toPath,
+      (f"@graft-manifest crc32:${crc.getValue}%08x len:${fb.length}%d\n"
+        .getBytes("UTF-8")) ++ fb)
+    TxnTable.clearSnapshotCache()
+    val e = intercept[TxnTable.UnsupportedProtocol] {
+      TxnTable.snapshot(dir, 0L): Unit
+    }
+    assert(e.getMessage.contains("timetravel2") &&
+      !e.getMessage.contains("[dv]"),
+      s"gate must name exactly the MISSING feature: ${e.getMessage}")
+    Files.write(f.toPath, orig) // restore heals
+    TxnTable.clearSnapshotCache()
+    assert(TxnTable.read(spark, dir).count() == 1L)
+  }
+
+  test("writers auto-derive rf from what the commit carries: plain tables " +
+      "emit none (legacy-readable), dv/eq commits declare their features") {
+    val dir = tmp()
+    TxnTable.append((0 until 4).map(i => (i, s"r$i")).toDF("id", "v"), dir,
+      statsCol = Some("id"))
+    def rfOf(v: Long): Option[String] = {
+      val bytes = Files.readAllBytes(manifest(dir, v).toPath)
+      """"rf"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(new String(bytes, "UTF-8")).map(_.group(1))
+    }
+    assert(rfOf(0L).isEmpty,
+      "an append-only manifest must require no reader features")
+    TxnTable.deleteRangeDV(spark, dir, "id", 0L, 0L) // v1: dv
+    assert(rfOf(1L).contains("dv"), s"dv commit rf wrong: ${rfOf(1L)}")
+    import spark.implicits._
+    TxnTable.deleteKeysEq(spark, dir, Seq(1).toDF("id")) // v2: dv + eq
+    assert(rfOf(2L).exists(r => r.contains("dv") && r.contains("eq")),
+      s"eq commit rf wrong: ${rfOf(2L)}")
+    // compaction materializes dv + eq away — rf drops back to none
+    TxnTable.compact(spark, dir, targetFiles = 1) // v3
+    assert(rfOf(3L).isEmpty,
+      s"a plain compacted manifest must shed its rf: ${rfOf(3L)}")
+    assert(TxnTable.read(spark, dir).count() == 2L)
   }
 }

@@ -353,6 +353,9 @@ class TxnTableSpec extends SparkTestBase {
     val legacy = """{"version":0,"action":"append","live":[""" +
       TxnTable.snapshot(dir, 0L).live.map("\"" + _ + "\"").mkString(",") + "]}"
     Files.write(m.toPath, legacy.getBytes("UTF-8"))
+    // a genuine legacy table has no integrity floor either (round 15:
+    // post-floor headerless bytes are corruption, not legacy)
+    Files.deleteIfExists(new File(s"$dir/_log", "_integrity").toPath)
     // the rig rewrote a published manifest (legal only for a test
     // simulating a legacy table) — drop the immutability cache
     TxnTable.clearSnapshotCache()
@@ -459,6 +462,9 @@ class TxnTableSpec extends SparkTestBase {
     val body = raw.substring(raw.indexOf('\n') + 1)
     val patched = body.stripSuffix("}") + s""","stats":{"$d0":"k:7:7"}}"""
     Files.write(mf.toPath, patched.getBytes("UTF-8"))
+    // legacy rigs must also drop the round-15 integrity floor, or the
+    // headerless bytes read as post-floor corruption
+    Files.deleteIfExists(new File(s"$dir/_log", "_integrity").toPath)
     // the rig rewrote a published manifest — drop the immutability cache
     TxnTable.clearSnapshotCache()
     assert(TxnTable.snapshot(dir, 0L).stats.contains(d0), "test rig: stats not injected")
@@ -545,6 +551,10 @@ class TxnTableSpec extends SparkTestBase {
     // writer's rows) — it must throw.
     val squat = new File(s"$dir/_log", f"v${1L}%020d.json").getPath
     val updates = spark.range(1).map { _ =>
+      // the squat is a LEGACY-style headerless manifest — drop the
+      // integrity floor so it parses as legacy, not as corruption
+      // (round 15; the conflict check is what this test pins)
+      Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/_log/_integrity"))
       Files.write(java.nio.file.Paths.get(squat),
         """{"version":1,"action":"append","live":[]}""".getBytes("UTF-8"))
       (1, "A")
