@@ -424,25 +424,36 @@ object GraftScan {
     // +1 applies only to exactly-representable values)
     def typeOf(a: String): Option[org.apache.spark.sql.types.DataType] =
       schema.find(_.name == a).map(_.dataType)
+    // TYPE-GATED translation (ADVICE r14): against a DECIMAL column the
+    // raw longOf path is never sound — an integral-typed pushed literal
+    // (mixed-type In lists, a promoted comparison) read as an unscaled
+    // long would be off by 10^scale and prune live rows. Decimal
+    // columns translate ONLY through the scaled path (which also
+    // accepts integral literals exactly, scaling them itself).
+    def isDecimal(a: String): Boolean =
+      typeOf(a).exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType])
     def eqOf(a: String, v: Any): Option[Long] =
-      longOf(v).orElse(typeOf(a).flatMap(scaledLongOf(v, _)))
+      if (isDecimal(a)) typeOf(a).flatMap(scaledLongOf(v, _))
+      else longOf(v)
     // lower bound as an inclusive [x, ∞) start; strict handled per-arm
     def lowerOf(a: String, v: Any, strict: Boolean): Option[Long] =
-      longOf(v).map(x => if (strict) math.min(x, Long.MaxValue - 1) + 1L else x)
-        .orElse(typeOf(a).flatMap { dt =>
-          scaledLongOf(v, dt) match {
-            case Some(x) => Some(if (strict) math.min(x, Long.MaxValue - 1) + 1L else x)
-            case None    => scaledLongOf(v, dt, DecMode.Ceil) // non-repr: > and >= coincide
-          }
-        })
+      if (!isDecimal(a))
+        longOf(v).map(x => if (strict) math.min(x, Long.MaxValue - 1) + 1L else x)
+      else typeOf(a).flatMap { dt =>
+        scaledLongOf(v, dt) match {
+          case Some(x) => Some(if (strict) math.min(x, Long.MaxValue - 1) + 1L else x)
+          case None    => scaledLongOf(v, dt, DecMode.Ceil) // non-repr: > and >= coincide
+        }
+      }
     def upperOf(a: String, v: Any, strict: Boolean): Option[Long] =
-      longOf(v).map(x => if (strict) math.max(x, Long.MinValue + 1) - 1L else x)
-        .orElse(typeOf(a).flatMap { dt =>
-          scaledLongOf(v, dt) match {
-            case Some(x) => Some(if (strict) math.max(x, Long.MinValue + 1) - 1L else x)
-            case None    => scaledLongOf(v, dt, DecMode.Floor) // non-repr: < and <= coincide
-          }
-        })
+      if (!isDecimal(a))
+        longOf(v).map(x => if (strict) math.max(x, Long.MinValue + 1) - 1L else x)
+      else typeOf(a).flatMap { dt =>
+        scaledLongOf(v, dt) match {
+          case Some(x) => Some(if (strict) math.max(x, Long.MinValue + 1) - 1L else x)
+          case None    => scaledLongOf(v, dt, DecMode.Floor) // non-repr: < and <= coincide
+        }
+      }
     filters.flatMap(conjuncts).foreach {
       case EqualTo(a, v) =>
         eqOf(a, v).foreach(x => narrow(TxnTable.pruneLivePoint(dir, snap, a, x)))
@@ -608,6 +619,12 @@ object GraftScan {
         v match {
           case b: java.math.BigDecimal  => unscaled(b, d.scale)
           case b: scala.math.BigDecimal => unscaled(b.underlying, d.scale)
+          // integral literals scale EXACTLY (5 against DECIMAL(18,2) is
+          // unscaled 500) — the sound translation for mixed-type pushes
+          case n: java.lang.Long        => unscaled(java.math.BigDecimal.valueOf(n), d.scale)
+          case n: java.lang.Integer     => unscaled(java.math.BigDecimal.valueOf(n.longValue), d.scale)
+          case n: java.lang.Short       => unscaled(java.math.BigDecimal.valueOf(n.longValue), d.scale)
+          case n: java.lang.Byte        => unscaled(java.math.BigDecimal.valueOf(n.longValue), d.scale)
           case _                        => None
         }
       case _ => None

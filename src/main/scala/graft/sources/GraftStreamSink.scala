@@ -63,6 +63,19 @@ final class GraftStreamSink(tableDir: String, mode: OutputMode, appId: String,
 
   private val probedLegacy = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Whether any RETAINED commit carries a LEGACY-era txnId ("ckpt" +
+    * murmur32's 1-8 hex chars; the SHA-256 form is "ckpt" + 32 hex, so
+    * the anchored 1-8 quantifier cannot match it). Scopes the migration
+    * probe (ADVICE r14): a post-migration table — every commit written
+    * under the new derivation — never probes, so a fresh query whose
+    * path murmur-collides with nothing cannot skip its first batch. */
+  private def legacyEraCommitExists: Boolean = {
+    val legacyShape = "^ckpt[0-9a-f]{1,8}-\\d+$".r
+    TxnTable.versions(tableDir).exists(v =>
+      TxnTable.snapshot(tableDir, v).txnId
+        .exists(t => legacyShape.findFirstIn(t).isDefined))
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // Migration probe: the checkpoint-derived appId changed from
     // murmur32 to SHA-256 — a checkpoint predating that change replays
@@ -70,9 +83,12 @@ final class GraftStreamSink(tableDir: String, mode: OutputMode, appId: String,
     // table-side findTxn would miss and the batch would land twice.
     // Replay only ever re-delivers the FIRST batch after a restart, so
     // one legacy-txnId lookup per sink instance (not per batch) closes
-    // the window; any later batch is genuinely new.
+    // the window; any later batch is genuinely new. The probe is
+    // DOUBLE-scoped: the table must actually hold a legacy-shaped
+    // commit (see above), and `.option("legacyAppIdProbe", "false")`
+    // disables it outright for post-migration deployments.
     if (legacyAppId.exists(la => !probedLegacy.getAndSet(true) &&
-        TxnTable.txnApplied(tableDir, s"$la-$batchId")))
+        legacyEraCommitExists && TxnTable.txnApplied(tableDir, s"$la-$batchId")))
       return // already applied by a pre-upgrade run — skip, don't duplicate
     // Re-wrap the micro-batch output on the executed-RDD boundary (the
     // ForeachBatchSink pattern): the incoming handle is bound to the
@@ -127,6 +143,8 @@ object GraftStreamSink {
     // checkpoint-derived: an explicit txnAppId never changed shape.
     val legacy = opt("txnAppId") match {
       case Some(_) => None
+      case None if opt("legacyAppIdProbe").exists(_.equalsIgnoreCase("false")) =>
+        None // post-migration opt-out: no legacy lookup, ever
       case None => opt("checkpointLocation").map(cp =>
         "ckpt" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
           new java.io.File(cp).getAbsolutePath)))

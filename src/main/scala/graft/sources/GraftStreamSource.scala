@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft.ColumnBridge
@@ -37,7 +38,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 final class GraftStreamSource(spark: SparkSession, tableDir: String,
                               maxVersionsPerTrigger: Option[Long] = None,
                               startingVersion: Option[Long] = None)
-    extends Source {
+    extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import GraftStreamSource.VersionOffset
 
@@ -77,10 +78,61 @@ final class GraftStreamSource(spark: SparkSession, tableDir: String,
       })
     }
 
+  // ---- Trigger.AvailableNow (round 15) — the bounded full-drain run
+  // batch backfills want ("process today's backlog in capped batches,
+  // then STOP"). The Delta-source shape: a V1 Source that also
+  // implements SupportsAdmissionControl + SupportsTriggerAvailableNow,
+  // so the engine drives offset discovery through latestOffset() with
+  // a drain bound captured ONCE at run start — the run terminates at
+  // that head even while writers keep committing, and each batch still
+  // honors maxVersionsPerTrigger. Without these interfaces Spark 4
+  // degrades AvailableNow to single-batch Trigger.Once semantics (one
+  // giant uncapped catch-up batch) with a warning.
+
+  /** The drain bound: the table head when the AvailableNow run started
+    * (None outside AvailableNow runs; -1 = empty table, drain nothing).
+    * Offers are clamped to it, so `latestOffset == start` — the
+    * engine's stop condition — is reached in finitely many batches. */
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(TxnTable.latestVersion(tableDir).getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Offset discovery for admission-controlled runs: same offer logic
+    * as [[getOffset]], additionally clamped to the AvailableNow bound.
+    * `startOffset` (the engine's restored cursor) seeds the rate-limit
+    * cursor exactly as the V1 recovery `getBatch` does — whichever the
+    * engine calls first. The passed ReadLimit is unused by design: the
+    * graft admission unit is commit VERSIONS (`maxVersionsPerTrigger`),
+    * which the standard row/file limits cannot express. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    Option(startOffset).map(VersionOffset.versionOf).foreach(v =>
+      handedOut = Some(math.max(handedOut.getOrElse(-1L), v)))
+    val head = availableNowBound match {
+      case Some(b) => b // fixed drain bound — ignore later commits
+      case None    => TxnTable.latestVersion(tableDir).getOrElse(-1L)
+    }
+    val offer = maxVersionsPerTrigger match {
+      case Some(n) => math.min(head, handedOut.getOrElse(cursorFloor) + n)
+      case None    => head
+    }
+    if (offer < 0L) null else VersionOffset(offer)
+  }
+
+  /** V2 offset plumbing the admission-control path needs (the V1
+    * defaults throw "should not be called"). */
+  override def deserializeOffset(json: String): OffsetV2 =
+    VersionOffset(json.trim.toLong)
+  override def commit(end: OffsetV2): Unit = ()
+  override def initialOffset(): OffsetV2 = VersionOffset(cursorFloor)
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     handedOut = Some(math.max(handedOut.getOrElse(-1L), VersionOffset.versionOf(end)))
     val endV = VersionOffset.versionOf(end)
-    val feed = start.map(VersionOffset.versionOf).map(v => math.max(v, cursorFloor)) match {
+    val feed = start.map(VersionOffset.versionOf).map(v => math.max(v, cursorFloor))
+        .filter(_ >= 0L) match { // a pre-v0 cursor IS the bootstrap case
       case Some(startV) if startV >= endV =>
         // replay edge: an empty window re-plans to zero rows
         TxnTable.read(spark, tableDir, Some(endV)).limit(0)
@@ -140,9 +192,12 @@ object GraftStreamSource {
   }
 
   object VersionOffset {
-    def versionOf(o: Offset): Long = o match {
-      case VersionOffset(v) => v
-      case other            => other.json.trim.toLong // checkpoint round trip
-    }
+    /** Accepts the V2 supertype: the admission-control path hands back
+      * whatever the offset log round-tripped. */
+    def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+      o match {
+        case VersionOffset(v) => v
+        case other            => other.json.trim.toLong // checkpoint round trip
+      }
   }
 }

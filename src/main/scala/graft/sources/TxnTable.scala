@@ -416,9 +416,34 @@ object TxnTable {
   private def retentionFloor(tableDir: String): Long =
     store(tableDir).readBytes(floorFile(tableDir))
       .flatMap(b => new String(b, "UTF-8").trim.toLongOption).getOrElse(0L)
+  // Short-TTL memo of the floor (ADVICE r14): snapshot()'s CACHE-HIT
+  // path re-checks the floor so another JVM's vacuum surfaces as the
+  // typed RetentionError — but paying a pointer READ on every warm
+  // snapshot puts file I/O on the hot path of every scan plan and
+  // commit. The memo restores a zero-I/O warm path; cross-JVM vacuums
+  // become visible within the TTL (their reaped data would anyway race
+  // in-flight reads on a shorter horizon than 3 s), and the SAME-JVM
+  // vacuum updates the memo synchronously through writeRetentionFloor.
+  private val floorTtlMs = 3000L
+  private val floorMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private def retentionFloorCached(tableDir: String): Long = {
+    val key = new File(tableDir).getAbsolutePath
+    val now = System.currentTimeMillis()
+    Option(floorMemo.get(key)) match {
+      case Some((v, at)) if now - at < floorTtlMs => v
+      case _ =>
+        val v = retentionFloor(tableDir)
+        floorMemo.put(key, (v, now))
+        v
+    }
+  }
   private def writeRetentionFloor(tableDir: String, v: Long): Unit =
-    if (v > retentionFloor(tableDir)) // monotone
+    if (v > retentionFloor(tableDir)) { // monotone
       store(tableDir).putReplace(floorFile(tableDir), v.toString.getBytes("UTF-8"))
+      floorMemo.put(new File(tableDir).getAbsolutePath,
+        (v, System.currentTimeMillis())): Unit
+    }
 
   /** Write a checkpoint pointer every this-many commits. Manifests here
     * are SELF-CONTAINED (each lists the full live set + stats), so the
@@ -475,8 +500,10 @@ object TxnTable {
     snapCache.synchronized { snapCache.put(cacheKey(tableDir, sn.version), sn); () }
   /** Test hook: force the next snapshot() onto the cold path
     * (checkpoint-anchored reconstruction) instead of the cache. */
-  private[graft] def clearSnapshotCache(): Unit =
+  private[graft] def clearSnapshotCache(): Unit = {
     snapCache.synchronized { snapCache.clear() }
+    floorMemo.clear() // the "go cold" hook drops the floor memo too
+  }
 
   /** Drop every cached snapshot of ONE table. Required by operations
     * that replace a whole table under an unchanged path with unchanged
@@ -488,6 +515,7 @@ object TxnTable {
     snapCache.synchronized {
       snapCache.keySet().removeIf(k => k._1 == p); ()
     }
+    floorMemo.remove(p): Unit // a table swap invalidates its floor too
   }
 
   /** Read one version's snapshot: the self-contained parse for classic
@@ -515,20 +543,20 @@ object TxnTable {
         // as missing-file scan errors instead of the typed
         // RetentionError callers are told to catch. One pointer read,
         // the same cost the miss path already pays.
-        if (version < retentionFloor(tableDir))
+        if (version < retentionFloorCached(tableDir))
           throw new RetentionError(
             s"version $version of $tableDir predates the retention window " +
-              s"(oldest retained: ${retentionFloor(tableDir)}); vacuum removed it")
+              s"(oldest retained: ${retentionFloorCached(tableDir)}); vacuum removed it")
         sn
       case None =>
         // a manifest file kept only as a reconstruction-chain link is
         // NOT a readable version — its data dirs were reaped (vacuum
         // clears the snapshot cache, so this check cannot be shadowed
         // by a pre-vacuum entry)
-        if (version < retentionFloor(tableDir))
+        if (version < retentionFloorCached(tableDir))
           throw new RetentionError(
             s"version $version of $tableDir predates the retention window " +
-              s"(oldest retained: ${retentionFloor(tableDir)}); vacuum removed it")
+              s"(oldest retained: ${retentionFloorCached(tableDir)}); vacuum removed it")
         val s = decodeManifest(f, store(tableDir).readBytes(f).getOrElse(
           throw new IllegalStateException(s"manifest $f vanished mid-read")))
         val sn =

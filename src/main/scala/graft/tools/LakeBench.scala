@@ -264,12 +264,17 @@ object LakeBench {
       }.max
     val inlineMax = perCommitMax(nCommits)
     TxnTable.installCkptOffload(wideDir)
-    val offloadMax =
-      try perCommitMax(nCommits)
-      finally () // uninstall after the maintenance measurement below
-    val (ckptV, tMaint) = timed("maintenance checkpoint (offload mode)")(
-      TxnTable.checkpoint(wideDir))
-    TxnTable.uninstallCkptOffload(wideDir)
+    // the maintenance checkpoint runs INSIDE the guarded region — it is
+    // part of offload mode's story — and the uninstall lives in the
+    // finally, so a throwing leg cannot leak the per-table override
+    // into the later bench sections (ADVICE r14)
+    val (offloadMax, ckptV, tMaint) =
+      try {
+        val m = perCommitMax(nCommits)
+        val (v, t) = timed("maintenance checkpoint (offload mode)")(
+          TxnTable.checkpoint(wideDir))
+        (m, v, t)
+      } finally TxnTable.uninstallCkptOffload(wideDir)
     require(ckptV.isDefined, "maintenance checkpoint wrote nothing")
     val ckptFiles = Option(new java.io.File(wideDir, "_log").listFiles())
       .getOrElse(Array.empty[java.io.File])

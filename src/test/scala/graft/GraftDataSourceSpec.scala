@@ -512,4 +512,32 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(graft.sources.GraftCatalog.recoverOrphans(t).contains("reaped"))
     assert(graft.sources.GraftCatalog.recoverOrphans(t) == "no orphans")
   }
+
+  test("decimal columns type-gate the prune translation: an integral-typed " +
+      "pushed literal scales exactly instead of reading as an unscaled long") {
+    // ADVICE r14: eqOf/lowerOf tried longOf first, so a raw Long 5
+    // against DECIMAL(18,2) would prune as unscaled 5 (= 0.05) instead
+    // of 500 (= 5.00) — off by 10^scale, unsound. The gate routes every
+    // decimal-column literal through the scaled path, which now also
+    // scales integral literals exactly.
+    import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, In}
+    import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
+    val schema = StructType(Seq(StructField("d", DecimalType(18, 2))))
+    // two dirs: cents [1, 10] (holds 0.05-ish values) and [400, 600]
+    // (holds 5.00): the literal 5 must plan ONLY the second
+    val snap = TxnTable.Snapshot(0L, "append", Seq("lo", "hi"), None,
+      stats = Map("lo" -> Seq(("d", 1L, 10L)), "hi" -> Seq(("d", 400L, 600L))))
+    def plan(fs: Filter*): Seq[String] =
+      graft.sources.GraftScan.prune("/nope", snap, fs.toArray, schema)
+    assert(plan(EqualTo("d", java.lang.Long.valueOf(5L))) == Seq("hi"),
+      "integral literal against DECIMAL must scale to 500, not read as 5")
+    assert(plan(EqualTo("d", java.lang.Integer.valueOf(5))) == Seq("hi"))
+    assert(plan(GreaterThan("d", java.lang.Long.valueOf(1L))) == Seq("hi"),
+      "d > 1 (= cents > 100) excludes the [1,10] dir")
+    // mixed-type In list: both values translate on the scaled path
+    assert(plan(In("d", Array[Any](java.lang.Long.valueOf(5L),
+      new java.math.BigDecimal("5.50")))) == Seq("hi"))
+    // the BigDecimal path is unchanged
+    assert(plan(EqualTo("d", new java.math.BigDecimal("0.05"))) == Seq("lo"))
+  }
 }

@@ -608,6 +608,42 @@ class StreamingSpec extends SparkTestBase {
       s"post-restart capped stream wrong: ${batches2.toArray.toSeq}")
   }
 
+  test("readStream.format(\"graft\") Trigger.AvailableNow: the backlog drains " +
+      "in capped batches and the query TERMINATES; restart sees only newer " +
+      "commits; late commits are excluded by the drain bound") {
+    import graft.sources.TxnTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-avnow-ck").toString
+    (0 until 6).foreach(i =>
+      TxnTable.append(Seq((i.toLong, s"r$i")).toDF("k", "v"), dir))
+    def drain(): Seq[Int] = {
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "2")
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.add(b.collect().length): Unit
+        }.start()
+      assert(q.awaitTermination(120000L),
+        "an AvailableNow run must terminate on its own")
+      batches.toArray(Array.empty[Integer]).toSeq.map(_.intValue)
+    }
+    // 6 commits at 2 windows/trigger: bootstrap+v1, v2-3, v4-5 — the
+    // SAME batch shape the V1 processAllAvailable path produces (the
+    // single-batch fallback Spark uses for non-supporting sources would
+    // show Seq(6) here), and then the run STOPS
+    assert(drain() == Seq(2, 2, 2), "capped AvailableNow drain wrong")
+    // nothing new: the run terminates immediately with no batches
+    assert(drain() == Seq.empty, "an empty AvailableNow run must emit nothing")
+    // one newer commit: exactly one single-window batch off the same
+    // checkpoint (cursor recovery identical to the V1 path)
+    TxnTable.append(Seq((9L, "z")).toDF("k", "v"), dir)
+    assert(drain() == Seq(1), "restart must pick up exactly the new commit")
+  }
+
   test("readStream.format(\"graft\") startingVersion + maxVersionsPerTrigger: " +
       "a cap SMALLER than startingVersion must not leak pre-start CDC rows " +
       "— the offer floor starts at startingVersion-1") {
