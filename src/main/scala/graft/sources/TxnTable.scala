@@ -2531,7 +2531,9 @@ object TxnTable {
                          fidsOverride: Option[Map[String, Int]] = None,
                          schema0Override: Option[Option[String]] = None,
                          fhwmFloor: Int = 0,
-                         propsOverride: Option[Map[String, String]] = None): Boolean = {
+                         propsOverride: Option[Map[String, String]] = None,
+                         pthistOverride: Option[Map[String, String]] = None,
+                         partsRename: Option[(String, String)] = None): Boolean = {
     // CHECK constraints carry forward AUTOMATICALLY from the previous
     // manifest (the publisher at v just read v-1 as its base, so v-1 is
     // retained) — no call site can accidentally drop table-level
@@ -2565,8 +2567,11 @@ object TxnTable {
     val schema0 = schema0Override.getOrElse(
       if (v == 0) None else prev.schema0)
     // spec history: strictly accumulative — the current spec always
-    // joins it, past specs are never dropped (their dirs may live on)
-    val pthist = (if (v == 0) Map.empty[String, String] else prev.pthist) ++ ptrans
+    // joins it, past specs are never dropped (their dirs may live on).
+    // A rename commit overrides the whole map (every era's expr
+    // rewritten to the new column name, so era pruning keeps working).
+    val pthist = pthistOverride.getOrElse(
+      if (v == 0) Map.empty[String, String] else prev.pthist) ++ ptrans
     // only dv entries for dirs actually in this manifest's live set —
     // a rewritten dir's dv dies with it (the rewrite materialized it)
     val dvKept = dvs.filter { case (d, _) => live.contains(d) }
@@ -2587,45 +2592,13 @@ object TxnTable {
     // sidecar GETs, not O(live) — the same reason Delta folds
     // add-file stats into log entries instead of re-stat-ing files.
     val prevLiveSet: Set[String] = if (v == 0) Set.empty else prev.live.toSet
-    def carried[T](d: String, prevMap: => Map[String, T],
-                   fresh: => Option[T]): Option[T] =
-      if (prevLiveSet.contains(d)) prevMap.get(d) else fresh
-    val statsMap: Map[String, Seq[(String, Long, Long)]] = live.flatMap { d =>
-      carried(d, prev.stats, Some(statsAllOf(tableDir, d)).filter(_.nonEmpty))
-        .filter(_.nonEmpty).map(d -> _)
-    }.toMap
-    val sstatsMap: Map[String, Seq[(String, String, String)]] = live.flatMap { d =>
-      carried(d, prev.sstats, Some(sstatsAllOf(tableDir, d)).filter(_.nonEmpty))
-        .filter(_.nonEmpty).map(d -> _)
-    }.toMap
-    // full ordered partition vectors (multi-col specs, round 13):
-    // survivors carry from prev (partsN holds multis, parts the
-    // singles), new dirs read their .part sidecar's every line
-    def prevVec(d: String): Option[Seq[(String, String)]] =
-      prev.partsN.get(d).orElse(prev.parts.get(d).map(Seq(_)))
-    val partsVecMap: Map[String, Seq[(String, String)]] = live.flatMap { d =>
-      (if (prevLiveSet.contains(d)) prevVec(d)
-       else Some(mpartOf(tableDir, d)).filter(_.nonEmpty)).map(d -> _)
-    }.toMap
-    // dv dirs' counts ride along (names are disjoint from live):
-    // history's effective row count = live rows - dv-deleted rows,
-    // still metadata-only. dv dirs are not in prev.live, so they
-    // carry through prev.nrows with a sidecar fallback.
-    val nrowsMap: Map[String, Long] =
-      (live ++ dvKept.values.toSeq.distinct).flatMap { d =>
-        (if (prevLiveSet.contains(d)) prev.nrows.get(d)
-         else if (v > 0 && prev.nrows.contains(d)) prev.nrows.get(d)
-         else nrowsOf(tableDir, d)).map(d -> _)
-      }.toMap
-    // on a fids (evolved) table a dir's `.nulls`/`.kmv` sidecar is
-    // PHYSICAL (write-time names): resolve each recorded name
-    // through the dir's era field ids to the CURRENT column of the
-    // same id — a renamed column's stat folds under its new name
-    // (pruning/NDV recovered), and a drop+re-add of the same name
-    // drops the stale entry instead of letting IS NULL prune dirs
-    // whose re-added column is entirely null-backfilled (silent row
-    // loss; range/bloom stats are null-silent so only these stats
-    // need the id check)
+    // on a fids (evolved) table a dir's stat sidecars are PHYSICAL
+    // (write-time names): resolve each recorded name through the dir's
+    // era field ids to the CURRENT column of the same id — a renamed
+    // column's stat folds under its new name (pruning/NDV recovered),
+    // and a drop+re-add of the same name drops the stale entry instead
+    // of letting IS NULL prune dirs whose re-added column is entirely
+    // null-backfilled (silent row loss)
     lazy val idToCur: Map[Int, String] = fids.map(_.swap)
     def eraIds(d: String): Map[String, Int] = colsOf(tableDir, d) match {
       case Some((ddl, ids)) => structOf(ddl).fieldNames.zip(ids).toMap
@@ -2634,9 +2607,9 @@ object TxnTable {
     }
     def resolveEra(d: String, c: String): Option[String] =
       if (fids.isEmpty) Some(c) else eraIds(d).get(c).flatMap(idToCur.get)
-    // nulls/kmvs manifest entries are stored under CURRENT column
-    // names, so the prev-manifest copy is valid only while the id
-    // mapping is unchanged — an EVOLUTION commit (rename/drop/mint)
+    // stats/nulls/kmvs/sstats manifest entries are stored under CURRENT
+    // column names, so the prev-manifest copy is valid only while the
+    // id mapping is unchanged — an EVOLUTION commit (rename/drop/mint)
     // re-folds every dir through era resolution instead (rare by
     // construction; the frequent ops all take the O(new-dirs) path)
     val evoUnchanged = v > 0 && fids == prev.fids && schema0 == prev.schema0
@@ -2651,6 +2624,54 @@ object TxnTable {
     // strictly one-shot: the next commit sees statKeys = true and takes
     // the O(new-dirs) carry again.
     val statUpgrade = v > 0 && !prev.statKeys
+    // stats/sstats entries fold under CURRENT column names — stale on
+    // an evolution commit (a rename would strand them under the old
+    // name, silently forfeiting range pruning on the renamed column),
+    // so evolution commits refold every dir's sidecar through era
+    // resolution exactly like nulls/kmvs below (round 15; rare by
+    // construction — the frequent ops all take the O(new-dirs) carry)
+    val statsMap: Map[String, Seq[(String, Long, Long)]] = live.flatMap { d =>
+      val all =
+        if (evoUnchanged && prevLiveSet.contains(d)) prev.stats.getOrElse(d, Nil)
+        else statsAllOf(tableDir, d)
+          .flatMap { case (c, lo, hi) => resolveEra(d, c).map((_, lo, hi)) }
+      if (all.isEmpty) None else Some(d -> all)
+    }.toMap
+    val sstatsMap: Map[String, Seq[(String, String, String)]] = live.flatMap { d =>
+      val all =
+        if (evoUnchanged && prevLiveSet.contains(d)) prev.sstats.getOrElse(d, Nil)
+        else sstatsAllOf(tableDir, d)
+          .flatMap { case (c, lo, hi) => resolveEra(d, c).map((_, lo, hi)) }
+      if (all.isEmpty) None else Some(d -> all)
+    }.toMap
+    // full ordered partition vectors (multi-col specs, round 13):
+    // survivors carry from prev (partsN holds multis, parts the
+    // singles), new dirs read their .part sidecar's every line
+    def prevVec(d: String): Option[Seq[(String, String)]] =
+      prev.partsN.get(d).orElse(prev.parts.get(d).map(Seq(_)))
+    val partsVecMap0: Map[String, Seq[(String, String)]] = live.flatMap { d =>
+      (if (prevLiveSet.contains(d)) prevVec(d)
+       else Some(mpartOf(tableDir, d)).filter(_.nonEmpty)).map(d -> _)
+    }.toMap
+    // a RENAME commit rewrites partition-column names in the manifest
+    // map (dirs' `.part` sidecars are immutable and never re-read for
+    // survivors — the manifest copy is the read path's truth, and every
+    // later commit carries THIS rewritten map forward)
+    val partsVecMap: Map[String, Seq[(String, String)]] = partsRename match {
+      case Some((o, n)) => partsVecMap0.map { case (d, vec) =>
+        d -> vec.map { case (c, pv) => (if (c == o) n else c, pv) } }
+      case None => partsVecMap0
+    }
+    // dv dirs' counts ride along (names are disjoint from live):
+    // history's effective row count = live rows - dv-deleted rows,
+    // still metadata-only. dv dirs are not in prev.live, so they
+    // carry through prev.nrows with a sidecar fallback.
+    val nrowsMap: Map[String, Long] =
+      (live ++ dvKept.values.toSeq.distinct).flatMap { d =>
+        (if (prevLiveSet.contains(d)) prev.nrows.get(d)
+         else if (v > 0 && prev.nrows.contains(d)) prev.nrows.get(d)
+         else nrowsOf(tableDir, d)).map(d -> _)
+      }.toMap
     val nullsMap: Map[String, Seq[(String, Long)]] = live.flatMap { d =>
       val all =
         (if (evoUnchanged && !statUpgrade && prevLiveSet.contains(d))
@@ -3500,11 +3521,34 @@ object TxnTable {
     base + 1L
   }
 
+  /** Rewrite every reference to `oldName` in a stored SQL expression to
+    * `newName`, through Spark's OWN parser — string literals, quoted
+    * identifiers and function names are untouched, which no regex can
+    * guarantee ('`price`' the column vs 'price' the literal). The
+    * round-15 rename-through-references machinery: specs store SQL
+    * text, but the rename commit atomically rewrites every stored
+    * reference, so renaming a constrained/generated/partition-transform
+    * column WORKS (Iceberg semantics) instead of being rejected. */
+  private def renameInExpr(spark: SparkSession, exprSql: String,
+                           oldName: String, newName: String): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val renamed = spark.sessionState.sqlParser.parseExpression(exprSql)
+      .transform {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            a.nameParts.head.equalsIgnoreCase(oldName) =>
+          UnresolvedAttribute(Seq(newName))
+      }.sql
+    require(!renamed.exists(c => c == '"' || c == '}' || c == '\n'),
+      s"rewritten expression '$renamed' violates the manifest charset")
+    renamed
+  }
+
   /** Reject an evolution that would orphan references to `name`:
     * constraints/generated columns/hidden-partition transforms mention
     * columns by name in SQL text, and partitioned dirs record the
-    * partition column by name — a rename/drop under them would break
-    * reads or writes silently. Conservative word-boundary match. */
+    * partition column by name — a DROP/WIDEN under them would break
+    * reads or writes silently (RENAME rewrites the references instead —
+    * see [[renameInExpr]]). Conservative word-boundary match. */
   private def refCheck(snap: Snapshot, name: String, op: String): Unit = {
     val pat = ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
       "(?![A-Za-z0-9_])").r
@@ -3566,14 +3610,38 @@ object TxnTable {
       throw new IllegalStateException(s"no recorded schema at $tableDir"))
     require(cur.fieldNames.contains(oldName), s"no column $oldName")
     require(!cur.fieldNames.contains(newName), s"column $newName already exists")
-    refCheck(snap, oldName, "renameColumn")
+    // renames RESOLVE THROUGH references (round 15, Iceberg semantics):
+    // every stored SQL text — CHECK constraints, generated-column
+    // specs, the hidden-partition transform and its whole era history —
+    // is rewritten to the new name IN the same atomic commit, and the
+    // manifest's partition-column entries rewrite alongside
+    // (tryPublish's partsRename; survivors carry the rewritten map
+    // forward, dirs' immutable `.part` sidecars are never re-read).
+    // Only equality-delete keys still reject: their key columns are
+    // baked into immutable eq parquet files (compact to materialize the
+    // tombstones first).
+    require(!snap.eqs.values.exists(_._1.contains(oldName)),
+      s"renameColumn: column $oldName is a key of an outstanding equality " +
+        "delete (compact to materialize the tombstones first)")
+    def rw(e: String): String = renameInExpr(spark, e, oldName, newName)
+    val consRw = snap.constraints.map { case (n, e) => n -> rw(e) }
+    val gensRw = snap.gens.map { case (n, e) =>
+      (if (n == oldName) newName else n) -> rw(e)
+    }
+    val ptransRw = snap.ptrans.map { case (a, e) => (a, rw(e)) }
+    val pthistRw = snap.pthist.map { case (a, e) => (a, rw(e)) }
     val (fids, schema0) = mintedFids(snap, cur)
     val evolved = org.apache.spark.sql.types.StructType(
       cur.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
     if (!tryPublish(tableDir, base + 1L, "renameColumn", snap.live, txnId,
         dvs = snap.dvs, schema = Some(evolved.catalogString),
         fidsOverride = Some(fids - oldName + (newName -> fids(oldName))),
-        schema0Override = Some(Some(schema0))))
+        schema0Override = Some(Some(schema0)),
+        constraintsOverride = Some(consRw),
+        gensOverride = Some(gensRw),
+        ptransOverride = Some(ptransRw),
+        pthistOverride = Some(pthistRw),
+        partsRename = Some((oldName, newName))))
       throw new CommitConflict(
         s"concurrent commit at version ${base + 1}; re-read and retry")
     maybeCheckpoint(tableDir, base + 1L)

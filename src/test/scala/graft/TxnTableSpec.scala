@@ -1915,29 +1915,117 @@ class TxnTableSpec extends SparkTestBase {
     assert(TxnTable.read(spark, dir).filter(col("c").isNull).count() == 2L)
   }
 
-  test("evolution refuses columns referenced by constraints, generated " +
-      "columns, partitions, or outstanding equality deletes") {
-    import org.apache.spark.sql.functions.col
+  test("RENAME resolves THROUGH references (round 15): constraint text " +
+      "rewrites atomically and keeps enforcing; DROP still refuses; eq-key " +
+      "renames still refuse until compacted") {
     val dir = tmpTable()
     TxnTable.append(Seq((1, "a", 10L)).toDF("id", "v", "amt"), dir)
     TxnTable.addConstraint(spark, dir, "amt_pos", "amt > 0")
-    intercept[IllegalArgumentException] {
-      TxnTable.renameColumn(spark, dir, "amt", "amount")
+    // the rename rewrites the stored SQL in the SAME commit — the
+    // pre-r15 behavior (typed rejection) is replaced by Iceberg's
+    TxnTable.renameColumn(spark, dir, "amt", "amount")
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.constraints.keySet == Set("amt_pos") &&
+      snap.constraints("amt_pos").toLowerCase.contains("amount"),
+      s"constraint text not rewritten: ${snap.constraints}")
+    // ... and still ENFORCES under the new name
+    intercept[TxnTable.ConstraintViolation] {
+      TxnTable.append(Seq((2, "b", -5L)).toDF("id", "v", "amount"), dir)
     }
+    TxnTable.append(Seq((3, "c", 7L)).toDF("id", "v", "amount"), dir)
+    assert(TxnTable.read(spark, dir).count() == 2L)
+    // DROP of a referenced column still refuses (destructive, not a
+    // reference-preserving rewrite)
     intercept[IllegalArgumentException] {
-      TxnTable.dropColumn(spark, dir, "amt")
+      TxnTable.dropColumn(spark, dir, "amount")
     }
-    TxnTable.dropConstraint(dir, "amt_pos")
     import spark.implicits._
     TxnTable.deleteKeysEq(spark, dir, Seq(99).toDF("id")) // outstanding eq
     intercept[IllegalArgumentException] {
-      TxnTable.renameColumn(spark, dir, "id", "pk")
+      TxnTable.renameColumn(spark, dir, "id", "pk") // keys baked in eq files
     }
     // compaction materializes the eq tombstone away; rename then lands
     TxnTable.compact(spark, dir, 1)
     TxnTable.renameColumn(spark, dir, "id", "pk")
-    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("pk", "v", "amt"))
-    assert(col("pk") != null)
+    assert(TxnTable.read(spark, dir).columns.toSeq == Seq("pk", "v", "amount"))
+  }
+
+  test("rename rewrite is PARSER-based: string literals spelling the old " +
+      "column name are untouched; generated columns rewrite and keep " +
+      "generating; stats refold under the new name (pruning survives)") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpTable()
+    TxnTable.append((0 until 8).map(i => (i.toLong, "amt", i.toLong * 2))
+      .toDF("amt", "v", "amt2"), dir, statsCol = Some("amt"))
+    // constraint whose EXPRESSION mentions 'amt' both as a column and
+    // as a string literal — only the column reference may rewrite
+    TxnTable.addConstraint(spark, dir, "lit_guard", "v = 'amt' AND amt >= 0")
+    TxnTable.addGeneratedColumn(spark, dir, "amt2", "amt * 2")
+    TxnTable.renameColumn(spark, dir, "amt", "amount")
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.constraints("lit_guard").contains("'amt'") &&
+      !snap.constraints("lit_guard").matches(".*(?<![A-Za-z0-9_'])amt(?![A-Za-z0-9_']).*"),
+      s"literal corrupted or column not rewritten: ${snap.constraints("lit_guard")}")
+    assert(snap.gens("amt2").toLowerCase.contains("amount"),
+      s"generated spec not rewritten: ${snap.gens}")
+    // generation still computes on writes that omit the column
+    TxnTable.append(Seq((50L, "amt")).toDF("amount", "v"), dir,
+      statsCol = Some("amount"))
+    assert(TxnTable.read(spark, dir).filter(col("amount") === 50L)
+      .select("amt2").head().getLong(0) == 100L,
+      "generated column stopped computing after the rename")
+    // stats refolded under the NEW name: range pruning works against it
+    val snap2 = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    val pruned = TxnTable.pruneLive(snap2, "amount", 100L, 200L)
+    assert(pruned.isEmpty,
+      s"stats did not refold under the renamed column: planned $pruned")
+    assert(TxnTable.readRange(spark, dir, "amount", 0L, 3L).count() == 4L)
+  }
+
+  test("renaming an EXPLICIT partition column rewrites the manifest's " +
+      "partition entries: pruning and new loads work under the new name") {
+    val dir = tmpTable()
+    TxnTable.overwritePartitions(spark, dir,
+      Seq((1, "a"), (2, "b")).toDF("id", "part"), "part")
+    TxnTable.renameColumn(spark, dir, "part", "region")
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.parts.values.forall(_._1 == "region"),
+      s"manifest partition entries kept the old name: ${snap.parts}")
+    assert(TxnTable.readPartition(spark, dir, Map("region" -> "a"))
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    // a new load under the new name replaces exactly its partition
+    TxnTable.overwritePartitions(spark, dir,
+      Seq((9, "b")).toDF("id", "region"), "region")
+    assert(TxnTable.readPartition(spark, dir, Map("region" -> "b"))
+      .collect().map(_.getInt(0)).toSeq == Seq(9))
+    assert(TxnTable.read(spark, dir).count() == 2L)
+  }
+
+  test("renaming a hidden-partition SOURCE column rewrites the transform " +
+      "and its era history: probe pruning keeps working") {
+    val dir = tmpTable()
+    TxnTable.overwritePartitionsHidden(spark, dir,
+      (1 to 8).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      "bucket", "pmod(id, 4)")
+    TxnTable.renameColumn(spark, dir, "id", "key")
+    val snap = TxnTable.snapshot(dir, TxnTable.latestVersion(dir).get)
+    assert(snap.ptrans.exists { case (a, e) =>
+      a == "bucket" && e.toLowerCase.contains("key") },
+      s"transform not rewritten: ${snap.ptrans}")
+    assert(snap.pthist.values.forall(_.toLowerCase.contains("key")),
+      s"era history not rewritten: ${snap.pthist}")
+    // source-column probe evaluates the REWRITTEN transform
+    assert(TxnTable.readPartitionHidden(spark, dir, Map("key" -> 5L))
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // and the spec still guards writes, now under the new name (the
+    // manifest's rewritten text IS the spec — pass it back verbatim)
+    val (alias2, expr2) = snap.ptrans.get
+    TxnTable.overwritePartitionsHidden(spark, dir,
+      Seq((9L, "r9")).toDF("key", "v"), alias2, expr2)
+    // pmod(9,4)=1 REPLACES bucket 1 (held keys 1 and 5): 8 - 2 + 1
+    assert(TxnTable.read(spark, dir).count() == 7L)
+    assert(TxnTable.readPartitionHidden(spark, dir, Map("key" -> 9L))
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
   test("deleteRangeDV on a schema-evolved table validates the EFFECTIVE " +
