@@ -152,7 +152,7 @@ class FuzzTxnSpec extends SparkTestBase {
 
     val nOps = 6
     (0 until nOps).foreach { i =>
-      val op = if (model.isEmpty) 0 else rng.nextInt(16)
+      val op = if (model.isEmpty) 0 else rng.nextInt(17)
       op match {
         case 0 | 1 | 2 => // append
           val b = randRows(1 + rng.nextInt(2))
@@ -260,6 +260,41 @@ class FuzzTxnSpec extends SparkTestBase {
             model :+= model.last.map(r =>
               if (r._2 == p) r.copy(_2 = "U", _3 = r._3 + bump) else r)
           }
+        case 16 => // RACE (round 15): a blind DISJOINT append vs keyed
+          // row-level DML — the logical conflict re-check must land BOTH
+          // with the DML called exactly ONCE, no retry loop: the only
+          // possible winner is a stats-carrying append whose keys
+          // (100+) are provably outside the DML's range, so
+          // publishRebasing rebases through it (AddsKeyDisjoint) and any
+          // CommitConflict here IS a bug. Final multiset = the serial
+          // result, identical in either order (range ∩ appended = ∅) —
+          // exactly the starvation fix: DML makes progress under append
+          // traffic without re-running.
+          import org.apache.spark.sql.functions.col
+          val b = Seq((100 + rng.nextInt(8),
+            Seq("A", "B", "C")(rng.nextInt(3)), rng.nextInt(100).toLong))
+          val lo = rng.nextInt(8); val hi = lo + rng.nextInt(3)
+          val bump = rng.nextInt(5).toLong
+          val t = new Thread(() =>
+            TxnTable.append(df(b), dir, statsCol = Some("id")): Unit)
+          val kind = rng.nextInt(3)
+          t.start()
+          kind match { // NO retry loop — a throw fails the sequence
+            case 0 => TxnTable.deleteRange(spark, dir, "id", lo.toLong, hi.toLong)
+            case 1 => TxnTable.deleteRangeDV(spark, dir, "id", lo.toLong, hi.toLong)
+            case _ => TxnTable.updateRange(spark, dir, "id", lo.toLong, hi.toLong,
+              Map("value" -> (col("value") + bump)))
+          }
+          t.join()
+          val prevR = model.last
+          val after = kind match {
+            case 0 | 1 => prevR.filterNot(r => r._1 >= lo && r._1 <= hi)
+            case _ => prevR.map(r =>
+              if (r._1 >= lo && r._1 <= hi) r.copy(_3 = r._3 + bump) else r)
+          }
+          fuzzy += model.size // intermediate: order unspecified
+          model :+= prevR     // placeholder content, never checked
+          model :+= after ++ b
         case 13 => // restore to a random retained, non-fuzzy version —
           // never crossing the fids-minting boundary (TxnTable refuses)
           val candidates = (oldest until model.size).filterNot(fuzzy)
