@@ -53,11 +53,15 @@ import graft.sources.TxnTable
   *                      -- at the head (async-offload maintenance verb)
   * }}}
   * Round-15 additions (manifest-carried TBLPROPERTIES — see
-  * [[TxnTable.setProperties]] for the engine-honored keys):
+  * [[TxnTable.setProperties]] for the engine-honored keys — and
+  * Iceberg-style TAGS that pin retention until dropped):
   * {{{
   *   ALTER TABLE <tbl> SET TBLPROPERTIES('k'='v'[, ...])
   *   ALTER TABLE <tbl> UNSET TBLPROPERTIES('k'[, ...])
   *   SHOW TBLPROPERTIES <tbl>
+  *   ALTER TABLE <tbl> CREATE TAG <name> [AS OF VERSION <n>]
+  *   ALTER TABLE <tbl> DROP TAG <name>
+  *   SHOW TAGS <tbl>
   * }}}
   * `RESTORE` re-commits the target version's live set
   * ([[TxnTable.restore]] — one manifest write, the 3am-bad-job
@@ -82,6 +86,12 @@ object GraftSql {
     """(?is)\s*CHECKPOINT\s+(.+?)\s*;?\s*""".r
   private val showPartitions =
     """(?is)\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*""".r
+  private val createTag =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+TAG\s+([A-Za-z_][A-Za-z0-9._-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val dropTag =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+TAG\s+([A-Za-z_][A-Za-z0-9._-]*)\s*;?\s*""".r
+  private val showTags =
+    """(?is)\s*SHOW\s+TAGS\s+(.+?)\s*;?\s*""".r
   private val setTblProps =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+SET\s+TBLPROPERTIES\s*\((.+?)\)\s*;?\s*""".r
   private val unsetTblProps =
@@ -149,6 +159,27 @@ object GraftSql {
       val v = TxnTable.checkpoint(dir)
       Seq((v.isDefined, v.getOrElse(TxnTable.latestVersion(dir).getOrElse(-1L))))
         .toDF("written", "version")
+
+    // round-15 TAG verbs (Iceberg refs): named, immutable pointers to a
+    // committed version that PIN retention until dropped; read back via
+    // `VERSION AS OF '<name>'` / the versionAsOf option
+    case createTag(ref, name, version) =>
+      import spark.implicits._
+      val dir = locate(spark, ref)
+      val v = TxnTable.createTag(dir, name,
+        Option(version).map(_.toLong))
+      Seq((name, v)).toDF("tag", "version")
+
+    case dropTag(ref, name) =>
+      import spark.implicits._
+      val dir = locate(spark, ref)
+      val existed = TxnTable.deleteTag(dir, name)
+      Seq((name, existed)).toDF("tag", "dropped")
+
+    case showTags(ref) if locateIfGraft(spark, ref).isDefined =>
+      import spark.implicits._
+      TxnTable.listTags(locateIfGraft(spark, ref).get)
+        .toSeq.sortBy(_._1).toDF("tag", "version")
 
     // round-15 TBLPROPERTIES verbs: properties persist IN the manifest
     // (TxnTable.setProperties — inherited forward like constraints, so

@@ -158,7 +158,16 @@ object GraftDataSource {
       throw new IllegalArgumentException(
         "graft source needs a path: spark.read.format(\"graft\").load(tableDir)"))
     val dir = normalize(raw)
-    val versionOpt = opt("versionAsOf").map(_.trim.toLong)
+    // `versionAsOf` accepts a version number OR a tag name (round 15 —
+    // Iceberg refs): SQL's `VERSION AS OF 'release-x'` arrives here as
+    // the same string option
+    val versionOpt = opt("versionAsOf").map { v0 =>
+      val v = v0.trim
+      v.toLongOption.getOrElse(TxnTable.resolveTag(dir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"versionAsOf '$v' is neither a version number nor a tag of $dir " +
+            s"(tags: ${TxnTable.listTags(dir).keys.toSeq.sorted.mkString(", ")})")))
+    }
       .orElse(opt("timestampAsOf").map { t =>
         val ts = t.trim.toLong
         val vs = TxnTable.versions(dir)

@@ -525,12 +525,20 @@ object TxnTable {
     val f = manifestFile(tableDir, version)
     if (!store(tableDir).exists(f)) {
       // distinguish "vacuumed past" (typed, catchable → caller falls
-      // back to a full re-read) from "never existed"
+      // back to a full re-read) from "never existed". A MISSING version
+      // strictly inside the committed range is also vacuum's work: tags
+      // make retention non-contiguous (round 15 — a dropped tag's
+      // version reaps while newer pinned ones stay), and manifests are
+      // only ever removed by vacuum, never skipped at commit time.
       val vs = versions(tableDir)
       if (vs.nonEmpty && version < vs.head)
         throw new RetentionError(
           s"version $version of $tableDir predates the retention window " +
             s"(oldest retained: ${vs.head}); vacuum removed it")
+      if (vs.nonEmpty && version > vs.head && version < vs.last)
+        throw new RetentionError(
+          s"version $version of $tableDir was vacuumed (retention is " +
+            "non-contiguous: the newest window plus tagged versions)")
       throw new IllegalArgumentException(
         s"version $version does not exist at $tableDir" +
           vs.lastOption.map(l => s" (latest: $l)").getOrElse(" (no commits)"))
@@ -543,7 +551,8 @@ object TxnTable {
         // as missing-file scan errors instead of the typed
         // RetentionError callers are told to catch. One pointer read,
         // the same cost the miss path already pays.
-        if (version < retentionFloorCached(tableDir))
+        if (version < retentionFloorCached(tableDir) &&
+            !taggedBelowFloor(tableDir, version))
           throw new RetentionError(
             s"version $version of $tableDir predates the retention window " +
               s"(oldest retained: ${retentionFloorCached(tableDir)}); vacuum removed it")
@@ -553,7 +562,8 @@ object TxnTable {
         // NOT a readable version — its data dirs were reaped (vacuum
         // clears the snapshot cache, so this check cannot be shadowed
         // by a pre-vacuum entry)
-        if (version < retentionFloorCached(tableDir))
+        if (version < retentionFloorCached(tableDir) &&
+            !taggedBelowFloor(tableDir, version))
           throw new RetentionError(
             s"version $version of $tableDir predates the retention window " +
               s"(oldest retained: ${retentionFloorCached(tableDir)}); vacuum removed it")
@@ -4757,6 +4767,67 @@ object TxnTable {
     * 100 TB nobody deletes files without reviewing the list first
     * (Delta's VACUUM ... DRY RUN). Metadata-only: retained manifests +
     * one directory listing, zero data reads. */
+  // ---- named refs: TAGS (round 15, the Iceberg ref surface) ----
+  // A tag is a named, immutable pointer to one committed version,
+  // stored as `_log/_refs/<name>` (put-if-absent — create races have
+  // one winner). Tags PIN retention: vacuum keeps every tagged
+  // version's manifest chain and data dirs no matter how the newest-N
+  // window moves, so "release-2026-08" stays time-travelable forever
+  // until the tag is dropped — at which point the next vacuum reaps it
+  // like any out-of-window version. Readers resolve tags wherever a
+  // version is accepted: `VERSION AS OF 'name'` (SQL), the
+  // `versionAsOf` reader option, or [[resolveTag]] + [[read]].
+  private def refsDir(tableDir: String) = new File(logDir(tableDir), "_refs")
+  private def refFile(tableDir: String, name: String) =
+    new File(refsDir(tableDir), name)
+
+  /** Create tag `name` at `version` (default: the current head). The
+    * target must be a readable snapshot NOW (typed RetentionError /
+    * IllegalArgumentException otherwise); the tag is immutable — drop
+    * and recreate to move it. Returns the pinned version. */
+  def createTag(tableDir: String, name: String,
+                version: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9._-]*"),
+      s"tag name '$name' must be identifier-shaped ([A-Za-z0-9._-])")
+    val v = version.getOrElse(latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(s"no commits at $tableDir")))
+    snapshot(tableDir, v): Unit // must be readable at create time
+    refsDir(tableDir).mkdirs()
+    if (!store(tableDir).putIfAbsent(refFile(tableDir, name),
+        v.toString.getBytes("UTF-8")))
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists at $tableDir (tags are immutable — " +
+          "drop it first to re-point)")
+    v
+  }
+
+  /** Drop tag `name`; its version rejoins normal retention and the next
+    * vacuum may reap it. Returns whether the tag existed. */
+  def deleteTag(tableDir: String, name: String): Boolean = {
+    val f = refFile(tableDir, name)
+    val existed = store(tableDir).exists(f)
+    store(tableDir).delete(f)
+    existed
+  }
+
+  /** Every tag, name → pinned version. */
+  def listTags(tableDir: String): Map[String, Long] =
+    store(tableDir).list(refsDir(tableDir)).flatMap { n =>
+      store(tableDir).readBytes(refFile(tableDir, n))
+        .flatMap(b => new String(b, "UTF-8").trim.toLongOption).map(n -> _)
+    }.toMap
+
+  def resolveTag(tableDir: String, name: String): Option[Long] =
+    store(tableDir).readBytes(refFile(tableDir, name))
+      .flatMap(b => new String(b, "UTF-8").trim.toLongOption)
+
+  /** Whether `version` is pinned by some tag — consulted ONLY when a
+    * read lands below the retention floor (tagged versions stay
+    * readable there; everything else answers the typed error), so the
+    * refs LIST stays off every warm path. */
+  private def taggedBelowFloor(tableDir: String, version: Long): Boolean =
+    listTags(tableDir).values.exists(_ == version)
+
   /** The retain count a vacuum actually uses: the caller's argument,
     * floored at 1 and at the manifest-carried `graft.minRetainVersions`
     * property (round 15) — the fat-finger guard Delta ships as
@@ -4771,7 +4842,16 @@ object TxnTable {
                    orphanGraceMs: Long = 0L): (Seq[Long], Seq[String]) = {
     val vs = versions(tableDir)
     val eff = effectiveRetain(tableDir, retain)
-    val keep = vs.drop(math.max(0, vs.length - eff))
+    val window = vs.drop(math.max(0, vs.length - eff))
+    // TAGGED versions pin retention OUTSIDE the newest-N window (round
+    // 15): their manifests, reconstruction chains, and data dirs all
+    // survive until the tag is dropped. Retention becomes
+    // non-contiguous — islands below the window — which the read path
+    // types correctly (tagged below-floor reads work; reaped middles
+    // answer RetentionError).
+    val tagged = listTags(tableDir).values.toSeq.distinct
+      .filter(v => store(tableDir).exists(manifestFile(tableDir, v)))
+    val keep = (window ++ tagged.filterNot(window.contains)).sorted
     // CHAIN GUARD (round 13): the oldest retained version may be an
     // INCREMENTAL manifest whose reconstruction walks back to an anchor
     // (a columnar checkpoint or a self-contained manifest) — every
@@ -4781,11 +4861,19 @@ object TxnTable {
     // versions()/snapshot()); their unreferenced DATA dirs still reap
     // below, and they become deletable once a newer anchor supersedes
     // them (rawVersions sweeps chain-kept files from earlier vacuums).
-    val drop = keep.headOption match {
+    // Window members above the head share its chain coverage (anchors
+    // are monotone along the log); each tagged ISLAND below keeps its
+    // own chain.
+    val drop = window.headOption match {
       case Some(r) =>
         val (anchor, byCkpt) = anchorOf(tableDir, r)
         val chainFloor = if (byCkpt) anchor + 1 else anchor
-        rawVersions(tableDir).filter(_ < chainFloor)
+        val pinned: Set[Long] = tagged.filter(_ < chainFloor).flatMap { tv =>
+          val (a, bc) = anchorOf(tableDir, tv)
+          val lo = if (bc) a + 1 else a
+          lo to tv
+        }.toSet
+        rawVersions(tableDir).filter(v => v < chainFloor && !pinned(v))
       case None => Seq.empty[Long]
     }
     val referenced = keep.flatMap { v =>
@@ -4843,14 +4931,22 @@ object TxnTable {
     drop.foreach(v => store(tableDir).delete(manifestFile(tableDir, v)))
     reap.foreach(d => deleteRec(new File(dataDir(tableDir), d)))
     // columnar dir-entry checkpoints below the kept window's anchor are
-    // unreachable (no retained reconstruction can start from them)
+    // unreachable (no retained reconstruction can start from them) —
+    // EXCEPT a tagged island's own checkpoint anchor (round 15), which
+    // that island's reconstruction still starts from
     keepHead.foreach { kh =>
       val (anchor, _) = anchorOf(tableDir, kh)
+      val taggedAnchors: Set[Long] = listTags(tableDir).values.toSeq.distinct
+        .filter(tv => store(tableDir).exists(manifestFile(tableDir, tv)))
+        .flatMap { tv =>
+          val (a, bc) = anchorOf(tableDir, tv)
+          if (bc) Some(a) else None
+        }.toSet
       store(tableDir).list(logDir(tableDir))
         .filter(n => n.startsWith("ckpt-v") && n.endsWith(".parquet"))
         .foreach { n =>
           n.stripPrefix("ckpt-v").stripSuffix(".parquet").toLongOption
-            .filter(_ < anchor)
+            .filter(v => v < anchor && !taggedAnchors.contains(v))
             .foreach(_ => store(tableDir).delete(new File(logDir(tableDir), n)))
         }
     }
