@@ -560,8 +560,14 @@ object MiscQueries {
         val v = Tables.events(s, d)
           .select(col("event_type"), cents(col("value")).as("c"))
         val m1 = histMedian(v, "event_type", "c", "med")
-        val dd = v.join(broadcast(m1), "event_type")
-          .withColumn("ad", abs(col("c") - col("med")))
+        // r15: dd feeds BOTH the MAD median and the final outlier rollup,
+        // and the two consumers are SEQUENTIAL (m2 gates the final join),
+        // so without a persist the events scan + the whole m1 median
+        // pipeline ran twice (runtime plan: 11 scans, 20 windows).
+        import graft.operators.CacheScope
+        CacheScope.release("q105")
+        val dd = CacheScope.persist("q105", v.join(broadcast(m1), "event_type")
+          .withColumn("ad", abs(col("c") - col("med"))))
         val m2 = histMedian(dd.select(col("event_type"), col("ad")),
           "event_type", "ad", "mad")
         dd.join(broadcast(m2), "event_type")
@@ -999,13 +1005,20 @@ object MiscQueries {
         val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
         val brk = when(lag(col("tsu"), 1).over(w).isNull ||
           col("tsu") - lag(col("tsu"), 1).over(w) > SessionGapUs, 1L).otherwise(0L)
-        val sess = Tables.events(s, d)
+        // r15: `sess` feeds the bounds union twice and prefixSum's
+        // two-phase consumer doubles that again — the runtime plan ran
+        // the sessionize (scan + user-keyed exchange + 2 windows + agg)
+        // FOUR times (4 parquet scans, 22 exchanges, 2 reused). Persist
+        // one generation; sess is sessions-sized, far below the event log.
+        import graft.operators.CacheScope
+        CacheScope.release("q137")
+        val sess = CacheScope.persist("q137", Tables.events(s, d)
           .withColumn("tsu", eventTsu)
           .withColumn("brk", brk)
           .withColumn("sess", sum(col("brk")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("user_id"), col("sess").as("session_id"))
-          .agg(min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"))
+          .agg(min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us")))
         val bounds = sess.select(col("user_id"), col("session_id"),
             col("start_us").as("tsu"), lit(1L).as("delta"))
           .unionAll(sess.select(col("user_id"), col("session_id"),
@@ -2002,11 +2015,23 @@ object MiscQueries {
           .select(datediff(col("l_shipdate").cast("date"),
             col("o_orderdate").cast("date")).cast("long").as("d"))
           .filter(col("d") >= 1L)
-        val censRow = base.filter(col("d") > 60L).agg(count(lit(1)).as("cens"))
+        // r15: the censored count and the per-day death histogram both
+        // consumed `base` — the lineitem⋈orders join ran TWICE, and
+        // sequentially (the censored broadcast gates the curve). Fold
+        // them into ONE 61-bucket aggregation over one pass of the join
+        // (bucket -1 = censored), persisted so both consumers read the
+        // 61-row frame.
+        import graft.operators.CacheScope
+        CacheScope.release("q170")
+        val hist = CacheScope.persist("q170", base
+          .groupBy(when(col("d") > 60L, lit(-1L)).otherwise(col("d")).as("t"))
+          .agg(count(lit(1)).as("cnt")))
+        val censRow = hist
+          .agg(coalesce(sum(when(col("t") === -1L, col("cnt")).otherwise(0L)),
+            lit(0L)).as("cens"))
         val spine = s.range(1, 61).toDF("t")
         val dt = spine
-          .join(base.filter(col("d") <= 60L).groupBy(col("d").as("t"))
-            .agg(count(lit(1)).as("cnt")), Seq("t"), "left")
+          .join(hist.filter(col("t") >= 1L), Seq("t"), "left")
           .select(col("t"), coalesce(col("cnt"), lit(0L)).as("d"))
         // 1-row censored-count scalar onto the 60-row curve frame
         val st = dt.crossJoin(broadcast(censRow))
@@ -2219,6 +2244,12 @@ object MiscQueries {
              |FROM r1 JOIN r2 USING (day) JOIN nv USING (day)
              |ORDER BY day""".stripMargin),
       (s, d) => {
+        // r15 note: `v` has four consumers and the runtime plan re-runs
+        // its pipeline per consumer — but persisting it was MEASURED
+        // SLOWER at sf0.1 (1.48 → 1.82 s min): the branches recompute
+        // concurrently across cores while a persist serializes the DAG
+        // behind one materialization. Left as recompute; see
+        // OPTIMIZATION_r15.md (q175).
         val v = Tables.events(s, d)
           .groupBy(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
             col("user_id"), col("event_type"))

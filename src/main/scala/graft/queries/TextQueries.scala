@@ -107,6 +107,25 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d).repartition(col("doc_id"))
 
+  /** Persisted 64-bit fingerprint frame (doc_id, lo, hi) for the SimHash
+    * near-dup family (r15, guide §1.2 per-task work): every consumer
+    * feeds SimHashBands with the SAME frame on both join sides, so
+    * without a persist the simhash64∘shingle kernel — the CPU-heaviest
+    * map work in the text family — ran once PER side (and once more per
+    * extra consumer). The fingerprints are 3 longs/doc; caching them is
+    * ~24 B/doc, the same budget as q86's persisted index. Releases and
+    * re-registers `scope`, so call it FIRST in the query body.
+    */
+  private def simhash64Fp(s: org.apache.spark.sql.SparkSession, d: String,
+                          scope: String): org.apache.spark.sql.DataFrame = {
+    graft.operators.CacheScope.release(scope)
+    graft.operators.CacheScope.persist(scope, docs(s, d)
+      .select(col("doc_id"),
+        NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
+      .select(col("doc_id"),
+        element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi")))
+  }
+
   /** q84 deployment knobs — declared BEFORE `all` because the q84 oracle
     * string interpolates them eagerly at object init (a forward reference
     * would silently interpolate 0); documented at [[containmentPairs]].
@@ -331,12 +350,15 @@ object TextQueries {
            |WHERE len(list_intersect(x.ss, y.ss)) * 10 >= len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))
            |ORDER BY i, j""".stripMargin),
       (s, d) => {
-        val base = docs(s, d)
+        // r15: sig feeds both band sides AND the shingle-set verify — the
+        // shingle+minhash kernels ran once per consumer (3×). Persist the
+        // signature frame (sh + mh8 per doc) so the kernels run once.
+        graft.operators.CacheScope.release("q34")
+        val sig = graft.operators.CacheScope.persist("q34", docs(s, d)
           .select(col("doc_id"), NativeText.shingleHashesOfText(col("text")).as("sh"))
-        // one-pass native signature; the size guard keeps the declared
-        // null-on-empty banding semantics (see q33)
-        val sig = base.select(col("doc_id"), col("sh"),
-          NativeText.minhash8(col("sh")).as("mh8"))
+          .select(col("doc_id"), col("sh"),
+            NativeText.minhash8(col("sh")).as("mh8")))
+        val base = sig
         // empty-shingle docs get a NULL bkey (never equi-joins) — matching
         // the oracle's NULL-propagating '||' concat; concat_ws alone would
         // skip the null halves and emit a joinable "" key
@@ -384,9 +406,12 @@ object TextQueries {
            |WHERE bit_count(xor(sh_i, sh_j)) <= 3
            |ORDER BY i, j""".stripMargin),
       (s, d) => {
-        val sim = docs(s, d)
+        // r15: sim feeds both band self-join sides — persist the tiny
+        // (doc_id, simhash) frame so the shingle+simhash kernel runs once
+        graft.operators.CacheScope.release("q35")
+        val sim = graft.operators.CacheScope.persist("q35", docs(s, d)
           .select(col("doc_id"),
-            NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("simhash"))
+            NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("simhash")))
         val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band"),
             (shiftright(col("simhash"), 5 * b) % 32L).as("bval"))): _*)).as("bk"))
@@ -466,9 +491,12 @@ object TextQueries {
             .join(graft.operators.Joins.dimBroadcast(dupGroups), Seq("h"), "left")
             .select(col("doc_id"), col("text"),
               coalesce(col("grp_rep"), col("doc_id")).as("rep")))
-        val sim = withRep.filter(col("doc_id") === col("rep"))
-          .select(col("doc_id"),
-            NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("simhash"))
+        // r15: sim feeds both band sides + the CC node frame — persist the
+        // tiny rep fingerprints so the shingle+simhash kernel runs once
+        val sim = graft.operators.CacheScope.persist("q63",
+          withRep.filter(col("doc_id") === col("rep"))
+            .select(col("doc_id"),
+              NativeText.simhash20(NativeText.shingleHashesOfText(col("text"))).as("simhash")))
         val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
           (0 until 4).map(b => struct(lit(b).as("band"),
             (shiftright(col("simhash"), 5 * b) % 32L).as("bval"))): _*)).as("bk"))
@@ -925,17 +953,33 @@ object TextQueries {
              |GROUP BY 1
              |ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        // Same no-persist call as q75: re-exploding windows for the second
-        // consumer is map-side native-kernel work, cheaper than caching a
-        // corpus-sized (x10 exploded) table.
-        val wins = docs(s, d)
+        // r15 restructure (guide §2.3/§2.4; result identical). Two
+        // observations kill the heaviest exchange and one of the two
+        // ngram-kernel passes:
+        //  (1) n_windows per doc is just len(tokens) - 9 — a map-side
+        //      projection, no explode and no shuffle;
+        //  (2) n_dup_windows = Σ k(doc, win) over windows with ≥2
+        //      DISTINCT docs, so the join only needs the distinct
+        //      (doc, win) pairs with their occurrence count k — the old
+        //      plan shuffled EVERY window occurrence (×10 corpus) by its
+        //      60-byte window string into a sort-merge join; now the
+        //      duplicated-window vocabulary (signal-sized) joins against
+        //      the distinct pairs, and AQE broadcasts it at small sf.
+        val base = docs(s, d)
+        val nw = base.select(col("doc_id"),
+            (size(tokens(col("text"))).cast("long") - 9L).as("n_windows"))
+          .filter(col("n_windows") >= 1L)
+        graft.operators.CacheScope.release("q87")
+        val cw = graft.operators.CacheScope.persist("q87", base
           .select(col("doc_id"), explode(NativeText.wordNgrams(col("text"), 10)).as("win"))
-        val docsWith = wins.select("doc_id", "win").distinct()
-          .groupBy("win").agg(count(lit(1)).as("docs_with"))
-        wins.join(docsWith, "win")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_windows"),
-            sum(when(col("docs_with") >= 2L, 1L).otherwise(0L)).as("n_dup_windows"))
+          .groupBy(col("doc_id"), col("win")).agg(count(lit(1)).as("k")))
+        val dupW = cw.groupBy("win").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2L).select("win")
+        val dup = cw.join(dupW, "win")
+          .groupBy("doc_id").agg(sum(col("k")).as("nd_w"))
+        nw.join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("nd_w"), lit(0L)).as("n_dup_windows"))
           .withColumn("dup_frac_micro",
             floor(col("n_dup_windows") * 1000000L / col("n_windows")).cast("long"))
           .orderBy("doc_id")
@@ -1145,11 +1189,7 @@ object TextQueries {
         import graft.operators.SimHashBands
         // parquet-metadata count — one cheap job that sizes the bands
         val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
-        val sim = docs(s, d)
-          .select(col("doc_id"),
-            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
-          .select(col("doc_id"),
-            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val sim = simhash64Fp(s, d, "q82") // persisted: kernel runs once
         val bands = SimHashBands.bandsOf(sim, bits)
         SimHashBands.verifiedPairs(bands, bands, col("a.doc_id") < col("b.doc_id"))
           .orderBy("i", "j")
@@ -1335,15 +1375,10 @@ object TextQueries {
       (s, d) => {
         import graft.operators.{CacheScope, Components, SimHashBands}
         val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
-        val sim = docs(s, d)
-          .select(col("doc_id"),
-            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
-          .select(col("doc_id"),
-            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val sim = simhash64Fp(s, d, "q91") // persisted: kernel runs once
         val bands = SimHashBands.bandsOf(sim, bits)
         // the edge list feeds nodes + CC (and CC reads it twice more):
         // persist the verified pairs, scoped
-        CacheScope.release("q91")
         val e = CacheScope.persist("q91",
           SimHashBands.verifiedPairs(bands, bands, col("a.doc_id") < col("b.doc_id")))
         val nodes = e.select(col("i").as("doc_id"))
@@ -1871,13 +1906,8 @@ object TextQueries {
       (s, d) => {
         import graft.operators.{CacheScope, Components, SimHashBands}
         val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
-        val sim = docs(s, d)
-          .select(col("doc_id"),
-            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
-          .select(col("doc_id"),
-            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val sim = simhash64Fp(s, d, "q118") // persisted: kernel runs once
         val bands = SimHashBands.bandsOf(sim, bits)
-        CacheScope.release("q118")
         val e = CacheScope.persist("q118",
           SimHashBands.verifiedPairs(bands, bands, col("a.doc_id") < col("b.doc_id")))
         val nodes = e.select(col("i").as("doc_id"))
@@ -1937,13 +1967,8 @@ object TextQueries {
       (s, d) => {
         import graft.operators.{CacheScope, Components, SimHashBands}
         val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
-        val sim = docs(s, d)
-          .select(col("doc_id"),
-            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
-          .select(col("doc_id"),
-            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val sim = simhash64Fp(s, d, "q128") // persisted: kernel runs once
         val bands = SimHashBands.bandsOf(sim, bits)
-        CacheScope.release("q128")
         val e = CacheScope.persist("q128",
           SimHashBands.verifiedPairs(bands, bands, col("a.doc_id") < col("b.doc_id")))
         val nodes = e.select(col("i").as("doc_id"))
@@ -1998,13 +2023,18 @@ object TextQueries {
       (s, d) => {
         import graft.operators.CacheScope
         CacheScope.release("q138")
-        // two consumers (doc-level counts + vocabulary) — persist the
-        // exploded token frame once (the q74 multi-consumer lesson)
-        val t = CacheScope.persist("q138", docs(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("token")))
-        val dc = t.groupBy("doc_id", "token").agg(count(lit(1)).as("k"))
-        val v = t.groupBy("token").agg(count(lit(1)).as("c"))
-        val n = v.agg(sum(col("c")).as("n"))
+        // r15: persist the AGGREGATED (doc, token, k) pair counts, not
+        // the raw exploded token frame — dc is the smallest frame every
+        // consumer can be derived from: v = Σk per token (aggregating
+        // pairs, not the full token stream), n = Σk (a 1-row scalar).
+        // The old shape cached the corpus-sized explode and re-aggregated
+        // the full token stream for v; this caches one pairs-sized
+        // aggregate and never re-reads the corpus.
+        val dc = CacheScope.persist("q138", docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("k")))
+        val v = dc.groupBy("token").agg(sum(col("k")).as("c"))
+        val n = dc.agg(sum(col("k")).as("n"))
         dc.join(v, "token").crossJoin(broadcast(n))
           .withColumn("bits", length(bin(expr("n div c"))).cast("long") - 1L)
           .groupBy("doc_id")
@@ -2172,11 +2202,7 @@ object TextQueries {
       (s, d) => {
         import graft.operators.SimHashBands
         val bits = SimHashBands.bandBitsFor(Tables.documents(s, d).count())
-        val sim = docs(s, d)
-          .select(col("doc_id"),
-            NativeText.simhash64(NativeText.shingleHashesOfText(col("text"))).as("fp"))
-          .select(col("doc_id"),
-            element_at(col("fp"), 1).as("lo"), element_at(col("fp"), 2).as("hi"))
+        val sim = simhash64Fp(s, d, "q147") // persisted: kernel runs once
         val bands = SimHashBands.bandsOf(sim, bits)
         val pairs = SimHashBands.verifiedPairs(bands, bands,
           col("a.doc_id") =!= col("b.doc_id"))
@@ -2355,9 +2381,12 @@ object TextQueries {
              |       JOIN sz nb ON i.s_b = nb.source
              |ORDER BY s_a, s_b""".stripMargin),
       (s, d) => {
-        val st = docs(s, d)
+        // r15: st feeds the per-source sizes AND both self-join sides —
+        // the explode+distinct shuffle ran 3×; persist one generation
+        graft.operators.CacheScope.release("q161")
+        val st = graft.operators.CacheScope.persist("q161", docs(s, d)
           .select(col("source"), explode(toks).as("tok"))
-          .distinct()
+          .distinct())
         val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
         val inter = st.as("a")
           .join(st.as("b"),
@@ -2527,12 +2556,16 @@ object TextQueries {
         val ss = base.select(col("doc_id"), array_distinct(col("sh")).as("ss"))
         val g = ss.select(col("doc_id"), explode(col("ss")).as("h"))
         val wd = Window.partitionBy(col("doc_id"))
-        val prefix = g
+        // r15: prefix feeds BOTH sides of the candidate self-join; its
+        // subtree is the expensive part (two shuffles + sorts: the
+        // h-keyed df window and the doc-keyed rank windows) — persist so
+        // the window pipeline runs once, not per join side.
+        val prefix = CacheScope.persist("q189", g
           .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
           .withColumn("rnk", row_number().over(wd.orderBy(col("df"), col("h"))))
           .withColumn("n", count(lit(1)).over(wd))
           .filter(col("rnk") <= expr("n - (n + 1) div 2 + 1"))
-          .select("doc_id", "h")
+          .select("doc_id", "h"))
         val tcand = prefix.as("a").join(prefix.as("b"),
             col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
@@ -2711,10 +2744,26 @@ object TextQueries {
              |FROM qs LEFT JOIN f ON qs.qid = f.qid
              |ORDER BY query_id""".stripMargin),
       (s, d) => {
+        // r15 restructure (guide §3.2 semi-join pre-filter; result
+        // identical): only tokens that appear in some QUERY doc can
+        // contribute to an overlap count, and filter-then-distinct ==
+        // distinct-then-filter on (doc_id, tok). So build the 20-doc
+        // query vocabulary first (pushdown filter doc_id < 20 reaches
+        // the scan), broadcast it, and drop non-query tokens from the
+        // corpus postings BEFORE the corpus-wide distinct — the big
+        // shuffle now carries only query-vocabulary postings. Before:
+        // the full corpus (doc_id, tok) distinct ran TWICE (5 scans, 14
+        // exchanges, 0 reused at runtime).
+        import graft.operators.CacheScope
+        CacheScope.release("q195")
+        val q = CacheScope.persist("q195", docs(s, d)
+          .filter(col("doc_id") < 20L)
+          .select(col("doc_id").as("qid"), explode(toks).as("tok")).distinct())
+        val qvocab = q.select("tok").distinct()
         val post = docs(s, d)
-          .select(col("doc_id"), explode(toks).as("tok")).distinct()
-        val q = post.filter(col("doc_id") < 20L)
-          .select(col("doc_id").as("qid"), col("tok"))
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .join(broadcast(qvocab), Seq("tok"), "left_semi")
+          .distinct()
         val r = q.join(post.as("p"),
             q("tok") === col("p.tok") && col("p.doc_id") =!= col("qid"))
           .groupBy(col("qid"), col("p.doc_id").as("doc_id"))
@@ -2722,18 +2771,21 @@ object TextQueries {
           .withColumn("rnk", row_number().over(
             Window.partitionBy("qid").orderBy(col("ov").desc, col("doc_id"))).cast("long"))
           .filter(col("rnk") <= 10L)
-        // (doc_id, source) is corpus-sized — shuffle join on doc_id, no
-        // broadcast hint (the q81 fact-to-fact layout); AQE may still
-        // broadcast at small sf
+        // (doc_id, source) is corpus-sized — never broadcast; but r is
+        // BOUNDED (≤ 10 ranks × 20 query ids), so broadcast r against it
+        // (build side = the bounded side, guide §3.1) instead of
+        // shuffling the corpus-sized src frame twice.
         val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val f = r
-          .join(src.select(col("doc_id").as("qid"), col("source").as("qsrc")), "qid")
+        val srcq = Tables.documents(s, d).filter(col("doc_id") < 20L)
+          .select(col("doc_id").as("qid"), col("source").as("qsrc"))
+        val f = broadcast(r.join(broadcast(srcq), "qid"))
           .join(src.select(col("doc_id").as("doc_id"), col("source").as("dsrc")), "doc_id")
           .filter(col("qsrc") === col("dsrc"))
           .groupBy("qid").agg(min(col("rnk")).as("first_rel"))
         Tables.documents(s, d).filter(col("doc_id") < 20L)
           .select(col("doc_id").as("query_id"))
-          .join(f.select(col("qid").as("query_id"), col("first_rel")), Seq("query_id"), "left")
+          .join(broadcast(f.select(col("qid").as("query_id"), col("first_rel"))),
+            Seq("query_id"), "left")
           .select(col("query_id"),
             coalesce(col("first_rel"), lit(0L)).as("first_rel_rank"),
             when(col("first_rel").isNull, 0L)
@@ -2758,9 +2810,14 @@ object TextQueries {
                        minSupport: Int = ContainMinSupport,
                        thrNum: Int = ContainThrNum,
                        thrDen: Int = ContainThrDen): org.apache.spark.sql.DataFrame = {
-    val fp = docsDf.select(col("doc_id"),
-      array_distinct(filter(NativeText.shingleHashesOfText(col("text")),
-        x => x % modP.toLong === 0L)).as("f"))
+    // r15: fp feeds the size table AND both self-join sides (kernel ×3
+    // without a persist); the sampled prints are ~shingles/modP per doc,
+    // so the cached frame is a small fraction of the corpus
+    graft.operators.CacheScope.release("q84cp")
+    val fp = graft.operators.CacheScope.persist("q84cp",
+      docsDf.select(col("doc_id"),
+        array_distinct(filter(NativeText.shingleHashesOfText(col("text")),
+          x => x % modP.toLong === 0L)).as("f")))
     val sz = fp.filter(size(col("f")) >= minSupport)
       .select(col("doc_id").as("i"), size(col("f")).cast("long").as("n"))
     val e = fp.select(col("doc_id"), explode(col("f")).as("v"))

@@ -471,8 +471,12 @@ object VectorQueries {
            |r_t AS (SELECT i, j, dot, $cosSql AS cos FROM p_t)
            |SELECT i, j, dot, cos FROM r_t WHERE cos >= 0.4 ORDER BY i, j""".stripMargin),
       (s, d) => {
-        val b = quantized(s, d).withColumn("bucket", bucket(4))
-          .select(col("vec_id"), col("em"), col("nsq"), col("bucket"))
+        // r15: b feeds both sides of the bucket self-join — persist so
+        // the quantize + norm + 4 hyperplane-dot kernels run once
+        graft.operators.CacheScope.release("q39")
+        val b = graft.operators.CacheScope.persist("q39",
+          quantized(s, d).withColumn("bucket", bucket(4))
+            .select(col("vec_id"), col("em"), col("nsq"), col("bucket")))
         val pairs = b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
