@@ -654,9 +654,13 @@ object TextQueries {
              |ORDER BY doc_id, rnk""".stripMargin),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val tf = docs(s, d)
+        // r15: tf feeds the doc-frequency broadcast AND the join probe
+        // side, and the broadcast build gates the join — the explode +
+        // pair shuffle ran twice, sequentially. Persist one generation.
+        graft.operators.CacheScope.release("q67")
+        val tf = graft.operators.CacheScope.persist("q67", docs(s, d)
           .select(col("doc_id"), explode(toks).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
         val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val nT = docs(s, d).agg(count(lit(1)).as("n"))
         tf.join(broadcast(dfT), "token")
@@ -910,7 +914,12 @@ object TextQueries {
       (s, d) => {
         // Re-exploding chunks for the second consumer is cheap map-side
         // work (native kernel, no shuffle) — recompute beats caching a
-        // corpus-sized table at scale, so no persist here.
+        // corpus-sized table at scale, so no persist here. (r15 re-tested
+        // the q87-style pairs restructure: MEASURED SLOWER at sf0.1
+        // (0.52 → 0.61 s min quiet-normalized) — chunks are only 1/10 of
+        // the token count, so the saved shuffle is smaller than the added
+        // materialization barrier; reverted. q87's ×10-fan-out windows are
+        // the shape where that restructure wins.)
         val chunks = docs(s, d)
           .select(col("doc_id"), explode(NativeText.wordChunks(col("text"), 10)).as("chunk"))
         val docsWith = chunks.select("doc_id", "chunk").distinct()
@@ -1479,17 +1488,23 @@ object TextQueries {
       (s, d) => {
         val chunks = docs(s, d).select(col("doc_id"),
           posexplode(NativeText.wordChunks(col("text"), 10)).as(Seq("pos", "chunk")))
-        val docsWith = chunks.select("doc_id", "chunk").distinct()
+        // r15: only chunks in ≥3 docs change anything — join the
+        // occurrences against the BOILERPLATE vocabulary (signal-sized,
+        // broadcastable at any scale) instead of the full chunk
+        // vocabulary with its docs_with counts (mostly 1s).
+        val boiler = chunks.select("doc_id", "chunk").distinct()
           .groupBy("chunk").agg(count(lit(1)).as("docs_with"))
-        chunks.join(docsWith, "chunk")
+          .filter(col("docs_with") >= 3L)
+          .select(col("chunk"), lit(1).as("bp"))
+        chunks.join(boiler, Seq("chunk"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("docs_with") < 3L, 1L).otherwise(0L)).as("kept_chunks"),
+            sum(when(col("bp").isNull, 1L).otherwise(0L)).as("kept_chunks"),
             // nulls (boilerplate) drop out of collect_list; sort restores
             // token order (pos is unique per doc, so the struct sort is a
             // pos sort); list size is bounded by the document length.
             array_sort(collect_list(
-              when(col("docs_with") < 3L, struct(col("pos"), col("chunk"))))).as("kept"))
+              when(col("bp").isNull, struct(col("pos"), col("chunk"))))).as("kept"))
           .withColumn("kept_frac_micro",
             floor(col("kept_chunks") * 1000000L / col("n_chunks")).cast("long"))
           .withColumn("kept_md5",
@@ -2381,12 +2396,13 @@ object TextQueries {
              |       JOIN sz nb ON i.s_b = nb.source
              |ORDER BY s_a, s_b""".stripMargin),
       (s, d) => {
-        // r15: st feeds the per-source sizes AND both self-join sides —
-        // the explode+distinct shuffle ran 3×; persist one generation
-        graft.operators.CacheScope.release("q161")
-        val st = graft.operators.CacheScope.persist("q161", docs(s, d)
+        // r15 note: persisting st (3 consumers) was MEASURED SLOWER at
+        // sf0.1 (0.48 → 0.61 s min quiet-normalized) — the branches
+        // recompute concurrently while the persist serializes the DAG
+        // behind one materialization (the q175 lesson). Left as recompute.
+        val st = docs(s, d)
           .select(col("source"), explode(toks).as("tok"))
-          .distinct())
+          .distinct()
         val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
         val inter = st.as("a")
           .join(st.as("b"),
