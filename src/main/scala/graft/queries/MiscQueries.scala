@@ -2799,12 +2799,18 @@ object MiscQueries {
       (s, d) => {
         import graft.operators.CacheScope
         CacheScope.release("q188")
+        // r15 (guide §1.2/§2.5 input parallelism + §4 expression choice):
+        // documents.parquet is ONE byte-sized scan partition, so the
+        // bigram explode + map-side dedup ran single-threaded; hash-
+        // repartition first (the TextQueries.docs rule). The bigrams now
+        // come from the native codegen WordNgrams kernel instead of an
+        // interpreted transform/sequence/element_at chain — identical
+        // strings (windows of 2 joined by ' ').
         val st = CacheScope.persist("q188",
           Tables.documents(s, d)
-            .select(col("source"), split(col("text"), " ").as("ts"))
-            .select(col("source"), explode(expr(
-              "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
-              .as("tok"))
+            .repartition(col("doc_id"))
+            .select(col("source"),
+              explode(graft.functions.NativeText.wordNgrams(col("text"), 2)).as("tok"))
             .distinct())
         val tot = st.select(col("tok")).distinct().agg(count(lit(1)).as("n"))
         def pick(frame: org.apache.spark.sql.DataFrame) =
