@@ -875,10 +875,10 @@ object VectorQueries {
   private def pqAdcScores(s: org.apache.spark.sql.SparkSession, d: String,
                           scope: String): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.DataFrame
+        import graft.functions.PqCodebook
         import graft.operators.CacheScope
         val M = 4; val SubDim = 16
         CacheScope.release(scope)
-        CacheScope.release(s"${scope}_cb")
         val n = quantized(s, d)
         // sub-vector frame: one row per (vec_id, sub-space) — persisted:
         // codebook seed, both Lloyd passes, and the query side all read it
@@ -889,45 +889,53 @@ object VectorQueries {
           .select(col("vec_id"), col("label"), col("nsq"),
             col("x.m").as("m"), col("x.sv").as("sv"))
           .withColumn("snsq", NativeText.dotLong(col("sv"), col("sv"))))
-        // per-sub-space floored-mean codebook from an assignment key
-        def cbFrom(assigned: DataFrame, key: String): DataFrame = assigned
-          .select(col("m"), col(key).as("code"), posexplode(col("sv")).as(Seq("dim0", "v")))
-          .groupBy(col("m"), col("code"), (col("dim0") + 1).as("dim"))
-          .agg(sum(col("v")).as("svv"), count(lit(1)).as("cnt"))
-          .withColumn("cv", floor(col("svv").cast("double") / col("cnt")).cast("long"))
-          .groupBy(col("m"), col("code"))
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-            x => x.getField("cv")).as("cvec"))
-          .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
-        // nearest sub-centroid per (vec, sub-space): exact integer L2.
-        // argmin as min(struct(l2, code)) — a hash aggregate with
-        // MAP-SIDE partial combine over the codes fan-out, where a
-        // row_number window would shuffle and sort every candidate row;
-        // the (l2, code) struct order IS the oracle's tie-break.
-        // sv/snsq/nsq are constant within a (vec, m) group, so first()
-        // is deterministic in value.
-        def assignSub(cb: DataFrame): DataFrame = {
-          val dist = col("snsq") + col("cnorm") -
-            NativeText.dotLong(col("sv"), col("cvec")) * 2L
-          sub.join(broadcast(cb), Seq("m"))
-            .select(col("vec_id"), col("m"), col("sv"), col("snsq"), col("nsq"),
-              struct(dist.as("l2"), col("code")).as("dc"))
-            .groupBy(col("vec_id"), col("m"))
-            .agg(min(col("dc")).as("dc"), first(col("sv")).as("sv"),
-              first(col("snsq")).as("snsq"), first(col("nsq")).as("nsq"))
-            .select(col("vec_id"), col("m"), col("sv"), col("snsq"),
-              col("nsq"), col("dc.code").as("code"))
+        // r16 (guide §1.2/§2.3/§2.4): the codebook is bounded by
+        // construction (M × codes = 40 rows), so each Lloyd step COLLECTS
+        // it — one map-side-partial aggregation (SubDim element_at sums +
+        // count over 40 groups, no posexplode fan-out, no second agg) and
+        // the floored-mean finalize runs on the driver with the identical
+        // arithmetic (Long→Double division + floor). The 40-row collect
+        // is the q204 bounded-metadata pattern, not a driver data loop.
+        def cbCollect(assigned: DataFrame, key: Column): (PqCodebook, Seq[(Int, Long, Seq[Long])]) = {
+          val aggs = (0 until SubDim).map(i =>
+            sum(element_at(col("sv"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("cnt")
+          val entries = assigned
+            .groupBy(col("m"), key.cast("long").as("code"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map { r =>
+              val cnt = r.getLong(SubDim + 2)
+              val cvec = (0 until SubDim).map(i =>
+                math.floor(r.getLong(2 + i).toDouble / cnt).toLong)
+              (r.getInt(0), r.getLong(1), cvec)
+            }.sortBy(e => (e._1, e._2)).toSeq
+          val mOff = new Array[Int](M + 1)
+          entries.foreach(e => mOff(e._1 + 1) += 1)
+          (1 to M).foreach(m => mOff(m) += mOff(m - 1))
+          (new PqCodebook(SubDim, mOff, entries.map(_._2).toArray,
+            entries.map(_._3.map(v => v * v).sum).toArray,
+            entries.flatMap(_._3).toArray), entries)
         }
-        // cb1 is 40 rows but costs a full assignment pass to build, and
-        // BOTH the encode and the distance table consume it — persist so
-        // the Lloyd chain runs once (CacheScope ties it to `scope`)
-        val cb1 = CacheScope.persist(s"${scope}_cb",
-          cbFrom(assignSub(cbFrom(sub, "label")), "code"))
-        val enc = assignSub(cb1).select(col("vec_id"), col("m"), col("code"), col("nsq"))
-        // ADC distance table: queries stay exact; 10 × 4 × 10 rows
+        // Lloyd chain: label-seeded codebook → map-side re-assign →
+        // rebuilt codebook. The assignment is the PqArgminExpr kernel
+        // evaluated per (vec, m) row — the former broadcast-join ×codes
+        // fan-out and its (vec_id, m) min-struct aggregation exchange
+        // (corpus×M rows carrying 16-long arrays) are gone entirely; the
+        // kernel computes the identical (l2, code)-ordered argmin (snsq
+        // is constant per row, so (cnorm − 2·dot, code) ordering is the
+        // same — see PqCodebook).
+        val (cb0, _) = cbCollect(sub, col("label"))
+        val (cb1, cb1Entries) = cbCollect(
+          sub.withColumn("code", NativeText.pqArgmin(col("m"), col("sv"), cb0)),
+          col("code"))
+        val enc = sub.select(col("vec_id"), col("m"),
+          NativeText.pqArgmin(col("m"), col("sv"), cb1).as("code"), col("nsq"))
+        // ADC distance table: queries stay exact; 10 × 4 × 10 rows. The
+        // codebook side is the collected cb1 as a local relation.
+        val cbDf = s.createDataFrame(cb1Entries).toDF("m", "code", "cvec")
         val dt = sub.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
-          .join(broadcast(cb1), Seq("m"))
+          .join(broadcast(cbDf), Seq("m"))
           .select(col("qid"), col("m"), col("code"),
             NativeText.dotLong(col("qv"), col("cvec")).as("pdot"))
         val qn = n.filter(col("vec_id") < 10)

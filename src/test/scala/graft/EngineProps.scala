@@ -83,6 +83,63 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("native sorted-pairs kernel matches the interpreted HOF pair explode") =
+    forAll(Gen.listOfN(6, Gen.choose(0, 12)
+        .flatMap(n => Gen.listOfN(n, Gen.choose(0L, 50L))))) { lists =>
+      val df = lists.map(l => Tuple1(l.distinct.sorted)).toDF("ps")
+      val cmp = df.select(
+        NativeText.sortedPairs(col("ps")).as("n_p"),
+        expr("flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))").as("d_p"))
+      cmp.collect().forall { r =>
+        def pairs(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+          .map(x => (x.getLong(0), x.getLong(1)))
+        pairs(0) == pairs(1)
+      }
+    }
+
+  private val pqVec: Gen[Seq[Long]] =
+    Gen.listOfN(4, Gen.choose(-2L, 2L)).map(_.toSeq)
+
+  private val pqCase: Gen[(List[Seq[Long]], List[(Int, Long, Seq[Long])])] =
+    for {
+      svs <- Gen.listOfN(8, pqVec)
+      n0 <- Gen.choose(1, 3)
+      n1 <- Gen.choose(1, 3)
+      cv0 <- Gen.listOfN(n0, pqVec)
+      cv1 <- Gen.listOfN(n1, pqVec)
+    } yield (svs,
+      cv0.zipWithIndex.map { case (v, i) => (0, i.toLong, v) } ++
+        cv1.zipWithIndex.map { case (v, i) => (1, i.toLong, v) })
+
+  property("native pq-argmin matches the declarative min(struct(l2, code)) assignment") =
+    forAll(pqCase) { case (svs, entries) =>
+      // tiny value range (-2..2) on purpose: distance ties are common, so
+      // the smallest-code tie-break is exercised, not just the argmin
+      val mOff = new Array[Int](3)
+      entries.foreach(e => mOff(e._1 + 1) += 1)
+      (1 to 2).foreach(m => mOff(m) += mOff(m - 1))
+      val cb = new graft.functions.PqCodebook(4, mOff,
+        entries.map(_._2).toArray,
+        entries.map(_._3.map(v => v * v).sum).toArray,
+        entries.flatMap(_._3).toArray)
+      val sv = svs.zipWithIndex
+        .flatMap { case (v, i) => Seq(0, 1).map(m => (i.toLong, m, v)) }
+        .toDF("id", "m", "sv")
+      val cbDf = entries.toDF("m", "code", "cvec")
+        .withColumn("cnorm", NativeText.dotLong(col("cvec"), col("cvec")))
+      val dist = NativeText.dotLong(col("sv"), col("sv")) + col("cnorm") -
+        NativeText.dotLong(col("sv"), col("cvec")) * 2L
+      val decl = sv.join(cbDf, Seq("m"))
+        .select(col("id"), col("m"), struct(dist.as("l2"), col("code")).as("dc"))
+        .groupBy("id", "m").agg(min(col("dc")).as("dc"))
+        .select(col("id"), col("m"), col("dc.code"))
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      val nat = sv.select(col("id"), col("m"),
+        NativeText.pqArgmin(col("m"), col("sv"), cb).as("code"))
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      nat == decl
+    }
+
   property("topk aggregate equals sort-take per group") = forAll(rows) { xs =>
     val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v.hashCode.toLong % 7, i.toLong) }
       .toDF("k", "score", "id")
