@@ -209,23 +209,52 @@ object Bench {
     // machine factor, and the canary-normalized overall ratio is the
     // code-attributable residual. canary≈raw ⇒ host noise; canary≈1
     // with raw high ⇒ a real regression.
-    val canaryNames = Seq("q01_scan_project", "q02_filter_pred", "q17_agg_sum")
-    val canaryRatio: Double = {
+    //
+    // Round-16 hardening (r15 verdict item 7): the 3-query median-based
+    // canary over-corrected under NON-UNIFORM load (the r14 driver run
+    // normalized to 0.766 against a quiet-host truth of ~0.97). Two
+    // fixes, measurement-only (the stdout contract is unchanged):
+    //  - SIX canaries spread across the alphabetical pass order, so a
+    //    load burst over one stretch of a round-robin pass cannot move
+    //    the whole probe;
+    //  - the headline canary and the normalized ratio use per-query
+    //    MINIMA on both sides (min is the best evidence of what the
+    //    host allowed; one clean pass of three defeats two loaded
+    //    ones). The old median-based forms are still computed and
+    //    recorded in bench_out.json ("ratio_med"/"normalized_med").
+    val canaryNames = Seq("q01_scan_project", "q02_filter_pred", "q17_agg_sum",
+      "q69_pseudonymize", "q94_pii_redact", "q174_lateness_audit")
+    def canaryOf(vals: Map[String, Double]): Double = {
       val pairs = canaryNames.flatMap(n =>
-        for { m <- medians.toMap.get(n).filter(_ >= 0)
+        for { m <- vals.get(n).filter(_ >= 0)
               b <- baseline.get(n).filter(_ > 0) } yield (m, b))
       if (pairs.isEmpty) -1.0 else pairs.map(_._1).sum / pairs.map(_._2).sum
     }
+    val canaryRatio: Double = canaryOf(mins)
+    val canaryMedRatio: Double = canaryOf(medians.toMap)
     val rawVsBaseline: Double =
       if (ratios.isEmpty) -1.0
       else ratios.map(_._2).sum / ratios.map(_._3).sum
+    // min-based suite ratio over the same comparable set, so the
+    // normalized headline divides like by like (min/min)
+    val minVsBaseline: Double = {
+      val pairs = ratios.flatMap { case (n, _, b, _) =>
+        mins.get(n).filter(_ >= 0).map(m => (m, b))
+      }
+      if (pairs.isEmpty) -1.0 else pairs.map(_._1).sum / pairs.map(_._2).sum
+    }
     val normalizedVsBaseline: Double =
-      if (canaryRatio > 0 && rawVsBaseline > 0) rawVsBaseline / canaryRatio
+      if (canaryRatio > 0 && minVsBaseline > 0) minVsBaseline / canaryRatio
+      else -1.0
+    val normalizedMedVsBaseline: Double =
+      if (canaryMedRatio > 0 && rawVsBaseline > 0) rawVsBaseline / canaryMedRatio
       else -1.0
     if (canaryRatio > 0)
-      System.err.println(f"[bench] canary ratio ${canaryRatio}%.3fx (host-speed " +
-        f"probe), raw vs baseline ${rawVsBaseline}%.3fx, canary-normalized " +
-        f"${normalizedVsBaseline}%.3fx")
+      System.err.println(f"[bench] canary ratio ${canaryRatio}%.3fx min-based " +
+        f"(median-based ${canaryMedRatio}%.3fx), raw vs baseline " +
+        f"${rawVsBaseline}%.3fx med / ${minVsBaseline}%.3fx min, " +
+        f"canary-normalized ${normalizedVsBaseline}%.3fx " +
+        f"(median form ${normalizedMedVsBaseline}%.3fx)")
 
     val errJson = errors.distinct.take(8).map(e =>
       "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"").takeWhile(_ >= ' ').take(160) + "\"")
@@ -249,13 +278,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val canaryJson =
       s"""{"queries":[${canaryNames.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""ratio":${fmt(canaryRatio)},"raw_vs_baseline":${fmt(rawVsBaseline)},""" +
-        s""""normalized_vs_baseline":${fmt(normalizedVsBaseline)}}"""
+        s""""ratio":${fmt(canaryRatio)},"ratio_med":${fmt(canaryMedRatio)},""" +
+        s""""raw_vs_baseline":${fmt(rawVsBaseline)},"min_vs_baseline":${fmt(minVsBaseline)},""" +
+        s""""normalized_vs_baseline":${fmt(normalizedVsBaseline)},""" +
+        s""""normalized_med":${fmt(normalizedMedVsBaseline)}}"""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qJson,"mins":$minJson,"baseline":"$baselinePath","vs_baseline":$vsBaselineJson,"canary":$canaryJson,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), fullJson + "\n")
     catch { case _: Throwable => () }
+    // r16 (verdict item 8): point tail readers at the per-query artifact —
+    // the full map can never fit the ~2,000-char tail window, but its
+    // PATH can. stderr only; the stdout contract stays one line.
+    System.err.println(s"[bench] json-detail $outPath")
 
     // Compact final line — MUST stay well under 2,000 chars so it survives
     // the driver's tail capture; per-query detail lives in bench_out.json.

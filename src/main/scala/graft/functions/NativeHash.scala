@@ -82,45 +82,60 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Byte offsets of the single-space token separators of a UTF-8
+    * string: starts(t) / ends(t) bound token t, tokens = split(' ', -1).
+    * 0x20 never occurs inside a multi-byte UTF-8 sequence, so a byte
+    * scan finds exactly the split positions. */
+  @inline private def tokenBounds(b: Array[Byte]): (Array[Int], Array[Int]) = {
+    var spaces = 0
+    var p = 0
+    while (p < b.length) { if (b(p) == 0x20) spaces += 1; p += 1 }
+    val starts = new Array[Int](spaces + 1)
+    val ends = new Array[Int](spaces + 1)
+    var t = 0
+    starts(0) = 0
+    p = 0
+    while (p < b.length) {
+      if (b(p) == 0x20) { ends(t) = p; t += 1; starts(t) = p + 1 }
+      p += 1
+    }
+    ends(t) = b.length
+    (starts, ends)
+  }
+
   /** All word n-grams as space-joined strings (Text.wordNgrams over
-    * Text.tokens): one tokenize + tight assembly loop instead of an
-    * interpreted transform re-slicing the token array per window. */
+    * Text.tokens). r16: because tokens are the single-space split, the
+    * n-gram "join with ' '" is the CONTIGUOUS BYTE SPAN from token i's
+    * start to token i+n−1's end — each output is a zero-copy slice of
+    * the input's UTF-8 buffer (no UTF-16 round trip, no StringBuilder,
+    * no re-encode). Value-identical to the assembly form; EngineProps
+    * pins native == declarative. */
   def wordNgrams(s: UTF8String, n: Int): ArrayData = {
-    val toks = s.toString.split(" ", -1)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](toks.length - n + 1)
+    val b = s.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val nt = starts.length
+    if (nt < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nt - n + 1)
     var i = 0
     while (i < out.length) {
-      val sb = new java.lang.StringBuilder
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = UTF8String.fromBytes(b, starts(i), ends(i + n - 1) - starts(i))
       i += 1
     }
     new GenericArrayData(out)
   }
 
   /** Consecutive non-overlapping n-token chunks, tail dropped
-    * (Text.wordChunks over Text.tokens). */
+    * (Text.wordChunks over Text.tokens) — same byte-span slicing as
+    * [[wordNgrams]]. */
   def wordChunks(s: UTF8String, n: Int): ArrayData = {
-    val toks = s.toString.split(" ", -1)
-    val m = toks.length / n
+    val b = s.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val m = starts.length / n
     if (m == 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](m)
     var c = 0
     while (c < m) {
-      val sb = new java.lang.StringBuilder
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(c * n + j))
-        j += 1
-      }
-      out(c) = UTF8String.fromString(sb.toString)
+      out(c) = UTF8String.fromBytes(b, starts(c * n), ends(c * n + n - 1) - starts(c * n))
       c += 1
     }
     new GenericArrayData(out)
@@ -213,6 +228,57 @@ object TextKernels {
       j += 1
     }
     res
+  }
+
+  /** Self + every single-codepoint-deletion variant, first-occurrence
+    * deduped — the FastSS/SymSpell neighborhood (q80). Value-identical to
+    * array_distinct(concat(array(s), transform(sequence(1, length(s)),
+    * i -> concat(substr(s, 1, i-1), substr(s, i+1, length(s)))))):
+    * positions are codepoint-based (substr's semantics), dedup keeps
+    * first occurrences (array_distinct's semantics). One tokenize-free
+    * loop replaces an interpreted transform/sequence/substr/concat chain
+    * re-walked per variant. */
+  def deletionVariants(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(str)
+    var i = 0
+    var idx = 0
+    while (i < n) {
+      val next = str.offsetByCodePoints(idx, 1)
+      seen.add(str.substring(0, idx) + str.substring(next))
+      idx = next
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** |a ∩ b| of two ascending-sorted DISTINCT string arrays — exactly
+    * size(array_intersect(a, b)) for such inputs, without materializing
+    * the intersection array or hashing every element: one merge walk of
+    * binary comparisons (sort_array's string order IS UTF8String binary
+    * order). Callers own the sorted+distinct precondition (collect_set ∘
+    * sort_array); EngineProps pins value equality on that domain. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      requireSlot(a, i, "graft_sorted_intersect_count")
+      requireSlot(b, j, "graft_sorted_intersect_count")
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** Minimum rolling 8-char window hash (Text.rollingMinHash8). */
@@ -572,6 +638,35 @@ case class AdcSumExpr(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+case class DeletionVariantsExpr(child: Expression) extends NativeUnaryExpression {
+  override protected def expectedInputType: DataType = StringType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def staticCall: String =
+    "graft.functions.TextKernels.deletionVariants(%s)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.deletionVariants(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): DeletionVariantsExpr =
+    copy(child = newChild)
+}
+
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.catalogString == ArrayType(StringType).catalogString &&
+        right.dataType.catalogString == ArrayType(StringType).catalogString)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, array<string>), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SortedPairsExpr(child: Expression) extends NativeUnaryExpression {
   override protected def expectedInputType: DataType = ArrayType(LongType)
   override def dataType: DataType = ArrayType(
@@ -662,6 +757,13 @@ object NativeText {
 
   /** All i<j pairs of a sorted BIGINT-array column as array<struct<p1,p2>>. */
   def sortedPairs(c: Column): Column = wrap(SortedPairsExpr(expr(c)))
+
+  /** Self + single-deletion variants of a string column (q80 FastSS). */
+  def deletionVariants(c: Column): Column = wrap(DeletionVariantsExpr(expr(c)))
+
+  /** |a ∩ b| of two sorted distinct string-array columns (q74 verify). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    wrap(SortedIntersectCountExpr(expr(a), expr(b)))
 
   /** Map-side PQ nearest-sub-centroid code for (m: int, sv: array<bigint>). */
   def pqArgmin(m: Column, sv: Column, cb: PqCodebook): Column =

@@ -876,13 +876,19 @@ object TextQueries {
         // Verify stage: candidate pairs only. Gram sets ride along as
         // per-document arrays (bounded by document length), so the exact
         // intersection is a local array op — no second corpus-wide join.
-        val sets = grams.groupBy("doc_id")
-          .agg(sort_array(collect_set(col("gram"))).as("gs"))
+        // r16: sets is PERSISTED (its two consumers are the two attach
+        // sides of the candidate join — the sequential-consumer persist
+        // rule; the runtime plan showed the collect_set ObjectHashAgg
+        // running twice), and the intersection count is the native
+        // merge-walk kernel over the sorted distinct arrays instead of
+        // hash-based array_intersect materializing the common elements.
+        val sets = graft.operators.CacheScope.persist("q74", grams.groupBy("doc_id")
+          .agg(sort_array(collect_set(col("gram"))).as("gs")))
         cands
           .join(sets.select(col("doc_id").as("d1"), col("gs").as("gs1")), "d1")
           .join(sets.select(col("doc_id").as("d2"), col("gs").as("gs2")), "d2")
           .select(col("d1"), col("d2"),
-            size(array_intersect(col("gs1"), col("gs2"))).cast("long").as("inter"),
+            NativeText.sortedIntersectCount(col("gs1"), col("gs2")).as("inter"),
             size(col("gs1")).cast("long").as("n1"),
             size(col("gs2")).cast("long").as("n2"))
           .filter(col("inter") * 3 >= col("n1") + col("n2"))
@@ -979,9 +985,22 @@ object TextQueries {
             (size(tokens(col("text"))).cast("long") - 9L).as("n_windows"))
           .filter(col("n_windows") >= 1L)
         graft.operators.CacheScope.release("q87")
-        val cw = graft.operators.CacheScope.persist("q87", base
+        // SCALE GATE (r16, ADVICE r15): cw is ~10x-corpus-sized (one
+        // 10-gram string per token), so the persist that wins at bench
+        // scale (kernel 2x -> 1x, measured r15) becomes a heavy
+        // MEMORY_AND_DISK spill at 100 TB. Gate it on input bytes —
+        // above the cap the two consumers recompute the kernel instead,
+        // which is the cheaper failure mode at corpus scale. Results are
+        // persist-independent either way.
+        val persistCap = sys.env.getOrElse(
+          "SPARK_GRAFT_PERSIST_CAP_BYTES", (8L << 30).toString).toLong
+        val cwPlan = base
           .select(col("doc_id"), explode(NativeText.wordNgrams(col("text"), 10)).as("win"))
-          .groupBy(col("doc_id"), col("win")).agg(count(lit(1)).as("k")))
+          .groupBy(col("doc_id"), col("win")).agg(count(lit(1)).as("k"))
+        val cw =
+          if (graft.sources.Tables.inputBytes(d, "documents") <= persistCap)
+            graft.operators.CacheScope.persist("q87", cwPlan)
+          else cwPlan
         val dupW = cw.groupBy("win").agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= 2L).select("win")
         val dup = cw.join(dupW, "win")
@@ -1147,12 +1166,13 @@ object TextQueries {
         // self + every single-deletion variant, deduped per name. Cached:
         // the self-join consumes it twice and Catalyst would otherwise
         // recompute the explode per side (see q74's ReuseExchange note).
+        // r16: variant generation is the native DeletionVariants kernel —
+        // the interpreted transform∘sequence∘substr∘concat chain (guide
+        // §4) re-walked its expression tree per variant; EngineProps pins
+        // value equality with the declarative form.
         val variants = graft.operators.CacheScope.persist("q80",
-          names.select(col("name"), explode(array_distinct(concat(
-            array(col("name")),
-            transform(sequence(lit(1), length(col("name"))), i =>
-              concat(col("name").substr(lit(1), i - 1),
-                col("name").substr(i + 1, length(col("name")))))))).as("v")))
+          names.select(col("name"),
+            explode(NativeText.deletionVariants(col("name"))).as("v")))
         val cands = variants.as("a")
           .join(variants.as("b"),
             col("a.v") === col("b.v") && col("a.name") < col("b.name"))

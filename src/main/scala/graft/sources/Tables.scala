@@ -30,6 +30,19 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+
+  /** On-disk bytes of a harness table (file or directory) — the input-size
+    * signal scale-gated persists key on (a near-corpus-sized cache is a win
+    * at bench scale and a spill hazard at 100 TB). 0 when unreadable: the
+    * gate then conservatively treats the input as small.
+    */
+  def inputBytes(sfDir: String, name: String): Long = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else f.length()
+    try sizeOf(new java.io.File(sfDir, s"$name.parquet"))
+    catch { case _: Throwable => 0L }
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** CSV scan with header + explicit schema; accepts a glob so a year of

@@ -65,6 +65,11 @@ object PlanDump {
       }
       once() // warmup
       val ts = (1 to passes).map(_ => once()).sorted
+      // true median: average the two middle elements for even pass
+      // counts (ts(n/2) alone is the upper-middle — biased high)
+      val med =
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
       // Post-execution (AQE-final) plan: initial explain() hides runtime
       // exchange/stage reuse, so recompute claims need the executed plan.
       try {
@@ -72,8 +77,13 @@ object PlanDump {
         if (execs.nonEmpty)
           Files.writeString(Paths.get(outDir, s"${name}_${tag}_final.txt"),
             execs.last.physicalPlanDescription)
-      } catch { case _: Throwable => () }
-      println(f"[plandump] $name%-28s min ${ts.head}%.3fs med ${ts(ts.size / 2)}%.3fs ($tag)")
+        else
+          println(s"[plandump] WARNING: no executions retained for $name — ${name}_${tag}_final.txt not written")
+      } catch {
+        case e: Throwable =>
+          println(s"[plandump] WARNING: final-plan capture failed for $name: ${e.getMessage}")
+      }
+      println(f"[plandump] $name%-28s min ${ts.head}%.3fs med $med%.3fs ($tag)")
     }
     spark.stop()
   }

@@ -97,6 +97,33 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("native deletion-variants kernel matches the declarative substr form") =
+    forAll(Gen.listOfN(6, Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '), Gen.const('é')))
+          .map(_.mkString)))) { names =>
+      val df = names.toDF("name")
+      val cmp = df.select(
+        NativeText.deletionVariants(col("name")).as("n_v"),
+        array_distinct(concat(
+          array(col("name")),
+          transform(sequence(lit(1), length(col("name"))), i =>
+            concat(col("name").substr(lit(1), i - 1),
+              col("name").substr(i + 1, length(col("name"))))))).as("d_v"))
+      cmp.collect().forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    }
+
+  property("native sorted-intersect-count matches size(array_intersect) on sorted distinct arrays") =
+    forAll(Gen.listOfN(6, Gen.zip(
+        Gen.listOf(Gen.choose(0, 40).map(i => s"g$i")),
+        Gen.listOf(Gen.choose(0, 40).map(i => s"g$i"))))) { pairs =>
+      val df = pairs.map { case (a, b) =>
+        (a.distinct.sorted, b.distinct.sorted) }.toDF("a", "b")
+      val cmp = df.select(
+        NativeText.sortedIntersectCount(col("a"), col("b")).as("n_i"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("d_i"))
+      cmp.collect().forall(r => r.getLong(0) == r.getLong(1))
+    }
+
   private val pqVec: Gen[Seq[Long]] =
     Gen.listOfN(4, Gen.choose(-2L, 2L)).map(_.toSeq)
 

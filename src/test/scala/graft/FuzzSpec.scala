@@ -93,7 +93,7 @@ class FuzzSpec extends SparkTestBase {
   test("T1 filter-project: 100 cases match the JVM reference") {
     val t1s = all.collect { case c: T1 => c }
     assert(t1s.size == 100)
-    t1s.foreach { c =>
+    inParallel(t1s) { c =>
       val exp = lis.filter { l =>
         val p1 = cmp(l.qty, c.cmpQ, c.qc); val p2 = cmp(l.pc, c.cmpP, c.pc)
         if (c.isAnd) p1 && p2 else p1 || p2
@@ -105,7 +105,7 @@ class FuzzSpec extends SparkTestBase {
   test("T2 aggregate + having: 100 cases match the JVM reference") {
     val t2s = all.collect { case c: T2 => c }
     assert(t2s.size == 100)
-    t2s.foreach { c =>
+    inParallel(t2s) { c =>
       def key(l: Li): Any = c.key match {
         case "l_returnflag" => l.rf; case "l_linestatus" => l.ls; case "qty" => l.qty
       }
@@ -122,7 +122,7 @@ class FuzzSpec extends SparkTestBase {
   test("T3 window ranks: 100 cases match the JVM reference") {
     val t3s = all.collect { case c: T3 => c }
     assert(t3s.size == 100)
-    t3s.foreach { c =>
+    inParallel(t3s) { c =>
       def part(l: Li): String = if (c.part == "l_returnflag") l.rf else l.ls
       val exp = lis.groupBy(part).toSeq.flatMap { case (p, g) =>
         c.mode match {
@@ -149,7 +149,7 @@ class FuzzSpec extends SparkTestBase {
   test("T4 join-aggregate: 100 cases match the JVM reference") {
     val t4s = all.collect { case c: T4 => c }
     assert(t4s.size == 100)
-    t4s.foreach { c =>
+    inParallel(t4s) { c =>
       val joined = ords.filter(_.pc >= c.pc)
         .flatMap(o => custs.get(o.ck).map(cu => (o, cu)))
       def key(o: Ord, cu: (Long, String)): Any = c.key match {
@@ -167,7 +167,7 @@ class FuzzSpec extends SparkTestBase {
   test("T6 set operations: 100 cases match the JVM reference") {
     val t6s = all.collect { case c: T6 => c }
     assert(t6s.size == 100)
-    t6s.foreach { c =>
+    inParallel(t6s) { c =>
       val a = lis.filter(l => cmp(l.qty, c.cmpA, c.ca)).map(l => (l.rf, l.qty))
       val b = lis.filter(l => cmp(l.pc, c.cmpB, c.cb)).map(l => (l.rf, l.qty))
       val exp = (c.op match {
@@ -182,7 +182,7 @@ class FuzzSpec extends SparkTestBase {
   test("T7 null-skipping aggregates: 100 cases match the JVM reference") {
     val t7s = all.collect { case c: T7 => c }
     assert(t7s.size == 100)
-    t7s.foreach { c =>
+    inParallel(t7s) { c =>
       def key(l: Li): Any = c.key match {
         case "l_returnflag" => l.rf; case "l_linestatus" => l.ls; case "qty" => l.qty
       }
@@ -200,7 +200,7 @@ class FuzzSpec extends SparkTestBase {
     val t8s = all.collect { case c: T8 => c }
     assert(t8s.size == 100)
     val custSeq = custs.toSeq.map { case (ck, (nk, _)) => (ck, nk) }
-    t8s.foreach { c =>
+    inParallel(t8s) { c =>
       val oRows = ords.map(o =>
         (o.ok, if (o.ok % c.mod == c.res) None else Some(o.ck), o.pc))
       val j1 = equiJoin(oRows, (r: (Long, Option[Long], Long)) => r._2,
@@ -224,7 +224,7 @@ class FuzzSpec extends SparkTestBase {
   test("T9 multi-way USING with multiplicity: 100 cases match the JVM reference") {
     val t9s = all.collect { case c: T9 => c }
     assert(t9s.size == 100)
-    t9s.foreach { c =>
+    inParallel(t9s) { c =>
       val a = lis.map(l => (l.ok, l.qty, l.pc))
       val b = ords.filter(_.pc >= c.pcMin).map(o => (o.ok, o.status))
       val cc = ords.filter(o => o.ok % c.mod2 == c.res2).map(o => (o.ok, o.prio))
@@ -252,7 +252,7 @@ class FuzzSpec extends SparkTestBase {
   test("T5 scalar string/date: 100 cases match the JVM reference") {
     val t5s = all.collect { case c: T5 => c }
     assert(t5s.size == 100)
-    t5s.foreach { c =>
+    inParallel(t5s) { c =>
       val exp = ords.filter(o => o.ok % c.modulus == c.residue).map { o =>
         val s = c.fnId match {
           case 0 => o.prio.toUpperCase
